@@ -1,0 +1,274 @@
+"""Scalar function surface (SURVEY.md §2 #45-52).
+
+Reference provenance: the reference's transform/ stage
+[REC src/etl/.DS_Store:5104] cleaned/derived columns row-wise; here every
+transform is a built-in JVM expression inside whole-stage codegen — no
+Python in the hot path (the deliberate UDF surface lives in udf.py).
+
+Dialect traps handled per SURVEY §2.1: date_add via interval arithmetic
+(Spark's date_add returns DATE, DuckDB's + INTERVAL returns TIMESTAMP);
+datediff argument order; ceil/floor output types; posexplode ordinality
+oracle via generate_series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substring(c_name, 1, 8) AS name_prefix,
+           trim(concat('  ', c_name, '  ')) AS name_trim,
+           lpad(cast(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           concat(c_name, '/', c_mktsegment) AS name_seg,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           length(c_name) AS name_len,
+           string_split(c_name, '#')[2] AS key_part
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (upper/lower/substring/trim/lpad/concat/
+    replace/length/split-part)."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trim"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.split(F.col("c_name"), "#").getItem(1).alias("key_part"),
+    )
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           regexp_replace(text, '[aeiou]', '', 'g') AS no_vowels,
+           regexp_matches(text, 'join') AS has_join
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/replace/match with dialect-portable patterns
+    (POSIX-ish subset: classes, groups, +*? — SURVEY §2.1.12)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "").alias("no_vowels"),
+        F.col("text").rlike("join").alias("has_join"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           cast(year(o_orderdate) AS INTEGER) AS y,
+           cast(month(o_orderdate) AS INTEGER) AS m,
+           cast(day(o_orderdate) AS INTEGER) AS d,
+           cast(quarter(o_orderdate) AS INTEGER) AS q,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           last_day(cast(o_orderdate AS DATE))::TIMESTAMP AS month_end,
+           cast(date_diff('day', cast(o_orderdate AS DATE), DATE '2002-01-01')
+                AS BIGINT) AS days_to_2002
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery; handles the Spark↔DuckDB traps:
+    datediff arg order flips, +INTERVAL keeps TIMESTAMP on both sides."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias(
+            "month_end"
+        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS abs_disc,
+           cast(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           cast(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(ln(l_extendedprice), 4) AS ln_price,
+           round(log10(l_extendedprice), 4) AS log10_price,
+           round(exp(l_discount), 4) AS exp_disc,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           l_orderkey % 7 AS key_mod,
+           cast(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           round(greatest(l_quantity, l_discount * 100), 2) AS biggest,
+           round(least(l_quantity, l_discount * 100), 2) AS smallest
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (ceil/floor cast to BIGINT on both sides —
+    DuckDB's ceil returns DOUBLE, Spark's returns LONG)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 4).alias("log10_price"),
+        F.round(F.exp("l_discount"), 4).alias("exp_disc"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.round(F.greatest(F.col("l_quantity"), F.col("l_discount") * 100), 2).alias(
+            "biggest"
+        ),
+        F.round(F.least(F.col("l_quantity"), F.col("l_discount") * 100), 2).alias(
+            "smallest"
+        ),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           cast(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2,
+           cast(json_extract_string(props, '$.missing') AS INTEGER) AS missing
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the semi-structured props payload
+    (events.props = '{"k": <int>}')."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k * 2).alias("k2"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           cast(len(embedding) AS INTEGER) AS dim,
+           round((embedding::DOUBLE[])[1], 4) AS first_val,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x)), 4) AS total,
+           round(list_sum(list_transform(list_filter(embedding::DOUBLE[], x -> x > 0),
+                                         x -> x)), 4) AS pos_total,
+           cast(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER)
+               AS n_pos,
+           round(list_sort(embedding::DOUBLE[])[1], 4) AS min_val,
+           round(list_slice(embedding::DOUBLE[], 1, 3)[3], 4) AS third_val
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops incl. higher-order transform/filter/aggregate — all
+    scalar-valued outputs (cross-engine hashes of list cells are
+    implementation-defined, scalars are not)."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(dbl, 1), 4).alias("first_val"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("total"),
+        F.round(
+            F.aggregate(
+                F.filter(dbl, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("pos_total"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(F.element_at(F.array_sort(dbl), 1), 4).alias("min_val"),
+        F.round(F.element_at(F.slice(dbl, 1, 3), 3), 4).alias("third_val"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id, event_type AS type_v, cast(user_id AS VARCHAR) AS user_v
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup on the Spark side (map_from_arrays +
+    element_at); the oracle checks the scalar-equivalent output."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_v"),
+        F.element_at(m, "user").alias("user_v"),
+    )
+
+
+@register(
+    "q_explode",
+    oracle="""
+    SELECT vec_id,
+           cast(i - 1 AS BIGINT) AS pos,
+           round((embedding::DOUBLE[])[i], 4) AS val
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings WHERE vec_id < 5)
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array flatten with ordinality (bounded probe set).
+
+    DuckDB 1.0 lacks UNNEST WITH ORDINALITY; the oracle uses a lateral
+    generate_series (SURVEY §2.1.9).
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )

@@ -1,0 +1,148 @@
+"""Deliberate Python-UDF surface (SURVEY.md §2 #71-74): scalar UDF,
+Arrow-vectorized pandas UDF, grouped-map UDF (applyInPandas), and a
+Spark 4 Python UDTF.
+
+These exist to prove the extension surface, not for the hot path — every
+operator that *can* stay JVM-side does (scalar.py / text.py / vectors.py).
+The pandas variants ride Arrow batches (columnar transfer, ~10-100× the
+row-at-a-time pickling path); the grouped-map shuffles once on its
+grouping key, so it scales like any other keyed aggregation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType, StringType
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+_NON_ALNUM = re.compile(r"[^a-z0-9 ]")
+
+
+@udf(returnType=StringType(), useArrow=False)
+def normalize_text(text):
+    """Row-at-a-time scalar UDF: lowercase + strip non-alphanumerics."""
+    if text is None:
+        return None
+    return _NON_ALNUM.sub("", text.lower())
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS norm_text
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF text normalizer (bounded input — this is the
+    slow path by design; see module docstring)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+@pandas_udf(DoubleType())
+def l2_norm_arrow(emb: pd.Series) -> pd.Series:
+    """Arrow-vectorized L2 norm over an array<float> column; the whole
+    batch arrives as one Arrow buffer, math is numpy over float64."""
+    return emb.apply(
+        lambda a: float(np.sqrt(np.sum(np.square(np.asarray(a, dtype="float64")))))
+    )
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+               AS norm
+    FROM embeddings
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: same semantics (and oracle) as the JVM-side
+    q_embed_norm — the differential check proves UDF/JVM parity."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(l2_norm_arrow(F.col("embedding")), 4).alias("norm")
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score; ddof=1 to match stddev_samp. Single-row groups
+    (std undefined) yield NULL, matching the SQL window semantics."""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std(ddof=1)
+    if pd.isna(std) or std == 0.0:
+        z = pd.Series([None] * len(pdf), dtype="object")
+    else:
+        z = ((pdf["value"] - mean) / std).round(4)
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF (applyInPandas): per-user z-score of event values.
+
+    One shuffle on user_id; each group is a pandas frame executor-side.
+    """
+    e = table(spark, sf_dir, "events")
+    return e.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        _zscore, schema="user_id bigint, event_id bigint, z double"
+    )
+
+
+@udtf(returnType="doc_id: bigint, pos: bigint, token: string")
+class TokenizeUdtf:
+    """Python UDTF (Spark 4): one output row per token with its position."""
+
+    def eval(self, doc_id: int, text: str):  # noqa: D102
+        if text is None:
+            return
+        for pos, token in enumerate(text.split(" ")):
+            yield doc_id, pos, token
+
+
+@register(
+    "q_udtf_split",
+    oracle="""
+    SELECT doc_id,
+           cast(i - 1 AS BIGINT) AS pos,
+           toks[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF lateral apply: tokenize a bounded slice of the corpus into
+    (doc_id, pos, token) rows."""
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM documents_udtf d,
+             LATERAL tokenize_udtf(d.doc_id, d.text) t
+        """
+    )

@@ -1,0 +1,184 @@
+"""Vector / similarity-search operators over the embeddings store
+(SURVEY.md §2 #58-61): norms, all-pairs similarity, brute-force k-NN,
+multimodal (text ⋈ vector) joins.
+
+Reference provenance: driver north star (BASELINE.json:6 — similarity
+search as a first-class LLM-pipeline operator); top-k search shape per
+PAPERS.md:7,9 (EDBT'20, ICDE'21).
+
+Conventions: embeddings are 64-dim float32, exactly L2-normalized
+(FIXTURES.md), so cosine ≡ dot product; everything casts to double
+before arithmetic and rounds similarities to 4 (SURVEY §2.1.1-2).
+Similarity ordering uses the *rounded* value + vec_id tiebreak so the
+surviving top-k set is engine-independent.
+
+Scale posture: the all-pairs crossJoin is explicitly probe-bounded; the
+100 TB path keeps the same dot-product kernel but prunes candidates with
+LSH bucketing (see q_dedup_minhash for the banding machinery) or an
+IVF-style coarse quantizer — both are DataFrame-level rewrites
+(SCALE.md §similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float-array columns (JVM-side:
+    zip_with + aggregate, no Python in the loop)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """Double-precision L2 norm of a float-array column."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+@register(
+    "q_embed_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4)
+               AS norm,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 4)
+               AS l1_norm
+    FROM embeddings
+    """,
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector L2 + L1 norms (all ≈1.0 / corpus-dependent)."""
+    e = table(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding")), 4).alias("norm"),
+        F.round(l1, 4).alias("l1_norm"),
+    )
+
+
+@register(
+    "q_sim_pairs",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+               AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 50
+      AND round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= 0.35
+    """,
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity ≥ 0.35 over a bounded probe set
+    (cosine ≡ dot product on the L2-normalized fixtures; the filter is on
+    the *rounded* similarity so both engines cut identically)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    sim = F.round(dot(F.col("emb_a"), F.col("emb_b")), 4)
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+@register(
+    "q_sim_topk",
+    oracle="""
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+               AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 10
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY round(list_inner_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) DESC,
+                 b.vec_id
+    ) <= 5
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN: top-5 neighbors per probe vector (k=5, 10 probes).
+
+    Rank on (rounded sim DESC, neighbor id) — deterministic across
+    engines even when raw similarities differ in the last ulp.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("emb_p")
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot(F.col("emb_p"), F.col("emb_n")), 4))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
+@register(
+    "q_multimodal_join",
+    oracle="""
+    SELECT label,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           round(avg((embedding::DOUBLE[])[1]), 4) AS avg_first_dim
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY label
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern: join the text corpus to its vector
+    store (doc_id = vec_id is a co-partitionable key at scale) and
+    aggregate text stats per embedding label."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.size(F.split(F.col("text"), " "))), 2).alias(
+                "avg_tokens"
+            ),
+            F.round(
+                F.avg(F.element_at(F.col("embedding"), 1).cast("double")), 4
+            ).alias("avg_first_dim"),
+        )
+    )

@@ -1,0 +1,274 @@
+"""Aggregation operators (SURVEY.md §2 #20-30).
+
+Reference provenance: SQL-expressed analytics [REC src/etl/.DS_Store:4992];
+the concrete agg surface is the SURVEY §2 contract [DES].
+
+Scale posture: every groupBy here is a hash aggregation with map-side
+partial aggregation — the shuffle carries one row per (partition, group),
+not per input row, so low-cardinality groupings (returnflag × linestatus
+= 6 groups) reduce 100 TB to kilobytes before the exchange. The distinct
+aggs (#21) add an expand+reshuffle; grouping sets (#22-24) use Spark's
+Expand operator (one pass over the input, no re-reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_agg_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: multi-measure hash aggregation (the flagship query)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count(DISTINCT) aggs (Expand-based two-phase plan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           cast(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           cast(grouping(l_linestatus) AS INTEGER) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets with grouping() markers, via the Spark SQL surface."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               cast(grouping(l_returnflag) AS INT) AS g_flag,
+               cast(grouping(l_linestatus) AS INT) AS g_status,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: (flag,status) + (flag) + grand total in one Expand pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all 4 grouping combinations in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (count_if / sum(when))."""
+    e = table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return e.groupBy("user_id").agg(
+        F.count_if(is_purchase).alias("n_purchases"),
+        F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+        F.round(F.sum(F.when(is_purchase, F.col("value")).otherwise(0.0)), 2).alias(
+            "purchase_value"
+        ),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(median(l_quantity), 4) AS med_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median.
+
+    Exact percentile is a sort-based aggregate — fine per-group; the
+    100 TB path is approx_percentile (t-digest) when groups are huge.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, ts) AS last_event_id,
+           arg_min(event_id, ts) AS first_event_id,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin: event id at the max/min timestamp per user.
+
+    Deterministic because the fixture has no duplicate (user_id, ts).
+    """
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation → canonical comma-joined string."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@register("q_agg_approx")  # rows-only: HLL sketches differ across engines
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++).
+
+    No oracle: DuckDB's approx_count_distinct uses a different HLL
+    implementation, so values can't hash-match; the driver records a
+    rows-only check (SURVEY.md §2 #30). At 100 TB this is the *right*
+    distinct-count: fixed memory per group vs the exact Expand plan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )

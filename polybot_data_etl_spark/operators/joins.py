@@ -1,0 +1,313 @@
+"""Join operators (SURVEY.md §2 #9-19).
+
+Reference provenance: joins are the core of the reference's SQL analytics
+surface (SURVEY.md §0.1 [REC src/etl/.DS_Store:4992]); the concrete join
+set is the SURVEY §2 contract [DES].
+
+Scale posture per join:
+  * equi joins — declared with `on=` expressions; Catalyst/AQE pick
+    broadcast vs shuffled-hash vs sort-merge. Fact⋈fact at 100 TB rides
+    sort-merge on the join key; bucketing both sides on the key (see
+    catalog.PARTITION_HINTS) removes the shuffle entirely.
+  * broadcast — explicit `F.broadcast` hint for dimension tables (#10).
+  * theta/range joins (#17, #18) — always carry an equi component
+    (nationkey / user_id) so Spark plans a hash/sort-merge join with the
+    inequality as a post-join residual, never a cartesian product.
+  * as-of (#19) — no native Spark operator; implemented with the
+    union+window technique (single shuffle on user_id, no pairwise blow-up)
+    which is the scalable formulation — a join-then-argmax would
+    materialize O(probe × build) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Spark picks the physical strategy (AQE-enabled)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: explicit hint — the dim side ships to every
+    executor, the 100 TB fact side never shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_multi",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filter + agg + deterministic top-N."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           round(sum(coalesce(o_totalprice, 0)), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-extension, then aggregation."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (nations without suppliers null-extend)."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): left rows with at least one big order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS) — complement of q_join_semi."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — only ever sane on tiny relations (5 × 25 here)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT s_suppkey, s_name, count(*) AS n_richer_than,
+           round(sum(c_acctbal), 2) AS sum_poorer_bal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join bounded by an equi key: the nationkey equi component
+    lets Spark hash-partition; the acctbal inequality is a residual."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+            "inner",
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_richer_than"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_poorer_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range self-join: pairs of same-user events within 1 hour.
+
+    The user_id equi key bounds the pair space per user; at 100 TB the
+    scalable variant additionally buckets both sides by time_bucket(ts)
+    so candidate pairs stay within adjacent buckets.
+    """
+    e = table(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS probe_id, p.ts AS probe_ts, b.event_id AS match_id
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events
+               WHERE event_type <> 'purchase') b
+      ON p.user_id = b.user_id AND b.ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest earlier non-purchase
+    event of the same user.
+
+    Spark has no ASOF JOIN; the scalable formulation is union + ordered
+    window with `last(..., ignorenulls=True)`: one shuffle on (user_id),
+    zero pairwise blow-up, O(n log n) per user. Build rows sort before
+    probe rows at equal ts so "at-or-before" is inclusive. Fixture has no
+    duplicate (user_id, ts) pairs (verified), so the result is
+    deterministic.
+    """
+    e = table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast("bigint").alias("build_id"),
+    )
+    build = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("probe_id"),
+        F.col("event_id").alias("build_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = probe.unionByName(build).withColumn(
+        "match_id", F.last("build_id", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("is_probe") == 1) & F.col("match_id").isNotNull())
+        .select(
+            F.col("probe_id").alias("probe_id"),
+            F.col("ts").alias("probe_ts"),
+            "match_id",
+        )
+    )

@@ -1,0 +1,184 @@
+"""Time-series / sessionization operators over the events table
+(SURVEY.md §2 #62-66).
+
+Reference provenance: the reference ingested timestamped social-media
+events via scheduled DAGs (SURVEY.md §0.1 [REC src/etl/.DS_Store:4248,88]);
+the time-series query surface is the SURVEY §2 contract [DES]. The
+streaming twins of these queries live in polybot_data_etl_spark/streaming/.
+
+Scale posture: tumbling/sliding windows are plain hash aggs on the
+bucketed timestamp (map-side partials collapse 100 TB of events to one
+row per bucket per partition before the shuffle). Session windows
+shuffle once on user_id. With the events lake partitioned by date(ts)
+(catalog.PARTITION_HINTS), time-bounded queries prune at the file level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_ts_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    GROUP BY bucket
+    """,
+)
+def q_ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation.
+
+    Spark's window() is epoch-aligned, matching DuckDB time_bucket.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("bucket"), "n", "total")
+    )
+
+
+@register(
+    "q_ts_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL (k * 30) MINUTE AS bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e,
+         (VALUES (0), (1)) offsets(k)
+    GROUP BY bucket
+    """,
+)
+def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows sliding every 30 minutes.
+
+    Every event lands in exactly 2 windows: the ones starting at
+    floor30(ts) and floor30(ts) − 30 min (both epoch-aligned).
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("bucket"), "n", "total")
+    )
+
+
+@register(
+    "q_ts_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    ), numbered AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 30 MINUTE AS s_end,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def q_ts_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user.
+
+    Spark session_window end = last event + gap; the oracle replicates
+    that bound via the gaps-and-islands rewrite (SURVEY §2.1.11).
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_ts_funnel",
+    oracle="""
+    SELECT count(*) AS n_converted,
+           round(avg(epoch(t_purchase - t_signup) / 3600.0), 2) AS avg_hours_to_convert
+    FROM (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY user_id
+    )
+    WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL AND t_signup < t_purchase
+    """,
+)
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users whose first signup precedes first purchase."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    converted = per_user.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_signup") < F.col("t_purchase"))
+    )
+    hours = (
+        F.col("t_purchase").cast("double") - F.col("t_signup").cast("double")
+    ) / 3600.0
+    return converted.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg(hours), 2).alias("avg_hours_to_convert"),
+    )
+
+
+@register(
+    "q_ts_cohort",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    first_seen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM ev GROUP BY user_id
+    )
+    SELECT f.cohort_day AS cohort_day,
+           date_trunc('day', e.ts) AS activity_day,
+           count(DISTINCT e.user_id) AS n_active
+    FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_day, activity_day
+    """,
+)
+def q_ts_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort/retention matrix: first-seen day × activity day.
+
+    first_seen is one row per user (small) — broadcast back to events.
+    """
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .groupBy("cohort_day", F.date_trunc("day", F.col("ts")).alias("activity_day"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

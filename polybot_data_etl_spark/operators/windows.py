@@ -1,0 +1,239 @@
+"""Window-function operators (SURVEY.md §2 #31-38).
+
+Reference provenance: SQL analytics surface [REC src/etl/.DS_Store:4992];
+concrete window set per SURVEY §2 [DES].
+
+Scale posture: a window = one shuffle on partitionBy keys + per-partition
+sort. All windows here partition by a high-cardinality key (custkey /
+user_id) so no single partition exceeds executor memory; the one global
+window (#37, all-customer ntile) is flagged — at 100 TB that becomes a
+range-partitioned two-pass rank, or an approx-quantile bucketing.
+Every ordering carries a unique-key tiebreak (SURVEY §2.1.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
+    FROM orders
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number (unique ordering) + rank/dense_rank (tied ordering)."""
+    o = table(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_tied = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_tied).alias("rnk"),
+        F.dense_rank().over(w_tied).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (rank-filter pattern; Spark pushes the
+    rank limit into the sort via WindowGroupLimit)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_total
+    FROM events
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_win_moving",
+    oracle="""
+    SELECT event_id, user_id,
+           floor(sum(cast(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 * 1.0
+                 / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 + 0.5) / 100.0 AS moving_avg
+    FROM events
+    """,
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 4 rows per user, exact to the cent.
+
+    A short-frame avg of 2-decimal values lands exactly on round-half
+    boundaries, where Spark's HALF_UP decimal rounding and DuckDB's
+    double rounding disagree. So the rounding is done in exact integer
+    arithmetic: sum the values as cents (exact), divide by the frame
+    count (n ∈ {1..4}: exact for 1/2/4, tie-free for 3), half-up via
+    floor(x + 0.5) — bit-identical in any engine.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    avg_cents = F.floor(
+        F.sum(cents).over(w) * F.lit(1.0) / F.count("*").over(w) + F.lit(0.5)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (avg_cents / F.lit(100.0)).alias("moving_avg"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: orders within $10k below each order's price.
+
+    RANGE frames are value-based, so tied order keys don't matter.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select("o_orderkey", F.count("*").over(w).alias("n_similar"))
+
+
+@register(
+    "q_win_lead_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           round(lag(value, 1, 0.0) OVER w, 2) AS prev_value,
+           round(lead(value, 1, 0.0) OVER w, 2) AS next_value,
+           coalesce(lag(event_type, 1) OVER w, 'none') AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults per user in event-time order."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1, 0.0).over(w), 2).alias("next_value"),
+        F.coalesce(F.lag("event_type", 1).over(w), F.lit("none")).alias("prev_type"),
+    )
+
+
+@register(
+    "q_win_dist",
+    oracle="""
+    SELECT c_custkey,
+           cast(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over a global ordering.
+
+    Global (unpartitioned) window — fine at dim-table scale; at 100 TB
+    this becomes a two-pass range-partitioned rank.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "q_win_firstlast",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_ev,
+           last_value(event_id) OVER w AS last_ev,
+           nth_value(event_id, 2) OVER w AS second_ev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value with an explicit full-partition frame
+    (the default frame would make last_value = current row)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(w).alias("last_ev"),
+        F.nth_value("event_id", 2).over(w).alias("second_ev"),
+    )

@@ -1,0 +1,44 @@
+"""SparkSession construction with the engine's standard configuration.
+
+One place to encode the execution posture (SURVEY.md §4): AQE on,
+Arrow-accelerated Python interop, UTC session timezone (fixture
+timestamps are naive; DuckDB reads them naive — UTC keeps both engines'
+date arithmetic identical), and a shuffle-partition count sized for the
+active scale factor rather than Spark's default 200.
+
+At 100 TB the same code runs with cluster-master URLs and a much larger
+`shuffle_partitions` (rule of thumb: ~2-3× total executor cores, with AQE
+coalescing handling the long tail); nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "polybot-data-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    default_master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or default_master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else 32),
+        )
+        # The fixture dims (region/nation/customer/supplier/part) are all
+        # well under this, so Catalyst auto-broadcasts them; at 100 TB only
+        # genuinely small dims stay under the threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
