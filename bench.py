@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the full registered query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q_agg_q1": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion executor-side via the noop sink
+(no driver-side collect cost), which measures the real plan: scan →
+shuffle → operators. Engineering targets in BASELINE.md: full suite
+< 120 s, single relational query < 2 s post-warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from polybot_data_etl_spark.session import build_session
+from __spark_entry__ import queries
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    # ~600k-row fact table: a handful of shuffle partitions beats the
+    # default 200 (task-launch overhead dominates at this scale); AQE
+    # coalescing keeps the tail tight either way.
+    spark = build_session(app_name="polybot-bench", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    # Warm up the JVM/codegen paths once so per-query times measure the
+    # engine, not first-call JIT + session bring-up.
+    qs["q_scan_count"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    t_suite = time.time()
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "n_queries": len(per_query),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -162,7 +162,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded 4,
     Jaccard ≥ 0.5. Deterministic: fixed hash seeds, no sampling.
     """
-    d = table(spark, sf_dir, "documents")
+    return minhash_pairs(table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(
+    d: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs for any (doc_id, text) DataFrame."""
     sigs = minhash_signatures(d)
 
     band_cols = [
@@ -220,6 +226,6 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )

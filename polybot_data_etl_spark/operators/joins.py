@@ -89,10 +89,10 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + filter + agg + deterministic top-N."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
     )
     li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)

@@ -119,7 +119,8 @@ def q_ts_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ts_funnel",
     oracle="""
     SELECT count(*) AS n_converted,
-           round(avg(epoch(t_purchase - t_signup) / 3600.0), 2) AS avg_hours_to_convert
+           round(avg(date_diff('second', t_signup, t_purchase) / 3600.0), 2)
+               AS avg_hours_to_convert
     FROM (
         SELECT user_id,
                min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
@@ -145,8 +146,8 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t_signup") < F.col("t_purchase"))
     )
     hours = (
-        F.col("t_purchase").cast("double") - F.col("t_signup").cast("double")
-    ) / 3600.0
+        F.expr("timestampdiff(SECOND, t_signup, t_purchase)").cast("double") / 3600.0
+    )
     return converted.agg(
         F.count("*").alias("n_converted"),
         F.round(F.avg(hours), 2).alias("avg_hours_to_convert"),

@@ -1,0 +1,66 @@
+"""File connectors + sinks (SURVEY.md §2 #3-5).
+
+Reference provenance: the reference ingested external data through a
+connector package (`ig/` [REC src/etl/.DS_Store:88]) and persisted
+through a repository layer [REC src/etl/.DS_Store:4824]. The public
+behavior to reproduce is the generic connector surface: schema-declared
+reads of external formats, and partitioned columnar writes (the
+credential/API plumbing has no public behavior — empty `.env` [REF]).
+
+Scale posture: reads always declare an explicit StructType (no
+inferSchema job over 100 TB); writes go through Parquet with
+`partitionBy` on the lake's pruning key so downstream queries prune at
+the directory level.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV connector: explicit schema, no inference pass."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType, **options: str
+) -> DataFrame:
+    """JSON-lines connector: explicit schema, no inference pass."""
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink, optionally hive-partitioned (directory pruning key)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

