@@ -1,0 +1,227 @@
+"""Text-quality / corpus-curation operators (LLM training-data pipeline):
+language identification, quality scoring, token counting, document
+fingerprinting.
+
+Reference provenance: the reference's processor/transform stages operate
+on social-media text [REC src/etl/.DS_Store:4664,5104]; the concrete ops
+are mandated by the driver north star (BASELINE.json:6 — "text analysis"
+as a first-class LLM-pipeline family).
+
+All four are single-pass, shuffle-free per-document projections (narrow
+transformations): at 100 TB they stream through the scan with zero data
+movement, and every expression is JVM-side (whole-stage codegen, no
+Python UDFs). Cross-dialect conventions per SURVEY.md §2.1: float
+outputs rounded to 4, integer arithmetic for anything compared exactly,
+identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+# Deterministic n-gram lexicon for language ID: (language, marker n-gram,
+# weight) — character n-grams scored by substring-occurrence count. On
+# this synthetic shared-vocab corpus the decision is arbitrary but
+# deterministic; the operator's value is the scoring/argmax plumbing,
+# which is exactly what a real char-n-gram profile model (textcat) needs.
+_LANG_MARKERS: dict[str, list[tuple[str, int]]] = {
+    "de": [("sc", 2), ("rg", 1)],
+    "en": [("th", 2), ("ta", 1)],
+    "es": [("qu", 2), ("or", 1)],
+    "fr": [("ou", 2), ("li", 1)],
+    "zh": [("st", 2), ("ba", 1)],
+}
+
+# Modulus for the polynomial rolling hash (fits in 64-bit with the *31
+# step: acc < p ⇒ acc*31 + x < 3.2e10 ≪ 2^63, no overflow either engine).
+_FP_MOD = 1_000_000_007
+
+
+def _occurrences(col: Column, s: str) -> Column:
+    """Occurrence count of substring ``s`` × len(s) — the char-diff trick
+    (length minus length-after-removal), kept un-divided so the score
+    stays in exact integer arithmetic on both engines."""
+    return F.length(col) - F.length(F.replace(col, F.lit(s), F.lit("")))
+
+
+def _occ_sql(s: str) -> str:
+    return f"(length(text) - length(replace(text, '{s}', '')))"
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = [f"{w} * {_occ_sql(m)}" for m, w in _LANG_MARKERS[lang]]
+    return " + ".join(terms)
+
+
+_LANGS = sorted(_LANG_MARKERS)
+_ARGMAX_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"s_{a} >= s_{b}" for b in _LANGS if b != a)
+    + f" THEN '{a}'"
+    for a in _LANGS
+) + " END"
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    SELECT doc_id, lang, {_ARGMAX_SQL} AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in _LANGS)}
+        FROM documents
+    )
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via character-n-gram lexicon scoring: per-language
+    marker-gram occurrence counts → integer scores → argmax with
+    alphabetical tiebreak (the classic textcat profile shape, fixed
+    profiles, fully deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (_occurrences(F.col("text"), m) * F.lit(w) for m, w in markers),
+            start=F.lit(0),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id", "lang", *[scores[lang].alias(f"s_{lang}") for lang in _LANGS]
+    )
+    pred = F.lit(None).cast("string")
+    # Build the WHEN chain in alphabetical priority order (mirrors the
+    # oracle's CASE): first language that ties-or-beats all others wins.
+    chain = None
+    for a in _LANGS:
+        cond = None
+        for b in _LANGS:
+            if b == a:
+                continue
+            c = F.col(f"s_{a}") >= F.col(f"s_{b}")
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, a) if chain is None else chain.when(cond, a)
+    return scored.select("doc_id", "lang", chain.alias("pred_lang"))
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    -- e-notation literals force DOUBLE (DuckDB parses 0.4 as DECIMAL);
+    -- +1e-9 before round(…,4) moves exact .5 ties off the boundary —
+    -- Spark rounds doubles via decimal-string HALF_UP, DuckDB via
+    -- binary ×10^4, so ties break differently otherwise.
+    SELECT doc_id, n_tok,
+           round(stop_cnt / n_tok::DOUBLE + 1e-9, 4) AS stop_ratio,
+           round(4e-1 * least(n_tok::DOUBLE / 5e1, 1e0)
+                 + 3e-1 * (1e0 - stop_cnt / n_tok::DOUBLE)
+                 + 3e-1 * least((n_char / n_tok::DOUBLE) / 8e0, 1e0)
+                 + 1e-9,
+                 4) AS quality
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('a', 'the'))) AS stop_cnt,
+               length(replace(text, ' ', '')) AS n_char
+        FROM documents
+    )
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword ratio +
+    mean-token-length saturation (the Gopher/C4-style rule-based filter
+    family), weights fixed, all JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stop_cnt = F.size(
+        F.filter(toks, lambda t: t.isin("a", "the"))
+    ).cast("double")
+    n_char = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    )
+    quality = (
+        0.4 * F.least(n_tok / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_cnt / n_tok)
+        + 0.3 * F.least((n_char / n_tok) / 8.0, F.lit(1.0))
+    )
+    # +1e-9 matches the oracle's tie-nudge before round (see oracle note).
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.round(stop_cnt / n_tok + 1e-9, 4).alias("stop_ratio"),
+        F.round(quality + 1e-9, 4).alias("quality"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS re_tokens,
+           round(length(replace(text, ' ', ''))
+                 / len(string_split(text, ' '))::DOUBLE, 4) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish lexer
+    regex (letter runs | digit runs | single punctuation) — the
+    pre-tokenizer shape used for corpus token budgeting."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    re_toks = F.regexp_extract_all(
+        F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    n_char = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(re_toks).alias("re_tokens"),
+        F.round(n_char / F.size(toks).cast("double"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   7::BIGINT,
+                   list_transform(
+                       string_split(lower(text), ' '),
+                       t -> (length(t) * 131 + ascii(t)) % {_FP_MOD})),
+               (acc, x) -> (acc * 31 + x) % {_FP_MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream (per-token (len*131 + first-char) mod p, rolled with
+    acc*31 + x mod p, seed 7). Engine-portable pure-integer arithmetic —
+    same value on any engine, unlike xxhash/md5 whose implementations
+    differ; at 100 TB this is the cheap pre-cluster key for exact and
+    shift-tolerant dedup."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    tok_h = F.transform(
+        toks,
+        lambda t: (F.length(t).cast("long") * 131 + F.ascii(t).cast("long"))
+        % _FP_MOD,
+    )
+    fp = F.aggregate(
+        tok_h,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
