@@ -1,0 +1,451 @@
+"""Near-duplicate detection family beyond exact/MinHash (SURVEY.md §2
+extension; driver north star BASELINE.json:6 — "dedup" as a first-class
+LLM-pipeline operator family):
+
+  * q_dedup_ngram    — n-gram (3-token shingle) Jaccard pairs via an
+                       inverted-index join with a document-frequency cap
+                       on the candidate stage (SpotSigs-style).
+  * q_dedup_simhash  — SimHash (64-bit, Charikar) near-dup pairs with
+                       banded LSH candidate generation + Hamming verify.
+  * q_dedup_embed    — embedding-cosine near-dup pairs with deterministic
+                       random-hyperplane LSH bucketing + exact cosine
+                       verify.
+
+All three are hash-checked against DuckDB: every hash involved is a
+*portable* integer computation (character-level polynomial rolling hash
+mod 1e9+7, sign-of-projection hyperplanes from a fixed integer formula)
+so both engines derive bit-identical fingerprints — unlike xxhash64/md5
+whose cross-engine values differ (cf. q_dedup_minhash, rows-only).
+
+Scale posture (100 TB): no operator here does an all-pairs crossJoin.
+Candidate generation is always an equi-join on a bucket key (shingle,
+band value, hyperplane bucket) — a hash-partitioned shuffle whose
+fan-out is controlled (df cap for shingles; 16-bit bands / 4-bit
+hyperplane buckets keep bucket sizes ~n/2^16, ~n/16); only candidates
+pay the exact verification. Fingerprint computation itself is a narrow
+per-row projection (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+# Shared modulus with functions/quality.py's fingerprint: keeps every
+# intermediate < 1.3e11 ≪ 2^63, so no overflow in either engine.
+_P = 1_000_000_007
+
+_NGRAM_DF_CAP = 100          # shingles seen in more docs don't generate candidates
+_NGRAM_JACCARD = 0.5         # verified pair threshold
+
+_SIMHASH_BANDS = 4           # 4 bands × 16 bits = 64-bit fingerprint
+_SIMHASH_BITS = 16
+# With 4 bands, banding is pigeonhole-COMPLETE for Hamming ≤ 3 (a pair
+# differing in ≤3 bits must agree on ≥1 whole band) — the LSH candidate
+# stage is then exact, not probabilistic.
+_HAMMING_MAX = 3
+
+_HYPER_BANDS = 4             # 4 bands × 4 hyperplanes for embedding LSH
+_HYPER_BITS = 4
+_EMBED_SIM = 0.45            # exact-cosine verify threshold (rounded 4)
+_HYPER_MIX = 2_654_435_761   # Knuth multiplicative-hash constant
+
+
+# ---------------------------------------------------------------------------
+# portable primitives (Spark side; each has an exact DuckDB twin in the
+# oracle SQL below)
+
+def tokens(col: str = "text") -> Column:
+    """Distinct non-empty whitespace tokens of lower(text)."""
+    return F.array_distinct(
+        F.filter(F.split(F.lower(F.col(col)), " "), lambda t: t != "")
+    )
+
+
+def char_hash(t: Column) -> Column:
+    """Polynomial rolling hash over the characters of a token, mod 1e9+7.
+
+    Identical in DuckDB as
+    ``list_reduce(list_transform(string_split(t,''), c -> ascii(c)::BIGINT),
+    (a,x) -> (a*31+x) % 1000000007)`` (verified bit-equal)."""
+    return F.aggregate(
+        F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _P,
+    )
+
+
+_CHAR_HASH_SQL = (
+    "list_reduce(list_transform(string_split({t}, ''), c -> ascii(c)::BIGINT),"
+    " (a, x) -> (a * 31 + x) % 1000000007)"
+)
+
+_TOKENS_SQL = (
+    "list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))"
+)
+
+# SimHash votes are term-frequency weighted (classic Charikar): every
+# occurrence votes, so docs drawn from a shared vocabulary still get
+# distinct fingerprints (distinct-token voting collapses them).
+_ALL_TOKENS_SQL = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def all_tokens(col: str = "text") -> Column:
+    """Non-empty whitespace tokens of lower(text), duplicates kept."""
+    return F.filter(F.split(F.lower(F.col(col)), " "), lambda t: t != "")
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct 3-token shingles (whole text as one shingle if shorter).
+
+    Built by zipping the token array with its own 1- and 2-shifted
+    slices, NOT by per-index ``slice(words, i, 3)`` lambdas: a captured
+    array expression inside a Spark higher-order-function lambda is
+    re-evaluated on every element (O(tokens²) per document in the
+    interpreted HOF path), while ``zip_with`` evaluates each argument
+    array exactly once per row (O(tokens))."""
+    words = F.split(F.lower(F.col(col)), " ")
+    big = F.lit(1 << 30)
+    pairs = F.zip_with(
+        words, F.slice(words, 2, big), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    triples = F.zip_with(
+        pairs,
+        F.slice(words, 3, big),
+        lambda ab, c: F.when(c.isNotNull(), F.concat_ws(" ", ab, c)),
+    )
+    tri = F.filter(triples, lambda s: s.isNotNull())
+    return F.array_distinct(
+        F.when(F.size(words) >= n, tri).otherwise(
+            F.array(F.concat_ws(" ", words))
+        )
+    )
+
+
+_SHINGLES_SQL = """
+    list_distinct(CASE
+        WHEN len(string_split(lower(text), ' ')) >= 3
+        THEN list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 1),
+               i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))
+        ELSE [array_to_string(string_split(lower(text), ' '), ' ')]
+    END)"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+@register(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    dfreq AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= {_NGRAM_DF_CAP}
+    ),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(ni / (za.n + zb.n - ni)::DOUBLE, 4) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = a_id
+    JOIN sizes zb ON zb.doc_id = b_id
+    WHERE round(ni / (za.n + zb.n - ni)::DOUBLE, 4) >= {_NGRAM_JACCARD}
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (SpotSigs-style): Jaccard over the
+    df-capped shingle signature set.
+
+    Shingles with document frequency > 100 are excluded from the
+    signature (a hot shingle contributes quadratic join fan-out at
+    scale, and a pair sharing *only* ubiquitous shingles is not a
+    near-dup); Jaccard is then exact over the remaining signature via a
+    single inverted-index self-join + pair-count aggregation — one
+    shuffle keyed by shingle, one by pair, both map-side combined."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles()).alias("s"))
+    dfreq = (
+        sh.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .select("s")
+    )
+    rare = sh.join(dfreq, "s")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    jac = F.round(
+        F.col("ni")
+        / (F.col("n_a") + F.col("n_b") - F.col("ni")).cast("double"),
+        4,
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"doc_id": "a_id", "n": "n_a"}), "a_id"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "n": "n_b"}), "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _NGRAM_JACCARD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): 64-bit SimHash split into 4×16-bit band values.
+
+    Bit k (k = 16*band + i) is the sign of Σ_token-occurrences ±1 where
+    a token votes +1 iff ``(char_hash(token) * (2k+3)) % p`` is odd — a
+    portable per-(token, bit) pseudo-random bit, TF-weighted since every
+    occurrence votes.
+
+    Shape chosen for codegen, not elegance: explode to (doc_id, h) so
+    char_hash runs ONCE per token, then ONE hash aggregate computes all
+    64 vote sums as plain JVM integer expressions (map-side partial
+    aggregation: 64 longs per doc cross the shuffle), then a static
+    projection folds votes into band values.  The obvious alternative —
+    64 F.aggregate HOF calls over a captured hash array — re-evaluates
+    the array per element in Spark's interpreted HOF path (~50× slower
+    at sf0.1)."""
+    toks = d.select(
+        "doc_id", F.explode(F.transform(all_tokens(), char_hash)).alias("h")
+    )
+    votes = [
+        F.sum(2 * ((F.col("h") * (2 * k + 3)) % _P % 2) - 1).alias(f"v{k}")
+        for k in range(_SIMHASH_BANDS * _SIMHASH_BITS)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    bands = []
+    for b in range(_SIMHASH_BANDS):
+        band = F.lit(0).cast("long")
+        for i in range(_SIMHASH_BITS):
+            band = band + F.when(
+                F.col(f"v{16 * b + i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        bands.append(band.alias(f"b{b}"))
+    return voted.select("doc_id", *bands)
+
+
+def _simhash_bands_sql() -> str:
+    bands = ", ".join(
+        f"""list_sum(list_transform(range(0, {_SIMHASH_BITS}),
+            i -> CASE WHEN list_sum(list_transform(hlist,
+                        h -> 2 * ((h * (2 * (i + {16 * b}) + 3))
+                                  % 1000000007 % 2) - 1)) > 0
+                 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b{b}"""
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+        SELECT doc_id, {bands}
+        FROM (
+            SELECT doc_id,
+                   list_transform({_ALL_TOKENS_SQL},
+                                  t -> {_CHAR_HASH_SQL.format(t='t')}) AS hlist
+            FROM documents
+        )"""
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH fp AS ({_simhash_bands_sql()}),
+    cand AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM fp a JOIN fp b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT a_id, b_id, hamming FROM (
+        SELECT c.a_id, c.b_id,
+               (bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+                + bit_count(xor(fa.b2, fb.b2))
+                + bit_count(xor(fa.b3, fb.b3)))::BIGINT AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.a_id
+        JOIN fp fb ON fb.doc_id = c.b_id
+    )
+    WHERE hamming <= {_HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit TF-weighted Charikar fingerprint,
+    banded-LSH candidate generation (two docs collide iff ≥1 of the 4
+    16-bit bands is equal — pigeonhole-complete for Hamming ≤ 3, so the
+    result is EXACT for the ≤3 threshold), Hamming ≤ 3 verification on
+    candidates.
+
+    Scale: the band join is an equi-join on (band_idx, value); random
+    16-bit band collisions occur at rate 4/65536, so candidate volume
+    stays ~linear in corpus size."""
+    fp = simhash_bands(table(spark, sf_dir, "documents"))
+    banded = fp.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)])).alias(
+            "band", "value"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(_SIMHASH_BANDS)],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(_SIMHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")))
+        for b in range(_SIMHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup via hyperplane LSH
+
+def hyperplane_weight(k: int, j: int) -> int:
+    """±1 weight of hyperplane k at dimension j — fixed integer formula,
+    reproduced verbatim in the oracle SQL (no RNG, engine-portable)."""
+    return 2 * ((k * 64 + j) * _HYPER_MIX % _P % 2) - 1
+
+
+def hyperplane_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket): 4 LSH bands, each a 4-bit
+    sign-of-projection bucket over deterministic ±1 hyperplanes."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rows = []
+    for band in range(_HYPER_BANDS):
+        bucket = F.lit(0).cast("long")
+        for i in range(_HYPER_BITS):
+            k = band * _HYPER_BITS + i
+            w = F.array(
+                *[F.lit(float(hyperplane_weight(k, j))) for j in range(64)]
+            )
+            proj = F.aggregate(
+                F.zip_with(emb, w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(
+                proj > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        rows.append(
+            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
+        )
+    return e.select(
+        "vec_id", F.explode(F.array(*rows)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _hyper_buckets_sql() -> str:
+    """DuckDB twin of hyperplane_buckets as UNION ALL over bands."""
+    parts = []
+    for band in range(_HYPER_BANDS):
+        bucket = " + ".join(
+            f"""CASE WHEN list_sum(list_transform(range(0, 64),
+                 j -> embedding[j + 1]::DOUBLE
+                      * (2 * (({band * _HYPER_BITS + i} * 64 + j)
+                              * {_HYPER_MIX} % 1000000007 % 2) - 1))) > 0
+               THEN {1 << i} ELSE 0 END"""
+            for i in range(_HYPER_BITS)
+        )
+        parts.append(
+            f"SELECT vec_id, {band} AS band, ({bucket})::BIGINT AS bucket"
+            " FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+    WITH bk AS ({_hyper_buckets_sql()}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, sim FROM (
+        SELECT c.a_id, c.b_id,
+               round(list_inner_product(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 4) AS sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+    )
+    WHERE sim >= {_EMBED_SIM}
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: random-hyperplane LSH candidate
+    generation (4 bands × 4 bits; a pair collides iff some band's 4 sign
+    bits all agree) + exact cosine ≥ 0.45 verify on candidates only.
+
+    This is the 100 TB path for vector dedup: candidate volume is
+    Σ_buckets |bucket|² / 2 instead of n²/2 — an equi-join on
+    (band, bucket), never a crossJoin.  Recall is the standard LSH
+    trade-off (≈1-(1-p^4)^4, p = 1 - θ/π); add bands to raise it."""
+    e = table(spark, sf_dir, "embeddings")
+    bk = hyperplane_buckets(e)
+    cand = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    from polybot_data_etl_spark.functions.vectors import dot
+
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn("sim", F.round(dot(F.col("emb_a"), F.col("emb_b")), 4))
+        .filter(F.col("sim") >= _EMBED_SIM)
+        .select("a_id", "b_id", "sim")
+    )

@@ -129,19 +129,14 @@ def minhash_signatures(docs: DataFrame, n_perms: int = _MINHASH_PERMS) -> DataFr
 
     One explode + one hash-agg; each "permutation" is xxhash64 with a
     distinct seed column baked into the hashed value. Deterministic
-    (fixed seeds, no RNG at runtime).
+    (fixed seeds, no RNG at runtime).  Shingle construction shared with
+    functions/dedup.py (zip_with form: O(tokens) per doc, not the
+    O(tokens²) per-index-slice HOF shape).
     """
-    words = F.split(F.lower(F.col("text")), " ")
-    n = F.size(words)
-    shingles = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(2)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(3))),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    from polybot_data_etl_spark.functions.dedup import shingles
+
     exploded = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "doc_id", F.explode(shingles()).alias("shingle")
     )
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"sig_{seed}")

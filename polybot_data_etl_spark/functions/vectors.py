@@ -182,3 +182,72 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_first_dim"),
         )
     )
+
+
+def _ann_oracle() -> str:
+    from polybot_data_etl_spark.functions.dedup import _hyper_buckets_sql
+
+    return f"""
+    WITH bk AS ({_hyper_buckets_sql()}),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+        FROM bk p JOIN bk c
+          ON p.band = c.band AND p.bucket = c.bucket
+         AND p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20
+    )
+    SELECT probe_id, neighbor_id,
+           round(list_inner_product(ep.embedding::DOUBLE[],
+                                    en.embedding::DOUBLE[]), 4) AS sim
+    FROM cand
+    JOIN embeddings ep ON ep.vec_id = probe_id
+    JOIN embeddings en ON en.vec_id = neighbor_id
+    QUALIFY row_number() OVER (
+        PARTITION BY probe_id
+        ORDER BY round(list_inner_product(ep.embedding::DOUBLE[],
+                                          en.embedding::DOUBLE[]), 4) DESC,
+                 neighbor_id
+    ) <= 5
+    """
+
+
+@register("q_sim_topk_lsh", oracle=_ann_oracle())
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN, the 100 TB scale path for q_sim_topk: candidates
+    come from hyperplane-LSH bucket collisions (equi-join on
+    (band, bucket) — never a crossJoin), then exact rounded-cosine top-5
+    per probe with a neighbor-id tiebreak.  Recall vs brute force is the
+    standard LSH trade-off; bands/bits are tunable
+    (dedup._HYPER_BANDS/_HYPER_BITS).
+
+    Deterministic: hyperplanes come from a fixed integer formula
+    (dedup.hyperplane_weight), so the result is oracle-checkable."""
+    from polybot_data_etl_spark.functions.dedup import hyperplane_buckets
+
+    e = table(spark, sf_dir, "embeddings")
+    bk = hyperplane_buckets(e)
+    probes = bk.filter(F.col("vec_id") < 20).withColumnRenamed(
+        "vec_id", "probe_id"
+    )
+    cands = bk.withColumnRenamed("vec_id", "neighbor_id")
+    cand = (
+        probes.join(cands, ["band", "bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    ep = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("emb_p"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    )
+    scored = (
+        cand.join(ep, "probe_id")
+        .join(en, "neighbor_id")
+        .withColumn("sim", F.round(dot(F.col("emb_p"), F.col("emb_n")), 4))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "sim")
+    )

@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         windows,
     )
     from polybot_data_etl_spark.functions import (  # noqa: F401
+        dedup,
         quality,
         scalar,
         text,
