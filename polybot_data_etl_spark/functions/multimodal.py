@@ -1,0 +1,299 @@
+"""Multimodal (image/audio/video) column support: opaque ``binary``
+payloads + typed metadata, processed by Arrow-batched ``mapInPandas``
+pipelines (driver north star BASELINE.json:6 — "multimodal columns" as a
+first-class LLM-pipeline family; the reference's processor stage shape
+[REC src/etl/.DS_Store:4664]).
+
+Design:
+
+  * A media table is DERIVED deterministically from the ``documents``
+    fixture (payload = UTF-8 bytes of the text, modality by id mod 3,
+    metadata from the byte length) — the container ships no image/audio
+    codecs and the fixtures ship no binary column, so the *plumbing* is
+    what's real here: binary Arrow transfer, mapInPandas batch shape,
+    schema contracts, per-row fan-out (frame sampling).
+  * Real decoders (PIL/librosa/av) are import-gated: ``decode_strict``
+    raises NotImplementedError where a codec would run.  The default
+    pipeline uses a clearly-marked DETERMINISTIC FAKE decoder whose
+    arithmetic is byte-level and therefore reproducible in the DuckDB
+    oracle (ASCII payload bytes == characters), keeping even the
+    Pandas-UDF path hash-checked end-to-end.
+
+Scale posture (100 TB): payloads stay opaque bytes end-to-end (no JVM
+string conversion); work is per-row / per-batch narrow — mapInPandas
+streams Arrow batches, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of table
+size; frame sampling fans out rows without a shuffle.  Feature vectors
+come back as ``array<float>`` ready for the vector operators
+(functions/vectors.py, functions/dedup.py LSH).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+_MODALITIES = ["image", "audio", "video"]
+_N_HIST_BINS = 16
+_FRAME_BYTES = 32          # fake video "frame" size for frame sampling
+
+
+def media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived media table:
+
+    ``(media_id long, modality string, payload binary,
+       meta struct<n_bytes int, width int, height int, sample_rate int>)``
+
+    Deterministic: payload = UTF-8 text bytes; modality = media_id % 3;
+    width/height factor the byte length; audio rows get a sample rate.
+    """
+    d = table(spark, sf_dir, "documents")
+    n = F.length(F.col("text"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            n.cast("int").alias("n_bytes"),
+            (n % 64 + 1).cast("int").alias("width"),
+            (n % 48 + 1).cast("int").alias("height"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(16000))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoders
+
+def decode_strict(payload: bytes, modality: str) -> Any:
+    """Where a real codec would run.  The container ships no image/audio
+    libraries, so this is gated: with PIL/librosa installed it would
+    decode; here it raises."""
+    try:  # pragma: no cover - codecs absent in this environment
+        if modality == "image":
+            import io
+
+            from PIL import Image  # type: ignore
+
+            return Image.open(io.BytesIO(payload))
+        if modality == "audio":
+            import librosa  # type: ignore
+
+            return librosa.load(payload)
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        f"no codec available for modality={modality!r}; "
+        "use the deterministic fake decoder (decode_batch)"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, float]:
+    """DETERMINISTIC FAKE decode: (n_bytes, mean byte value).  Stands in
+    for pixel decoding; byte-level so the DuckDB oracle can reproduce it
+    exactly on the ASCII fixture payloads."""
+    if len(payload) == 0:
+        return 0, 0.0
+    return len(payload), sum(payload) / len(payload)
+
+
+def decode_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload → decoded scalar features.
+
+    Output schema: ``media_id long, modality string, n_bytes int,
+    brightness double`` (brightness = mean byte value, the fake stand-in
+    for mean pixel luminance)."""
+    for pdf in batches:
+        n_bytes, brightness = [], []
+        for payload in pdf["payload"]:
+            nb, mean = _fake_decode(bytes(payload))
+            n_bytes.append(nb)
+            brightness.append(mean)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "modality": pdf["modality"],
+                "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                "brightness": pd.Series(brightness, dtype="float64"),
+            }
+        )
+
+
+_DECODE_SCHEMA = "media_id long, modality string, n_bytes int, brightness double"
+
+
+def decode(media_df: DataFrame) -> DataFrame:
+    """Decode every payload via the Arrow-batched fake decoder."""
+    return media_df.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction / resize / frame sampling
+
+def histogram_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 16-bin byte-value histogram per payload,
+    emitted LONG (one row per bin) so every output cell is a scalar."""
+    for pdf in batches:
+        out_id, out_bin, out_cnt = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            counts = [0] * _N_HIST_BINS
+            for b in bytes(payload):
+                counts[b % _N_HIST_BINS] += 1
+            out_id.extend([media_id] * _N_HIST_BINS)
+            out_bin.extend(range(_N_HIST_BINS))
+            out_cnt.extend(counts)
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "bin": pd.Series(out_bin, dtype="int32"),
+                "cnt": pd.Series(out_cnt, dtype="int64"),
+            }
+        )
+
+
+def byte_histogram(media_df: DataFrame) -> DataFrame:
+    """(media_id, bin, cnt): byte-value histogram, long form."""
+    return media_df.mapInPandas(
+        histogram_batch, schema="media_id long, bin int, cnt long"
+    )
+
+
+def features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: fixed-width float feature vector per payload
+    (normalized byte histogram) — the multimodal → embedding bridge; the
+    output array<float> feeds the vector operators directly."""
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            raw = bytes(payload)
+            counts = [0.0] * _N_HIST_BINS
+            for b in raw:
+                counts[b % _N_HIST_BINS] += 1.0
+            total = len(raw) or 1
+            feats.append([c / total for c in counts])
+        yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """(media_id, features array<float>): deterministic feature vectors."""
+    return media_df.mapInPandas(
+        features_batch, schema="media_id long, features array<float>"
+    )
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel standing in for image resize: truncate/cycle
+    the payload to the target byte budget (width*height), preserving the
+    binary-in/binary-out contract a real resizer has."""
+    for pdf in batches:
+        out = []
+        for payload, target in zip(pdf["payload"], pdf["target_bytes"]):
+            raw = bytes(payload)
+            t = int(target)
+            if len(raw) >= t:
+                out.append(raw[:t])
+            else:  # cycle-pad
+                reps = (t + len(raw) - 1) // max(len(raw), 1)
+                out.append((raw * reps)[:t])
+        yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+
+
+def resize(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """(media_id, payload binary): payloads resized to width*height bytes."""
+    target = media_df.withColumn("target_bytes", F.lit(width * height))
+    return target.mapInPandas(
+        resize_batch, schema="media_id long, payload binary"
+    )
+
+
+def sample_frames_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: video payload → one row per sampled frame
+    (every 2nd 32-byte chunk) — per-row fan-out with no shuffle."""
+    for pdf in batches:
+        ids, idxs, frames = [], [], []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = max(1, len(raw) // _FRAME_BYTES)
+            for fi in range(0, n_frames, 2):  # sample every 2nd frame
+                ids.append(media_id)
+                idxs.append(fi)
+                frames.append(raw[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES])
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            }
+        )
+
+
+def sample_frames(media_df: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, frame binary): sampled video frames."""
+    return media_df.filter(F.col("modality") == "video").mapInPandas(
+        sample_frames_batch, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered, oracle-checked queries (ASCII payload ⇒ byte arithmetic is
+# expressible over characters in DuckDB)
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS modality,
+           length(text)::INT AS n_bytes,
+           round(list_sum(list_transform(string_split(text, ''),
+                                         c -> ascii(c)::BIGINT))
+                 / length(text)::DOUBLE, 4) AS brightness
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode through the Arrow/mapInPandas path: derive the
+    media table (binary payload + typed meta), fake-decode each payload
+    batch-wise in pandas, return scalar features.  Hash-checked: the
+    fake decoder's byte arithmetic is reproduced over characters in the
+    oracle (payloads are ASCII)."""
+    decoded = decode(media(spark, sf_dir))
+    return decoded.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(F.col("brightness"), 4).alias("brightness"),
+    )
+
+
+@register(
+    "q_multimodal_histogram",
+    oracle=f"""
+    SELECT doc_id AS media_id, bin::INT AS bin,
+           len(list_filter(string_split(text, ''),
+                           c -> ascii(c) % {_N_HIST_BINS} = bin))::BIGINT AS cnt
+    FROM documents, unnest(range(0, {_N_HIST_BINS})) AS t(bin)
+    """,
+)
+def q_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction (the embedding stand-in) in
+    long form — one row per (media, bin) so the hash check covers every
+    histogram cell."""
+    return byte_histogram(media(spark, sf_dir))

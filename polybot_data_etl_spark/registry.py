@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
     )
     from polybot_data_etl_spark.functions import (  # noqa: F401
         dedup,
+        multimodal,
         quality,
         scalar,
         text,
