@@ -350,28 +350,41 @@ def hyperplane_weight(k: int, j: int) -> int:
 
 def hyperplane_buckets(e: DataFrame) -> DataFrame:
     """(vec_id, band, bucket): 4 LSH bands, each a 4-bit
-    sign-of-projection bucket over deterministic ±1 hyperplanes."""
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sign-of-projection bucket over deterministic ±1 hyperplanes.
+
+    Computed as posexplode → broadcast-join the 64-row weight table →
+    ONE hash aggregate with 16 codegen'd ``sum(x * w_k)`` projections
+    (map-side combined; 16 doubles per vector cross the shuffle).  Not
+    16 HOF folds per row (interpreted lambda path re-evaluates captured
+    arrays per element) and not per-row array literals (CreateArray of
+    64 literals × 16 projections per row) — both measured ~5-10× slower."""
+    spark = e.sparkSession
+    n_hyper = _HYPER_BANDS * _HYPER_BITS
+    weights = spark.createDataFrame(
+        [
+            tuple([j] + [float(hyperplane_weight(k, j)) for k in range(n_hyper)])
+            for j in range(64)
+        ],
+        ["j"] + [f"w{k}" for k in range(n_hyper)],
+    )
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("j", "x")
+    ).join(F.broadcast(weights), "j")
+    projs = [
+        F.sum(F.col("x").cast("double") * F.col(f"w{k}")).alias(f"p{k}")
+        for k in range(n_hyper)
+    ]
+    proj = ex.groupBy("vec_id").agg(*projs)
     rows = []
     for band in range(_HYPER_BANDS):
         bucket = F.lit(0).cast("long")
         for i in range(_HYPER_BITS):
             k = band * _HYPER_BITS + i
-            w = F.array(
-                *[F.lit(float(hyperplane_weight(k, j))) for j in range(64)]
-            )
-            proj = F.aggregate(
-                F.zip_with(emb, w, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
             bucket = bucket + F.when(
-                proj > 0, F.lit(1 << i).cast("long")
+                F.col(f"p{k}") > 0, F.lit(1 << i).cast("long")
             ).otherwise(F.lit(0).cast("long"))
-        rows.append(
-            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
-        )
-    return e.select(
+        rows.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
+    return proj.select(
         "vec_id", F.explode(F.array(*rows)).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 

@@ -1,0 +1,94 @@
+"""Physical-plan assertions — the 100 TB posture gate (SURVEY.md §4).
+
+Correctness tests prove the operators compute the right answer; these
+prove the plans are the ones that survive a 1000-executor scale-up:
+filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, aggregations combine map-side, top-k never
+does a global sort, and no LSH/dedup operator degenerates into a
+cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polybot_data_etl_spark import registry
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_scan_project")
+    # projection-only query: read schema is exactly the 3 selected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>" in plan
+    assert "Exchange" not in plan  # narrow: no shuffle at all
+
+
+def test_filter_range_pushes_predicates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_filter_range")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # only the needed measures are read
+    assert "l_comment" not in plan
+    # aggregation is partial (map-side combine) then final
+    assert "partial_sum" in plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_q1_partial_final(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_agg_q1")
+    assert "partial_sum" in plan and "partial_count" in plan
+    # exactly one shuffle for the aggregation (plus none for the scan)
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    for name in ("q_topk_global", "q_sort_multi"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "GlobalSort" not in plan and "\n+- Sort " not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_dedup_ngram",
+        "q_dedup_simhash",
+        "q_dedup_embed",
+        "q_dedup_minhash",
+        "q_sim_topk_lsh",
+        "q_join_inner",
+        "q_join_multi",
+        "q_ts_session",
+    ],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """LSH/dedup candidate generation and every relational join must be
+    an equi-join — a CartesianProduct/nested-loop here means the bucket
+    key got lost and the operator is O(n²) at scale."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # text scoring is a pure narrow projection: a single codegen'd stage,
+    # no exchange, no Python
+    for name in ("q_text_keyword_score", "q_text_fingerprint", "q_fn_math"):
+        plan = plan_of(spark, sf_dir, name)
+        # formatted mode marks codegen'd operators with "[codegen id : N]"
+        assert "codegen id" in plan, name
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
