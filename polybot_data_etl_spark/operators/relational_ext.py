@@ -1,0 +1,193 @@
+"""Relational extensions beyond the SURVEY.md §2 core: pivot/unpivot
+reshaping, correlated subqueries (Catalyst decorrelation), and the
+SQL-text entry surface.
+
+Reference provenance: the reference expressed analytics as SQL text
+under ``src/etl/sql/`` [REC src/etl/.DS_Store:4992]; this module is the
+SQL-surface counterpart of the builder-function queries — q_sql_report
+runs verbatim Spark SQL over the registered table views, and the
+subquery operators exercise the rewrite rules (scalar-subquery
+decorrelation, IN→semi-join) a SQL-first user depends on.
+
+Scale posture: pivot with an explicit value list is a single hash-agg
+(one shuffle, map-side combined — never the two-pass distinct-discovery
+pivot); unpivot is a narrow row-expansion; both subqueries decorrelate
+to broadcast/shuffle equi-joins (asserted: no CartesianProduct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+# Closed event-type domain (FIXTURES.md §events, verified on fixtures).
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type.  The value list is explicit, so Spark plans ONE aggregation
+    pass — pivot without it first runs a distinct scan to discover
+    columns, an extra full pass at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+    return renamed
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH u AS (
+        SELECT l_linestatus, 'quantity' AS measure, l_quantity AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_linestatus, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_linestatus, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_linestatus, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_linestatus, measure,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(avg(value), 4) AS mean
+    FROM u
+    GROUP BY l_linestatus, measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): the four lineitem measures to
+    (measure, value) rows, then a per-(status, measure) profile — the
+    standard shape for computing stats over many columns in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_linestatus"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+    return long.groupBy("l_linestatus", "measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 4).alias("mean"),
+    )
+
+
+def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           round(p_retailprice, 2) AS price
+    FROM part p
+    WHERE p_retailprice > 1.04 * (
+        SELECT avg(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: parts priced >4% above their brand's
+    average.  Catalyst decorrelates this into an aggregate + equi-join
+    (RewriteCorrelatedScalarSubquery) — no per-row re-execution, which
+    is the difference between O(n) and O(n²) at scale."""
+    _register_views(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand,
+               round(p_retailprice, 2) AS price
+        FROM part p
+        WHERE p_retailprice > 1.04 * (
+            SELECT avg(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+@register(
+    "q_subquery_in",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        WHERE o_totalprice > 300000
+    )
+    AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries through the SQL surface — rewritten by
+    Catalyst to left-semi / null-aware left-anti joins.  (The fixture
+    keys are non-null, so NOT IN's three-valued-logic trap does not
+    change the result; both engines agree.)"""
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders
+            WHERE o_totalprice > 300000
+        )
+        AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        """
+    )
+
+
+_Q5_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    JOIN nation    ON c_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+"""
+
+
+@register("q_sql_report", oracle=_Q5_SQL)
+def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped revenue report run as VERBATIM SQL text over the
+    registered views — the direct successor of the reference's sql/
+    directory: the same string runs on Spark and (as the oracle) on
+    DuckDB.  Catalyst broadcast-joins the three dimension tables and
+    shuffles only the two fact tables."""
+    _register_views(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation", "region"]
+    )
+    return spark.sql(_Q5_SQL)

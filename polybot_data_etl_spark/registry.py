@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         aggregates,
         joins,
         predicates,
+        relational_ext,
         scans,
         sort_setops,
         timeseries,
