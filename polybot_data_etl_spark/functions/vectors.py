@@ -251,3 +251,112 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "sim")
     )
+
+
+_IVF_CENTROIDS = 16
+
+
+def ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, c_id): IVF coarse assignment — each vector to its
+    nearest of 16 deterministic centroids (the vectors with vec_id <
+    16 act as the codebook; a real deployment would k-means them, which
+    only changes the codebook contents, not this plan).
+
+    Plan shape: posexplode dims → broadcast-join the exploded centroid
+    table (16×64 rows) → one codegen'd hash-agg of per-(vector,
+    centroid) dot products → per-vector argmax via row_number (rounded
+    dot + centroid-id tiebreak, engine-portable).  All equi-joins: the
+    assignment never materializes an n×n product."""
+    ex = e.select("vec_id", F.posexplode(F.col("embedding")).alias("j", "x"))
+    cent = (
+        e.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.posexplode(F.col("embedding")).alias("j", "w"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "c_id")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double") * F.col("w").cast("double")), 6
+            ).alias("cdot")
+        )
+    )
+    w_best = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("c_id"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "c_id")
+    )
+
+
+@register(
+    "q_sim_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS c_id, embedding FROM embeddings
+        WHERE vec_id < {_IVF_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   round(list_inner_product(e.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 6) AS cdot
+            FROM embeddings e CROSS JOIN cent c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id ORDER BY cdot DESC, c.c_id) = 1
+        )
+    )
+    SELECT probe_id, neighbor_id, sim FROM (
+        SELECT pa.vec_id AS probe_id, ca.vec_id AS neighbor_id,
+               round(list_inner_product(ep.embedding::DOUBLE[],
+                                        en.embedding::DOUBLE[]), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY pa.vec_id
+                   ORDER BY round(list_inner_product(ep.embedding::DOUBLE[],
+                                                     en.embedding::DOUBLE[])
+                                  , 4) DESC,
+                            ca.vec_id) AS rn
+        FROM assign pa
+        JOIN assign ca ON pa.c_id = ca.c_id AND pa.vec_id <> ca.vec_id
+        JOIN embeddings ep ON ep.vec_id = pa.vec_id
+        JOIN embeddings en ON en.vec_id = ca.vec_id
+        WHERE pa.vec_id < 10
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate k-NN (nprobe=1): coarse-quantize every
+    vector to its nearest centroid cell, then exact top-5 within the
+    probe's cell only — the inverted-file counterpart of q_sim_topk_lsh
+    (cell partitioning instead of hyperplane buckets; cf. PAPERS.md:7,9
+    top-k shapes).  Candidate volume per probe is the cell size
+    (~n/16), never n."""
+    e = table(spark, sf_dir, "embeddings")
+    assign = ivf_assign(e)
+    probes = assign.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "probe_id"
+    )
+    cands = assign.withColumnRenamed("vec_id", "neighbor_id")
+    pairs = (
+        probes.join(cands, "c_id")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
+    )
+    ep = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("emb_p"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    )
+    scored = (
+        pairs.join(ep, "probe_id")
+        .join(en, "neighbor_id")
+        .withColumn("sim", F.round(dot(F.col("emb_p"), F.col("emb_n")), 4))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "sim")
+    )
