@@ -135,3 +135,46 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value total) maintained in an explicit
+    GroupState across micro-batches — the escape hatch for stateful
+    logic no built-in operator expresses (built-ins cover the other
+    streaming ops; this one exists to keep the custom-state surface
+    exercised).
+
+    Update-mode: each micro-batch emits the refreshed totals for users
+    seen in that batch; the final emission per user equals the batch
+    groupBy aggregate (asserted in tests/test_streaming.py).
+
+    Scale posture: state is one (long, double) pair per user in the
+    executor-local state store, partitioned by the group key; batches
+    stream through pandas per group, so memory is bounded by the
+    largest single (user, micro-batch) slice.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -147,3 +147,30 @@ def test_streaming_sessionize_finalized_sessions(
     ok, why = frames_match(got, finalized)
     assert ok, why
     assert len(got) > 0
+
+
+def test_streaming_stateful_user_stats_equals_batch(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """applyInPandasWithState custom state: the LAST update-mode
+    emission per user equals the batch per-user aggregate."""
+    got = _run(
+        spark,
+        jobs.stateful_user_stats(jobs.events_file_stream(spark, replay_dir)),
+        tmp_path,
+        mode="update",
+        name="userstats",
+    )
+    # update mode re-emits a user on every batch that touches them;
+    # keep the final (cumulative) row per user
+    final = got.groupby("user_id", as_index=False).agg(
+        n=("n", "max"), total=("total", "last")
+    )
+    batch = (
+        batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .toPandas()
+    )
+    ok, why = frames_match(final, batch)
+    assert ok, why
+    assert len(final) > 0
