@@ -1,0 +1,183 @@
+"""Data-quality / validation operators — the checks an ETL pipeline
+runs before loading (reference provenance: the repository/load layer
+[REC src/etl/.DS_Store:4824] implies constraint-checked persistence;
+these are the declarative validations that guard it).
+
+All are plain aggregations/joins over the star schema:
+
+  * q_dq_orphans       — referential integrity (FK orphan counts)
+  * q_dq_profile       — per-column null/domain/range profile
+  * q_dq_uniqueness    — key uniqueness violations
+  * q_dq_skew          — group-size skew profile (the partition-skew
+                         early-warning an operator watches before a
+                         100 TB join)
+
+Scale posture: orphan checks are anti-joins on the FK (shuffle or
+broadcast by dim size); profiles are single-pass hash aggs with
+map-side combine; the skew profile is two chained aggs.  Nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_dq_orphans",
+    oracle="""
+    SELECT 'lineitem.l_orderkey' AS fk,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey',
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def q_dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan row count per FK edge of the
+    star schema, each edge a left-anti join (dimension side broadcast
+    when small)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, label: str):
+        cnt = (
+            fact.join(dim, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return cnt.select(F.lit(label).alias("fk"), "n_orphans")
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey")
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders.o_custkey"))
+        .unionAll(
+            orphans(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey")
+        )
+    )
+
+
+@register(
+    "q_dq_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(*) - count(o_custkey) AS null_custkey,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+               AS bad_status,
+           count(*) FILTER (WHERE o_totalprice <= 0) AS nonpositive_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01')
+               AS date_out_of_range
+    FROM orders
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of orders: null counts, closed-domain
+    violations, range violations, min/max — one hash aggregate, the
+    shape of a pre-load validation gate."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "bad_status"
+        ),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        ).alias("date_out_of_range"),
+    )
+
+
+@register(
+    "q_dq_uniqueness",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key,
+           (SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1)) AS n_dup_keys
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT count(*) FROM (
+                SELECT l_orderkey, l_linenumber FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'events.event_id',
+           (SELECT count(*) FROM (
+                SELECT event_id FROM events
+                GROUP BY event_id HAVING count(*) > 1))
+    """,
+)
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: duplicated-key count per declared
+    key (hash-agg + HAVING per key)."""
+
+    def dups(df: DataFrame, cols: list[str], label: str):
+        d = (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count("*").alias("n_dup_keys"))
+        )
+        return d.select(F.lit(label).alias("key"), "n_dup_keys")
+
+    return (
+        dups(table(spark, sf_dir, "orders"), ["o_orderkey"], "orders.o_orderkey")
+        .unionAll(
+            dups(
+                table(spark, sf_dir, "lineitem"),
+                ["l_orderkey", "l_linenumber"],
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+        .unionAll(
+            dups(table(spark, sf_dir, "events"), ["event_id"], "events.event_id")
+        )
+    )
+
+
+@register(
+    "q_dq_skew",
+    oracle="""
+    SELECT count(*) AS n_keys,
+           round(avg(c), 4) AS mean_rows,
+           max(c) AS max_rows,
+           round(max(c) / avg(c), 4) AS skew_factor,
+           round(stddev_samp(c), 4) AS sd_rows
+    FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
+    """,
+)
+def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: per-key row counts re-aggregated into
+    max/mean skew factor — the statistic that decides whether a 100 TB
+    join on this key needs salting / AQE skew splitting."""
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.avg("c"), 4).alias("mean_rows"),
+        F.max("c").alias("max_rows"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_factor"),
+        F.round(F.stddev_samp("c"), 4).alias("sd_rows"),
+    )

@@ -191,3 +191,42 @@ def q_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["customer", "orders", "lineitem", "nation", "region"]
     )
     return spark.sql(_Q5_SQL)
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+    FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey
+               ) AS rn
+        FROM customer
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 customers per
+    market segment, picked by a multiplicative-hash shuffle order
+    (portable integer arithmetic — the same sample on any engine, which
+    `TABLESAMPLE`/`rand()` cannot give).  One window per stratum; at
+    100 TB the same shape samples per partition key without a global
+    sort."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        (F.col("c_custkey") * F.lit(2654435761)) % F.lit(1000000007),
+        F.col("c_custkey"),
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+    )

@@ -77,6 +77,7 @@ def _ensure_loaded() -> None:
     )
     from polybot_data_etl_spark.functions import (  # noqa: F401
         dedup,
+        dq,
         multimodal,
         quality,
         scalar,

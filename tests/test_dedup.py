@@ -56,3 +56,94 @@ def test_minhash_signatures_deterministic(spark, sf_dir):
     a = minhash_signatures(d).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = minhash_signatures(d).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_all_dedup_paths_find_planted_exact_dup(spark):
+    """A planted verbatim duplicate must be caught by every near-dup
+    path: shingle-Jaccard 1.0 (ngram), Hamming 0 (simhash), and a
+    MinHash candidate pair."""
+    from polybot_data_etl_spark.functions.dedup import simhash_bands, shingles
+    from polybot_data_etl_spark.functions.text import minhash_pairs
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different text about spark shuffles and joins here"),
+        (4, "yet another unrelated document mentioning windows and ranges"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    mh = {(r["a_id"], r["b_id"]): r["jaccard"] for r in minhash_pairs(d).collect()}
+    assert mh.get((1, 2)) == 1.0
+
+    fp = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+          for r in simhash_bands(d).collect()}
+    assert fp[1] == fp[2]          # identical text -> identical fingerprint
+    assert fp[1] != fp[3]          # unrelated text -> different fingerprint
+
+    sh = d.select("doc_id", F.explode(shingles()).alias("s"))
+    s1 = {r["s"] for r in sh.filter(F.col("doc_id") == 1).collect()}
+    s2 = {r["s"] for r in sh.filter(F.col("doc_id") == 2).collect()}
+    assert s1 == s2 and len(s1) > 0
+
+
+def test_shingles_match_naive_construction(spark):
+    """zip_with shingle builder == the naive O(n²) definition."""
+    from polybot_data_etl_spark.functions.dedup import shingles
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, "a b c d e"),
+        (2, "one two three"),
+        (3, "single"),
+        (4, "two words"),
+        (5, "x y z w v u t s"),
+    ]
+    d = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in d.select("doc_id", shingles().alias("sh")).collect()
+    }
+    for doc_id, text in texts:
+        words = text.lower().split(" ")
+        if len(words) >= 3:
+            expect = sorted(
+                {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            )
+        else:
+            expect = [" ".join(words)]
+        assert got[doc_id] == expect, doc_id
+
+
+def test_lsh_topk_is_sound_vs_brute_force(spark, sf_dir):
+    """Approximation soundness: every LSH/IVF k-NN hit must carry the
+    same similarity the brute-force path computes, and per probe the
+    LSH hit-list is a subset of the candidates ranked no better than
+    brute force's true top-k floor."""
+    from polybot_data_etl_spark import registry
+
+    qs = registry.queries()
+    brute = {
+        (r["probe_id"], r["neighbor_id"]): r["sim"]
+        for r in qs["q_sim_topk"](spark, sf_dir).collect()
+    }
+    for name in ("q_sim_topk_lsh", "q_sim_topk_ivf"):
+        approx = [
+            r for r in qs[name](spark, sf_dir).collect() if r["probe_id"] < 10
+        ]
+        assert len(approx) > 0, name
+        for r in approx:
+            pair = (r["probe_id"], r["neighbor_id"])
+            if pair in brute:  # same pair -> identical similarity
+                assert abs(brute[pair] - r["sim"]) < 1e-9, (name, pair)
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    from polybot_data_etl_spark import registry
+    from pyspark.sql import functions as F
+
+    s = registry.queries()["q_sample_stratified"](spark, sf_dir)
+    counts = s.groupBy("c_mktsegment").count().collect()
+    assert all(r["count"] == 20 for r in counts)
+    assert len(counts) == 5
