@@ -451,13 +451,20 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
+    # Exact-cosine verify: broadcast the (small) embedding sides onto
+    # the candidate pairs and dot-product per pair.  The per-pair HOF
+    # dot is the measured optimum here — exploded join-aggregate
+    # variants shuffle |candidates|×64 rows and lose.  (At this corpus's
+    # low 0.45 threshold hyperplane LSH prunes weakly — p_bit≈0.65 —
+    # so |candidates| is large; real near-dup thresholds ≥0.85 put LSH
+    # in its strong regime and shrink this stage outright.)
     from polybot_data_etl_spark.functions.vectors import dot
 
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
     return (
-        cand.join(ea, "a_id")
-        .join(eb, "b_id")
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
         .withColumn("sim", F.round(dot(F.col("emb_a"), F.col("emb_b")), 4))
         .filter(F.col("sim") >= _EMBED_SIM)
         .select("a_id", "b_id", "sim")
