@@ -352,41 +352,46 @@ def hyperplane_buckets(e: DataFrame) -> DataFrame:
     """(vec_id, band, bucket): 4 LSH bands, each a 4-bit
     sign-of-projection bucket over deterministic ±1 hyperplanes.
 
-    Computed as posexplode → broadcast-join the 64-row weight table →
-    ONE hash aggregate with 16 codegen'd ``sum(x * w_k)`` projections
-    (map-side combined; 16 doubles per vector cross the shuffle).  Not
-    16 HOF folds per row (interpreted lambda path re-evaluates captured
-    arrays per element) and not per-row array literals (CreateArray of
-    64 literals × 16 projections per row) — both measured ~5-10× slower."""
-    spark = e.sparkSession
+    Computed as an Arrow ``mapInPandas`` kernel: each batch stacks its
+    vectors into an (n × 64) float64 matrix and does ONE ``X @ W``
+    matmul against the fixed (64 × 16) hyperplane matrix, then packs
+    sign bits into per-band bucket ids.  Embarrassingly parallel — no
+    shuffle at all, so at 100 TB this stage is a pure scan-side map.
+    Measured alternatives all lose: posexplode → 64-row weight join →
+    16-sum hash-agg shuffles n×64 rows and re-groups them (~1.6×
+    slower); 16 codegen projections of 64 signed element_at terms each
+    blow up planning/compile time (~2× slower); interpreted HOF folds
+    re-evaluate captured arrays per element (~5-10× slower)."""
+    import numpy as np
+    import pandas as pd
+
     n_hyper = _HYPER_BANDS * _HYPER_BITS
-    weights = spark.createDataFrame(
-        [
-            tuple([j] + [float(hyperplane_weight(k, j)) for k in range(n_hyper)])
-            for j in range(64)
-        ],
-        ["j"] + [f"w{k}" for k in range(n_hyper)],
+    W = np.array(
+        [[float(hyperplane_weight(k, j)) for k in range(n_hyper)] for j in range(64)],
+        dtype=np.float64,
     )
-    ex = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("j", "x")
-    ).join(F.broadcast(weights), "j")
-    projs = [
-        F.sum(F.col("x").cast("double") * F.col(f"w{k}")).alias(f"p{k}")
-        for k in range(n_hyper)
-    ]
-    proj = ex.groupBy("vec_id").agg(*projs)
-    rows = []
-    for band in range(_HYPER_BANDS):
-        bucket = F.lit(0).cast("long")
-        for i in range(_HYPER_BITS):
-            k = band * _HYPER_BITS + i
-            bucket = bucket + F.when(
-                F.col(f"p{k}") > 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        rows.append(F.struct(F.lit(band).alias("band"), bucket.alias("bucket")))
-    return proj.select(
-        "vec_id", F.explode(F.array(*rows)).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (X @ W) > 0
+            out = []
+            for band in range(_HYPER_BANDS):
+                b = np.zeros(len(pdf), dtype=np.int64)
+                for i in range(_HYPER_BITS):
+                    b += bits[:, band * _HYPER_BITS + i].astype(np.int64) << i
+                out.append(
+                    pd.DataFrame(
+                        {"vec_id": pdf["vec_id"], "band": band, "bucket": b}
+                    )
+                )
+            yield pd.concat(out)
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        bucketize, "vec_id long, band int, bucket long"
+    )
 
 
 def _hyper_buckets_sql() -> str:
@@ -451,21 +456,21 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    # Exact-cosine verify: broadcast the (small) embedding sides onto
-    # the candidate pairs and dot-product per pair.  The per-pair HOF
-    # dot is the measured optimum here — exploded join-aggregate
-    # variants shuffle |candidates|×64 rows and lose.  (At this corpus's
-    # low 0.45 threshold hyperplane LSH prunes weakly — p_bit≈0.65 —
-    # so |candidates| is large; real near-dup thresholds ≥0.85 put LSH
-    # in its strong regime and shrink this stage outright.)
-    from polybot_data_etl_spark.functions.vectors import dot
+    # Exact-cosine verify: broadcast the (dimension-sized) embedding
+    # sides onto the candidate pairs, then an Arrow-batched numpy dot
+    # per pair — at this corpus's deliberately low 0.45 threshold
+    # hyperplane LSH prunes weakly (p_bit≈0.65), so |candidates| is
+    # large enough (~730 k at sf0.1) that the interpreted zip_with
+    # lambda of `dot` dominates the query.  Real near-dup thresholds
+    # ≥0.85 put LSH in its strong regime and shrink this stage outright.
+    from polybot_data_etl_spark.functions.vectors import pandas_dot
 
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
     return (
         cand.join(F.broadcast(ea), "a_id")
         .join(F.broadcast(eb), "b_id")
-        .withColumn("sim", F.round(dot(F.col("emb_a"), F.col("emb_b")), 4))
+        .withColumn("sim", F.round(pandas_dot(F.col("emb_a"), F.col("emb_b")), 4))
         .filter(F.col("sim") >= _EMBED_SIM)
         .select("a_id", "b_id", "sim")
     )

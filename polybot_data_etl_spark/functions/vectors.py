@@ -21,6 +21,8 @@ IVF-style coarse quantizer — both are DataFrame-level rewrites
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,24 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def pandas_dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product via an Arrow-batched pandas UDF:
+    each batch stacks both sides into (n × 64) float64 matrices and
+    multiplies element-wise in numpy.  Use on WIDE pair sets (≥ ~100 k
+    rows) where the interpreted zip_with/aggregate lambda of `dot`
+    dominates; below that the JVM path wins on fixed overhead."""
+
+    @F.pandas_udf("double")
+    def _pdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack(xs.to_numpy()).astype(np.float64)
+        Y = np.stack(ys.to_numpy()).astype(np.float64)
+        return pd.Series((X * Y).sum(axis=1))
+
+    return _pdot(a, b)
 
 
 def l2_norm(a: Column) -> Column:
