@@ -220,31 +220,69 @@ def simhash_bands(d: DataFrame) -> DataFrame:
     portable per-(token, bit) pseudo-random bit, TF-weighted since every
     occurrence votes.
 
-    Shape chosen for codegen, not elegance: explode to (doc_id, h) so
-    char_hash runs ONCE per token, then ONE hash aggregate computes all
-    64 vote sums as plain JVM integer expressions (map-side partial
-    aggregation: 64 longs per doc cross the shuffle), then a static
-    projection folds votes into band values.  The obvious alternative —
-    64 F.aggregate HOF calls over a captured hash array — re-evaluates
-    the array per element in Spark's interpreted HOF path (~50× slower
-    at sf0.1)."""
-    toks = d.select(
-        "doc_id", F.explode(F.transform(all_tokens(), char_hash)).alias("h")
+    Computed as an Arrow ``mapInPandas`` kernel — a shuffle-free
+    scan-side map, like `hyperplane_buckets`: factorize the batch's
+    tokens, do the char hash + 64 vote bits ONCE per *unique* token
+    (corpora repeat tokens; the per-token work is memoized across
+    batches too), then fold per-doc vote sums as a counts-matrix matmul
+    (small vocab) or a scatter-add (large vocab).  All arithmetic is
+    plain int64, bit-identical to the SQL twin.
+
+    Measured history at sf0.1 (SCALE.md): 64 F.aggregate HOF calls over
+    a captured hash array ~46 s (interpreted HOF re-evaluates the array
+    per element); explode tokens → one 64-`sum()` hash-agg 3.9 s (but
+    shuffles n_tokens rows and re-groups); this kernel removes the
+    shuffle entirely."""
+    import numpy as np
+    import pandas as pd
+
+    n_bits = _SIMHASH_BANDS * _SIMHASH_BITS
+    mult = (2 * np.arange(n_bits, dtype=np.int64) + 3)
+    memo: dict = {}
+
+    def votes_for(tok: str):
+        v = memo.get(tok)
+        if v is None:
+            h = 0
+            for c in tok:
+                h = (h * 31 + ord(c)) % _P
+            v = 2 * ((h * mult) % _P % 2) - 1
+            memo[tok] = v
+        return v
+
+    def fingerprint(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = (
+                pdf["text"].str.lower().str.split(" ").reset_index(drop=True)
+            ).explode()
+            toks = toks[toks != ""]
+            doc_pos = toks.index.to_numpy()
+            codes, uniques = pd.factorize(toks.to_numpy())
+            V = np.stack([votes_for(t) for t in uniques])
+            if len(uniques) <= 2048:
+                counts = np.bincount(
+                    doc_pos * len(uniques) + codes,
+                    minlength=len(pdf) * len(uniques),
+                ).reshape(len(pdf), len(uniques))
+                accs = counts @ V
+            else:
+                accs = np.zeros((len(pdf), n_bits), dtype=np.int64)
+                np.add.at(accs, doc_pos, V[codes])
+            bits = accs > 0
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for b in range(_SIMHASH_BANDS):
+                band = np.zeros(len(pdf), dtype=np.int64)
+                for i in range(_SIMHASH_BITS):
+                    band += bits[:, _SIMHASH_BITS * b + i].astype(np.int64) << i
+                out[f"b{b}"] = band
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        fingerprint,
+        ", ".join(["doc_id long"] + [f"b{b} long" for b in range(_SIMHASH_BANDS)]),
     )
-    votes = [
-        F.sum(2 * ((F.col("h") * (2 * k + 3)) % _P % 2) - 1).alias(f"v{k}")
-        for k in range(_SIMHASH_BANDS * _SIMHASH_BITS)
-    ]
-    voted = toks.groupBy("doc_id").agg(*votes)
-    bands = []
-    for b in range(_SIMHASH_BANDS):
-        band = F.lit(0).cast("long")
-        for i in range(_SIMHASH_BITS):
-            band = band + F.when(
-                F.col(f"v{16 * b + i}") > 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        bands.append(band.alias(f"b{b}"))
-    return voted.select("doc_id", *bands)
 
 
 def _simhash_bands_sql() -> str:
