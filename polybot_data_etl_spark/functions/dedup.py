@@ -169,28 +169,34 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles with document frequency > 100 are excluded from the
     signature (a hot shingle contributes quadratic join fan-out at
     scale, and a pair sharing *only* ubiquitous shingles is not a
-    near-dup); Jaccard is then exact over the remaining signature via a
-    single inverted-index self-join + pair-count aggregation — one
-    shuffle keyed by shingle, one by pair, both map-side combined."""
+    near-dup).
+
+    Shape: ONE shuffle keyed by shingle builds the inverted index
+    (`collect_list(doc_id)`, bounded ≤ df-cap elements, so no giant
+    rows); the df-cap is a length filter on the posting list; candidate
+    pairs are generated INSIDE each posting row by a double explode
+    (codegen Generate, no self-join), then one pair-keyed aggregate
+    counts intersections.  Both downstream uses of the index hang off
+    the same aggregate, so Spark reuses the exchange instead of
+    recomputing the shingle scan per branch — the previous
+    inverted-index self-join recomputed it up to 4×."""
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(shingles()).alias("s"))
-    dfreq = (
-        sh.groupBy("s").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _NGRAM_DF_CAP)
-        .select("s")
+    postings = (
+        sh.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= _NGRAM_DF_CAP)
     )
-    rare = sh.join(dfreq, "s")
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
     inter = (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        postings.select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("ni"))
     )
     jac = F.round(
