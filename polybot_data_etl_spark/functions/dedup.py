@@ -457,6 +457,31 @@ def _hyper_buckets_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _bucket_pairs(pdf):
+    """Per-(band,bucket) exact verify: one G @ G.T matmul over the
+    bucket's members, emitting only pairs within rounding distance of
+    the similarity threshold (a_id < b_id by pre-sorting on vec_id)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    if len(pdf) < 2:
+        return pd.DataFrame({"a_id": [], "b_id": [], "sim": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "sim": "float64"}
+        )
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    S = X @ X.T
+    ia, ib = np.triu_indices(len(pdf), k=1)
+    # Pre-filter with a half-ulp-of-the-rounding guard; the exact
+    # round-then-compare happens Spark-side so tie handling matches
+    # the oracle's round() semantics.
+    keep = S[ia, ib] >= _EMBED_SIM - 5e-5
+    ids = pdf["vec_id"].to_numpy()
+    return pd.DataFrame(
+        {"a_id": ids[ia[keep]], "b_id": ids[ib[keep]], "sim": S[ia, ib][keep]}
+    )
+
+
 @register(
     "q_dedup_embed",
     oracle=f"""
@@ -484,37 +509,28 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits all agree) + exact cosine ≥ 0.45 verify on candidates only.
 
     This is the 100 TB path for vector dedup: candidate volume is
-    Σ_buckets |bucket|² / 2 instead of n²/2 — an equi-join on
-    (band, bucket), never a crossJoin.  Recall is the standard LSH
-    trade-off (≈1-(1-p^4)^4, p = 1 - θ/π); add bands to raise it."""
+    Σ_buckets |bucket|² / 2 instead of n²/2 — and the verify runs as ONE
+    BLAS matmul per (band, bucket) group inside ``applyInPandas``, so no
+    candidate pair is ever materialized as a row unless it survives the
+    threshold.  That replaces the previous pair pipeline (bucket
+    self-join → 730 k-row distinct → two broadcast joins → per-pair dot)
+    with one small shuffle of (vec_id, band, bucket, embedding) rows;
+    only near-threshold pairs leave Python, and the cross-band distinct
+    runs on that small survivor set.  At 100 TB an over-full bucket
+    (skewed hyperplane cell) would tile: split its member list into
+    blocks and matmul block pairs — same operator, one more explode key.
+    Recall is the standard LSH trade-off (≈1-(1-p^4)^4, p = 1 - θ/π);
+    add bands to raise it."""
     e = table(spark, sf_dir, "embeddings")
     bk = hyperplane_buckets(e)
-    cand = (
-        bk.alias("a")
-        .join(
-            bk.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
-        .distinct()
+    pairs = (
+        bk.join(F.broadcast(e), "vec_id")
+        .groupBy("band", "bucket")
+        .applyInPandas(_bucket_pairs, schema="a_id long, b_id long, sim double")
     )
-    # Exact-cosine verify: broadcast the (dimension-sized) embedding
-    # sides onto the candidate pairs, then an Arrow-batched numpy dot
-    # per pair — at this corpus's deliberately low 0.45 threshold
-    # hyperplane LSH prunes weakly (p_bit≈0.65), so |candidates| is
-    # large enough (~730 k at sf0.1) that the interpreted zip_with
-    # lambda of `dot` dominates the query.  Real near-dup thresholds
-    # ≥0.85 put LSH in its strong regime and shrink this stage outright.
-    from polybot_data_etl_spark.functions.vectors import pandas_dot
-
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
     return (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
-        .withColumn("sim", F.round(pandas_dot(F.col("emb_a"), F.col("emb_b")), 4))
+        pairs.withColumn("sim", F.round("sim", 4))
         .filter(F.col("sim") >= _EMBED_SIM)
         .select("a_id", "b_id", "sim")
+        .distinct()
     )
