@@ -182,18 +182,22 @@ def minhash_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Candidate pairs come from per-(band, bucket) posting lists rather
+    # than a band self-join: the self-join recomputed the 32-permutation
+    # signature stage on both sides, while one groupBy builds each
+    # bucket's member list once and a double explode emits its pairs.
+    # LSH bucket population is geometric (most buckets are singletons),
+    # so the collect_list rows stay small; the cross-band distinct runs
+    # on candidate pairs only.
+    postings = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id")
-        )
+        postings.select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
 
