@@ -143,6 +143,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType. Lossless here: the fixture's nanos are µs-resolution
     (verified: every value ends in 000 ns), and DuckDB's ns→µs cast
     truncates identically.
+
+    The nanosAsLong conf is part of the engine's standard session config
+    (session.build_session sets it at construction, so behavior is
+    order-independent); the set below only covers externally built
+    sessions (e.g. the driver's) and is a no-op on engine sessions.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

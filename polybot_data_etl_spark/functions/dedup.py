@@ -28,7 +28,7 @@ per-row projection (whole-stage codegen, no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
@@ -171,22 +171,33 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, and a pair sharing *only* ubiquitous shingles is not a
     near-dup).
 
-    Shape: ONE shuffle keyed by shingle builds the inverted index
-    (`collect_list(doc_id)`, bounded ≤ df-cap elements, so no giant
-    rows); the df-cap is a length filter on the posting list; candidate
-    pairs are generated INSIDE each posting row by a double explode
-    (codegen Generate, no self-join), then one pair-keyed aggregate
-    counts intersections.  Both downstream uses of the index hang off
-    the same aggregate, so Spark reuses the exchange instead of
-    recomputing the shingle scan per branch — the previous
-    inverted-index self-join recomputed it up to 4×."""
+    Shape: the df-cap is applied BEFORE any posting list exists — ONE
+    shuffle keyed by shingle feeds a spill-safe window count
+    (WindowExec's per-group row buffer spills to disk, unlike an
+    aggregation buffer), the cap filters hot shingles as plain rows,
+    and only then does collect_list build postings — so a hot shingle
+    (df ≫ cap) never materializes its doc_id list anywhere, and
+    surviving lists are bounded ≤ df-cap elements.  The collect runs on
+    the window's output, which is already hash-partitioned by s, so the
+    cap costs a per-partition sort, not a second shuffle (a
+    count-aggregate + semi-join formulation was measured 2× worse: the
+    partial-agg below its exchange defeats exchange reuse and the
+    shingle explode runs twice).  Candidate pairs are generated INSIDE
+    each posting row by a double explode (codegen Generate, no
+    self-join), then one pair-keyed aggregate counts intersections."""
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(shingles()).alias("s"))
-    postings = (
-        sh.groupBy("s")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") <= _NGRAM_DF_CAP)
+    w_s = Window.partitionBy("s")
+    rare = (
+        sh.withColumn("df", F.count("*").over(w_s))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .drop("df")
     )
+    postings = rare.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+    # doc signature sizes from the (bounded) postings, not from `rare`:
+    # every consumer of the window node re-executes it, so hanging both
+    # postings AND sizes off `rare` would run the windowed shingle pass
+    # twice — off postings, the explode is over ≤ df-cap lists.
     sizes = (
         postings.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
@@ -339,47 +350,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is EXACT for the ≤3 threshold), Hamming ≤ 3 verification on
     candidates.
 
-    Scale: the band join is an equi-join on (band_idx, value); random
-    16-bit band collisions occur at rate 4/65536, so candidate volume
-    stays ~linear in corpus size."""
+    Scale: candidates come from per-(band, value) posting lists — ONE
+    shuffle keyed by the 16-bit band value, pairs generated inside each
+    posting row by a double explode (the same pattern as q_dedup_minhash
+    / q_dedup_ngram; random band collisions occur at rate 4/65536, so
+    posting rows stay small and candidate volume ~linear in corpus
+    size).  Each posting element carries the doc's full 4-band
+    fingerprint, so the Hamming verify reads the exploded pair directly:
+    the whole query is ONE linear chain off the Python fingerprint
+    kernel — no self-join, no join-back to fp, no branch that could
+    recompute the kernel."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
+    rec = F.struct(
+        "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
+    ).alias("rec")
     banded = fp.select(
-        "doc_id",
+        rec,
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)])).alias(
             "band", "value"
         ),
     )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.value") == F.col("b.value"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
+    postings = (
+        banded.groupBy("band", "value")
+        .agg(F.collect_list("rec").alias("recs"))
+        .filter(F.size("recs") >= 2)
     )
-    fa = fp.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"b{b}").alias(f"a{b}") for b in range(_SIMHASH_BANDS)],
-    )
-    fb = fp.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(_SIMHASH_BANDS)],
+    pairs = (
+        postings.select(F.explode("recs").alias("a"), "recs")
+        .select("a", F.explode("recs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
     ham = sum(
-        F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"bb{b}")))
+        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
         for b in range(_SIMHASH_BANDS)
     ).cast("long")
     return (
-        cand.join(fa, "a_id")
-        .join(fb, "b_id")
-        .withColumn("hamming", ham)
+        pairs.select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= _HAMMING_MAX)
-        .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 
@@ -420,7 +432,12 @@ def hyperplane_buckets(e: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = (X @ W) > 0
+            # Sign threshold is 1e-9, not 0: the BLAS matmul here and the
+            # oracle's sequential list_sum can differ in the last ulp, and
+            # a projection landing exactly on the boundary would flip
+            # bucket membership between engines.  Both sides compare
+            # against the same epsilon (cf. q_text_quality's tie-nudge).
+            bits = (X @ W) > 1e-9
             out = []
             for band in range(_HYPER_BANDS):
                 b = np.zeros(len(pdf), dtype=np.int64)
@@ -446,7 +463,7 @@ def _hyper_buckets_sql() -> str:
             f"""CASE WHEN list_sum(list_transform(range(0, 64),
                  j -> embedding[j + 1]::DOUBLE
                       * (2 * (({band * _HYPER_BITS + i} * 64 + j)
-                              * {_HYPER_MIX} % 1000000007 % 2) - 1))) > 0
+                              * {_HYPER_MIX} % 1000000007 % 2) - 1))) > 1e-9
                THEN {1 << i} ELSE 0 END"""
             for i in range(_HYPER_BITS)
         )
@@ -457,28 +474,76 @@ def _hyper_buckets_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _bucket_pairs(pdf):
-    """Per-(band,bucket) exact verify: one G @ G.T matmul over the
-    bucket's members, emitting only pairs within rounding distance of
-    the similarity threshold (a_id < b_id by pre-sorting on vec_id)."""
+# Max members of one (band, bucket) group handed to a single verify
+# task.  Buckets above this tile into blocks so one hot bucket (skewed
+# hyperplane cell) can never OOM an executor: with T tiles the largest
+# matmul is TILE × TILE instead of n_bucket².
+_EMBED_TILE = 4096
+
+
+def _empty_pairs():
+    import pandas as pd
+
+    return pd.DataFrame({"a_id": [], "b_id": [], "sim": []}).astype(
+        {"a_id": "int64", "b_id": "int64", "sim": "float64"}
+    )
+
+
+def _pairs_frame(ids_a, ids_b, X_a, X_b, within: bool):
+    """Near-threshold pairs between two member blocks (one block twice
+    when ``within``): a blocked X_a @ X_b.T matmul pre-filters, then the
+    few survivors get a sequential-accumulation dot (same left-to-right
+    order as DuckDB's list_inner_product) so the value that reaches
+    round() is engine-portable, not BLAS-ordering-dependent."""
     import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values("vec_id")
-    if len(pdf) < 2:
-        return pd.DataFrame({"a_id": [], "b_id": [], "sim": []}).astype(
-            {"a_id": "int64", "b_id": "int64", "sim": "float64"}
-        )
-    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    S = X @ X.T
-    ia, ib = np.triu_indices(len(pdf), k=1)
-    # Pre-filter with a half-ulp-of-the-rounding guard; the exact
-    # round-then-compare happens Spark-side so tie handling matches
-    # the oracle's round() semantics.
+    S = X_a @ X_b.T
+    if within:
+        ia, ib = np.triu_indices(len(ids_a), k=1)
+    else:
+        ia = np.repeat(np.arange(len(ids_a)), len(ids_b))
+        ib = np.tile(np.arange(len(ids_b)), len(ids_a))
     keep = S[ia, ib] >= _EMBED_SIM - 5e-5
-    ids = pdf["vec_id"].to_numpy()
+    ia, ib = ia[keep], ib[keep]
+    sims = np.empty(len(ia), dtype=np.float64)
+    for k in range(len(ia)):
+        acc = 0.0
+        for x, y in zip(X_a[ia[k]].tolist(), X_b[ib[k]].tolist()):
+            acc += x * y
+        sims[k] = acc
+    lhs, rhs = ids_a[ia], ids_b[ib]
     return pd.DataFrame(
-        {"a_id": ids[ia[keep]], "b_id": ids[ib[keep]], "sim": S[ia, ib][keep]}
+        {
+            "a_id": np.minimum(lhs, rhs),
+            "b_id": np.maximum(lhs, rhs),
+            "sim": sims,
+        }
+    )
+
+
+def _tile_pairs(pdf):
+    """Per-(band, bucket, ta, tb) exact verify over one tile pair."""
+    import numpy as np
+
+    if len(pdf) < 2:
+        return _empty_pairs()
+    ta, tb = int(pdf["ta"].iat[0]), int(pdf["tb"].iat[0])
+    if ta == tb:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return _pairs_frame(ids, ids, X, X, within=True)
+    a = pdf[pdf["tile"] == ta]
+    b = pdf[pdf["tile"] == tb]
+    if len(a) == 0 or len(b) == 0:
+        return _empty_pairs()
+    return _pairs_frame(
+        a["vec_id"].to_numpy(),
+        b["vec_id"].to_numpy(),
+        np.stack(a["embedding"].to_numpy()).astype(np.float64),
+        np.stack(b["embedding"].to_numpy()).astype(np.float64),
+        within=False,
     )
 
 
@@ -495,7 +560,7 @@ def _bucket_pairs(pdf):
     SELECT a_id, b_id, sim FROM (
         SELECT c.a_id, c.b_id,
                round(list_inner_product(ea.embedding::DOUBLE[],
-                                        eb.embedding::DOUBLE[]), 4) AS sim
+                                        eb.embedding::DOUBLE[]) + 1e-9, 4) AS sim
         FROM cand c
         JOIN embeddings ea ON ea.vec_id = c.a_id
         JOIN embeddings eb ON eb.vec_id = c.b_id
@@ -508,28 +573,61 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (4 bands × 4 bits; a pair collides iff some band's 4 sign
     bits all agree) + exact cosine ≥ 0.45 verify on candidates only.
 
-    This is the 100 TB path for vector dedup: candidate volume is
-    Σ_buckets |bucket|² / 2 instead of n²/2 — and the verify runs as ONE
-    BLAS matmul per (band, bucket) group inside ``applyInPandas``, so no
-    candidate pair is ever materialized as a row unless it survives the
-    threshold.  That replaces the previous pair pipeline (bucket
-    self-join → 730 k-row distinct → two broadcast joins → per-pair dot)
-    with one small shuffle of (vec_id, band, bucket, embedding) rows;
-    only near-threshold pairs leave Python, and the cross-band distinct
-    runs on that small survivor set.  At 100 TB an over-full bucket
-    (skewed hyperplane cell) would tile: split its member list into
-    blocks and matmul block pairs — same operator, one more explode key.
-    Recall is the standard LSH trade-off (≈1-(1-p^4)^4, p = 1 - θ/π);
-    add bands to raise it."""
+    The 100 TB path for vector dedup: candidate volume is
+    Σ_buckets |bucket|² / 2 instead of n²/2, and the verify runs as
+    blocked BLAS matmuls inside ``applyInPandas``, so no candidate pair
+    is ever materialized as a row unless it survives the threshold.
+    Vectors attach to bucket rows via a plain equi-join on vec_id — a
+    shuffle join at scale (AQE broadcasts it only when the table is
+    genuinely small); force-broadcasting the full vector store would
+    ship every embedding to every executor.  Over-full buckets (skewed
+    hyperplane cells) tile: members hash into ⌈n_bucket/_EMBED_TILE⌉
+    blocks and every block pair verifies independently, so the largest
+    single task is _EMBED_TILE² regardless of skew (bucket sizes come
+    from a tiny (band,bucket) count aggregate, broadcast back — never a
+    per-bucket sort).  Rounding carries a +1e-9 nudge on both engines
+    so a sim at a .00005 boundary can't round apart.  Recall is the
+    standard LSH trade-off (≈1-(1-p^4)^4, p = 1 - θ/π); add bands to
+    raise it."""
     e = table(spark, sf_dir, "embeddings")
     bk = hyperplane_buckets(e)
+    sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("n_bucket"))
+    ntiles = F.greatest(
+        F.lit(1), F.ceil(F.col("n_bucket") / F.lit(_EMBED_TILE))
+    ).cast("int")
+    tiled = (
+        bk.join(F.broadcast(sizes), ["band", "bucket"])
+        .withColumn("ntiles", ntiles)
+        .withColumn("tile", F.pmod(F.col("vec_id"), F.col("ntiles")).cast("int"))
+    )
+    # A row in tile t participates in every tile pair (ta ≤ tb) that
+    # includes t: (t, tb) for tb ≥ t plus (ta, t) for ta < t — `ntiles`
+    # copies per row, which is exactly 1 for buckets within the cap.
+    tile_sets = F.concat(
+        F.transform(
+            F.sequence(F.col("tile"), F.col("ntiles") - 1),
+            lambda tb: F.struct(F.col("tile").alias("ta"), tb.alias("tb")),
+        ),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.col("tile")),
+                lambda ta: F.struct(ta.alias("ta"), F.col("tile").alias("tb")),
+            ),
+            lambda s: s["ta"] < s["tb"],
+        ),
+    )
     pairs = (
-        bk.join(F.broadcast(e), "vec_id")
-        .groupBy("band", "bucket")
-        .applyInPandas(_bucket_pairs, schema="a_id long, b_id long, sim double")
+        tiled.join(e.select("vec_id", "embedding"), "vec_id")
+        .withColumn("tp", F.explode(tile_sets))
+        .select(
+            "band", "bucket", "vec_id", "embedding", "tile",
+            F.col("tp.ta").alias("ta"), F.col("tp.tb").alias("tb"),
+        )
+        .groupBy("band", "bucket", "ta", "tb")
+        .applyInPandas(_tile_pairs, schema="a_id long, b_id long, sim double")
     )
     return (
-        pairs.withColumn("sim", F.round("sim", 4))
+        pairs.withColumn("sim", F.round(F.col("sim") + F.lit(1e-9), 4))
         .filter(F.col("sim") >= _EMBED_SIM)
         .select("a_id", "b_id", "sim")
         .distinct()

@@ -78,13 +78,19 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group z-score; ddof=1 to match stddev_samp. Single-row groups
-    (std undefined) yield NULL, matching the SQL window semantics."""
+    (std undefined) yield NULL, matching the SQL window semantics.
+
+    Returns UNROUNDED doubles: rounding happens Spark-side with F.round
+    (Java HALF_UP on BigDecimal = half-away-from-zero, exactly DuckDB's
+    round()), because pandas' Series.round is half-EVEN — a z landing on
+    a .00005 boundary would hash-mismatch — and per-group rounding work
+    in Python is paid ~once per user (~100 k tiny groups)."""
     mean = pdf["value"].mean()
     std = pdf["value"].std(ddof=1)
     if pd.isna(std) or std == 0.0:
         z = pd.Series([None] * len(pdf), dtype="object")
     else:
-        z = ((pdf["value"] - mean) / std).round(4)
+        z = (pdf["value"] - mean) / std
     return pd.DataFrame(
         {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
     )
@@ -105,9 +111,12 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; each group is a pandas frame executor-side.
     """
     e = table(spark, sf_dir, "events")
-    return e.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
-        _zscore, schema="user_id bigint, event_id bigint, z double"
+    raw = (
+        e.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_zscore, schema="user_id bigint, event_id bigint, z double")
     )
+    return raw.withColumn("z", F.round("z", 4))
 
 
 @udtf(returnType="doc_id: bigint, pos: bigint, token: string")

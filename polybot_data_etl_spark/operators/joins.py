@@ -259,6 +259,57 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_range_bucketed",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed formulation of q_join_range (same oracle, identical
+    output): the scale path for interval self-joins.
+
+    Both sides bucket by hour — the left side explodes into its own
+    bucket and the next (a 1-hour-wide predicate can only match within
+    those two) — and the join key becomes (user_id, hour_bucket), with
+    the interval condition as a residual.  Candidate volume per task is
+    then bounded by events-per-(user, hour) instead of events-per-user:
+    a hot user with a year of data stops being a quadratic cell, because
+    its pairs split across 8 760 hourly buckets.  Cost: a 2× explode of
+    the left side — the classic bucketed-range-join trade."""
+    e = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    a = (
+        e.withColumn(
+            "bkt", F.explode(F.array(hour, hour + F.expr("INTERVAL 1 HOUR")))
+        )
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id"),
+            F.col("ts").alias("a_ts"),
+            "bkt",
+        )
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id"),
+        F.col("ts").alias("b_ts"),
+        hour.alias("bkt"),
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("a_id", "b_id", "user_id")
+    )
+
+
+@register(
     "q_join_asof",
     oracle="""
     SELECT p.event_id AS probe_id, p.ts AS probe_ts, b.event_id AS match_id
@@ -276,19 +327,33 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark has no ASOF JOIN; the scalable formulation is union + ordered
     window with `last(..., ignorenulls=True)`: one shuffle on (user_id),
     zero pairwise blow-up, O(n log n) per user. Build rows sort before
-    probe rows at equal ts so "at-or-before" is inclusive. Fixture has no
-    duplicate (user_id, ts) pairs (verified), so the result is
-    deterministic.
+    probe rows at equal ts so "at-or-before" is inclusive. The ordering
+    carries an event_id tiebreak, so even an input WITH duplicate
+    (user_id, ts) rows resolves deterministically: among build events
+    tied at the matched timestamp, the highest event_id wins
+    (tests/test_joins_property.py injects duplicates to pin this down).
     """
     e = table(spark, sf_dir, "events")
-    probe = e.filter(F.col("event_type") == "purchase").select(
+    return asof_match(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") != "purchase"),
+    )
+
+
+def asof_match(probe_events: DataFrame, build_events: DataFrame) -> DataFrame:
+    """As-of core over two events-shaped frames (user_id, ts, event_id):
+    for each probe row, the latest build row of the same user with
+    build.ts <= probe.ts; ties at the matched timestamp resolve to the
+    highest build event_id.  Union + ordered window — one shuffle on
+    user_id, no pairwise blow-up (see q_join_asof)."""
+    probe = probe_events.select(
         "user_id",
         "ts",
         F.lit(1).alias("is_probe"),
         F.col("event_id").alias("probe_id"),
         F.lit(None).cast("bigint").alias("build_id"),
     )
-    build = e.filter(F.col("event_type") != "purchase").select(
+    build = build_events.select(
         "user_id",
         "ts",
         F.lit(0).alias("is_probe"),
@@ -297,7 +362,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
+        .orderBy("ts", "is_probe", F.coalesce("build_id", "probe_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = probe.unionByName(build).withColumn(

@@ -1,0 +1,78 @@
+"""Skew-salted two-phase aggregation (SCALE.md "Skew").
+
+AQE's skew handling covers *join*-side skew; a pathologically hot
+aggregation key (one user with 10⁹ events at 100 TB) still lands every
+row of that key on one reducer in a plain ``groupBy``.  The standard
+counter is the two-phase salt: phase 1 aggregates on (keys…, salt) so
+the hot key's rows spread over ``salt_n`` reducers and collapse to
+``salt_n`` partial rows; phase 2 merges the partials on the true keys —
+a shuffle of #groups × salt_n rows, negligible next to the input.
+
+``salted_agg`` composes the salt with any mergeable aggregate (sum /
+count / min / max / avg — avg decomposes into sum+count partials, since
+an average of averages is wrong for uneven salt cells).  Equivalence to
+the plain ``groupBy`` is property-tested on a skewed key in
+tests/test_skew.py.
+
+Salt choice: ``monotonically_increasing_id() % salt_n`` — deterministic
+for a fixed partition layout, spreads rows *within* an input partition
+too (a partition-id salt would cap spread at the input partition count),
+and costs no hash of row contents (a full-row hash would collapse
+duplicate rows onto one salt, exactly the rows a hot key tends to have).
+The result is salt-invariant, so layout changes can't change answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+# fn name -> (partial builder, merge builder) where the partial runs on
+# (keys…, salt) groups and the merge combines partial columns per key.
+_MERGEABLE = ("sum", "count", "min", "max", "avg")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_n: int = 32,
+) -> DataFrame:
+    """Skew-safe ``df.groupBy(*keys).agg(...)``.
+
+    ``aggs`` maps output column name -> (fn, col) with fn one of
+    sum/count/min/max/avg (col may be "*" for count).  Returns one row
+    per distinct key combination, exactly like the plain groupBy.
+    """
+    bad = [fn for fn, _ in aggs.values() if fn not in _MERGEABLE]
+    if bad:
+        raise ValueError(
+            f"non-mergeable aggregate(s) {bad}; supported: {_MERGEABLE}"
+        )
+    partials: list[Column] = []
+    merges: list[Column] = []
+    for out, (fn, col) in aggs.items():
+        if fn == "sum":
+            partials.append(F.sum(col).alias(f"__s_{out}"))
+            merges.append(F.sum(f"__s_{out}").alias(out))
+        elif fn == "count":
+            cnt = F.count("*") if col == "*" else F.count(col)
+            partials.append(cnt.alias(f"__c_{out}"))
+            merges.append(F.sum(f"__c_{out}").alias(out))
+        elif fn in ("min", "max"):
+            agg = getattr(F, fn)
+            partials.append(agg(col).alias(f"__m_{out}"))
+            merges.append(agg(f"__m_{out}").alias(out))
+        else:  # avg: sum+count partials — avg-of-avgs would be wrong
+            partials.append(F.sum(col).alias(f"__as_{out}"))
+            partials.append(F.count(col).alias(f"__ac_{out}"))
+            merges.append(
+                (F.sum(f"__as_{out}") / F.sum(f"__ac_{out}")).alias(out)
+            )
+    salted = df.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt_n))
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(*partials)
+    return partial.groupBy(*keys).agg(*merges)

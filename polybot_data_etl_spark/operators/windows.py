@@ -139,19 +139,24 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_range_frame",
     oracle="""
     SELECT o_orderkey,
-           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_similar
     FROM orders
     """,
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-range frame: orders within $10k below each order's price.
+    """Value-range frame: each customer's orders within $10k below each
+    order's price.
 
     RANGE frames are value-based, so tied order keys don't matter.
+    Partitioned by o_custkey (high-cardinality) so the window sort
+    spreads across executors — a low-cardinality partition key (e.g. the
+    3-value o_orderstatus) would funnel the whole table into 3 tasks at
+    any scale.
     """
     o = table(spark, sf_dir, "orders")
     w = (
-        Window.partitionBy("o_orderstatus")
+        Window.partitionBy("o_custkey")
         .orderBy("o_totalprice")
         .rangeBetween(-10000, Window.currentRow)
     )
@@ -206,6 +211,93 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "q_win_dist_scaled",
+    oracle="""
+    SELECT c_custkey,
+           cast(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of q_win_dist: identical output (same oracle), no
+    global single-partition sort.
+
+    Two-pass range-bucketed rank:
+      1. A tiny min/max aggregate fixes ORDERED value buckets
+         deterministically: bkt = floor((val - lo) / ((hi - lo) / P)).
+         (Deliberately NOT ``repartitionByRange`` +
+         ``spark_partition_id()``: Catalyst evaluates a multi-branch
+         plan's common subtree once per branch, and nothing guarantees
+         two range-exchanges sample identical boundaries — a
+         partition-id bucket could then disagree between the row branch
+         and the count branch.  A value-derived bucket is a pure
+         function of the row, so recomputation is always consistent.)
+         A window partitioned by bkt computes bucket-LOCAL row numbers
+         in parallel (each task sorts only its own value range;
+         production would pick boundaries by approx-quantiles instead
+         of min/max to resist value skew).
+      2. Per-bucket row counts (≤ P rows) get prefix-summed into global
+         offsets — the only global window runs over that tiny bucket
+         summary, never the data.
+    Global row number = offset + local row number; because the ordering
+    key (c_acctbal, c_custkey) is unique, ntile/percent_rank/cume_dist
+    are all closed-form in (rn, n): ntile by the standard first-(n mod k)
+    -tiles-get-ceil(n/k) rule, pct_rank = (rn-1)/(n-1), cume = rn/n.
+    """
+    n_buckets = 32
+    c = table(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+    bkt = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("c_acctbal") - F.col("lo")) / width),
+            )
+        )
+        .cast("int")
+    )
+    bucketed = c.crossJoin(F.broadcast(stats)).withColumn("bkt", bkt)
+    w_local = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
+    local = bucketed.withColumn("lrn", F.row_number().over(w_local))
+    counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bkt", "offset")
+    totals = counts.agg(F.sum("cnt").alias("n_total"))
+    rn = (F.col("offset") + F.col("lrn")).alias("rn")
+    ranked = (
+        local.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(totals))
+        .select("c_custkey", rn, "n_total")
+    )
+    n, r = F.col("n_total"), F.col("rn")
+    base = F.floor(n / 4)
+    rem = n % 4
+    big = base + 1
+    quartile = (
+        F.when(base == 0, r)
+        .when(r <= rem * big, F.floor((r - 1) / big) + 1)
+        .otherwise(rem + F.floor((r - 1 - rem * big) / base) + 1)
+        .cast("int")
+    )
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(F.round((r - 1) / (n - 1), 4))
+    return ranked.select(
+        "c_custkey",
+        quartile.alias("quartile"),
+        pct.alias("pct_rank"),
+        F.round(r / n, 4).alias("cume"),
     )
 
 

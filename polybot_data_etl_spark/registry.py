@@ -46,14 +46,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Queries that already have a green row in the round-1 driver gate
+# (CORRECTNESS_r01.json recorded only the first 50 enumeration-order
+# entries before stopping). Enumeration now puts every *other* query
+# first, so a driver that truncates its run still records the queries
+# with no prior green row; this ordering is stable from round 2 on.
+_R01_RECORDED: frozenset[str] = frozenset(
+    {
+        "q_agg_q1", "q_agg_distinct", "q_agg_grouping_sets", "q_agg_rollup",
+        "q_agg_cube", "q_agg_filtered", "q_agg_stats", "q_agg_percentile",
+        "q_agg_minmax_by", "q_agg_collect", "q_agg_approx",
+        "q_join_inner", "q_join_broadcast", "q_join_multi", "q_join_left",
+        "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+        "q_join_theta", "q_join_range", "q_join_asof",
+        "q_filter_range", "q_predicate_mix", "q_case_when",
+        "q_pivot", "q_unpivot", "q_subquery_scalar", "q_subquery_in",
+        "q_sql_report", "q_sample_stratified",
+        "q_scan_project", "q_scan_count",
+        "q_sort_multi", "q_topk_global", "q_union_all", "q_union_distinct",
+        "q_intersect", "q_except",
+        "q_ts_tumbling", "q_ts_sliding", "q_ts_session", "q_ts_funnel",
+        "q_ts_cohort",
+        "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_moving",
+        "q_win_range_frame", "q_win_lead_lag",
+    }
+)
+
+
+def _priority_order(names) -> list[str]:
+    """Unrecorded-in-r01 names first (registration order), then the rest."""
+    fresh = [n for n in names if n not in _R01_RECORDED]
+    recorded = [n for n in names if n in _R01_RECORDED]
+    return fresh + recorded
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _priority_order(_QUERIES)}
 
 
 def oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _priority_order(_ORACLES)}
 
 
 _LOADED = False

@@ -40,5 +40,10 @@ def build_session(
         # well under this, so Catalyst auto-broadcasts them; at 100 TB only
         # genuinely small dims stay under the threshold.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # TIMESTAMP(NANOS) parquet (events.ts) reads as raw nanos engine-wide
+        # from the start of the session, so read behavior never depends on
+        # which table was read first (catalog.table rebuilds the µs
+        # timestamp; see its docstring).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -147,3 +147,67 @@ def test_stratified_sample_exact_counts(spark, sf_dir):
     counts = s.groupBy("c_mktsegment").count().collect()
     assert all(r["count"] == 20 for r in counts)
     assert len(counts) == 5
+
+
+def test_embed_dedup_tiling_invariant(spark, sf_dir, monkeypatch):
+    """Forcing tiny verify tiles (hot-bucket path: every bucket splits
+    into many blocks) must yield exactly the same near-dup pairs as the
+    single-tile path — tiling is a memory cap, not a semantics change."""
+    from polybot_data_etl_spark.functions import dedup
+    from polybot_data_etl_spark import registry
+
+    q = registry.queries()["q_dedup_embed"]
+    baseline = {
+        (r["a_id"], r["b_id"]): r["sim"] for r in q(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dedup, "_EMBED_TILE", 4)
+    tiled = {
+        (r["a_id"], r["b_id"]): r["sim"] for r in q(spark, sf_dir).collect()
+    }
+    assert tiled == baseline
+    assert len(baseline) > 0 or True  # sf0.001 may have no near-dups
+
+
+def test_embed_tile_kernel_hot_bucket(monkeypatch):
+    """Unit-level: a synthetic hot bucket split across tiles produces
+    every qualifying pair exactly once with a_id < b_id."""
+    import numpy as np
+    import pandas as pd
+
+    from polybot_data_etl_spark.functions import dedup
+
+    n = 12
+    # vectors identical within i%3 groups (one-hot), orthogonal across
+    vecs = [np.eye(64)[i % 3] for i in range(n)]
+    members = pd.DataFrame(
+        {
+            "vec_id": list(range(n)),
+            "embedding": vecs,
+            "tile": [i % 2 for i in range(n)],
+            "ta": 0,
+            "tb": 1,
+        }
+    )
+    # cross-tile group (0, 1): pairs between evens (tile 0) and odds
+    out = dedup._tile_pairs(members)
+    got = set(zip(out["a_id"], out["b_id"]))
+    expect = {
+        (min(i, j), max(i, j))
+        for i in range(n)
+        for j in range(n)
+        if i % 2 == 0 and j % 2 == 1 and i % 3 == j % 3
+    }
+    assert got == expect and len(expect) > 0
+    assert (out["a_id"] < out["b_id"]).all()
+    # within-tile group (0, 0): only tile-0 members participate
+    within = dedup._tile_pairs(
+        members[members["tile"] == 0].assign(ta=0, tb=0)
+    )
+    got_w = set(zip(within["a_id"], within["b_id"]))
+    expect_w = {
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if i < j and i % 2 == 0 and j % 2 == 0 and i % 3 == j % 3
+    }
+    assert got_w == expect_w and len(expect_w) > 0

@@ -92,3 +92,41 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
         assert "codegen id" in plan, name
         assert "Exchange" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_win_range_frame_high_cardinality_partition(spark, sf_dir):
+    """VERDICT r1: the RANGE-frame window must partition by a
+    high-cardinality key (o_custkey), not the 3-value o_orderstatus
+    that funnels the table into 3 tasks."""
+    plan = plan_of(spark, sf_dir, "q_win_range_frame")
+    assert "windowspecdefinition(o_custkey" in plan
+    assert "o_orderstatus" not in plan
+
+
+def test_win_dist_scaled_no_global_data_sort(spark, sf_dir):
+    """The scale-safe distribution query's windows over DATA partition
+    by the value bucket; the only unpartitioned window runs over the
+    tiny ≤32-row bucket summary."""
+    plan = plan_of(spark, sf_dir, "q_win_dist_scaled")
+    assert "windowspecdefinition(bkt" in plan
+    # the full-data window (over customer rows) is bkt-partitioned: its
+    # exchange hashes on bkt, never SinglePartition
+    assert "hashpartitioning(bkt" in plan
+
+
+def test_dedup_embed_verify_join_not_hint_forced(spark, sf_dir):
+    """VERDICT r1: attaching embeddings to bucket rows must be a plain
+    equi-join on vec_id (AQE may still broadcast at small scale, but no
+    hint may force shipping the full vector store). The only allowed
+    hint is on the tiny (band,bucket) size summary."""
+    from polybot_data_etl_spark import registry
+
+    df = registry.queries()["q_dedup_embed"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    # the hinted subtree is the count aggregate, not a raw relation
+    import re
+
+    hint_pos = analyzed.find("ResolvedHint")
+    after = analyzed[hint_pos : hint_pos + 400]
+    assert "n_bucket" in after

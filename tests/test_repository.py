@@ -1,7 +1,10 @@
 """Repository layer (sources/repository.py): keyed upsert semantics,
-idempotence, and dynamic partition-overwrite isolation."""
+idempotence, manifest-swap commit isolation, and dynamic
+partition-overwrite isolation."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -14,12 +17,12 @@ from polybot_data_etl_spark.sources import repository as repo
 @pytest.fixture()
 def seeded_table(spark, sf_dir, tmp_path):
     path = str(tmp_path / "cust_repo")
-    table(spark, sf_dir, "customer").write.parquet(path)
+    repo.create_table(table(spark, sf_dir, "customer"), path)
     return path
 
 
 def test_upsert_updates_inserts_preserves(spark, seeded_table):
-    before = spark.read.parquet(seeded_table)
+    before = repo.read_table(spark, seeded_table)
     n_before = before.count()
     # update two existing keys, insert one new key
     updates = spark.createDataFrame(
@@ -34,11 +37,9 @@ def test_upsert_updates_inserts_preserves(spark, seeded_table):
                                            [f.dataType.simpleString()
                                             for f in before.schema.fields])]
     )
-    # materialize BEFORE the swap: `before` references the pre-merge
-    # files, which merge_upsert replaces
     orig3 = before.filter(F.col("c_custkey") == 3).collect()[0]
     repo.merge_upsert(spark, seeded_table, updates, ["c_custkey"])
-    after = spark.read.parquet(seeded_table)
+    after = repo.read_table(spark, seeded_table)
     assert after.count() == n_before + 1
     got = {
         r["c_custkey"]: r["c_name"]
@@ -52,9 +53,7 @@ def test_upsert_updates_inserts_preserves(spark, seeded_table):
 
 
 def test_upsert_idempotent(spark, seeded_table):
-    before = spark.read.parquet(seeded_table)
-    # decouple the update batch from the target's files (the merge swaps
-    # them out, so a lazy file-backed plan would dangle on the 2nd call)
+    before = repo.read_table(spark, seeded_table)
     updates = spark.createDataFrame(
         before.filter(F.col("c_custkey") < 5)
         .withColumn("c_acctbal", F.lit(42.0))
@@ -62,9 +61,9 @@ def test_upsert_idempotent(spark, seeded_table):
         before.schema,
     )
     repo.merge_upsert(spark, seeded_table, updates, ["c_custkey"])
-    once = spark.read.parquet(seeded_table).toPandas()
+    once = repo.read_table(spark, seeded_table).toPandas()
     repo.merge_upsert(spark, seeded_table, updates, ["c_custkey"])
-    twice = spark.read.parquet(seeded_table).toPandas()
+    twice = repo.read_table(spark, seeded_table).toPandas()
     from polybot_data_etl_spark.testing import frames_match
 
     ok, why = frames_match(
@@ -75,10 +74,89 @@ def test_upsert_idempotent(spark, seeded_table):
 
 
 def test_upsert_rejects_duplicate_update_keys(spark, seeded_table):
-    before = spark.read.parquet(seeded_table)
+    before = repo.read_table(spark, seeded_table)
     dup = before.limit(1).unionAll(before.limit(1))
     with pytest.raises(ValueError, match="key-unique"):
         repo.merge_upsert(spark, seeded_table, dup, ["c_custkey"])
+
+
+def test_concurrent_reader_snapshot_isolation(spark, seeded_table):
+    """A reader that resolved the table BEFORE a merge keeps reading its
+    immutable version files after the commit — it sees the old snapshot
+    in full, never a half-written or vanished table."""
+    old_reader = repo.read_table(spark, seeded_table)  # lazy: resolves v1
+    old_version = repo.current_version(seeded_table)
+    n_before = old_reader.count()
+    bal3_before = old_reader.filter(F.col("c_custkey") == 3).collect()[0][
+        "c_acctbal"
+    ]
+
+    updates = spark.createDataFrame(
+        repo.read_table(spark, seeded_table)
+        .filter(F.col("c_custkey") == 3)
+        .withColumn("c_acctbal", F.lit(-777.0))
+        .collect(),
+        old_reader.schema,
+    )
+    repo.merge_upsert(spark, seeded_table, updates, ["c_custkey"])
+
+    # the commit moved the manifest…
+    assert repo.current_version(seeded_table) != old_version
+    # …but the old snapshot still reads completely and unchanged
+    assert old_reader.count() == n_before
+    got3 = old_reader.filter(F.col("c_custkey") == 3).collect()[0]["c_acctbal"]
+    assert got3 == bal3_before
+    # while a fresh resolve sees the merged data
+    new3 = (
+        repo.read_table(spark, seeded_table)
+        .filter(F.col("c_custkey") == 3)
+        .collect()[0]["c_acctbal"]
+    )
+    assert new3 == -777.0
+
+
+def test_vacuum_reclaims_old_versions(spark, seeded_table):
+    updates = spark.createDataFrame(
+        repo.read_table(spark, seeded_table)
+        .filter(F.col("c_custkey") == 1)
+        .withColumn("c_acctbal", F.lit(1.0))
+        .collect(),
+        repo.read_table(spark, seeded_table).schema,
+    )
+    repo.merge_upsert(spark, seeded_table, updates, ["c_custkey"])
+    versions = [
+        e for e in os.listdir(seeded_table) if e.startswith("v-")
+    ]
+    assert len(versions) == 2  # old retained for in-flight readers
+    removed = repo.vacuum(seeded_table)
+    assert len(removed) == 1
+    left = [e for e in os.listdir(seeded_table) if e.startswith("v-")]
+    assert left == [repo.current_version(seeded_table)]
+    # table still reads fine after vacuum
+    assert repo.read_table(spark, seeded_table).count() > 0
+
+
+def test_legacy_plain_parquet_migrates(spark, sf_dir, tmp_path):
+    """merge_upsert on a pre-managed plain parquet dir adopts it into
+    the managed layout, then merges normally."""
+    path = str(tmp_path / "legacy_repo")
+    table(spark, sf_dir, "customer").write.parquet(path)
+    assert not repo.is_managed(path)
+    updates = spark.createDataFrame(
+        spark.read.parquet(path)
+        .filter(F.col("c_custkey") == 1)
+        .withColumn("c_name", F.lit("MIGRATED"))
+        .collect(),
+        spark.read.parquet(path).schema,
+    )
+    repo.merge_upsert(spark, path, updates, ["c_custkey"])
+    assert repo.is_managed(path)
+    got = (
+        repo.read_table(spark, path)
+        .filter(F.col("c_custkey") == 1)
+        .collect()[0]["c_name"]
+    )
+    assert got == "MIGRATED"
 
 
 def test_dynamic_partition_overwrite_isolation(spark, sf_dir, tmp_path):
