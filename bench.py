@@ -38,8 +38,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = queries()
-    # Warm up the JVM/codegen paths once so per-query times measure the
-    # engine, not first-call JIT + session bring-up.
+    # Warm up the JVM/codegen, Python-worker, and Arrow paths once so
+    # per-query times measure the engine, not first-call JIT + session
+    # bring-up (BASELINE.md's targets are post-warmup).  Warmup runs at
+    # sf0.001 (~100× cheaper than the measured scale) across one
+    # representative query per execution family: codegen agg, HOF
+    # shingle explode, mapInPandas kernel, applyInPandas grouped map,
+    # pandas_udf scalar.
+    warm_dir = "/root/testdata/sf0.001"
+    for warm_name in (
+        "q_agg_q1",
+        "q_dedup_ngram",
+        "q_dedup_minhash",
+        "q_dedup_embed",
+        "q_udaf_grouped",
+        "q_udf_pandas",
+    ):
+        qs[warm_name](spark, warm_dir).write.mode("overwrite").format("noop").save()
     qs["q_scan_count"](spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}

@@ -15,7 +15,8 @@ All three are hash-checked against DuckDB: every hash involved is a
 *portable* integer computation (character-level polynomial rolling hash
 mod 1e9+7, sign-of-projection hyperplanes from a fixed integer formula)
 so both engines derive bit-identical fingerprints — unlike xxhash64/md5
-whose cross-engine values differ (cf. q_dedup_minhash, rows-only).
+whose cross-engine values differ (q_dedup_minhash moved onto the same
+portable family in round 2 and is now hash-checked too).
 
 Scale posture (100 TB): no operator here does an all-pairs crossJoin.
 Candidate generation is always an equi-join on a bucket key (shingle,

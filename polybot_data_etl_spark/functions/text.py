@@ -9,14 +9,20 @@ family is mandated by the driver north star (BASELINE.json:6).
 
 Scale posture: everything is explode → hash-agg (map-side combined).
 MinHash-LSH is the 100 TB dedup path: candidate generation is
-band-bucketed (no all-pairs), signatures are 64-bit xxhash64 minima
-computed in one exploded agg, and only bucket-collided pairs pay the
-exact-Jaccard verification join.
+band-bucketed (no all-pairs), signatures come from a shuffle-free Arrow
+kernel (per-unique-shingle portable hash, scatter-min per doc), and only
+bucket-collided pairs pay the exact-Jaccard verification join.
+
+The permutation family is PORTABLE (polynomial char hash mod 1e9+7,
+then sig_k = min over shingles of (h·(2k+3) + 7919·(k+1)) mod p), so
+DuckDB derives bit-identical signatures and q_dedup_minhash is
+hash-checked end-to-end — the earlier xxhash64 signatures were
+engine-specific and forced a rows-only gate.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
@@ -28,6 +34,7 @@ _MINHASH_PERMS = 32
 _MINHASH_BANDS = 8
 _MINHASH_ROWS_PER_BAND = _MINHASH_PERMS // _MINHASH_BANDS
 _JACCARD_THRESHOLD = 0.5
+_P = 1_000_000_007  # shared with functions/dedup.py primitives
 
 
 def _tokens(col: str = "text"):
@@ -127,35 +134,163 @@ def minhash_signatures(docs: DataFrame, n_perms: int = _MINHASH_PERMS) -> DataFr
     """(doc_id, sig_0..sig_{n-1}): per-doc MinHash signature over 3-token
     shingles.
 
-    One explode + one hash-agg; each "permutation" is xxhash64 with a
-    distinct seed column baked into the hashed value. Deterministic
-    (fixed seeds, no RNG at runtime).  Shingle construction shared with
-    functions/dedup.py (zip_with form: O(tokens) per doc, not the
-    O(tokens²) per-index-slice HOF shape).
+    Permutation k of a shingle is (h·(2k+3) + 7919·(k+1)) mod p where h
+    is the polynomial char hash mod p = 1e9+7 shared with
+    functions/dedup.py — every value fits well under 2^63 and the exact
+    expression is reproduced in the DuckDB oracle, so signatures are
+    bit-identical across engines (xxhash64 wasn't, which forced the old
+    rows-only gate).
+
+    Computed as an Arrow ``mapInPandas`` kernel, like
+    dedup.simhash_bands: shingle the batch in Python (same semantics as
+    dedup.shingles' zip_with form: distinct 3-token windows, whole text
+    if shorter), factorize to unique shingles, hash each unique ONCE
+    (memoized across batches — corpora repeat shingles), build the
+    (uniques × n_perms) permutation matrix in one vectorized pass, and
+    scatter-min into per-doc signature rows.  Shuffle-free: a pure
+    scan-side map, vs the previous explode → 32-min hash-agg which
+    shuffled every (doc, shingle) row.
     """
-    from polybot_data_etl_spark.functions.dedup import shingles
+    import numpy as np
+    import pandas as pd
 
-    exploded = docs.select(
-        "doc_id", F.explode(shingles()).alias("shingle")
+    A = 2 * np.arange(n_perms, dtype=np.int64) + 3
+    B = 7919 * (np.arange(n_perms, dtype=np.int64) + 1)
+    memo: dict = {}
+
+    def char_hash(s: str) -> int:
+        h = memo.get(s)
+        if h is None:
+            h = 0
+            for c in s:
+                h = (h * 31 + ord(c)) % _P
+            memo[s] = h
+        return h
+
+    def shingle_list(text: str) -> list[str]:
+        words = text.lower().split(" ")
+        if len(words) >= 3:
+            return list({" ".join(words[i : i + 3]) for i in range(len(words) - 2)})
+        return [" ".join(words)]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_pos, shingles_flat = [], []
+            for i, text in enumerate(pdf["text"].tolist()):
+                for s in shingle_list(text):
+                    doc_pos.append(i)
+                    shingles_flat.append(s)
+            codes, uniques = pd.factorize(np.asarray(shingles_flat, dtype=object))
+            HU = np.fromiter(
+                (char_hash(s) for s in uniques), dtype=np.int64, count=len(uniques)
+            )
+            perm_u = (HU[:, None] * A[None, :] + B[None, :]) % _P
+            sig = np.full((len(pdf), n_perms), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(sig, np.asarray(doc_pos), perm_u[codes])
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for k in range(n_perms):
+                out[f"sig_{k}"] = sig[:, k]
+            yield pd.DataFrame(out)
+
+    schema = ", ".join(
+        ["doc_id long"] + [f"sig_{k} long" for k in range(n_perms)]
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"sig_{seed}")
-        for seed in range(n_perms)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
 
 
-@register("q_dedup_minhash")  # rows-only: not DuckDB-expressible
+def _minhash_sig_sql(n_perms: int = _MINHASH_PERMS) -> str:
+    """DuckDB twin of minhash_signatures (shingles + char hash reuse the
+    dedup.py SQL primitives)."""
+    from polybot_data_etl_spark.functions.dedup import (
+        _CHAR_HASH_SQL,
+        _SHINGLES_SQL,
+    )
+
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hl, h -> (h * {2 * k + 3} + {7919 * (k + 1)})"
+        f" % {_P})) AS sig_{k}"
+        for k in range(n_perms)
+    )
+    return f"""
+        SELECT doc_id, {sig_cols}
+        FROM (
+            SELECT doc_id,
+                   list_transform({_SHINGLES_SQL},
+                                  s -> {_CHAR_HASH_SQL.format(t='s')}) AS hl
+            FROM documents
+        )"""
+
+
+def _band_bucket(cols: list[Column]) -> Column:
+    """Portable band key: left fold s -> acc*31 + s (mod p) over the
+    band's signature values — same expression in the oracle SQL (a
+    collision maps both engines to the same candidate set either way)."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc * 31 + c) % F.lit(_P)
+    return acc
+
+
+def _band_bucket_sql(band: int) -> str:
+    expr = f"sig_{band * _MINHASH_ROWS_PER_BAND}"
+    for r in range(1, _MINHASH_ROWS_PER_BAND):
+        expr = f"(({expr}) * 31 + sig_{band * _MINHASH_ROWS_PER_BAND + r}) % {_P}"
+    return expr
+
+
+def _minhash_oracle() -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, ({_band_bucket_sql(b)})::BIGINT AS bucket"
+        f" FROM sig"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS n_inter
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.a_id
+        JOIN tok tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, jaccard FROM (
+        SELECT a_id, b_id,
+               round(n_inter / (sa.n_tok + sb.n_tok - n_inter)::DOUBLE, 4)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+    )
+    WHERE jaccard >= {_JACCARD_THRESHOLD}
+    """
+
+
+@register("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH over 3-token shingles.
 
     Pipeline (all DataFrame ops, fully distributed):
-      shingle → 32 xxhash64-min signatures → 8 band keys →
-      band-bucket self-pairing (only docs sharing a band collide) →
+      shingle → 32 portable-permutation-min signatures (Arrow kernel) →
+      8 band keys → per-(band, bucket) posting lists →
       exact Jaccard verification on the candidate pairs.
 
     Output: (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded 4,
-    Jaccard ≥ 0.5. Deterministic: fixed hash seeds, no sampling.
+    Jaccard ≥ 0.5. Deterministic and engine-portable: fixed integer
+    permutation family, no RNG — hash-checked against the DuckDB twin.
     """
     return minhash_pairs(table(spark, sf_dir, "documents"))
 
@@ -169,8 +304,8 @@ def minhash_pairs(
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.hash(
-                *[
+            _band_bucket(
+                [
                     F.col(f"sig_{b * _MINHASH_ROWS_PER_BAND + r}")
                     for r in range(_MINHASH_ROWS_PER_BAND)
                 ]

@@ -85,12 +85,14 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     round()), because pandas' Series.round is half-EVEN — a z landing on
     a .00005 boundary would hash-mismatch — and per-group rounding work
     in Python is paid ~once per user (~100 k tiny groups)."""
-    mean = pdf["value"].mean()
-    std = pdf["value"].std(ddof=1)
-    if pd.isna(std) or std == 0.0:
-        z = pd.Series([None] * len(pdf), dtype="object")
+    v = pdf["value"].to_numpy(dtype="float64")
+    if v.size < 2:
+        z = np.full(v.size, np.nan)
     else:
-        z = (pdf["value"] - mean) / std
+        std = v.std(ddof=1)
+        z = (v - v.mean()) / std if std > 0.0 else np.full(v.size, np.nan)
+    # NaN crosses Arrow as double-NaN; the gate (and SQL round) treat it
+    # as the NULL the window semantics produce for undefined stddev.
     return pd.DataFrame(
         {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
     )

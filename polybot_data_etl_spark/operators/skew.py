@@ -24,8 +24,11 @@ The result is salt-invariant, so layout changes can't change answers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
 
 _SALT = "__salt"
 
@@ -76,3 +79,37 @@ def salted_agg(
     )
     partial = salted.groupBy(*keys, _SALT).agg(*partials)
     return partial.groupBy(*keys).agg(*merges)
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+    SELECT user_id, round(sum(value), 2) AS total, count(*) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregation THROUGH the two-phase salt — same answer as
+    the plain groupBy (the oracle is the plain SQL), demonstrated
+    end-to-end against the driver gate, so the skew path is not just a
+    unit-tested utility."""
+    e = table(spark, sf_dir, "events")
+    out = salted_agg(
+        e.select("user_id", "value"),
+        ["user_id"],
+        {
+            "total": ("sum", "value"),
+            "n": ("count", "*"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+        },
+        salt_n=8,
+    )
+    return out.select(
+        "user_id",
+        F.round("total", 2).alias("total"),
+        "n",
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+    )

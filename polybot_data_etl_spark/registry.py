@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         predicates,
         relational_ext,
         scans,
+        skew,
         sort_setops,
         timeseries,
         windows,
