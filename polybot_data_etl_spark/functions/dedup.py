@@ -139,9 +139,7 @@ _SHINGLES_SQL = """
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 
-@register(
-    "q_dedup_ngram",
-    oracle=f"""
+_NGRAM_ORACLE = f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
     ),
@@ -161,8 +159,10 @@ _SHINGLES_SQL = """
     JOIN sizes za ON za.doc_id = a_id
     JOIN sizes zb ON zb.doc_id = b_id
     WHERE round(ni / (za.n + zb.n - ni)::DOUBLE, 4) >= {_NGRAM_JACCARD}
-    """,
-)
+    """
+
+
+@register("q_dedup_ngram", oracle=_NGRAM_ORACLE)
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (SpotSigs-style): Jaccard over the
     df-capped shingle signature set.
@@ -632,4 +632,83 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= _EMBED_SIM)
         .select("a_id", "b_id", "sim")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster assignment (connected components over near-dup pairs)
+
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment: connected components over the
+    n-gram near-dup pair graph — every doc gets the MIN doc_id of its
+    duplicate cluster (singletons get themselves).  This is the step
+    that turns pairwise dedup output into an actionable keep/drop list
+    for a training-data mix.
+
+    Iterative min-label propagation as DataFrame ops: each superstep
+    joins labels to the (symmetric) edge list, takes the per-node min
+    of own + neighbor labels, and checks convergence via the label-sum
+    invariant (labels only decrease; equal sum ⇒ fixpoint).  One
+    driver-side scalar read per superstep — the standard Pregel
+    conduct, not a collect of data.  Lineage is truncated per step with
+    localCheckpoint so plan depth stays O(1).  Near-dup clusters are
+    dense (band collisions link most members pairwise), so convergence
+    takes ~2-3 supersteps; a worst-case long-path graph would switch to
+    the alternating large-star/small-star formulation (O(log n)
+    supersteps, same join shapes).  Oracle: DuckDB recursive CTE over
+    the identical pair graph.
+    """
+    d = table(spark, sf_dir, "documents")
+    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = d.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(prop, labels.node == prop.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

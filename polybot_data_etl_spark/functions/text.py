@@ -130,6 +130,57 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+    SELECT doc_id, token, score, rn FROM (
+        SELECT tf.doc_id, tf.token,
+               (tf.tf * 10000) // df.df AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * 10000) // df.df DESC, tf.token
+               ) AS rn
+        FROM tf JOIN df USING (token)
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic keywords per document by a tf-idf-style
+    score — the curation primitive behind topic tagging and keyword
+    extraction for training-data mixes.
+
+    The score is (tf · 10000) div df in EXACT integer arithmetic (no
+    log, no float division): cross-engine identical, and order-
+    equivalent to tf/df ranking for a fixed corpus.  Shape: two hash
+    aggregations (tf on (doc, token), df on token) + one equi-join +
+    a per-doc top-k window — every stage partitions on a
+    high-cardinality key.  At 100 TB the df side is a broadcast
+    candidate only after a min-df filter; here AQE decides.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    score = F.floor((F.col("tf") * 10000) / F.col("df")).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df_t, "token")
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "score", "rn")
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_perms: int = _MINHASH_PERMS) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): per-doc MinHash signature over 3-token
     shingles.

@@ -73,10 +73,26 @@ _R01_RECORDED: frozenset[str] = frozenset(
 )
 
 
+# Families whose queries cost ≥ ~1.5s at the gate scale (dedup/sim
+# kernels + grouped-map UDAF); they run LAST within their coverage
+# group so a time-capped driver run still records the maximum number of
+# queries before any cutoff.
+_EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf")
+
+
+def _cost_class(name: str) -> int:
+    return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
+
+
 def _priority_order(names) -> list[str]:
-    """Unrecorded-in-r01 names first (registration order), then the rest."""
-    fresh = [n for n in names if n not in _R01_RECORDED]
-    recorded = [n for n in names if n in _R01_RECORDED]
+    """Unrecorded-in-r01 names first, cheap before expensive inside each
+    group; registration order otherwise (Python sort is stable)."""
+    fresh = sorted(
+        (n for n in names if n not in _R01_RECORDED), key=_cost_class
+    )
+    recorded = sorted(
+        (n for n in names if n in _R01_RECORDED), key=_cost_class
+    )
     return fresh + recorded
 
 
