@@ -680,16 +680,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(
+        d.select(F.col("doc_id").alias("node")), pairs
+    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label connected components over an undirected pair graph.
+
+    ``nodes``: one column ``node`` (every vertex, including isolated
+    ones); ``pairs``: columns ``a_id``/``b_id``.  Returns (node, lbl)
+    where lbl = min node id of the component.  See q_dedup_clusters for
+    the superstep mechanics and scale notes."""
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = edges.localCheckpoint(eager=True)
 
-    labels = d.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
-    ).localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+        eager=True
+    )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(_CC_MAX_ITERS):
+    for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
@@ -709,6 +723,4 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
+    return labels

@@ -137,6 +137,49 @@ def run_to_completion(
     q.awaitTermination()
 
 
+def stream_upsert_to_table(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: list[str] | None = None,
+) -> None:
+    """Streaming incremental load into a managed table: every
+    micro-batch is key-deduplicated and MERGED (SCD-1 upsert) into the
+    repository-layer table at ``table_path``, committing atomically via
+    the manifest swap — concurrent readers always see a complete
+    snapshot, never a half-loaded batch.
+
+    Exactly-once effect without sink-side transactions: foreachBatch
+    may REPLAY a batch after a failure, but merge_upsert is idempotent
+    (same keys ⇒ same final table), so replays are harmless.  This is
+    the streaming version of the reference's repository load step —
+    at scale each micro-batch merge is one keyed anti-join + union,
+    identical to the batch path.
+    """
+    from polybot_data_etl_spark.sources import repository as repo
+
+    merge_key = key or ["event_id"]
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(merge_key)
+        if batch.isEmpty():
+            return
+        if repo.is_managed(table_path):
+            repo.merge_upsert(
+                batch_df.sparkSession, table_path, batch, merge_key
+            )
+        else:
+            repo.create_table(batch, table_path)
+
+    q = (
+        events.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (event count, value total) maintained in an explicit

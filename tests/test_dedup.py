@@ -211,3 +211,41 @@ def test_embed_tile_kernel_hot_bucket(monkeypatch):
         if i < j and i % 2 == 0 and j % 2 == 0 and i % 3 == j % 3
     }
     assert got_w == expect_w and len(expect_w) > 0
+
+
+def test_connected_components_on_synthetic_graphs(spark):
+    """Chains (needing multiple supersteps), cliques, and isolated nodes
+    all resolve to min-id component labels."""
+    from polybot_data_etl_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["node"])
+    # chain 0-1-2-3-4 (diameter 4), clique {6,7,8}, pair {9,11}, isolated 5, 10
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7), (7, 8), (6, 8), (9, 11)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        r["node"]: r["lbl"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+        5: 5,
+        6: 6, 7: 6, 8: 6,
+        9: 9, 10: 10, 11: 9,
+    }
+
+
+def test_connected_components_empty_edges(spark):
+    from polybot_data_etl_spark.functions.dedup import connected_components
+    from pyspark.sql import types as T
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["node"])
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
+        ),
+    )
+    got = {r["node"]: r["lbl"] for r in connected_components(nodes, empty).collect()}
+    assert got == {1: 1, 2: 2}

@@ -130,3 +130,17 @@ def test_dedup_embed_verify_join_not_hint_forced(spark, sf_dir):
     hint_pos = analyzed.find("ResolvedHint")
     after = analyzed[hint_pos : hint_pos + 400]
     assert "n_bucket" in after
+
+
+def test_embed_quantize_is_narrow(spark, sf_dir):
+    """Quantization is a per-row projection: no shuffle, no Python."""
+    plan = plan_of(spark, sf_dir, "q_embed_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_partial_aggs_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_text_tfidf")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

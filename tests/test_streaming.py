@@ -174,3 +174,33 @@ def test_streaming_stateful_user_stats_equals_batch(
     ok, why = frames_match(final, batch)
     assert ok, why
     assert len(final) > 0
+
+
+def test_stream_upsert_into_managed_table(spark, replay_dir, batch_events, tmp_path):
+    """Streaming incremental load: replayed chunks merge-upserted into a
+    managed table equal the full batch input, and the table commits via
+    the manifest protocol (snapshot-isolated, vacuumable)."""
+    from polybot_data_etl_spark.sources import repository as repo
+
+    path = str(tmp_path / "events_managed")
+    jobs.stream_upsert_to_table(
+        jobs.events_file_stream(spark, replay_dir),
+        path,
+        str(tmp_path / "ckpt_upsert"),
+        key=["event_id"],
+    )
+    assert repo.is_managed(path)
+    got = repo.read_table(spark, path).toPandas()
+    want = batch_events.toPandas()
+    ok, why = frames_match(
+        got.sort_values("event_id").reset_index(drop=True),
+        want.sort_values("event_id").reset_index(drop=True),
+    )
+    assert ok, why
+    # one committed version per micro-batch, all reclaimable but current
+    import os
+
+    versions = [v for v in os.listdir(path) if v.startswith("v-")]
+    assert len(versions) >= 2
+    repo.vacuum(path)
+    assert repo.read_table(spark, path).count() == len(want)
