@@ -414,3 +414,87 @@ def minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+@register(
+    "q_text_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+           (length(text) - length(replace(text, '@', ''))) AS n_at
+    FROM documents
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing — the redaction pass of a training-data
+    curation pipeline: mask emails, URLs, and long digit runs.  Pure
+    narrow regexp projection (whole-stage codegen); the patterns stick
+    to the regex subset Java and RE2 interpret identically (explicit
+    classes, no backrefs), so the scrubbed text hash-matches DuckDB.
+    """
+    d = table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"https?://[^ ]+",
+            "<URL>",
+        ),
+        r"[0-9]{6,}",
+        "<NUM>",
+    )
+    n_at = F.length("text") - F.length(F.replace(F.col("text"), F.lit("@")))
+    return d.select(
+        "doc_id", scrub.alias("scrubbed"), n_at.cast("long").alias("n_at")
+    )
+
+
+@register(
+    "q_text_bigrams",
+    oracle="""
+    SELECT bigram, count(*) AS n
+    FROM (
+        SELECT unnest(list_transform(
+                 range(1, len(string_split(lower(text), ' '))),
+                 i -> string_split(lower(text), ' ')[i] || ' ' ||
+                      string_split(lower(text), ' ')[i + 1])) AS bigram
+        FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 corpus bigrams — the n-gram language-model count table in
+    miniature (the full table is the same plan minus the LIMIT).
+
+    Bigrams via zip_with of the token array against its 1-shifted self
+    (O(tokens) per doc, same trick as dedup.shingles — never per-index
+    HOF slicing), then explode → map-side-combined count → top-k with a
+    deterministic tiebreak (TakeOrderedAndProject, no global sort)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.lit(1 << 30)),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )

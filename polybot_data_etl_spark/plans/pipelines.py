@@ -1,0 +1,76 @@
+"""Composed end-to-end pipeline queries: the full curation flow a
+training-data user runs, assembled from the engine's own operators —
+proof that the pieces compose (the reference's `pipelines/` stage,
+SURVEY.md §0.1 [REC src/etl/.DS_Store:4504]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+_MIN_TOKENS = 5
+_MAX_CHARS = 100_000
+
+
+def _curate_oracle() -> str:
+    from polybot_data_etl_spark.functions.dedup import _NGRAM_ORACLE
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           len(string_split(lower(d.text), ' ')) AS n_tokens
+    FROM documents d JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id = d.doc_id
+      AND len(string_split(lower(d.text), ' ')) >= {_MIN_TOKENS}
+      AND d.n_chars <= {_MAX_CHARS}
+    """
+
+
+@register("q_pipeline_curate", oracle=_curate_oracle())
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline: near-dup cluster assignment →
+    canonical keep-list (a doc survives iff it is its cluster's min
+    doc_id) → quality gate (token-count floor, length ceiling) →
+    curated corpus stats.  One registered query running three of the
+    engine's operator families back-to-back, hash-checked end-to-end
+    against the equivalent recursive-CTE SQL.
+
+    Scale shape: the cluster stage is q_dedup_clusters (posting-list
+    candidate generation + label propagation); the keep-list join is an
+    equi-join on doc_id (broadcastable — the cluster table is one row
+    per doc but only (doc_id, cluster_id) wide); the quality gate is a
+    narrow filter that pushes into the scan."""
+    from polybot_data_etl_spark.functions.dedup import q_dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    keep = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select(
+        "doc_id"
+    )
+    n_tokens = F.size(F.split(F.lower(F.col("text")), " "))
+    return (
+        d.join(keep, "doc_id")
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .filter(
+            (F.col("n_tokens") >= _MIN_TOKENS)
+            & (F.col("n_chars") <= _MAX_CHARS)
+        )
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+    )

@@ -77,7 +77,7 @@ _R01_RECORDED: frozenset[str] = frozenset(
 # kernels + grouped-map UDAF); they run LAST within their coverage
 # group so a time-capped driver run still records the maximum number of
 # queries before any cutoff.
-_EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf")
+_EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 
 
 def _cost_class(name: str) -> int:
@@ -136,5 +136,6 @@ def _ensure_loaded() -> None:
         udf,
         vectors,
     )
+    from polybot_data_etl_spark.plans import pipelines  # noqa: F401
 
     _LOADED = True

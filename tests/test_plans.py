@@ -144,3 +144,40 @@ def test_tfidf_partial_aggs_no_cartesian(spark, sf_dir):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries allowed to plan a nested-loop/cartesian or row-Python node —
+# each is deliberate and bounded (documented in its docstring).
+_NLJ_ALLOWED = {
+    "q_join_cross",       # 5×25 dim cross join by definition
+    "q_sim_pairs",        # probe-bounded brute-force baseline
+    "q_sim_topk",         # probe-bounded brute-force baseline
+    "q_win_dist_scaled",  # 1-row totals broadcast crossJoin
+}
+_ROW_PYTHON_ALLOWED = {
+    "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
+    "q_udtf_split",   # Python UDTF lateral (#74)
+}
+
+
+def test_no_unexpected_antipatterns_in_any_query(spark, sf_dir):
+    """Fleet-wide plan sweep: no registered query may introduce a
+    cartesian/nested-loop join or row-at-a-time Python outside the
+    explicit allowlists — the regression net for every future operator."""
+    from polybot_data_etl_spark import registry
+
+    bad = {}
+    for name in registry.queries():
+        if name == "q_dedup_clusters":
+            continue  # iterative: builds labels eagerly; covered elsewhere
+        plan = plan_of(spark, sf_dir, name)
+        flags = []
+        if "CartesianProduct" in plan and name not in _NLJ_ALLOWED:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
+            flags.append("nested-loop")
+        if "BatchEvalPython" in plan and name not in _ROW_PYTHON_ALLOWED:
+            flags.append("row-python")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
