@@ -1,12 +1,21 @@
 """Skew-salted two-phase aggregation (SCALE.md "Skew").
 
-AQE's skew handling covers *join*-side skew; a pathologically hot
-aggregation key (one user with 10⁹ events at 100 TB) still lands every
-row of that key on one reducer in a plain ``groupBy``.  The standard
-counter is the two-phase salt: phase 1 aggregates on (keys…, salt) so
-the hot key's rows spread over ``salt_n`` reducers and collapse to
-``salt_n`` partial rows; phase 2 merges the partials on the true keys —
-a shuffle of #groups × salt_n rows, negligible next to the input.
+AQE's skew handling covers *join*-side skew.  For aggregation the
+standard counter to a hot key is the two-phase salt: phase 1 aggregates
+on (keys…, salt) so the hot key's rows spread over ``salt_n`` reducers
+and collapse to ``salt_n`` partial rows; phase 2 merges the partials on
+the true keys — a shuffle of #groups × salt_n rows.
+
+Honest scope (measured, scripts/stress.py, 2M rows with a 50%-hot key):
+for ALGEBRAIC aggregates Spark's map-side partial aggregation already
+collapses the hot key to one row per map task, so the salt is
+break-even there (1.9 s plain vs 2.1 s salted).  The salt earns its
+keep when the partial-combine step is ineffective: aggregation state
+that doesn't shrink (large collect-style buffers), UDAF pipelines
+without a JVM partial, or engines/paths where partial aggregation is
+disabled — and as the general template SCALE.md documents.  It is
+proven output-equivalent to the plain groupBy either way
+(tests/test_skew.py), so using it costs correctness nothing.
 
 ``salted_agg`` composes the salt with any mergeable aggregate (sum /
 count / min / max / avg — avg decomposes into sum+count partials, since

