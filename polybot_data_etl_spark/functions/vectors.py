@@ -129,20 +129,31 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, no Python)."""
     e = table(spark, sf_dir, "embeddings")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(xd, F.abs))
-    scale = F.lit(127.0) / amax
+    # Materialize xd and scale as COLUMNS before the folds: an
+    # expression captured inside a higher-order-function lambda is
+    # re-evaluated per element on the interpreted path (the array_max
+    # would run 64× per row — the SCALE.md HOF trap); a column
+    # reference is evaluated once per row.
+    staged = e.select(
+        "vec_id",
+        xd.alias("xd"),
+        (F.lit(127.0) / F.array_max(F.transform(xd, F.abs))).alias("scale_raw"),
+    )
+    scale = F.col("scale_raw")
     code = lambda x: F.when(  # noqa: E731
         x >= 0, F.floor(x * scale + F.lit(0.5))
     ).otherwise(-F.floor(-x * scale + F.lit(0.5)))
     signed_sum = F.aggregate(
-        xd, F.lit(0).cast("long"), lambda acc, x: acc + code(x).cast("long")
+        F.col("xd"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + code(x).cast("long"),
     )
     abs_sum = F.aggregate(
-        xd,
+        F.col("xd"),
         F.lit(0).cast("long"),
         lambda acc, x: acc + F.floor(F.abs(x) * scale + F.lit(0.5)).cast("long"),
     )
-    return e.select(
+    return staged.select(
         "vec_id",
         F.round(scale, 4).alias("scale"),
         signed_sum.alias("sum_q"),
