@@ -693,14 +693,43 @@ def connected_components(
     ``nodes``: one column ``node`` (every vertex, including isolated
     ones); ``pairs``: columns ``a_id``/``b_id``.  Returns (node, lbl)
     where lbl = min node id of the component.  See q_dedup_clusters for
-    the superstep mechanics and scale notes."""
+    the superstep mechanics and scale notes.
+
+    The supersteps run over ``component_labels`` — i.e. only the nodes
+    that appear in an edge.  Isolated nodes (the overwhelming majority
+    of a corpus under near-dup thresholds) never enter the iteration;
+    they are labeled by a single left join at the end."""
+    labels = component_labels(pairs, max_iters=max_iters)
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("lbl", "node").alias("lbl")
+    )
+
+
+def component_labels(
+    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label propagation restricted to edge-endpoint nodes.
+
+    Returns (node, lbl) for every node with degree ≥ 1 only.  Each
+    superstep shuffles O(|E|) rows — the dup-pair graph, not the corpus
+    — so the iteration cost is bound by the near-dup rate, not the
+    table size (at 100 TB the pair graph is orders of magnitude smaller
+    than the document set)."""
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges = edges.localCheckpoint(eager=True)
 
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
-        eager=True
+    # Superstep 1 needs no join: the initial labels are the identity, so
+    # the propagated neighbor-min is just min(src) per dst — and because
+    # the edge list is symmetric, grouping by dst also enumerates every
+    # degree-≥1 node, replacing a separate distinct() pass.  One shuffle
+    # seeds the iteration one hop ahead.
+    labels = (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src").alias("nmin"))
+        .select("node", F.least(F.col("node"), F.col("nmin")).alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iters):

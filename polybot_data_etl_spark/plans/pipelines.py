@@ -52,21 +52,28 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's operator families back-to-back, hash-checked end-to-end
     against the equivalent recursive-CTE SQL.
 
-    Scale shape: the cluster stage is q_dedup_clusters (posting-list
-    candidate generation + label propagation); the keep-list join is an
-    equi-join on doc_id (broadcastable — the cluster table is one row
-    per doc but only (doc_id, cluster_id) wide); the quality gate is a
-    narrow filter that pushes into the scan."""
-    from polybot_data_etl_spark.functions.dedup import q_dedup_clusters
+    Scale shape: the cluster stage runs label propagation over only the
+    edge-endpoint nodes (``component_labels``); the keep-list is then
+    expressed as an ANTI join against the non-canonical set (nodes
+    whose component min < themselves) — a frame bounded by the near-dup
+    pair count, so the join side is tiny and broadcastable at any
+    corpus size, vs. a full one-row-per-doc cluster table; the quality
+    gate is a narrow filter that pushes into the scan."""
+    from polybot_data_etl_spark.functions.dedup import (
+        component_labels,
+        q_dedup_ngram,
+    )
 
     d = table(spark, sf_dir, "documents")
-    clusters = q_dedup_clusters(spark, sf_dir)
-    keep = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select(
-        "doc_id"
+    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
+    drop = (
+        component_labels(pairs)
+        .filter(F.col("lbl") < F.col("node"))
+        .select(F.col("node").alias("doc_id"))
     )
     n_tokens = F.size(F.split(F.lower(F.col("text")), " "))
     return (
-        d.join(keep, "doc_id")
+        d.join(drop, "doc_id", "left_anti")
         .withColumn("n_tokens", n_tokens.cast("long"))
         .filter(
             (F.col("n_tokens") >= _MIN_TOKENS)
