@@ -225,3 +225,163 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % _FP_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, 'w' AS kind,
+               unnest(string_split(lower(text), ' ')) AS gram
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'b' AS kind,
+               unnest(list_transform(
+                   range(1, len(string_split(lower(text), ' '))),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i + 1])) AS gram
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, kind, gram, count(*) AS n
+        FROM g GROUP BY doc_id, kind, gram
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN kind = 'w' THEN n END) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN kind = 'w' THEN 1 END) AS BIGINT)
+               AS n_distinct,
+           round((sum(CASE WHEN kind = 'w' THEN n END)
+                  - sum(CASE WHEN kind = 'w' THEN 1 END))::DOUBLE
+                 / sum(CASE WHEN kind = 'w' THEN n END) + 1e-9, 4)
+               AS dup_word_frac,
+           round(max(CASE WHEN kind = 'w' THEN n END)::DOUBLE
+                 / sum(CASE WHEN kind = 'w' THEN n END) + 1e-9, 4)
+               AS top_word_frac,
+           round(max(CASE WHEN kind = 'b' THEN n END)::DOUBLE
+                 / sum(CASE WHEN kind = 'b' THEN n END) + 1e-9, 4)
+               AS top_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (the Gopher/MassiveText family):
+    per document, the duplicate-word fraction, most-common-word fraction,
+    and most-common-bigram fraction — the signals that catch boilerplate,
+    keyword stuffing, and templated spam in a pre-training corpus.
+
+    Single tagged-union pass: words and bigrams explode as ('w'|'b',
+    gram) rows in ONE Generate (bigrams via the zip_with-against-shifted-
+    self trick, never per-index HOF slicing), count per (doc, kind, gram)
+    with map-side combine, then one conditional-agg rollup per doc — no
+    self-join between the word and bigram branches.  Both shuffles key on
+    doc_id(+gram): at 100 TB this scales like any word-count.  Ratios are
+    int-over-int double division (bit-identical across engines) with the
+    +1e-9 tie nudge before round(…, 4) per SURVEY.md §2.1."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.lit(1 << 30)),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    tag = lambda kind, arr: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
+    )
+    g = d.select(
+        "doc_id", F.explode(F.concat(tag("w", words), tag("b", bigrams))).alias("g")
+    ).select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    c = g.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("n"))
+    w_n = F.when(F.col("kind") == "w", F.col("n"))
+    b_n = F.when(F.col("kind") == "b", F.col("n"))
+    per = c.groupBy("doc_id").agg(
+        F.sum(w_n).alias("n_words"),
+        F.sum(F.when(F.col("kind") == "w", F.lit(1))).alias("n_distinct"),
+        F.max(w_n).alias("top_wn"),
+        F.sum(b_n).alias("n_bigrams"),
+        F.max(b_n).alias("top_bn"),
+    )
+    nudge = F.lit(1e-9)
+    return per.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct")).cast("double")
+            / F.col("n_words")
+            + nudge,
+            4,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.col("top_wn").cast("double") / F.col("n_words") + nudge, 4
+        ).alias("top_word_frac"),
+        F.round(
+            F.col("top_bn").cast("double") / F.col("n_bigrams") + nudge, 4
+        ).alias("top_bigram_frac"),
+    )
+
+
+# Decontamination: flag corpus docs sharing ≥ this many distinct 3-token
+# shingles with any "benchmark" doc (the held-out eval set a training
+# corpus must not leak). The fixture benchmark is the deterministic 5%
+# slice doc_id % 20 == 0.
+_CONTAM_MIN_HITS = 3
+
+
+def _contam_oracle() -> str:
+    from polybot_data_etl_spark.functions.dedup import _SHINGLES_SQL
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    bench AS (
+        SELECT s, doc_id AS bench_id FROM sh WHERE doc_id % 20 = 0
+    ),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.s) AS BIGINT) AS n_hit,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench
+    FROM corpus c JOIN bench b USING (s)
+    GROUP BY c.doc_id
+    HAVING count(DISTINCT c.s) >= {_CONTAM_MIN_HITS}
+    """
+
+
+@register("q_text_contamination", oracle=_contam_oracle())
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: flag training docs that share ≥ 3
+    distinct 3-token shingles with any benchmark document — the n-gram
+    decontamination step every pre-training corpus runs against its eval
+    sets before the mix is finalized.
+
+    The benchmark set here is the deterministic doc_id % 20 == 0 slice
+    (5%); a real deployment swaps in the eval-set table unchanged.
+
+    Shape: both sides reuse the dedup family's shingle kernel (zip_with,
+    per-doc distinct), explode to (doc_id, shingle) rows, and meet in ONE
+    equi-join keyed on the shingle string — benchmark sets are tiny
+    relative to a 100 TB corpus, so AQE broadcasts the bench side and the
+    corpus side streams through map-side; the per-doc distinct counts are
+    a standard two-phase agg on doc_id. No pairwise doc×doc work ever
+    materializes."""
+    from polybot_data_etl_spark.functions.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    # shingles() is per-doc distinct, so (doc_id, s) needs no dedup on
+    # either branch.
+    sh = d.select("doc_id", F.explode(shingles()).alias("s"))
+    is_bench = F.col("doc_id") % 20 == 0
+    bench = sh.filter(is_bench).select("s", F.col("doc_id").alias("bench_id"))
+    corpus = sh.filter(~is_bench)
+    return (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_hit"),
+            F.count_distinct("bench_id").alias("n_bench"),
+        )
+        .filter(F.col("n_hit") >= _CONTAM_MIN_HITS)
+    )

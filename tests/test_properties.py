@@ -123,3 +123,15 @@ def test_l2_norm_kernel(vec):
 
     want = math.sqrt(math.fsum(float(np.float32(x)) ** 2 for x in vec))
     assert abs(got - want) < 1e-9 * max(1.0, want)
+
+
+def test_repetition_fracs_bounded_and_consistent(spark, sf_dir):
+    """Repetition metrics are valid fractions; distinct ≤ total; the top
+    word can never be rarer than uniform (≥ 1/n_words)."""
+    df = q("q_text_repetition")(spark, sf_dir).toPandas()
+    assert (df.n_distinct <= df.n_words).all()
+    for c in ("dup_word_frac", "top_word_frac", "top_bigram_frac"):
+        assert df[c].dropna().between(0.0, 1.0001).all(), c
+    # 5.1e-5 slack: the frac is rounded to 4 decimals, which can dip up
+    # to half a rounding step below the exact 1/n_words lower bound.
+    assert (df.top_word_frac >= 1.0 / df.n_words - 5.1e-5).all()
