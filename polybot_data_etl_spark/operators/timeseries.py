@@ -183,3 +183,79 @@ def q_ts_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.date_trunc("day", F.col("ts")).alias("activity_day"))
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               round(sum(value), 2) AS hour_value
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        FROM obs GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    )
+    SELECT s.user_id, s.hour,
+           CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events,
+           last_value(o.hour_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM spine s
+    LEFT JOIN obs o ON o.user_id = s.user_id AND o.hour = s.hour
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill: per user, an hourly spine
+    from their first to last active hour, hours with no events carrying
+    0 events and the last observed hourly value forward — the gap-fill
+    every downstream time-series model (and TimescaleDB's
+    ``time_bucket_gapfill`` / ``locf``) expects.
+
+    Shape: hourly pre-agg first (map-side partials collapse raw events
+    before any shuffle), per-user bounds from the AGGREGATED frame, the
+    spine via ``sequence()`` + explode (rows generated ∝ output, never a
+    cross join against a global calendar), one (user_id, hour) equi-join
+    back, and the fill as ``last(ignorenulls)`` over a user-partitioned
+    running window — user_id is high-cardinality, so every stage
+    partitions well at 100 TB.  The hourly value is rounded BEFORE the
+    fill so filled copies are bit-identical to their source row on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("hour_value"),
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(obs, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
