@@ -122,3 +122,62 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe ``fact.join(dim, keys, how)`` for a hot-keyed fact side.
+
+    The fact side gets a ``monotonically_increasing_id() % salt_n`` salt
+    (same rationale as ``salted_agg``: spreads within input partitions,
+    duplicate-row safe, salt-invariant result); the dim side is
+    replicated ``salt_n``× by exploding the full salt range, and the
+    join runs on (keys…, salt) — a hot key's rows land on ``salt_n``
+    reducers instead of one.  The dim replication multiplies the small
+    side only, which is exactly the side that fits.
+
+    Only ``inner`` and ``left`` are supported: replication preserves
+    fact-row multiplicity, but an unmatched DIM row would surface
+    ``salt_n`` times under right/full semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    fact_s = fact.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salt_n))
+    )
+    dim_s = dim.withColumn(
+        "__salts", F.sequence(F.lit(0).cast("long"), F.lit(salt_n - 1).cast("long"))
+    ).withColumn(_SALT, F.explode("__salts")).drop("__salts")
+    return fact_s.join(dim_s, [*keys, _SALT], how).drop(_SALT)
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n,
+           round(sum(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim revenue rollup THROUGH the salted join — the oracle is
+    the plain SQL join, so the salt is proven answer-invariant at the
+    driver gate.  The production case is a hot key (power-user,
+    null-bucket, default id) that AQE's skew split can't always catch
+    (e.g. broadcast-ineligible dim + hash join); the salt bounds any
+    key's reducer share at 1/salt_n by construction."""
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = salted_join(e, dim, ["user_id"], salt_n=8)
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )

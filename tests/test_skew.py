@@ -100,3 +100,47 @@ def test_two_phase_plan_shape(spark, skewed):
     df = salted_agg(skewed, ["k"], {"total": ("sum", "v")}, salt_n=16)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    """salted_join must preserve inner/left join semantics exactly on a
+    hot-keyed fact side, including fact-row multiplicity."""
+    from polybot_data_etl_spark.operators.skew import salted_join
+
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    ).filter(F.col("k") % 3 != 1)  # leave some fact keys unmatched
+    for how in ("inner", "left"):
+        plain = (
+            skewed.join(dim, "k", how)
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("sv"),
+                F.sum("attr").alias("sa"),
+            )
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        salted = (
+            salted_join(skewed, dim, ["k"], salt_n=8, how=how)
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("sv"),
+                F.sum("attr").alias("sa"),
+            )
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted, check_like=True)
+
+
+def test_salted_join_rejects_outer_modes(spark, skewed):
+    from polybot_data_etl_spark.operators.skew import salted_join
+
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(skewed, dim, ["k"], how="full")
