@@ -64,3 +64,51 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC connector (columnar alternative to Parquet; ORC carries its
+    own schema in the footer, so the StructType is optional and acts as
+    a projection/assertion when given)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with the same hive-partitioned layout as the Parquet
+    sink — predicate pushdown and partition pruning work identically."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw-text connector: one row per line (``value`` string), or one
+    row per file with ``whole_file`` — the ingest shape for unstructured
+    corpus drops before parsing imposes a schema."""
+    # NB: must go through the text() kwarg — its default (False) would
+    # silently override a reader-level .option("wholetext", ...).
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-binary connector (``binaryFile``): (path, modificationTime,
+    length, content) — the ingest shape for the multimodal family
+    (functions/multimodal.py), which treats payloads as binary columns
+    plus typed metadata."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

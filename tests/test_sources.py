@@ -81,3 +81,51 @@ def test_parquet_sink_partitioned(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "order_year" in plan
     want = orders.filter(F.col("order_year") == 1997).count()
     assert one_year.count() == want
+
+
+def test_orc_round_trip_partitioned(spark, sf_dir, tmp_path):
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    files.write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = files.read_orc(spark, path).select(*orders.columns)
+    _assert_same_rows(orders, back, "o_orderkey")
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    orders = table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc_pd")
+    files.write_orc(orders, path)
+    plan = (
+        files.read_orc(spark, path)
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_text_lines_and_whole_file(spark, tmp_path):
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("only line\n")
+    lines = files.read_text(spark, str(p))
+    assert lines.count() == 3
+    assert set(lines.columns) == {"value"}
+    whole = files.read_text(spark, str(p), whole_file=True)
+    assert whole.count() == 2
+    assert any("line one\nline two" in r.value for r in whole.collect())
+
+
+def test_binary_source_glob(spark, tmp_path):
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"\x00\x01\x02payload")
+    (p / "y.txt").write_text("not a blob")
+    df = files.read_binary(spark, str(p), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].content == b"\x00\x01\x02payload"
+    assert rows[0].length == 10
