@@ -34,6 +34,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST"
 _VERSION_PREFIX = "v-"
@@ -163,3 +164,94 @@ def overwrite_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+# --- SCD-2 (history-keeping) dimension merge ------------------------------
+
+_SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def create_scd2_table(
+    df: DataFrame, path: str, effective_ts: str
+) -> None:
+    """Initialize a type-2 slowly-changing dimension: every input row
+    becomes the open (current) version, valid from ``effective_ts``."""
+    initial = (
+        df.withColumn("valid_from", F.lit(effective_ts).cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    create_table(initial, path)
+
+
+def scd2_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: list[str],
+    effective_ts: str,
+) -> None:
+    """Type-2 keyed merge into the managed dimension at ``path``: a key
+    whose attributes changed gets its open row closed (``valid_to`` =
+    ``effective_ts``) and a new open row inserted; unchanged keys are
+    untouched (so re-applying the same batch is a no-op — idempotent);
+    unseen keys insert as new open rows.  History rows are carried over
+    unchanged, giving as-of queries the full version chain.
+
+    Plan: one full outer join of the CURRENT slice against the update
+    batch on the key (both sides one row per key — the current slice by
+    the SCD-2 invariant, the batch by assertion), then three narrow
+    projections unioned with the history slice.  Everything shuffles on
+    the dimension key once; at 100 TB dims this is a standard keyed
+    merge, and the commit is the same atomic manifest swap as
+    ``merge_upsert``.
+    """
+    n_updates = updates.count()
+    n_keys = updates.select(*key).distinct().count()
+    if n_updates != n_keys:
+        raise ValueError(
+            f"update batch must be key-unique on {key}: "
+            f"{n_updates} rows, {n_keys} distinct keys"
+        )
+    target = read_table(spark, path)
+    attrs = [c for c in updates.columns if c not in key]
+    eff = F.lit(effective_ts).cast("timestamp")
+
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+    # Presence markers: never-null columns on each side, so outer-join
+    # row provenance doesn't depend on attr/key nullability.
+    c = cur.withColumn("__c", F.lit(True)).alias("c")
+    u = updates.withColumn("__u", F.lit(True)).alias("u")
+    cond = F.expr(" AND ".join(f"c.{k} <=> u.{k}" for k in key))
+    joined = c.join(u, cond, "full_outer")
+
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
+    has_c = F.col("c.__c").isNotNull()
+    has_u = F.col("u.__u").isNotNull()
+
+    cur_cols = [F.col(f"c.{col}").alias(col) for col in cur.columns]
+    # 1) current rows that stay open: no update, or update equal
+    kept = joined.filter(has_c & (~has_u | ~differs)).select(*cur_cols)
+    # 2) current rows closed by a differing update
+    closed = joined.filter(has_c & has_u & differs).select(
+        *[F.col(f"c.{col}").alias(col) for col in cur.columns
+          if col not in ("valid_to", "is_current")],
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    ).select(*[F.col(col) for col in cur.columns])
+    # 3) new open rows: new key, or differing update
+    fresh = joined.filter(has_u & (~has_c | differs)).select(
+        *[F.col(f"u.{k}").alias(k) for k in key],
+        *[F.col(f"u.{a}").alias(a) for a in attrs],
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).select(*[F.col(col) for col in cur.columns])
+
+    merged = hist.unionByName(kept).unionByName(closed).unionByName(fresh)
+    version = _new_version()
+    merged.write.parquet(os.path.join(path, version))
+    _commit(path, version)

@@ -182,3 +182,70 @@ def test_dynamic_partition_overwrite_isolation(spark, sf_dir, tmp_path):
     other_before = orders.filter(F.col("o_orderstatus") != "O").count()
     other_after = after.filter(F.col("o_orderstatus") != "O").count()
     assert other_before == other_after
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "k int, name string, tier string")
+
+
+def test_scd2_merge_tracks_history(spark, tmp_path):
+    path = str(tmp_path / "dim_scd2")
+    repo.create_scd2_table(
+        _dim(spark, [(1, "alice", "gold"), (2, "bob", "silver")]),
+        path,
+        "2024-01-01 00:00:00",
+    )
+    # tier change for k=1, no-op for k=2, new key k=3
+    repo.scd2_merge(
+        spark,
+        path,
+        _dim(spark, [(1, "alice", "platinum"), (2, "bob", "silver"),
+                     (3, "carol", "bronze")]),
+        ["k"],
+        "2024-02-01 00:00:00",
+    )
+    t = repo.read_table(spark, path)
+    assert t.count() == 4  # closed v1 of k=1 + open k=1,2,3
+    cur = {r.k: r for r in t.filter("is_current").collect()}
+    assert set(cur) == {1, 2, 3}
+    assert cur[1].tier == "platinum"
+    assert str(cur[1].valid_from).startswith("2024-02-01")
+    assert str(cur[2].valid_from).startswith("2024-01-01")  # untouched
+    closed = t.filter(~F.col("is_current")).collect()
+    assert len(closed) == 1 and closed[0].k == 1
+    assert closed[0].tier == "gold"
+    assert str(closed[0].valid_to).startswith("2024-02-01")
+
+
+def test_scd2_merge_idempotent(spark, tmp_path):
+    path = str(tmp_path / "dim_scd2_idem")
+    repo.create_scd2_table(
+        _dim(spark, [(1, "alice", "gold")]), path, "2024-01-01 00:00:00"
+    )
+    batch = _dim(spark, [(1, "alice", "platinum")])
+    repo.scd2_merge(spark, path, batch, ["k"], "2024-02-01 00:00:00")
+    once = sorted(map(tuple, repo.read_table(spark, path).collect()))
+    repo.scd2_merge(spark, path, batch, ["k"], "2024-03-01 00:00:00")
+    twice = sorted(map(tuple, repo.read_table(spark, path).collect()))
+    assert once == twice  # equal attrs -> no new version rows
+
+
+def test_scd2_null_attr_transitions(spark, tmp_path):
+    """NULL -> value and value -> NULL both count as changes; NULL ->
+    NULL does not (eqNullSafe semantics)."""
+    path = str(tmp_path / "dim_scd2_null")
+    repo.create_scd2_table(
+        _dim(spark, [(1, "alice", None), (2, "bob", None)]),
+        path,
+        "2024-01-01 00:00:00",
+    )
+    repo.scd2_merge(
+        spark,
+        path,
+        _dim(spark, [(1, "alice", "gold"), (2, "bob", None)]),
+        ["k"],
+        "2024-02-01 00:00:00",
+    )
+    t = repo.read_table(spark, path)
+    assert t.count() == 3  # k=1 closed+new, k=2 untouched
+    assert t.filter("k = 2").count() == 1
