@@ -230,3 +230,48 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal"), 2).alias("acctbal"),
         )
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id * 2654435761) % 1000000007)::DOUBLE
+                            / n_chars,
+                            doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: 20 docs per language, selection
+    probability increasing with document length — the mix-sampling
+    primitive a training-data pipeline uses to up-weight high-value
+    strata without a true RNG.  Each doc gets priority
+    hash(doc_id)/weight (multiplicative-hash uniform over the weight);
+    the per-stratum k smallest win, so a doc with 2x the weight is ~2x
+    as likely to make the cut — the hash-priority analogue of
+    A-ES/exponential-race sampling kept in engine-portable arithmetic
+    (int-over-int double division; no exp/ln whose libm differs across
+    engines).  Same shape as q_sample_stratified: one window per
+    stratum, no global sort."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    priority = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).cast(
+            "double"
+        )
+        / F.col("n_chars")
+    )
+    w = Window.partitionBy("lang").orderBy(priority, F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )

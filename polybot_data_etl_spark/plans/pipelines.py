@@ -81,3 +81,64 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars", "n_tokens")
     )
+
+
+_MIX_TOKEN_BUDGET = 2_000  # per-language token budget for the mix
+
+
+@register(
+    "q_mix_budget",
+    oracle=f"""
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM (
+        SELECT lang, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM (
+            SELECT lang, doc_id,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        )
+    ) WHERE cum_tokens <= {_MIX_TOKEN_BUDGET}
+    """,
+)
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: fill each language's slice of the
+    training mix up to a fixed token budget, taking documents in a
+    deterministic hash-shuffled order — the downsampling step that turns
+    per-source corpora into a mixture with prescribed token shares.
+
+    Shape: one window per stratum (cumulative token sum over the
+    multiplicative-hash order — same portable shuffle as
+    q_sample_stratified), then a filter on the running total; all
+    integer arithmetic, no RNG, so the same mix materializes on any
+    engine and any partitioning.  At 100 TB the window partitions by
+    language (or by (source, language) for finer strata) and never
+    sorts globally."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).alias(
+            "__h"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _MIX_TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+    )
