@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST"
+LOG = "_LOG"
 _VERSION_PREFIX = "v-"
 
 
@@ -53,6 +54,13 @@ def _commit(path: str, version: str) -> None:
         f.write(version + "\n")
         f.flush()
         os.fsync(f.fileno())
+    # Commit-log append BEFORE the swap: the log is advisory history
+    # metadata (time travel / audit), so a crash between append and
+    # swap leaves a logged-but-never-current version, which readers of
+    # the log must tolerate — the manifest remains the single source of
+    # truth for "current".
+    with open(os.path.join(path, LOG), "a") as f:
+        f.write(version + "\n")
     os.replace(tmp, os.path.join(path, MANIFEST))
 
 
@@ -74,11 +82,43 @@ def create_table(df: DataFrame, path: str) -> None:
     _commit(path, version)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def list_versions(path: str) -> list[str]:
+    """Commit history, oldest first, restricted to versions still on
+    disk (``vacuum`` reclaims old ones out of the retention window).
+    The last entry is the current version."""
+    log_path = os.path.join(path, LOG)
+    if not os.path.exists(log_path):
+        return [current_version(path)]
+    with open(log_path) as f:
+        logged = [ln.strip() for ln in f if ln.strip()]
+    return [v for v in logged if os.path.isdir(os.path.join(path, v))]
+
+
+def read_table(
+    spark: SparkSession, path: str, version: str | int | None = None
+) -> DataFrame:
     """DataFrame over the committed version (snapshot isolation: the
     resolved version directory is immutable, later commits don't touch
-    it)."""
-    return spark.read.parquet(os.path.join(path, current_version(path)))
+    it).
+
+    Time travel: ``version`` pins a snapshot — a version name from
+    ``list_versions`` or a negative index into it (``-2`` = the commit
+    before current), like a table format's VERSION AS OF. Raises
+    KeyError for a vacuumed/unknown version."""
+    if version is None:
+        v = current_version(path)
+    else:
+        versions = list_versions(path)
+        if isinstance(version, int):
+            v = versions[version]
+        elif version in versions:
+            v = version
+        else:
+            raise KeyError(
+                f"version {version!r} not available (vacuumed or never "
+                f"committed); on disk: {versions}"
+            )
+    return spark.read.parquet(os.path.join(path, v))
 
 
 def vacuum(path: str) -> list[str]:

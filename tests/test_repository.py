@@ -249,3 +249,47 @@ def test_scd2_null_attr_transitions(spark, tmp_path):
     t = repo.read_table(spark, path)
     assert t.count() == 3  # k=1 closed+new, k=2 untouched
     assert t.filter("k = 2").count() == 1
+
+
+def test_time_travel_reads_past_versions(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    repo.create_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    repo.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "b"), (2, "c")], "k int, v string"),
+        ["k"],
+    )
+    versions = repo.list_versions(path)
+    assert len(versions) == 2
+    assert versions[-1] == repo.current_version(path)
+    v0 = {(r.k, r.v) for r in repo.read_table(spark, path, -2).collect()}
+    assert v0 == {(1, "a")}
+    cur = {(r.k, r.v) for r in repo.read_table(spark, path).collect()}
+    assert cur == {(1, "b"), (2, "c")}
+    # by explicit name too
+    assert {
+        (r.k, r.v)
+        for r in repo.read_table(spark, path, versions[0]).collect()
+    } == {(1, "a")}
+
+
+def test_time_travel_vacuumed_version_raises(spark, tmp_path):
+    path = str(tmp_path / "ttv")
+    repo.create_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"), path
+    )
+    repo.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, "b")], "k int, v string"),
+        ["k"],
+    )
+    old = repo.list_versions(path)[0]
+    removed = repo.vacuum(path)
+    assert old in removed
+    assert repo.list_versions(path) == [repo.current_version(path)]
+    with pytest.raises(KeyError, match="vacuumed or never"):
+        repo.read_table(spark, path, old)
