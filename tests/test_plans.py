@@ -181,3 +181,44 @@ def test_no_unexpected_antipatterns_in_any_query(spark, sf_dir):
         if flags:
             bad[name] = flags
     assert not bad, bad
+
+
+def test_contamination_equi_join_no_pairs(spark, sf_dir):
+    """Decontamination meets on a shingle equi-join (hash-partitioned or
+    broadcast) and two-phase-aggregates the hit counts — never a
+    doc-pair product."""
+    plan = plan_of(spark, sf_dir, "q_text_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    # dual count-distinct compiles to the Expand + staged-HashAggregate
+    # rewrite (partial per (doc, gram) then merge) — never a resort to
+    # a single-node distinct
+    assert "Expand" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_gapfill_partitions_by_user(spark, sf_dir):
+    """The spine join and the forward-fill window both key on user_id —
+    no global single-partition sort anywhere."""
+    plan = plan_of(spark, sf_dir, "q_ts_gapfill")
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+    # a global window would show an empty partition spec / SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_salted_join_joins_on_salt(spark, sf_dir):
+    """The salted join's equi-keys include the salt column, and the
+    fact side is not broadcast."""
+    plan = plan_of(spark, sf_dir, "q_join_salted")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_and_mix_stratum_windows(spark, sf_dir):
+    """Both sampling/mixing queries window per stratum (lang), never a
+    global sort of the corpus."""
+    for name in ("q_sample_weighted", "q_mix_budget"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning(lang" in plan, name
+        assert "SinglePartition" not in plan, name
