@@ -275,3 +275,45 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@register(
+    "q_cdc_compact",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: the latest record per key (newest ts,
+    event_id as the total-order tiebreak) — the CDC dedup step that
+    turns an upsert stream into current state before a keyed merge,
+    and the batch twin of the streaming dropDuplicates path.
+
+    One window keyed on the high-cardinality user_id; at 100 TB this is
+    the standard shuffle-once compaction (and with the lake bucketed by
+    user_id it runs exchange-free, per tests/test_bucketing.py)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )

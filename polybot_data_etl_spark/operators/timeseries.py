@@ -259,3 +259,66 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+@register(
+    "q_ts_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS c,
+               CAST(sum(n) AS BIGINT) AS s,
+               CAST(sum(n * n) AS BIGINT) AS sq
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           round((d.n - s::DOUBLE / c)
+                 / sqrt((c * sq - s * s)::DOUBLE / (c * (c - 1)))
+                 + 1e-9, 4) AS z,
+           abs((d.n - s::DOUBLE / c)
+               / sqrt((c * sq - s * s)::DOUBLE / (c * (c - 1)))) > 2.0
+               AS is_anomaly
+    FROM daily d JOIN stats USING (event_type)
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) daily count
+    scored as a z-value against that type's own daily distribution,
+    flagged when |z| > 2 — the monitoring query that catches ingest
+    outages (z ≪ 0) and bot floods (z ≫ 0) in an event lake.
+
+    The variance is computed from exact integer moments
+    ((c·Σn² − (Σn)²) / (c·(c−1))) rather than stddev_samp: both engines
+    then derive z from the SAME integers through IEEE-exact ops
+    (division, sqrt), so the hash gate can't be tripped by the
+    last-ulp differences of incremental variance algorithms.  Shape:
+    two hash aggs (map-side partials) + a broadcast join of the
+    per-type stats (one row per event type) back onto the daily frame."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("c"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    c, s, sq = F.col("c"), F.col("s"), F.col("sq")
+    z = (F.col("n") - s.cast("double") / c) / F.sqrt(
+        (c * sq - s * s).cast("double") / (c * (c - 1))
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(z + F.lit(1e-9), 4).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )

@@ -22,7 +22,12 @@ def build_session(
     app_name: str = "polybot-data-etl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``extra_conf`` entries are applied last (they win over the
+    defaults above) — JVM-launch settings like spark.driver.memory only
+    take effect if this call actually creates the JVM (first session in
+    the process)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     default_master = f"local[{cpus}]" if cpus else "local[*]"
     builder = (
@@ -46,4 +51,6 @@ def build_session(
         # timestamp; see its docstring).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -5,8 +5,15 @@ pathologically hot key, and times each scale-path operator against its
 naive twin.  Records the evidence behind SCALE.md's claims:
 
   * hour-bucketed range join vs plain per-user range join on a hot user
-  * salted_agg vs plain groupBy on a 90%-hot aggregation key
-  * tiled LSH-bucket verify under a forced hot bucket
+    (measured at --rows 2e7, 50%-hot, 1% slice: 269 s plain vs 9 s
+    bucketed — 30x; the plain pair space is quadratic in the hot user)
+  * salted_agg vs plain groupBy on a hot aggregation key (break-even
+    for algebraic aggs — map-side combine already collapses the hot key)
+  * salted_join vs plain shuffle join on a hot fact key, with AQE skew
+    split on and off (measured at --rows 2e7, 50%-hot, broadcast
+    disabled: AQE-on plain 6.8 s / salted 9.2 s — AQE's split wins;
+    AQE-off plain 13.4 s / salted 10.2 s — the salt wins 1.3x and is
+    the portable fallback where the split can't apply)
 
 Usage:  python scripts/stress.py [--rows 2000000] [--hot-frac 0.5]
 """
@@ -58,7 +65,13 @@ def main() -> int:
     ap.add_argument("--hot-frac", type=float, default=0.5)
     args = ap.parse_args()
 
-    spark = build_session(app_name="polybot-stress", shuffle_partitions=32)
+    spark = build_session(
+        app_name="polybot-stress",
+        shuffle_partitions=32,
+        # skew stress holds a 50%-hot SMJ partition + 64x-replicated dim
+        # in one JVM; the 1g local default OOMs
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     e = synth_events(spark, args.rows, args.hot_frac)
@@ -129,6 +142,47 @@ def main() -> int:
 
     timed("plain range join (1% slice, hot user)", plain_range)
     timed("hour-bucketed range join (same slice)", bucketed_range)
+
+    # --- skewed fact⋈dim equi-join: plain shuffle vs salted ----------------
+    # Dim too big to broadcast (forced by disabling the threshold), so
+    # the hot key funnels one reducer in the plain sort-merge join.
+    from polybot_data_etl_spark.operators.skew import salted_join
+
+    dim = (
+        spark.range(100_001)
+        .select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("seg-"), (F.col("id") % 7).cast("string")).alias(
+                "segment"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for skew_aqe in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_aqe)
+        timed(
+            f"plain shuffle join on hot key (AQE skew={skew_aqe})",
+            lambda: e.join(dim, "user_id")
+            .groupBy("segment")
+            .agg(F.sum("value").alias("t"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        timed(
+            f"salted_join salt=64 on hot key (AQE skew={skew_aqe})",
+            lambda: salted_join(e, dim, ["user_id"], salt_n=64)
+            .groupBy("segment")
+            .agg(F.sum("value").alias("t"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
     return 0
 
 
