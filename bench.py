@@ -34,7 +34,12 @@ def main() -> int:
     # ~600k-row fact table: a handful of shuffle partitions beats the
     # default 200 (task-launch overhead dominates at this scale); AQE
     # coalescing keeps the tail tight either way.
-    spark = build_session(app_name="polybot-bench", shuffle_partitions=16)
+    spark = build_session(
+        app_name="polybot-bench",
+        shuffle_partitions=16,
+        # stdout must stay a single parseable JSON line for the driver
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = queries()

@@ -498,3 +498,43 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(25)
     )
+
+
+@register(
+    "q_text_chunk",
+    oracle="""
+    SELECT doc_id,
+           (s - 1) // 90 AS chunk_id,
+           substring(text, CAST(s AS INTEGER), 120) AS chunk,
+           length(substring(text, CAST(s AS INTEGER), 120)) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, n_chars, 90)) AS s
+        FROM documents
+    )
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (size 120, stride 90 → 30-char
+    overlap) — the RAG/context-window splitter that turns a corpus into
+    retrieval units.  Chunk k of a doc covers [1+90k, 1+90k+120); the
+    stride-length sequence is generated per row (``F.sequence`` —
+    Catalyst's Generate, no join, no UDF) and the substring runs in
+    whole-stage codegen, so the operator is a narrow per-row expansion:
+    zero shuffles, linear in output size, embarrassingly parallel at
+    100 TB.  Both engines use 1-based inclusive substring semantics and
+    an inclusive arithmetic sequence, so values hash-match exactly."""
+    d = table(spark, sf_dir, "documents")
+    s = F.explode(
+        F.sequence(F.lit(1).cast("long"), F.col("n_chars"), F.lit(90).cast("long"))
+    ).alias("s")
+    chunk = F.expr("substring(text, CAST(s AS INT), 120)")
+    return (
+        d.select("doc_id", "text", s)
+        .select(
+            "doc_id",
+            F.floor((F.col("s") - 1) / 90).alias("chunk_id"),
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )

@@ -282,3 +282,87 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT event_type, bucket,
+           CAST(bucket * 50 AS BIGINT) AS bucket_lo,
+           count(*) AS n
+    FROM (
+        SELECT event_type,
+               CAST(least(floor(value / 50), 11) AS BIGINT) AS bucket
+        FROM events
+    )
+    GROUP BY event_type, bucket
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram of event values per type (12
+    buckets of width 50, top bucket open) — the distribution profile
+    behind dashboards and drift monitors.  Fixed bounds make it a
+    single map-side-combined hash agg (one shuffle over a ~60-group
+    key space); the data-dependent variant (min/max pre-pass) would
+    cost an extra scan, and a t-digest would lose the exact counts.
+    floor(value/50) is one IEEE divide + floor, bit-identical across
+    engines — no boundary drift."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(11)).cast("long")
+    return (
+        e.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 50).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT event_type, hour AS peak_hour, n
+    FROM (
+        SELECT event_type, hour, n,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n DESC, hour
+               ) AS rn
+        FROM (
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type, extract(hour FROM ts)
+        )
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each event type's peak hour of day (the
+    most frequent value, smallest-hour tiebreak).  Engines' built-in
+    mode()/any_value tiebreaks are nondeterministic, so the portable
+    formulation is count-then-argmax: a hash agg over the (type, hour)
+    domain (≤ 5×24 groups after map-side combine) and a row_number
+    window over those few rows — the heavy lifting happens in the
+    combine, the window sees almost nothing.  Same recipe scales to
+    any categorical mode at 100 TB as long as the value domain fits a
+    group key."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("hour")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hour").alias("peak_hour"), "n")
+    )

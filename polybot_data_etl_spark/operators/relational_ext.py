@@ -317,3 +317,111 @@ def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("value"),
         )
     )
+
+
+@register(
+    "q_split_assign",
+    oracle="""
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY lang, split
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hash of the stable doc key, reported as per-(language, split) doc
+    and char counts — the reproducible holdout assignment every
+    training pipeline needs.  Hash-based (never random()): the split is
+    a pure function of doc_id, so re-runs, backfills, and incremental
+    appends land every doc in the same split with no stored state.
+    Shape: one narrow projection + one map-side-combined hash agg over
+    a ~15-group key space — no window, no join; trivially linear at
+    100 TB."""
+    d = table(spark, sf_dir, "documents")
+    pct = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007) % 100
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "q_pack_greedy",
+    oracle="""
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT lang, tokens,
+               CAST((cum - tokens) // 512 AS BIGINT) AS bin_id
+        FROM (
+            SELECT lang, tokens,
+                   sum(tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM (
+                SELECT lang, doc_id, (n_chars + 3) // 4 AS tokens
+                FROM documents
+            )
+        )
+    )
+    GROUP BY lang, bin_id
+    """,
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs are laid out in a deterministic
+    hash-shuffled order and cut into 512-token training bins by prefix
+    sum — bin k holds the docs whose cumulative token count starts in
+    [512k, 512(k+1)).  Tokens are the ceil(chars/4) estimate (the
+    standard BPE rule of thumb); the output is the per-bin fill
+    manifest (doc count + real token sum) a packed-pretraining loader
+    consumes.  A boundary-spanning doc stays in the bin where its
+    prefix starts — prefix packing, the streaming-friendly greedy
+    variant that needs one pass and no bin state.  Shape: one window
+    prefix-sum per language partition + one hash agg; at 100 TB the
+    pack key becomes (lang, shard) with shard = hash(doc_id) % N so no
+    partition outgrows an executor (same recipe as SCALE.md's window
+    sharding)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tokens = F.floor((F.col("n_chars") + 3) / 4)
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("lang", "doc_id", tokens.alias("tokens"))
+        .withColumn("cum", F.sum("tokens").over(w))
+        .select(
+            "lang",
+            "tokens",
+            F.floor((F.col("cum") - F.col("tokens")) / 512).alias("bin_id"),
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("n_tokens"),
+        )
+    )

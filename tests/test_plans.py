@@ -222,3 +222,37 @@ def test_weighted_sample_and_mix_stratum_windows(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "hashpartitioning(lang" in plan, name
         assert "SinglePartition" not in plan, name
+
+
+def test_chunk_is_narrow_generate(spark, sf_dir):
+    """Chunking is a per-row Generate + codegen substring — zero
+    shuffles, no join, no Python."""
+    plan = plan_of(spark, sf_dir, "q_text_chunk")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_histogram_mode_partial_aggs(spark, sf_dir):
+    """The split/histogram/mode/anomaly family is hash-agg shaped with
+    map-side combine; none of them sorts globally."""
+    for name in ("q_split_assign", "q_agg_histogram", "q_agg_mode",
+                 "q_ts_anomaly", "q_cdc_compact"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "HashAggregate" in plan or "Window" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_pack_greedy_windows_per_lang(spark, sf_dir):
+    """Sequence packing prefix-sums within the lang partition (the
+    sharded pack key at scale) — never a global ordering."""
+    plan = plan_of(spark, sf_dir, "q_pack_greedy")
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_cdc_compact_windows_on_user(spark, sf_dir):
+    """Changelog compaction windows on the high-cardinality key."""
+    plan = plan_of(spark, sf_dir, "q_cdc_compact")
+    assert "hashpartitioning(user_id" in plan
