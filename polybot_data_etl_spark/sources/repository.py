@@ -295,3 +295,100 @@ def scd2_merge(
     version = _new_version()
     merged.write.parquet(os.path.join(path, version))
     _commit(path, version)
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_file_rows: int = 1_000_000
+) -> int:
+    """Small-file compaction: rewrite the current version into
+    ``ceil(rows / target_file_rows)`` evenly-sized files and commit it
+    as a new version (readers pinned to the old snapshot are
+    untouched; ``vacuum`` reclaims it later).
+
+    The small-files problem is THE silent killer of a 100 TB lake —
+    every incremental ``merge_upsert``/stream batch leaves another
+    file-per-partition sliver, and a million 1 MB files turn a scan
+    into a metadata stampede (one task + one open per file).  Périodic
+    compaction restores full-size row groups, so scans get back their
+    long sequential reads and min/max pruning spans real data.
+    ``repartition(n)`` (round-robin shuffle) rather than ``coalesce``:
+    coalesce merges unevenly and can leave one giant straggler file;
+    compaction exists precisely to make file sizes uniform.
+
+    Returns the number of files written."""
+    import math
+
+    df = read_table(spark, path)
+    n_files = max(1, math.ceil(df.count() / target_file_rows))
+    version = _new_version()
+    df.repartition(n_files).write.parquet(os.path.join(path, version))
+    _commit(path, version)
+    return n_files
+
+
+def _spread16(x):
+    """Interleave-ready bit spread: 16 significant bits of ``x`` spaced
+    out to every other bit of a 32-bit lane (classic Morton magic
+    masks), all in JVM bitwise ops — no UDF."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def cluster_table(
+    spark: SparkSession, path: str, cols: list[str], n_files: int
+) -> None:
+    """Z-order clustered rewrite: sort the current version along the
+    Morton (bit-interleaved) curve of two columns and commit the
+    re-laid-out copy as a new version.
+
+    Linear sort on one column gives perfect min/max file pruning for
+    that column and none for the second; the Z-curve shares the bits,
+    so a scan filtered on EITHER column (or a box on both) overlaps
+    only the files whose Z-range crosses the query box — the same
+    data-skipping story as Delta's OPTIMIZE ZORDER BY.  Mechanics:
+    each column is affinely bucketed to 16 bits via its own min/max
+    (one metadata-scale agg), the buckets are interleaved with Morton
+    magic-mask shifts (pure JVM bitwise ops), and the rewrite is one
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the Z value —
+    a single range shuffle, identical cost to a plain sorted write.
+
+    Timestamp columns are clustered on their epoch value; the Z column
+    itself is dropped before write (it is derivable, not data)."""
+    if len(cols) != 2:
+        raise ValueError("cluster_table interleaves exactly 2 columns")
+    df = read_table(spark, path)
+
+    def _as_long(c: str):
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        return F.unix_timestamp(col) if dt.startswith("timestamp") else col.cast("long")
+
+    stats = df.agg(
+        *(F.min(_as_long(c)).alias(f"mn_{i}") for i, c in enumerate(cols)),
+        *(F.max(_as_long(c)).alias(f"mx_{i}") for i, c in enumerate(cols)),
+    ).first()
+
+    def _bucket(c: str, i: int):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = max(1, mx - mn)
+        return F.least(
+            F.lit(65535),
+            ((_as_long(c) - F.lit(mn)) * 65535 / F.lit(span)).cast("long"),
+        )
+
+    z = _spread16(_bucket(cols[0], 0)).bitwiseOR(
+        F.shiftleft(_spread16(_bucket(cols[1], 1)), 1)
+    )
+    version = _new_version()
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(os.path.join(path, version))
+    )
+    _commit(path, version)
