@@ -50,6 +50,9 @@ def main() -> int:
     # representative query per execution family: codegen agg, HOF
     # shingle explode, mapInPandas kernel, applyInPandas grouped map,
     # pandas_udf scalar.
+    # Per-query isolation everywhere: one broken query must cost one
+    # "err" entry, never the round's whole perf record (r2 lesson — an
+    # unguarded warmup exception zeroed BENCH_r02).
     warm_dir = "/root/testdata/sf0.001"
     for warm_name in (
         "q_agg_q1",
@@ -59,30 +62,42 @@ def main() -> int:
         "q_udaf_grouped",
         "q_udf_pandas",
     ):
-        qs[warm_name](spark, warm_dir).write.mode("overwrite").format("noop").save()
-    qs["q_scan_count"](spark, sf_dir).collect()
+        try:
+            qs[warm_name](spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+            print(f"warmup {warm_name} failed: {exc}", file=sys.stderr)
+    try:
+        qs["q_scan_count"](spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup scan failed: {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_suite = time.time()
     for name, fn in sorted(qs.items()):
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        per_query[name] = round(time.time() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            per_query[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"query {name} failed: {exc}", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "n_queries": len(per_query),
-            }
-        )
-    )
+    out = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_queries": len(per_query),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

@@ -137,30 +137,83 @@ PARTITION_HINTS: dict[str, str] = {
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (schema-on-file).
 
-    events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4's
-    reader refuses as a timestamp; we read it as raw nanos
-    (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a µs
-    TimestampType. Lossless here: the fixture's nanos are µs-resolution
-    (verified: every value ends in 000 ns), and DuckDB's ns→µs cast
-    truncates identically.
-
-    The nanosAsLong conf is part of the engine's standard session config
-    (session.build_session sets it at construction, so behavior is
-    order-independent); the set below only covers externally built
-    sessions (e.g. the driver's) and is a no-op on engine sessions.
+    events.ts has shipped in two physical parquet layouts across fixture
+    generations: TIMESTAMP(MICROS) (reads directly as TIMESTAMP_NTZ, the
+    pinned type) and TIMESTAMP(NANOS) (Spark 4 refuses it as a timestamp
+    unless `spark.sql.legacy.parquet.nanosAsLong` maps it to raw long).
+    We dispatch on the dtype the reader actually produced: a LongType
+    `ts` means the nanos layout, so rebuild a µs TIMESTAMP_NTZ (lossless:
+    the ns fixtures were µs-resolution, and DuckDB's ns→µs cast truncates
+    identically); a timestamp `ts` passes through untouched. The
+    nanosAsLong conf itself is set once at session construction
+    (session.build_session) — harmless on µs files, required for ns ones.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    except Exception:
+        if name != "events":
+            raise
+        # External session + TIMESTAMP(NANOS) layout: the reader refuses
+        # ns timestamps unless nanosAsLong is on. Engine sessions set it
+        # at construction; cover the external-session path once here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
             "ts",
             F.expr(
                 "timestampadd(MICROSECOND, ts div 1000,"
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
+
+
+# Physical parquet layouts the engine's loaders understand, per column
+# that has ever drifted between fixture generations. Checked by
+# `check_fixture_layouts` — the fail-fast canary that turns a driver
+# fixture regeneration into one clear message instead of dozens of
+# opaque AnalysisExceptions deep inside query plans (the round-2
+# failure mode: events.ts silently moved ns→µs).
+_SUPPORTED_PHYSICAL: dict[tuple[str, str], tuple[str, ...]] = {
+    ("events", "ts"): ("timestamp[us]", "timestamp[ns]"),
+    ("orders", "o_orderdate"): ("timestamp[us]", "timestamp[ns]"),
+    ("lineitem", "l_shipdate"): ("timestamp[us]", "timestamp[ns]"),
+}
+
+
+def check_fixture_layouts(sf_dir: str) -> None:
+    """Fail fast (with the drifted column named) if any fixture parquet
+    uses a physical layout the loaders don't handle.
+
+    Reads footer metadata only (pyarrow schema, no data IO) so it is
+    cheap enough to run once per session / conftest.
+    """
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    for (tbl, col), allowed in _SUPPORTED_PHYSICAL.items():
+        try:
+            arrow_schema = pq.read_schema(f"{sf_dir}/{tbl}.parquet")
+        except Exception as exc:  # noqa: BLE001 — report, don't mask
+            problems.append(f"{tbl}.parquet unreadable: {exc}")
+            continue
+        if col not in arrow_schema.names:
+            problems.append(f"{tbl}.{col}: column missing from fixture")
+            continue
+        actual = str(arrow_schema.field(col).type)
+        if actual not in allowed:
+            problems.append(
+                f"{tbl}.{col}: physical type {actual!r} not in supported"
+                f" layouts {allowed} — fixture drifted; teach"
+                " catalog.table() the new layout"
+            )
+    if problems:
+        raise RuntimeError(
+            "fixture layout drift detected:\n  " + "\n  ".join(problems)
+        )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

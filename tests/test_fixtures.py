@@ -5,7 +5,13 @@ from __future__ import annotations
 
 import pytest
 
-from polybot_data_etl_spark.catalog import SCHEMAS, TABLES, assert_schema, table
+from polybot_data_etl_spark.catalog import (
+    SCHEMAS,
+    TABLES,
+    assert_schema,
+    check_fixture_layouts,
+    table,
+)
 
 EXPECTED_ROWS_SF0001 = {
     "region": 5,
@@ -52,3 +58,68 @@ def test_embeddings_are_unit_norm(spark, sf_dir):
 
 def test_all_schemas_cover_tables():
     assert set(SCHEMAS) == set(TABLES)
+
+
+def test_layout_canary_passes_on_fixtures(sf_dir):
+    # Current fixtures (µs since round 2's regeneration; the canary also
+    # accepts the original ns layout) must be a supported layout.
+    check_fixture_layouts(sf_dir)
+
+
+def test_layout_canary_names_drifted_column(tmp_path):
+    # Synthesize a drift: events.ts as raw int64 (neither supported
+    # timestamp layout). The canary must fail and name the column.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drift = tmp_path / "drift"
+    drift.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([1], pa.int64())}),
+        drift / "events.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_orderdate": pa.array([1], pa.timestamp("us"))}),
+        drift / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"l_shipdate": pa.array([1], pa.timestamp("us"))}),
+        drift / "lineitem.parquet",
+    )
+    with pytest.raises(RuntimeError, match=r"events\.ts"):
+        check_fixture_layouts(str(drift))
+
+
+def test_loader_handles_nanos_layout(spark, tmp_path):
+    # The ns→µs rebuild path must still work if fixtures ever revert to
+    # the original TIMESTAMP(NANOS) layout.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_dir = tmp_path / "ns"
+    ns_dir.mkdir()
+    micros = [1_700_000_000_000_000, 1_700_000_060_000_000]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([m * 1000 for m in micros],
+                               pa.timestamp("ns")),
+                "user_id": pa.array([10, 11], pa.int64()),
+                "event_type": pa.array(["a", "b"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        ),
+        ns_dir / "events.parquet",
+    )
+    df = table(spark, str(ns_dir), "events")
+    assert_schema(df, "events")
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    import datetime
+
+    assert got == [
+        datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=m)
+        for m in micros
+    ]
