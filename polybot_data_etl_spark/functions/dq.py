@@ -181,3 +181,39 @@ def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c") / F.avg("c"), 4).alias("skew_factor"),
         F.round(F.stddev_samp("c"), 4).alias("sd_rows"),
     )
+
+
+@register(
+    "q_dq_freshness",
+    oracle="""
+    WITH typed AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    g AS (SELECT max(ts) AS gmax FROM typed)
+    SELECT event_type,
+           max(ts) AS latest,
+           (epoch_us((SELECT gmax FROM g)) - epoch_us(max(ts)))
+               // 60000000 AS lag_minutes
+    FROM typed GROUP BY event_type
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: each event type's latest event and its lag
+    behind the lake's global high-water mark, in whole minutes — the
+    monitoring query that catches a stalled ingest topic before
+    downstream windows silently go stale.
+
+    The lag is integer µs arithmetic (epoch difference, floor-divided)
+    on both engines, so the gate is float-free.  Shape: one per-type
+    hash agg + a broadcast of the 1-row global max — two passes over
+    metadata-prunable column (at 100 TB with date-partitioned events,
+    max(ts) reads only the newest partitions' footers)."""
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(F.max("ts").alias("latest"))
+    gmax = e.agg(F.max("ts").alias("gmax"))
+    lag = F.expr(
+        "(unix_micros(cast(gmax as timestamp))"
+        " - unix_micros(cast(latest as timestamp))) div 60000000"
+    )
+    return (
+        per_type.crossJoin(F.broadcast(gmax))
+        .select("event_type", "latest", lag.alias("lag_minutes"))
+    )

@@ -538,3 +538,66 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+@register(
+    "q_text_vocab",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    stats AS (
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok WHERE token <> '' GROUP BY token
+    ),
+    tot AS (SELECT sum(tf)::DOUBLE AS t FROM stats),
+    top AS (SELECT token, tf, df FROM stats ORDER BY tf DESC, token LIMIT 200)
+    SELECT token, tf, df,
+           round(sum(tf) OVER (
+               ORDER BY tf DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / t, 4) AS coverage
+    FROM top CROSS JOIN tot
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the top-200 tokens by term frequency with
+    document frequency and cumulative corpus-coverage share — the
+    tokenizer-design query ("how much of the corpus do the first N
+    vocabulary entries cover?").
+
+    Shape: token stats are one map-side-combined hash agg over the
+    exploded corpus (tf) with a distinct-doc count (df, one extra
+    partial per token); the top-200 head comes from a distributed
+    TakeOrdered (no global sort of the vocabulary), and only THEN does
+    the cumulative window run — over exactly 200 rows, so the single-
+    partition window is constant-size at any corpus scale.  The
+    coverage denominator is the full-vocabulary token total, computed
+    as a 1-row agg and broadcast."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    stats = tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    tot = stats.agg(F.sum("tf").cast("double").alias("t"))
+    top = stats.orderBy(F.desc("tf"), F.asc("token")).limit(200)
+    w = (
+        Window.orderBy(F.desc("tf"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.sum("tf").over(w) / F.col("t"), 4).alias("coverage"),
+        )
+    )

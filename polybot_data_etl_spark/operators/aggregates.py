@@ -366,3 +366,63 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("hour").alias("peak_hour"), "n")
     )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS c,
+               sum(l_quantity) AS sx,
+               sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_extendedprice) AS sxy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           c AS n,
+           round((c * sxy - sx * sy)
+                 / sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)), 4)
+               AS corr_qty_price,
+           round((sxy - sx * sy / c) / (c - 1), 2) AS covar_qty_price
+    FROM m
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group bivariate statistics: Pearson correlation and sample
+    covariance of quantity vs price for each return flag — the
+    profiling agg behind feature-drift dashboards.
+
+    Both engines derive corr/covar from the SAME five raw moments
+    (Σx, Σy, Σxy, Σx², Σy²) through identical algebra, instead of
+    calling their built-in corr()/covar_samp() whose incremental
+    (Welford-style) accumulators differ in float op order — the raw
+    moments are plain sums, which agree to the last few ulps, and the
+    shared formula keeps the rounded output hash-stable.  Shape: one
+    map-side-combined hash agg (six partial sums per group), zero
+    joins, ~3 groups total."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("c"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias(
+            "syy"
+        ),
+    )
+    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        c.alias("n"),
+        F.round(
+            (c * sxy - sx * sy)
+            / F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)),
+            4,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / c) / (c - 1), 2).alias("covar_qty_price"),
+    )

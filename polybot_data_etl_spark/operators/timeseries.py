@@ -322,3 +322,174 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "q_ts_resample",
+    oracle="""
+    WITH ordered AS (
+        SELECT date_trunc('day', ts) AS day, event_type, value,
+               row_number() OVER (
+                   PARTITION BY date_trunc('day', ts), event_type
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('day', ts), event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    )
+    SELECT day, event_type,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM ordered GROUP BY day, event_type
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to daily OHLC bars per event type: open/close = first/
+    last value in event-time order (event_id tiebreak for determinism),
+    high/low/volume from plain min/max/sum — the resampling step behind
+    any metrics rollup or candlestick store.
+
+    Shape: the two row_number windows and the final agg all hash on the
+    SAME key (day, event_type), so Catalyst plans ONE shuffle and the
+    windows + agg run in a single stage pipeline per partition; the key
+    is a time bucket × type, which grows with the time span (no skew
+    pileup on a single reducer at 100 TB — each day×type is one group)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    staged = e.select(
+        day.alias("day"), "event_type", "value", "ts", "event_id"
+    )
+    w_a = Window.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        staged.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("day", "event_type")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2
+            ).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2
+            ).alias("close"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_ts_locf",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(last_value(
+               CASE WHEN event_type = 'purchase' THEN value END
+               IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS last_purchase
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    """,
+)
+def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over an irregular event stream:
+    annotate every event with the user's most recent 'purchase' value —
+    the sparse-to-dense feature join (\"state as of this event\") used
+    when labeling sessions with the last conversion.
+
+    Shape: one window partitioned by user_id (high-cardinality key),
+    running frame, `last(ignorenulls)` — a single shuffle, no join;
+    the filter-to-purchase happens inside the window expression so the
+    stream is scanned once."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.last(pv, ignorenulls=True).over(w), 2).alias(
+            "last_purchase"
+        ),
+    )
+
+
+_EWMA_ALPHA = 0.25
+_EWMA_K = 20  # bounded lookback: EWMA over the last K observations
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT event_id, user_id, ts,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW
+               ) AS arr
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    )
+    SELECT event_id, user_id, ts,
+           floor(list_reduce(arr,
+               (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA})
+               * 10000 + 0.5) / 10000 AS ewma
+    FROM arrs
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's value
+    stream, bounded to the last K=20 observations (the tail weight
+    (1-α)^20 ≈ 0.3% is below the output rounding, so the bounded form
+    is the scale-safe twin of the unbounded recurrence — a running
+    frame would serialize each user's whole history through one state).
+
+    Both engines evaluate the SAME left fold seeded with the window's
+    oldest element (DuckDB `list_reduce` seeds from element 1; Spark
+    `aggregate` is seeded explicitly with element 1 over the rest), so
+    the fold result is bit-identical; the final rounding is the
+    engine-neutral half-up `floor(x·10⁴ + 0.5)/10⁴` (values are
+    positive) because the built-in round() functions disagree at
+    half boundaries (Spark decimal HALF_UP vs DuckDB double rounding —
+    the q_win_moving exact-cents lesson).
+
+    Shape: one user-partitioned window collecting a ≤K-element array,
+    then a JVM-side higher-order fold — one shuffle, no UDF."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), Window.currentRow)
+    )
+    fold = (
+        "floor(aggregate(slice(arr, 2, size(arr) - 1),"
+        " cast(element_at(arr, 1) as double),"
+        f" (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA})"
+        " * 10000 + 0.5) / 10000"
+    )
+    return (
+        e.withColumn("arr", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(fold).alias("ewma"),
+        )
+    )

@@ -142,6 +142,7 @@ def _ensure_loaded() -> None:
     # Imports are for their registration side effects.
     from polybot_data_etl_spark.operators import (  # noqa: F401
         aggregates,
+        graph,
         joins,
         predicates,
         relational_ext,

@@ -153,6 +153,9 @@ _NLJ_ALLOWED = {
     "q_sim_pairs",        # probe-bounded brute-force baseline
     "q_sim_topk",         # probe-bounded brute-force baseline
     "q_win_dist_scaled",  # 1-row totals broadcast crossJoin
+    "q_text_vocab",       # 1-row token-total broadcast crossJoin
+    "q_dq_freshness",     # 1-row global-max broadcast crossJoin
+    "q_graph_pagerank",   # 1-row node-count broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -256,3 +259,55 @@ def test_cdc_compact_windows_on_user(spark, sf_dir):
     """Changelog compaction windows on the high-cardinality key."""
     plan = plan_of(spark, sf_dir, "q_cdc_compact")
     assert "hashpartitioning(user_id" in plan
+
+
+def test_resample_single_key_no_global_sort(spark, sf_dir):
+    """OHLC resample: both row_number windows and the final agg hash on
+    the same (day, event_type) key — no global sort, no extra keys."""
+    plan = plan_of(spark, sf_dir, "q_ts_resample")
+    assert "hashpartitioning(day" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_locf_and_ewma_partition_by_user(spark, sf_dir):
+    """The carried-forward and EWMA windows key on user_id (high
+    cardinality); EWMA's fold is a JVM higher-order function, not
+    Python."""
+    for name in ("q_ts_locf", "q_ts_ewma"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "hashpartitioning(user_id" in plan, name
+        assert "SinglePartition" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_pagerank_broadcasts_iteration_joins(spark, sf_dir):
+    """PageRank's fact-side joins and every per-iteration rank join are
+    hash/broadcast equi-joins; iterating never plans a cartesian over
+    data-sized frames (the only NLJ is the 1-row node-count)."""
+    plan = plan_of(spark, sf_dir, "q_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_head_is_take_ordered(spark, sf_dir):
+    """The vocabulary top-200 must come from a distributed TakeOrdered,
+    not a global sort of the whole vocabulary."""
+    plan = plan_of(spark, sf_dir, "q_text_vocab")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_freshness_partial_max(spark, sf_dir):
+    """Freshness is two map-side-combined max aggs + a 1-row broadcast —
+    no sort, no wide join."""
+    plan = plan_of(spark, sf_dir, "q_dq_freshness")
+    assert "partial_max" in plan
+    assert "Sort" not in plan
+
+
+def test_corr_single_shuffle_partial_sums(spark, sf_dir):
+    """The moment-based corr is one map-side-combined hash agg: all six
+    sums partial-aggregate before the single group-key shuffle."""
+    plan = plan_of(spark, sf_dir, "q_agg_corr")
+    assert "partial_sum" in plan
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
