@@ -601,3 +601,76 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("tf").over(w) / F.col("t"), 4).alias("coverage"),
         )
     )
+
+
+@register(
+    "q_text_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(lower(text), ' '))),
+                   i -> string_split(lower(text), ' ')[i])) AS w1,
+               unnest(list_transform(
+                   range(1, len(string_split(lower(text), ' '))),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i + 1])) AS bigram
+        FROM documents
+    ),
+    bc AS (SELECT bigram, count(*) AS c12 FROM toks GROUP BY bigram),
+    lc AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1)
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(ln(c12) - ln(c1)) / count(*) + 1e-9, 4) AS avg_logp
+    FROM toks JOIN bc USING (bigram) JOIN lc USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram language-model scoring: build the bigram LM
+    from the corpus itself (P(w2|w1) = c(w1 w2) / c(w1·)) and score
+    each document by its mean log-probability — the classic
+    perplexity-style quality filter that flags gibberish (improbable
+    bigram chains score far below the corpus norm).
+
+    Both engines sum ln(c12) − ln(c1) over integer counts through the
+    same algebra; the per-doc mean is rounded with the +1e-9 nudge (the
+    q_ts_anomaly recipe) so last-ulp libm differences can't straddle a
+    rounding boundary.  Shape: bigram extraction is the zip_with
+    pattern (O(tokens) per doc, no per-index HOF), the two LM tables
+    are map-side-combined hash aggs, and the scoring joins are
+    equi-joins on bigram/w1 — Zipf-skewed keys, which AQE skew-split
+    handles (the LM tables are count frames, far smaller than the
+    corpus, so the joins broadcast at moderate scale)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    pairs = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.lit(1 << 30)),
+            lambda a, b: F.when(
+                b.isNotNull(),
+                F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    toks = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram")
+    )
+    bc = toks.groupBy("bigram").agg(F.count("*").alias("c12"))
+    lc = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        toks.join(bc, "bigram")
+        .join(lc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c12")) - F.log(F.col("c1")))
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            ).alias("avg_logp"),
+        )
+    )

@@ -425,3 +425,50 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokens").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q_scd2_snapshot",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, ts AS valid_from, value,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    )
+    SELECT user_id, valid_from, round(value, 2) AS value_at
+    FROM ch
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) query over a changelog: treat each user's
+    event stream as slowly-changing attribute versions (valid_from =
+    event time, valid_to = next event's time) and reconstruct the state
+    as of 2024-01-15 — the time-travel read every SCD-2 dimension
+    serves.  Complements the managed-table SCD-2 *writer*
+    (sources/repository.py, SURVEY §2 #116): same semantics derived
+    on-the-fly from a raw changelog, no stored dimension needed.
+
+    Shape: one lead() window per user (high-cardinality key, single
+    shuffle) and a filter — the interval containment is resolved from
+    the window, never via a range join.  At 100 TB with events
+    partitioned by date(ts), the `valid_from <= T` predicate prunes all
+    partitions after the snapshot date at the file level."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    t = F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "value",
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return ch.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "valid_from", F.round("value", 2).alias("value_at"))

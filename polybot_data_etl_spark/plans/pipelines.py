@@ -142,3 +142,54 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _MIX_TOKEN_BUDGET)
         .select("lang", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+_MIX_TAU = 0.7  # temperature exponent for source re-weighting
+
+
+@register(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens ** {_MIX_TAU}) AS z FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens ** {_MIX_TAU} / z + 1e-9, 4) AS weight
+    FROM per_src CROSS JOIN tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: re-weight each source's share
+    of the training mix by (token count)^τ, τ=0.7 — the standard
+    up-weighting of small high-quality sources / down-weighting of
+    dominant crawl data when composing a pretraining mixture.
+
+    Both engines compute pow(n, 0.7) from the same integer token
+    counts and normalize by the same sum; the +1e-9 nudge keeps libm
+    last-ulp pow/sum differences off the 4-decimal rounding boundary.
+    Shape: one map-side-combined agg per source (the token count sums
+    inside the scan projection), a 1-row normalizer broadcast — the
+    mixture table is |sources| rows no matter the corpus size."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    z = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens"), _MIX_TAU)).alias("z")
+    )
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens"), _MIX_TAU) / F.col("z") + F.lit(1e-9), 4
+        ).alias("weight"),
+    )

@@ -156,6 +156,7 @@ _NLJ_ALLOWED = {
     "q_text_vocab",       # 1-row token-total broadcast crossJoin
     "q_dq_freshness",     # 1-row global-max broadcast crossJoin
     "q_graph_pagerank",   # 1-row node-count broadcast crossJoin
+    "q_mix_temperature",  # 1-row normalizer broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -303,6 +304,24 @@ def test_freshness_partial_max(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_dq_freshness")
     assert "partial_max" in plan
     assert "Sort" not in plan
+
+
+def test_scd2_snapshot_windows_on_user(spark, sf_dir):
+    """The AS-OF reconstruction is one lead() window on user_id plus a
+    filter — no range join, no global sort."""
+    plan = plan_of(spark, sf_dir, "q_scd2_snapshot")
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_equi_joins_partial_aggs(spark, sf_dir):
+    """LM scoring joins on bigram/w1 equi-keys with map-side-combined
+    count tables — never a doc-pair or token-pair product."""
+    plan = plan_of(spark, sf_dir, "q_text_perplexity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
 
 
 def test_corr_single_shuffle_partial_sums(spark, sf_dir):
