@@ -116,6 +116,85 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def windowed_ohlc(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of batch q_ts_resample: per (1-hour window,
+    event_type) OHLC bars maintained in streaming state — open/close via
+    min_by/max_by on the (ts, event_id) struct key (declarative aggs, so
+    they run in the watermark-bounded StateStore like count/sum; no
+    custom state needed), high/low/volume as plain min/max/count.
+
+    Append mode: a bar emits once, when the watermark passes the window
+    end — exactly the finalized subset the equivalence test replays."""
+    key = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Per-user running EWMA across micro-batches via
+    applyInPandasWithState: state is the (current ewma, seeded) pair;
+    each batch's rows are folded in (ts, event_id) order on top of it —
+    the custom sequential-state operator that windowed aggs can't
+    express (the fold is order-dependent, not algebraic).
+
+    Correct under ts-ordered replay (the test fixture's chunking): a
+    batch never contains rows older than an already-folded one.  A
+    production deployment would bound reordering with a watermark +
+    per-batch sort, exactly as here, and accept watermark-late rows
+    being dropped.  Update-mode: each batch emits the refreshed EWMA
+    for users it touched; the final emission equals the batch fold over
+    the user's whole history (asserted in tests/test_streaming.py).
+
+    Scale posture: one scalar state row per user in the executor-local
+    StateStore; per-batch work is a sort of that user's batch slice."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ew, seeded = state.get
+        else:
+            ew, seeded = 0.0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for x in batch["value"]:
+                x = float(x)
+                if not seeded:
+                    ew, seeded = x, 1
+                else:
+                    ew = ew * (1.0 - alpha) + x * alpha
+            state.update((ew, seeded))
+        yield pd.DataFrame({"user_id": [key[0]], "ewma": [ew]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, ewma double",
+        stateStructType="ew double, seeded int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -176,6 +176,87 @@ def test_streaming_stateful_user_stats_equals_batch(
     assert len(final) > 0
 
 
+def test_streaming_ohlc_equals_batch(spark, replay_dir, batch_events, tmp_path):
+    """Streaming OHLC bars (min_by/max_by in streaming state) == batch
+    bars on the finalized windows."""
+    got = _run(
+        spark,
+        jobs.windowed_ohlc(jobs.events_file_stream(spark, replay_dir), "10 minutes"),
+        tmp_path,
+        name="ohlc",
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    key = F.struct("ts", "event_id")
+    batch = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            F.col("w.end"),
+        )
+        .toPandas()
+    )
+    import pandas as pd
+
+    watermark = max_ts - pd.Timedelta(minutes=10)
+    finalized = batch[batch["end"] <= watermark].drop(columns=["end"])
+    ok, why = frames_match(got, finalized)
+    assert ok, why
+    assert len(got) > 0
+
+
+def test_streaming_stateful_ewma_equals_batch_fold(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """The stateful EWMA's final emission per user equals the batch
+    left fold over that user's full (ts, event_id)-ordered history —
+    bit-identical IEEE ops, compared after a shared 6-dp rounding."""
+    import numpy as np
+
+    got = _run(
+        spark,
+        jobs.stateful_ewma(jobs.events_file_stream(spark, replay_dir)),
+        tmp_path,
+        mode="update",
+        name="ewma",
+    )
+    final = got.groupby("user_id", as_index=False).agg(ewma=("ewma", "last"))
+    batch = (
+        batch_events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("a")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(transform(a, s -> s.value), 2, size(a) - 1),"
+                " cast(element_at(transform(a, s -> s.value), 1) as double),"
+                " (acc, x) -> acc * 0.75 + x * 0.25)"
+            ).alias("ewma"),
+        )
+        .toPandas()
+    )
+    final["ewma"] = np.round(final["ewma"], 6)
+    batch["ewma"] = np.round(batch["ewma"], 6)
+    ok, why = frames_match(final, batch)
+    assert ok, why
+    assert len(final) > 0
+
+
 def test_stream_upsert_into_managed_table(spark, replay_dir, batch_events, tmp_path):
     """Streaming incremental load: replayed chunks merge-upserted into a
     managed table equal the full batch input, and the table commits via
