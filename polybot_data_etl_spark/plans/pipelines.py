@@ -193,3 +193,64 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n_tokens"), _MIX_TAU) / F.col("z") + F.lit(1e-9), 4
         ).alias("weight"),
     )
+
+
+def _leakage_oracle() -> str:
+    from polybot_data_etl_spark.functions.dedup import _NGRAM_ORACLE
+
+    return f"""
+    WITH pairs AS ({_NGRAM_ORACLE}),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.a_id
+    JOIN sp sb ON sb.doc_id = p.b_id
+    WHERE sa.split <> sb.split
+    GROUP BY sa.split, sb.split
+    """
+
+
+@register("q_pipeline_leakage", oracle=_leakage_oracle())
+def q_pipeline_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: count near-duplicate pairs whose endpoints
+    landed in DIFFERENT train/val/test splits — the eval-contamination
+    check every held-out benchmark needs before trusting its numbers
+    (a test doc with a train-side near-dup inflates eval scores).
+    Composes the n-gram near-dup pair generator (#79) with the
+    deterministic hash split (#124).
+
+    Shape: the pair frame is bounded by the near-dup rate (tiny vs the
+    corpus); the two split lookups are equi-joins of that pair frame
+    against a narrow (doc_id, split) projection — at 100 TB the pair
+    side is orders of magnitude smaller and hash-joins cheaply; the
+    final agg has ≤6 groups."""
+    from polybot_data_etl_spark.functions.dedup import q_dedup_ngram
+
+    d = table(spark, sf_dir, "documents")
+    pct = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007) % 100
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    sp = d.select("doc_id", split.alias("split"))
+    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
+    sa = sp.select(
+        F.col("doc_id").alias("a_id"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("b_id"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
