@@ -217,3 +217,93 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_type.crossJoin(F.broadcast(gmax))
         .select("event_type", "latest", lag.alias("lag_minutes"))
     )
+
+
+@register(
+    "q_dq_psi",
+    oracle="""
+    WITH typed AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    lab AS (
+        SELECT event_type,
+               CAST(floor(value / 50) AS BIGINT) AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b'
+                   END AS period
+        FROM typed
+    ),
+    counts AS (
+        SELECT event_type, bucket, period, count(*) AS n
+        FROM lab GROUP BY event_type, bucket, period
+    ),
+    tots AS (
+        SELECT event_type, period, sum(n) AS t
+        FROM counts GROUP BY event_type, period
+    ),
+    shares AS (
+        SELECT c.event_type, c.bucket, c.period, c.n * 1.0 / t.t AS p
+        FROM counts c JOIN tots t USING (event_type, period)
+    )
+    SELECT a.event_type,
+           count(*) AS n_buckets,
+           round(sum((a.p - b.p) * ln(a.p / b.p)) + 1e-9, 4) AS psi
+    FROM (SELECT * FROM shares WHERE period = 'a') a
+    JOIN (SELECT * FROM shares WHERE period = 'b') b
+      USING (event_type, bucket)
+    GROUP BY a.event_type
+    """,
+)
+def q_dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type: value-distribution
+    drift between the first and second half of the month over fixed
+    $50 buckets — the monitoring statistic that catches a metric's
+    distribution shifting even when its volume doesn't (PSI > 0.2 is
+    the conventional 'investigate' threshold).
+
+    Buckets present in only one period are excluded (inner join) so the
+    log term is always finite — the standard zero-bucket convention.
+    Shares come from integer counts via one double division; both
+    engines sum the same ≤|buckets| PSI terms with the +1e-9 nudge
+    against last-ulp libm ln() drift.  Shape: two stacked hash aggs
+    (map-side partials), a broadcast-sized period-total join, and a
+    ≤|type×bucket| self-equi-join — nothing scales with the raw row
+    count after the first agg."""
+    e = table(spark, sf_dir, "events")
+    lab = e.select(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+        F.when(
+            F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'"), "a"
+        )
+        .otherwise("b")
+        .alias("period"),
+    )
+    counts = lab.groupBy("event_type", "bucket", "period").agg(
+        F.count("*").alias("n")
+    )
+    tots = counts.groupBy("event_type", "period").agg(F.sum("n").alias("t"))
+    shares = counts.join(tots, ["event_type", "period"]).select(
+        "event_type",
+        "bucket",
+        "period",
+        (F.col("n") * F.lit(1.0) / F.col("t")).alias("p"),
+    )
+    a = shares.filter(F.col("period") == "a").select(
+        "event_type", "bucket", F.col("p").alias("pa")
+    )
+    b = shares.filter(F.col("period") == "b").select(
+        "event_type", "bucket", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, ["event_type", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.round(
+                F.sum(
+                    (F.col("pa") - F.col("pb"))
+                    * F.log(F.col("pa") / F.col("pb"))
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("psi"),
+        )
+    )

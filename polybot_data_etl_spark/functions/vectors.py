@@ -446,3 +446,42 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "sim")
     )
+
+
+@register(
+    "q_embed_centroid",
+    oracle="""
+    SELECT label, u.k AS dim, round(avg(u.v::DOUBLE) + 1e-9, 4) AS centroid
+    FROM (
+        SELECT label,
+               unnest(list_transform(
+                   embedding, (v, k) -> struct_pack(k := k, v := v))) AS u
+        FROM embeddings
+    )
+    GROUP BY label, u.k
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the k-means /
+    nearest-class-mean building block), one row per (label, dimension)
+    with the mean component value.
+
+    Shape: posexplode to (label, dim, x) then ONE map-side-combined
+    hash agg on (label, dim) — the classic vector-sum-as-scalar-rows
+    formulation that partial-aggregates inside each partition, so the
+    shuffle carries |labels|×|dims| partial rows per partition instead
+    of raw vectors; at 100 TB this is the only shape whose shuffle is
+    independent of the row count.  Components cast to double before
+    averaging (SURVEY §2.1 convention); 1-based dim to match DuckDB's
+    lambda index."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("x") + F.lit(1e-9), 4).alias("centroid")
+    )

@@ -330,3 +330,22 @@ def test_corr_single_shuffle_partial_sums(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_agg_corr")
     assert "partial_sum" in plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+
+
+def test_centroid_partial_aggregates_components(spark, sf_dir):
+    """Vector averaging must partial-aggregate the exploded components
+    inside each partition — the shuffle carries |labels|×|dims| partial
+    rows, not raw vectors."""
+    plan = plan_of(spark, sf_dir, "q_embed_centroid")
+    assert "partial_sum" in plan or "partial_avg" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_aggregates_before_joins(spark, sf_dir):
+    """PSI's joins run over count frames (post-agg), never raw events;
+    everything after the first agg is bucket-sized."""
+    plan = plan_of(spark, sf_dir, "q_dq_psi")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
