@@ -493,3 +493,91 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(fold).alias("ewma"),
         )
     )
+
+
+@register(
+    "q_ts_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               count(*) AS n, sum(value) AS v
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY date_trunc('hour', ts), event_type
+    )
+    SELECT date_trunc('day', h) AS day, event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(v), 2) AS total
+    FROM hourly GROUP BY date_trunc('day', h), event_type
+    """,
+)
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily totals re-aggregated
+    FROM the hourly pre-aggregate rather than from raw events — the
+    continuous-aggregate pattern (TimescaleDB rollups, Druid/Pinot
+    star-tree) where each coarser granularity reuses the finer one.
+
+    Both levels are algebraic (count/sum merge losslessly), which is
+    exactly the property that makes the pattern safe; the oracle runs
+    the same two-level plan so the float summation tree matches.  Shape:
+    two stacked map-side-combined hash aggs; at 100 TB the hourly level
+    is a materialized continuous aggregate (managed table partitioned
+    by day) and the daily query reads ~24 rows per (day, type) instead
+    of the raw stream — this query IS that read path."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("h")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_ts_pct_change",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 2) AS total
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, total,
+           round((total - lag(total) OVER w) / lag(total) OVER w * 100
+                 + 1e-9, 4) AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def q_ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period delta: each event type's daily total with its
+    day-over-day percent change (NULL on the first day) — the core of
+    any metrics dashboard.
+
+    The daily totals are rounded BEFORE the ratio so both engines
+    divide the same 2-decimal inputs; the ratio itself is one IEEE
+    division + multiply, nudged against boundary ties.  Shape: one
+    hash agg to day grain, then a lag() window over the tiny per-type
+    daily frame — the window input is |types|×|days| rows no matter
+    the raw volume."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.round(
+            (F.col("total") - prev) / prev * 100 + F.lit(1e-9), 4
+        ).alias("pct_change"),
+    )
