@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST"
 LOG = "_LOG"
+SPEC = "_SPEC"
 _VERSION_PREFIX = "v-"
 
 
@@ -74,11 +75,48 @@ def is_managed(path: str) -> bool:
     return os.path.exists(os.path.join(path, MANIFEST))
 
 
-def create_table(df: DataFrame, path: str) -> None:
-    """Initialize a managed table at ``path`` from ``df`` (version 1)."""
+def table_spec(path: str) -> dict:
+    """Table-level spec (currently: the partition columns).  Stored once
+    at create time in ``_SPEC`` and honored by every later rewrite, so a
+    table's physical layout survives merges/compaction — the same role
+    as a table format's partition spec."""
+    import json
+
+    spec_path = os.path.join(path, SPEC)
+    if not os.path.exists(spec_path):
+        return {"partition_by": []}
+    with open(spec_path) as f:
+        return json.load(f)
+
+
+def _write_version(df: DataFrame, path: str, version: str) -> None:
+    """Write a version directory honoring the table's partition spec."""
+    part = table_spec(path).get("partition_by", [])
+    writer = df.write
+    if part:
+        writer = writer.partitionBy(*part)
+    writer.parquet(os.path.join(path, version))
+
+
+def create_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Initialize a managed table at ``path`` from ``df`` (version 1).
+
+    ``partition_by`` pins the physical layout for the table's lifetime:
+    every version directory is hive-partitioned on these columns, so
+    scans with partition-key predicates prune at the directory level
+    (PartitionFilters) in every snapshot, including time-travel reads."""
+    import json
+
     os.makedirs(path, exist_ok=True)
+    if partition_by:
+        tmp = os.path.join(path, f".{SPEC}.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"partition_by": list(partition_by)}, f)
+        os.replace(tmp, os.path.join(path, SPEC))
     version = _new_version()
-    df.write.parquet(os.path.join(path, version))
+    _write_version(df, path, version)
     _commit(path, version)
 
 
@@ -188,7 +226,7 @@ def merge_upsert(
         updates
     )
     version = _new_version()
-    merged.write.parquet(os.path.join(path, version))
+    _write_version(merged, path, version)
     _commit(path, version)
 
 
@@ -293,7 +331,7 @@ def scd2_merge(
 
     merged = hist.unionByName(kept).unionByName(closed).unionByName(fresh)
     version = _new_version()
-    merged.write.parquet(os.path.join(path, version))
+    _write_version(merged, path, version)
     _commit(path, version)
 
 
@@ -321,7 +359,13 @@ def compact_table(
     df = read_table(spark, path)
     n_files = max(1, math.ceil(df.count() / target_file_rows))
     version = _new_version()
-    df.repartition(n_files).write.parquet(os.path.join(path, version))
+    part = table_spec(path).get("partition_by", [])
+    if part:
+        # partitioned table: compact WITHIN partitions (repartition on
+        # the partition key so each hive directory gets one full file)
+        _write_version(df.repartition(*part), path, version)
+    else:
+        _write_version(df.repartition(n_files), path, version)
     _commit(path, version)
     return n_files
 

@@ -293,3 +293,55 @@ def test_time_travel_vacuumed_version_raises(spark, tmp_path):
     assert repo.list_versions(path) == [repo.current_version(path)]
     with pytest.raises(KeyError, match="vacuumed or never"):
         repo.read_table(spark, path, old)
+
+
+def test_partitioned_table_layout_survives_merge_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """A managed table created with a partition spec keeps hive
+    partitioning across merge_upsert and compact_table versions, and a
+    partition-key predicate prunes (PartitionFilters) on every
+    snapshot."""
+    path = str(tmp_path / "events_part")
+    e = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    repo.create_table(e, path, partition_by=["event_date"])
+    assert repo.table_spec(path)["partition_by"] == ["event_date"]
+
+    # version dir is hive-partitioned
+    vdir = os.path.join(path, repo.current_version(path))
+    assert any(d.startswith("event_date=") for d in os.listdir(vdir))
+
+    # upsert one changed row: the NEW version is partitioned too
+    upd = e.filter(F.col("event_id") == 1).withColumn(
+        "value", F.lit(123.45)
+    )
+    repo.merge_upsert(spark, path, upd, ["event_id"])
+    vdir2 = os.path.join(path, repo.current_version(path))
+    assert vdir2 != vdir
+    assert any(d.startswith("event_date=") for d in os.listdir(vdir2))
+
+    got = repo.read_table(spark, path)
+    assert got.count() == e.count()
+    assert (
+        got.filter(F.col("event_id") == 1).select("value").first()[0]
+        == 123.45
+    )
+
+    # partition pruning in the plan on the current snapshot
+    one_day = got.filter(F.col("event_date") == "2024-01-05")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = one_day._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    assert one_day.count() > 0
+
+    # compaction honors the spec as well; time travel intact
+    repo.compact_table(spark, path, target_file_rows=10_000)
+    vdir3 = os.path.join(path, repo.current_version(path))
+    assert any(d.startswith("event_date=") for d in os.listdir(vdir3))
+    assert repo.read_table(spark, path).count() == e.count()
+    assert repo.read_table(spark, path, version=-2).count() == e.count()
