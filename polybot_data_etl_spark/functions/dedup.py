@@ -194,7 +194,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _NGRAM_DF_CAP)
         .drop("df")
     )
-    postings = rare.groupBy("s").agg(F.collect_list("doc_id").alias("ids"))
+    # Three consumers hang off the postings frame (sizes joined at both
+    # pair endpoints + the pair generator), and Catalyst plans each as a
+    # separate physical subtree — without a cut, the windowed shingle
+    # pass (the expensive stage) executes 3× per run (verified in the
+    # executed plan: Window ×3, ReusedExchange 0).  A LAZY localCheckpoint
+    # pins the bounded (≤ df-cap per list) postings frame so it computes
+    # once per execution; cost at scale = one extra executor-local
+    # materialization of a frame already capped by the df filter.
+    postings = (
+        rare.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .localCheckpoint(eager=False)
+    )
     # doc signature sizes from the (bounded) postings, not from `rare`:
     # every consumer of the window node re-executes it, so hanging both
     # postings AND sizes off `rare` would run the windowed shingle pass
