@@ -387,9 +387,14 @@ def minhash_pairs(
         .distinct()
     )
 
+    # The token frame verifies both pair endpoints AND supplies the
+    # signature sizes — three consumers, which Catalyst would otherwise
+    # plan as three copies of the tokenize+distinct+explode stage
+    # (executed plan: Generate ×7 before the cut).  One lazy
+    # localCheckpoint runs it once.
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-    )
+    ).localCheckpoint(eager=False)
     ta = tok.select(F.col("doc_id").alias("a_id"), "token")
     tb = tok.select(F.col("doc_id").alias("b_id"), "token")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
@@ -610,19 +615,23 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                unnest(list_transform(
                    range(1, len(string_split(lower(text), ' '))),
-                   i -> string_split(lower(text), ' ')[i])) AS w1,
-               unnest(list_transform(
-                   range(1, len(string_split(lower(text), ' '))),
                    i -> string_split(lower(text), ' ')[i] || ' ' ||
                         string_split(lower(text), ' ')[i + 1])) AS bigram
         FROM documents
     ),
     bc AS (SELECT bigram, count(*) AS c12 FROM toks GROUP BY bigram),
-    lc AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1)
+    lc AS (
+        SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+        FROM bc GROUP BY string_split(bigram, ' ')[1]
+    ),
+    lm AS (
+        SELECT bc.bigram, ln(bc.c12) - ln(lc.c1) AS logp
+        FROM bc JOIN lc ON string_split(bc.bigram, ' ')[1] = lc.w1
+    )
     SELECT doc_id,
            count(*) AS n_bigrams,
-           round(sum(ln(c12) - ln(c1)) / count(*) + 1e-9, 4) AS avg_logp
-    FROM toks JOIN bc USING (bigram) JOIN lc USING (w1)
+           round(sum(logp) / count(*) + 1e-9, 4) AS avg_logp
+    FROM toks JOIN lm USING (bigram)
     GROUP BY doc_id
     """,
 )
@@ -637,40 +646,49 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same algebra; the per-doc mean is rounded with the +1e-9 nudge (the
     q_ts_anomaly recipe) so last-ulp libm differences can't straddle a
     rounding boundary.  Shape: bigram extraction is the zip_with
-    pattern (O(tokens) per doc, no per-index HOF), the two LM tables
-    are map-side-combined hash aggs, and the scoring joins are
-    equi-joins on bigram/w1 — Zipf-skewed keys, which AQE skew-split
-    handles (the LM tables are count frames, far smaller than the
-    corpus, so the joins broadcast at moderate scale)."""
+    pattern (O(tokens) per doc, no per-index HOF).  The left-context
+    counts derive ALGEBRAICALLY from the bigram counts (c1 = Σ c12 over
+    bigrams sharing the prefix) instead of a second corpus aggregation,
+    and the per-bigram log-prob is pre-folded into ONE vocab-sized LM
+    frame — so the corpus-sized bigram stream is consumed exactly twice
+    (once to count, once to score) and the scoring pass is a single
+    equi-join; Zipf skew on the bigram key is AQE's skew-split case,
+    and the LM frame broadcasts at moderate scale."""
     d = table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), " ")
     pairs = F.filter(
         F.zip_with(
             words,
             F.slice(words, 2, F.lit(1 << 30)),
-            lambda a, b: F.when(
-                b.isNotNull(),
-                F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")),
-            ),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
         ),
         lambda s: s.isNotNull(),
     )
-    toks = d.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram")
+    toks = d.select("doc_id", F.explode(pairs).alias("bigram"))
+    # bc feeds both lc and the LM join; a lazy cut on the vocab-sized
+    # count frame keeps the corpus-sized explode at exactly two
+    # executions (count pass + scoring pass) instead of three.
+    bc = (
+        toks.groupBy("bigram")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)
     )
-    bc = toks.groupBy("bigram").agg(F.count("*").alias("c12"))
-    lc = toks.groupBy("w1").agg(F.count("*").alias("c1"))
-    return (
-        toks.join(bc, "bigram")
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    lc = bc.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    lm = (
+        bc.withColumn("w1", w1)
         .join(lc, "w1")
+        .select(
+            "bigram", (F.log(F.col("c12")) - F.log(F.col("c1"))).alias("logp")
+        )
+    )
+    return (
+        toks.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(
-                F.sum(F.log(F.col("c12")) - F.log(F.col("c1")))
-                / F.count("*")
-                + F.lit(1e-9),
-                4,
+                F.sum("logp") / F.count("*") + F.lit(1e-9), 4
             ).alias("avg_logp"),
         )
     )
