@@ -603,7 +603,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard LSH trade-off (≈1-(1-p^4)^4, p = 1 - θ/π); add bands to
     raise it."""
     e = table(spark, sf_dir, "embeddings")
-    bk = hyperplane_buckets(e)
+    # bk feeds the size aggregate AND the tiled join — without a cut the
+    # hyperplane sign-bit matmul (the Arrow kernel) executes twice per
+    # run.  The frame is (vec_id, band, bucket): narrow, bands× the
+    # vector count, far smaller than the vectors themselves.
+    bk = hyperplane_buckets(e).localCheckpoint(eager=False)
     sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("n_bucket"))
     ntiles = F.greatest(
         F.lit(1), F.ceil(F.col("n_bucket") / F.lit(_EMBED_TILE))
