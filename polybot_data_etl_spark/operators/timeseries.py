@@ -581,3 +581,75 @@ def q_ts_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total") - prev) / prev * 100 + F.lit(1e-9), 4
         ).alias("pct_change"),
     )
+
+
+@register(
+    "q_ts_funnel3",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT count(s1.t1) AS n_signup,
+           count(s2.t2) AS n_click_after,
+           count(s3.t3) AS n_purchase_after
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_ts_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order three-step funnel (signup → first click AFTER the
+    signup → first purchase AFTER that click): per-step reach counts,
+    generalizing the two-step funnel (#65) to ordered chains — the
+    sequence constraint is what distinguishes a real conversion path
+    from mere co-occurrence.
+
+    Shape: each step is a filtered per-user min-aggregate joined
+    against the previous step's (user, ts) frame — the step frames are
+    one row per qualifying user (far smaller than the events), so the
+    per-step joins broadcast; three passes over the (pruned) event
+    scan, each map-side combined.  The same chain extends to K steps
+    linearly."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_signup"),
+            F.count("t2").alias("n_click_after"),
+            F.count("t3").alias("n_purchase_after"),
+        )
+    )

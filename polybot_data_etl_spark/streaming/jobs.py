@@ -148,6 +148,19 @@ def windowed_ohlc(events: DataFrame, watermark: str = "10 minutes") -> DataFrame
     )
 
 
+def stream_static_enrich(events: DataFrame, static_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a batch
+    dimension/stats frame on event_type — the lookup-enrichment pattern
+    (stream ⋈ dim table) that needs no watermark because the static
+    side is complete.
+
+    Structured Streaming re-evaluates the static side per micro-batch
+    (so a dim refreshed between batches is picked up); broadcasting it
+    keeps the stream side shuffle-free — at scale a true dimension
+    table stays under the broadcast threshold by construction."""
+    return events.join(F.broadcast(static_dim), "event_type", "left")
+
+
 def stateful_ewma(events: DataFrame, alpha: float = 0.25) -> DataFrame:
     """Per-user running EWMA across micro-batches via
     applyInPandasWithState: state is the (current ewma, seeded) pair;

@@ -135,3 +135,31 @@ def test_repetition_fracs_bounded_and_consistent(spark, sf_dir):
     # 5.1e-5 slack: the frac is rounded to 4 decimals, which can dip up
     # to half a rounding step below the exact 1/n_words lower bound.
     assert (df.top_word_frac >= 1.0 / df.n_words - 5.1e-5).all()
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """q_ts_resample bars must satisfy low ≤ open/close ≤ high and
+    low·n ≤ total ≤ high·n for every (day, type) bar."""
+    from polybot_data_etl_spark import registry
+
+    bars = registry.queries()["q_ts_resample"](spark, sf_dir).toPandas()
+    assert len(bars) > 0
+    assert (bars["low"] <= bars["high"]).all()
+    assert (bars["low"] <= bars["open"]).all()
+    assert (bars["open"] <= bars["high"]).all()
+    assert (bars["low"] <= bars["close"]).all()
+    assert (bars["close"] <= bars["high"]).all()
+    # rounding slack: each of the n addends rounds by ≤ 0.005
+    slack = 0.005 * bars["n"] + 0.01
+    assert (bars["total"] >= bars["low"] * bars["n"] - slack).all()
+    assert (bars["total"] <= bars["high"] * bars["n"] + slack).all()
+
+
+def test_funnel3_monotone_reach(spark, sf_dir):
+    """Each funnel step can only lose users: n_signup ≥ n_click_after ≥
+    n_purchase_after ≥ 0."""
+    from polybot_data_etl_spark import registry
+
+    row = registry.queries()["q_ts_funnel3"](spark, sf_dir).collect()[0]
+    assert row.n_signup >= row.n_click_after >= row.n_purchase_after >= 0
+    assert row.n_signup > 0

@@ -285,3 +285,31 @@ def test_stream_upsert_into_managed_table(spark, replay_dir, batch_events, tmp_p
     assert len(versions) >= 2
     repo.vacuum(path)
     assert repo.read_table(spark, path).count() == len(want)
+
+
+def test_stream_static_enrich_equals_batch_join(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """Stream-static join: every streamed event enriched with the batch
+    per-type stats equals the batch join — no watermark needed, static
+    side broadcast."""
+    static = (
+        batch_events.groupBy("event_type")
+        .agg(F.round(F.avg("value"), 2).alias("type_avg"))
+    )
+    got = _run(
+        spark,
+        jobs.stream_static_enrich(
+            jobs.events_file_stream(spark, replay_dir), static
+        ).select("event_id", "event_type", "type_avg"),
+        tmp_path,
+        name="enrich",
+    )
+    batch = (
+        batch_events.join(static, "event_type", "left")
+        .select("event_id", "event_type", "type_avg")
+        .toPandas()
+    )
+    ok, why = frames_match(got, batch)
+    assert ok, why
+    assert len(got) == len(batch) > 0
