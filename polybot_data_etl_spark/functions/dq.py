@@ -276,8 +276,13 @@ def q_dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("b")
         .alias("period"),
     )
-    counts = lab.groupBy("event_type", "bucket", "period").agg(
-        F.count("*").alias("n")
+    # counts feeds the period totals AND both share branches; a lazy cut
+    # on this ≤|type×bucket×period|-row frame keeps the raw-event scan
+    # at one execution.
+    counts = (
+        lab.groupBy("event_type", "bucket", "period")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     tots = counts.groupBy("event_type", "period").agg(F.sum("n").alias("t"))
     shares = counts.join(tots, ["event_type", "period"]).select(

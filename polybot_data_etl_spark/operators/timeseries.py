@@ -625,10 +625,14 @@ def q_ts_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, each map-side combined.  The same chain extends to K steps
     linearly."""
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # s1/s2 each feed the next step AND the final reach join; lazy cuts
+    # on the one-row-per-user step frames keep each step's event scan
+    # to a single execution (6 scans → 3 without them).
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
@@ -636,6 +640,7 @@ def q_ts_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
