@@ -14,10 +14,13 @@ replacing the manifest (``os.replace`` — an atomic rename on POSIX).
 Readers resolve the manifest once and read an immutable directory, so a
 reader can never observe a half-written table; a reader that resolved
 the previous version keeps reading its (still-present) files until
-``vacuum`` reclaims them.  This is the same reader/writer isolation a
-transactional table format provides, minus multi-writer coordination —
-a production deployment swaps in Iceberg/Delta/Hudi without changing
-any plan shape here.
+``vacuum`` reclaims them.  Writers serialize through an advisory
+``_LOCK`` mutex (``table_lock`` — exclusive-create with stale-lock
+breaking), so concurrent mutations can't race the manifest swap.  This
+is the same reader/writer isolation a transactional table format
+provides; a production deployment on an object store swaps in
+Iceberg/Delta/Hudi (or their lock services) without changing any plan
+shape here.
 
 Scale posture: an upsert is one left-anti join (survivors) + a union —
 shuffle keyed on the merge key, broadcast when the update batch is
@@ -29,8 +32,10 @@ touches one date partition of a 100 TB table instead of rewriting it.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,11 +44,59 @@ from pyspark.sql import functions as F
 MANIFEST = "_MANIFEST"
 LOG = "_LOG"
 SPEC = "_SPEC"
+LOCK = "_LOCK"
 _VERSION_PREFIX = "v-"
 
 
 def _new_version() -> str:
     return f"{_VERSION_PREFIX}{uuid.uuid4().hex[:12]}"
+
+
+@contextlib.contextmanager
+def table_lock(
+    path: str, timeout_s: float = 60.0, stale_s: float = 600.0
+):
+    """Advisory writer mutex for a managed table: O_CREAT|O_EXCL on a
+    ``_LOCK`` file (atomic on POSIX filesystems), so two writers
+    serialize their write-new-version + manifest-swap sequences instead
+    of racing the swap (last-swap-wins would silently drop the loser's
+    commit).  Readers never take the lock — snapshot isolation already
+    protects them.
+
+    A lock older than ``stale_s`` is presumed orphaned (writer crashed
+    between acquire and release) and is broken.  On an object store,
+    where exclusive-create isn't available, a production deployment
+    replaces this with the table format's lock service / conditional
+    puts — the mutation call sites are already funneled through here.
+    """
+    lock_path = os.path.join(path, LOCK)
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock_path)
+            except OSError:
+                continue  # holder released between exists-check and stat
+            if age > stale_s:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock_path)
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"writer lock on {path} held for {age:.0f}s; "
+                    f"gave up after {timeout_s}s"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_path)
 
 
 def _commit(path: str, version: str) -> None:
@@ -221,13 +274,14 @@ def merge_upsert(
         )
     if not is_managed(path):
         _migrate_legacy(path)
-    target = read_table(spark, path)
-    merged = target.join(updates.select(*key), key, "left_anti").unionByName(
-        updates
-    )
-    version = _new_version()
-    _write_version(merged, path, version)
-    _commit(path, version)
+    with table_lock(path):
+        target = read_table(spark, path)
+        merged = target.join(
+            updates.select(*key), key, "left_anti"
+        ).unionByName(updates)
+        version = _new_version()
+        _write_version(merged, path, version)
+        _commit(path, version)
 
 
 def overwrite_partitions(
@@ -330,9 +384,10 @@ def scd2_merge(
     ).select(*[F.col(col) for col in cur.columns])
 
     merged = hist.unionByName(kept).unionByName(closed).unionByName(fresh)
-    version = _new_version()
-    _write_version(merged, path, version)
-    _commit(path, version)
+    with table_lock(path):
+        version = _new_version()
+        _write_version(merged, path, version)
+        _commit(path, version)
 
 
 def compact_table(
@@ -356,17 +411,19 @@ def compact_table(
     Returns the number of files written."""
     import math
 
-    df = read_table(spark, path)
-    n_files = max(1, math.ceil(df.count() / target_file_rows))
-    version = _new_version()
-    part = table_spec(path).get("partition_by", [])
-    if part:
-        # partitioned table: compact WITHIN partitions (repartition on
-        # the partition key so each hive directory gets one full file)
-        _write_version(df.repartition(*part), path, version)
-    else:
-        _write_version(df.repartition(n_files), path, version)
-    _commit(path, version)
+    with table_lock(path):
+        df = read_table(spark, path)
+        n_files = max(1, math.ceil(df.count() / target_file_rows))
+        version = _new_version()
+        part = table_spec(path).get("partition_by", [])
+        if part:
+            # partitioned table: compact WITHIN partitions (repartition
+            # on the partition key so each hive directory gets one full
+            # file)
+            _write_version(df.repartition(*part), path, version)
+        else:
+            _write_version(df.repartition(n_files), path, version)
+        _commit(path, version)
     return n_files
 
 

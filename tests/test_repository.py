@@ -345,3 +345,66 @@ def test_partitioned_table_layout_survives_merge_and_prunes(
     assert any(d.startswith("event_date=") for d in os.listdir(vdir3))
     assert repo.read_table(spark, path).count() == e.count()
     assert repo.read_table(spark, path, version=-2).count() == e.count()
+
+
+def test_writer_lock_serializes_concurrent_upserts(spark, sf_dir, tmp_path):
+    """Two writers merging DISJOINT key sets concurrently must both
+    land (the lock serializes the read-merge-swap sequence; an unlocked
+    race would let the last swap silently drop the other's commit)."""
+    import threading
+
+    path = str(tmp_path / "locked_repo")
+    base = table(spark, sf_dir, "customer")
+    repo.create_table(base, path)
+
+    def mk_update(key_val, name):
+        return (
+            base.filter(F.col("c_custkey") == key_val)
+            .withColumn("c_name", F.lit(name))
+        )
+
+    errs = []
+
+    def writer(key_val, name):
+        try:
+            repo.merge_upsert(
+                spark, path, mk_update(key_val, name), ["c_custkey"]
+            )
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(1, "W1"))
+    t2 = threading.Thread(target=writer, args=(2, "W2"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    final = repo.read_table(spark, path)
+    assert final.count() == base.count()
+    assert final.filter(F.col("c_custkey") == 1).first().c_name == "W1"
+    assert final.filter(F.col("c_custkey") == 2).first().c_name == "W2"
+    # lock released
+    assert not os.path.exists(os.path.join(path, repo.LOCK))
+
+
+def test_writer_lock_times_out_and_breaks_stale(spark, sf_dir, tmp_path):
+    """A held lock times out a second writer; an orphaned (stale) lock
+    is broken and the write proceeds."""
+    import time as _time
+
+    path = str(tmp_path / "stale_repo")
+    repo.create_table(table(spark, sf_dir, "region"), path)
+
+    lock_path = os.path.join(path, repo.LOCK)
+    with open(lock_path, "w") as f:
+        f.write("held\n")
+
+    with pytest.raises(TimeoutError):
+        with repo.table_lock(path, timeout_s=0.3, stale_s=600.0):
+            pass
+
+    # make the same lock stale: it is broken and acquisition succeeds
+    old = _time.time() - 1000
+    os.utime(lock_path, (old, old))
+    with repo.table_lock(path, timeout_s=0.5, stale_s=600.0):
+        assert os.path.exists(lock_path)
+    assert not os.path.exists(lock_path)
