@@ -421,7 +421,10 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k shapes).  Candidate volume per probe is the cell size
     (~n/16), never n."""
     e = table(spark, sf_dir, "embeddings")
-    assign = ivf_assign(e)
+    # The cell assignment feeds both the probe and candidate sides; a
+    # lazy cut on the narrow (vec_id, c_id) frame runs the centroid-
+    # scoring kernel once instead of twice.
+    assign = ivf_assign(e).localCheckpoint(eager=False)
     probes = assign.filter(F.col("vec_id") < 10).withColumnRenamed(
         "vec_id", "probe_id"
     )
