@@ -223,19 +223,90 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("ni"))
     )
+    sized = inter.join(
+        sizes.withColumnsRenamed({"doc_id": "a_id", "n": "n_a"}), "a_id"
+    ).join(sizes.withColumnsRenamed({"doc_id": "b_id", "n": "n_b"}), "b_id")
     jac = F.round(
         F.col("ni")
         / (F.col("n_a") + F.col("n_b") - F.col("ni")).cast("double"),
         4,
     )
     return (
-        inter.join(
-            sizes.withColumnsRenamed({"doc_id": "a_id", "n": "n_a"}), "a_id"
-        )
-        .join(sizes.withColumnsRenamed({"doc_id": "b_id", "n": "n_b"}), "b_id")
-        .withColumn("jaccard", jac)
+        sized.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _NGRAM_JACCARD)
         .select("a_id", "b_id", "jaccard")
+    )
+
+
+_CONTAIN_MIN = 0.8  # max-containment threshold for subset/quote pairs
+
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    dfreq AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= {_NGRAM_DF_CAP}
+    ),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(ni / least(za.n, zb.n)::DOUBLE, 4) AS containment
+    FROM inter
+    JOIN sizes za ON za.doc_id = a_id
+    JOIN sizes zb ON zb.doc_id = b_id
+    WHERE round(ni / least(za.n, zb.n)::DOUBLE, 4) >= {_CONTAIN_MIN}
+    """
+
+
+@register("q_dedup_containment", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: ni / min(|A|, |B|) ≥ 0.8 — catches
+    subset/quote relationships (a short doc embedded in a long one)
+    that symmetric Jaccard misses: a 50-shingle doc fully contained in
+    a 500-shingle doc has Jaccard ≈ 0.1 but containment 1.0.  The
+    asymmetric twin of q_dedup_ngram, sharing its df-capped inverted
+    index, posting-list pair generation, and scale posture."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles()).alias("s"))
+    w_s = Window.partitionBy("s")
+    rare = (
+        sh.withColumn("df", F.count("*").over(w_s))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .drop("df")
+    )
+    postings = (
+        rare.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    inter = (
+        postings.select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("ni"))
+    )
+    sized = inter.join(
+        sizes.withColumnsRenamed({"doc_id": "a_id", "n": "n_a"}), "a_id"
+    ).join(sizes.withColumnsRenamed({"doc_id": "b_id", "n": "n_b"}), "b_id")
+    cont = F.round(
+        F.col("ni") / F.least(F.col("n_a"), F.col("n_b")).cast("double"), 4
+    )
+    return (
+        sized.withColumn("containment", cont)
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+        .select("a_id", "b_id", "containment")
     )
 
 

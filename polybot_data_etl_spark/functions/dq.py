@@ -312,3 +312,45 @@ def q_dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+@register(
+    "q_agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           t.tot AS n_events,
+           round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot))
+                 + 1e-9, 4) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.tot
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (0 = single-action bots, ln(5) ≈ 1.61 =
+    uniform engagement) that segments users and flags scripted
+    traffic.
+
+    Shares from integer counts via one double division, ln via libm
+    with the +1e-9 nudge; shape: two stacked map-side-combined hash
+    aggs + a user-keyed equi-join of count frames — nothing after the
+    first agg scales with raw volume."""
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * F.lit(1.0) / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) + F.lit(1e-9), 4).alias("entropy")
+        )
+        .select(
+            "user_id", F.col("tot").alias("n_events"), "entropy"
+        )
+    )

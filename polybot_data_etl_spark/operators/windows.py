@@ -329,3 +329,55 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_id").over(w).alias("last_ev"),
         F.nth_value("event_id", 2).over(w).alias("second_ev"),
     )
+
+
+@register(
+    "q_win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    ),
+    anch AS (
+        SELECT user_id,
+               epoch_us(d) // 86400000000
+               - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS anchor
+        FROM days
+    )
+    SELECT user_id, max(len) AS longest_streak
+    FROM (
+        SELECT user_id, anchor, count(*) AS len
+        FROM anch GROUP BY user_id, anchor
+    )
+    GROUP BY user_id
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: distinct active days, then (epoch-day −
+    row_number) is constant exactly within a consecutive run, so one
+    grouped count per (user, anchor) and a max gives the streak.  All
+    integer arithmetic (epoch µs floor-divided to days) — float-free
+    gate.
+
+    Shape: a distinct on (user, day) — map-side combined — then one
+    user-partitioned window and two tiny aggs; everything after the
+    distinct is bounded by active-days, not events."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    epoch_day = F.expr("unix_micros(cast(d as timestamp)) div 86400000000")
+    w = W.partitionBy("user_id").orderBy("d")
+    anch = days.select(
+        "user_id", (epoch_day - F.row_number().over(w)).alias("anchor")
+    )
+    return (
+        anch.groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"))
+    )
