@@ -426,3 +426,53 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round((sxy - sx * sy / c) / (c - 1), 2).alias("covar_qty_price"),
     )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS i
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_nationkey,
+           count(*) AS n_orders,
+           round((2.0 * sum(i * o_totalprice) / (count(*) * sum(o_totalprice)))
+                 - (count(*) + 1.0) / count(*) + 1e-9, 4) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per customer nation — revenue
+    concentration (0 = everyone spends alike, →1 = a few whales carry
+    the nation), via the rank formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) −
+    (n+1)/n over ascending-sorted values (o_orderkey tiebreak keeps the
+    rank deterministic; ties in x make the formula tiebreak-invariant
+    anyway since equal values swap ranks freely).
+
+    Shape: one nation-partitioned row_number window (the same shuffle
+    feeds the final agg) + a map-side-combined moment agg — two sums
+    per group.  The +1e-9 nudge guards the double division."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    from pyspark.sql import Window as W
+
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "o_totalprice", "o_orderkey"
+    )
+    w = W.partitionBy("c_nationkey").orderBy("o_totalprice", "o_orderkey")
+    ranked = joined.withColumn("i", F.row_number().over(w))
+    n, sx, six = F.count("*"), F.sum("o_totalprice"), F.sum(
+        F.col("i") * F.col("o_totalprice")
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        n.alias("n_orders"),
+        F.round(
+            (F.lit(2.0) * six / (n * sx)) - (n + F.lit(1.0)) / n + F.lit(1e-9),
+            4,
+        ).alias("gini"),
+    )

@@ -658,3 +658,59 @@ def q_ts_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t3").alias("n_purchase_after"),
         )
     )
+
+
+@register(
+    "q_ts_dau_wau",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM active GROUP BY d),
+    spread AS (
+        SELECT user_id, d + INTERVAL (k) DAY AS d
+        FROM active, range(0, 7) t(k)
+    ),
+    wau AS (
+        SELECT d, count(DISTINCT user_id) AS wau FROM spread GROUP BY d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau + 1e-9, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q_ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    ratio every product dashboard leads with.  The trailing-window
+    distinct is rewritten as a forward SPREAD (each active (user, day)
+    projects onto the 7 days it keeps the user 'weekly-active' for)
+    followed by a plain distinct count — windows can't do COUNT
+    DISTINCT over a frame, and the spread shape is one narrow 7×
+    Generate plus a hash agg, both map-side combinable at any scale.
+    Days with zero DAU don't appear (inner join) — dashboard spines
+    come from q_ts_gapfill's pattern."""
+    e = table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct().localCheckpoint(eager=False)
+    dau = active.groupBy("d").agg(F.count("*").alias("dau"))
+    spread = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAY"),
+                       F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    wau = spread.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau") * F.lit(1.0) / F.col("wau") + F.lit(1e-9), 4
+            ).alias("stickiness"),
+        )
+    )
