@@ -376,3 +376,74 @@ def asof_match(probe_events: DataFrame, build_events: DataFrame) -> DataFrame:
             "match_id",
         )
     )
+
+
+@register(
+    "q_join_asof_fwd",
+    oracle="""
+    SELECT p.event_id AS probe_id, p.ts AS probe_ts, b.event_id AS match_id
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events
+               WHERE event_type <> 'purchase') b
+      ON p.user_id = b.user_id AND b.ts >= p.ts
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST non-purchase
+    event of the same user at-or-after it — 'what did the user do next'
+    (backward as-of answers 'state leading in'; forward answers
+    post-event attribution / next-touch analysis).
+
+    Same union + ordered window shape as the backward core
+    (asof_match), mirrored: the running frame becomes
+    currentRow→unboundedFollowing with `first(ignorenulls)`, probe rows
+    sort BEFORE build rows at equal ts so at-or-after is inclusive, and
+    ties at the matched timestamp resolve to the LOWEST build event_id
+    (the ascending mirror of the backward rule).  One shuffle on
+    user_id, no pairwise blow-up."""
+    e = table(spark, sf_dir, "events")
+    return asof_match_forward(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") != "purchase"),
+    )
+
+
+def asof_match_forward(
+    probe_events: DataFrame, build_events: DataFrame
+) -> DataFrame:
+    """Forward as-of core: for each probe row, the earliest build row of
+    the same user with build.ts >= probe.ts; ties resolve to the lowest
+    build event_id.  Mirror of asof_match — see q_join_asof_fwd."""
+    probe = probe_events.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast("bigint").alias("build_id"),
+    )
+    build = build_events.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("probe_id"),
+        F.col("event_id").alias("build_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts", F.desc("is_probe"), F.coalesce("build_id", "probe_id")
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = probe.unionByName(build).withColumn(
+        "match_id", F.first("build_id", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("is_probe") == 1) & F.col("match_id").isNotNull())
+        .select(
+            F.col("probe_id").alias("probe_id"),
+            F.col("ts").alias("probe_ts"),
+            "match_id",
+        )
+    )

@@ -81,3 +81,41 @@ def test_range_bucketed_equals_plain_range(spark, sf_dir):
     a = plain.sort_values(key).reset_index(drop=True)
     b = bucketed.sort_values(key).reset_index(drop=True)[a.columns.tolist()]
     assert a.equals(b)
+
+
+def test_asof_fwd_duplicate_build_ts_resolves_to_min_event_id(spark):
+    """Forward mirror: two build events tied at the matched timestamp —
+    the match must be the LOWER event_id, on every run."""
+    from polybot_data_etl_spark.operators.joins import asof_match_forward
+
+    build = _events(
+        spark,
+        [
+            (101, TS, 1),
+            (102, TS, 1),  # same (user_id, ts) as 101
+            (200, TS + dt.timedelta(hours=1), 1),
+        ],
+    )
+    probe = _events(spark, [(900, TS - dt.timedelta(minutes=5), 1)])
+    for _ in range(3):
+        got = asof_match_forward(probe, build).collect()
+        assert len(got) == 1
+        assert got[0]["match_id"] == 101
+
+
+def test_asof_fwd_tie_at_probe_ts_is_inclusive(spark):
+    """A build event exactly AT the probe ts matches (at-or-after)."""
+    from polybot_data_etl_spark.operators.joins import asof_match_forward
+
+    build = _events(spark, [(7, TS, 3), (8, TS + dt.timedelta(hours=2), 3)])
+    probe = _events(spark, [(800, TS, 3)])
+    got = asof_match_forward(probe, build).collect()
+    assert len(got) == 1 and got[0]["match_id"] == 7
+
+
+def test_asof_fwd_no_later_build_drops_probe(spark):
+    from polybot_data_etl_spark.operators.joins import asof_match_forward
+
+    build = _events(spark, [(7, TS, 1)])
+    probe = _events(spark, [(800, TS + dt.timedelta(hours=1), 1)])
+    assert asof_match_forward(probe, build).count() == 0
