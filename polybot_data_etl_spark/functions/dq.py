@@ -341,7 +341,14 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs + a user-keyed equi-join of count frames — nothing after the
     first agg scales with raw volume."""
     e = table(spark, sf_dir, "events")
-    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # c feeds the per-user totals AND the share join; a lazy cut on the
+    # |user×type|-bounded count frame keeps the event scan at one
+    # execution.
+    c = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
     p = F.col("n") * F.lit(1.0) / F.col("tot")
     return (
