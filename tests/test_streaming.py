@@ -313,3 +313,71 @@ def test_stream_static_enrich_equals_batch_join(
     ok, why = frames_match(got, batch)
     assert ok, why
     assert len(got) == len(batch) > 0
+
+
+def test_streaming_restart_resumes_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Kill-and-restart: a watermarked aggregation stopped after the
+    first chunks and RESTARTED on the same checkpoint must (a) not
+    reprocess finalized state (exactly-once effect) and (b) end up
+    equal to an uninterrupted run over all chunks."""
+    import os
+    import shutil
+
+    def run_to_files(stream_df, ckpt, out_dir):
+        # the file sink (unlike the memory sink) supports checkpoint
+        # recovery, and its _spark_metadata commit log makes the output
+        # exactly-once across restarts
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    src_all = replay_events_chunks(
+        spark, sf_dir, str(tmp_path / "full_replay"), n_chunks=4
+    )
+    chunks = sorted(os.listdir(src_all))
+    live = str(tmp_path / "live_stream")
+    os.makedirs(live)
+    ckpt = str(tmp_path / "ckpt_restart")
+    out = str(tmp_path / "out_restart")
+    # phase 1: only the first two chunks exist
+    for f in chunks[:2]:
+        shutil.copy(f"{src_all}/{f}", f"{live}/{f}")
+    run_to_files(
+        jobs.tumbling_agg(jobs.events_file_stream(spark, live), "10 minutes"),
+        ckpt,
+        out,
+    )
+    n_phase1 = spark.read.parquet(out).count()
+
+    # phase 2: the remaining chunks arrive; RESTART on the same
+    # checkpoint and the same sink
+    for f in chunks[2:]:
+        shutil.copy(f"{src_all}/{f}", f"{live}/{f}")
+    run_to_files(
+        jobs.tumbling_agg(jobs.events_file_stream(spark, live), "10 minutes"),
+        ckpt,
+        out,
+    )
+    combined = spark.read.parquet(out).toPandas()
+    # the restarted query emits only NEW finalized windows — no overlap
+    assert combined["bucket"].is_unique
+
+    # uninterrupted reference run over the same files
+    ref_out = str(tmp_path / "out_ref")
+    run_to_files(
+        jobs.tumbling_agg(jobs.events_file_stream(spark, src_all), "10 minutes"),
+        str(tmp_path / "ckpt_ref"),
+        ref_out,
+    )
+    ref = spark.read.parquet(ref_out).toPandas()
+    ok, why = frames_match(combined, ref)
+    assert ok, why
+    assert n_phase1 > 0 and len(combined) > n_phase1
