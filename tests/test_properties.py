@@ -163,3 +163,99 @@ def test_funnel3_monotone_reach(spark, sf_dir):
     row = registry.queries()["q_ts_funnel3"](spark, sf_dir).collect()[0]
     assert row.n_signup >= row.n_click_after >= row.n_purchase_after >= 0
     assert row.n_signup > 0
+
+
+# --- hypothesis: connected components vs union-find reference ----------
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(_EDGES)
+def test_component_labels_match_union_find(spark, edges):
+    """Min-label propagation over a random edge list must agree with a
+    driver-side union-find on every node's component label."""
+    from polybot_data_etl_spark.functions.dedup import component_labels
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "a_id long, b_id long"
+    )
+    got = {
+        r["node"]: r["lbl"] for r in component_labels(pairs).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+
+
+# --- hypothesis: forward as-of vs brute force --------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # user_id
+        st.integers(0, 20),           # ts offset minutes
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_EVENTS, _EVENTS)
+def test_asof_fwd_matches_bruteforce(spark, probe_rows, build_rows):
+    """Forward as-of on random (user, ts) frames == brute-force 'min
+    build (ts, id) at-or-after probe' per probe row."""
+    import datetime as dt
+
+    from polybot_data_etl_spark.operators.joins import asof_match_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def frame(rows, base):
+        return spark.createDataFrame(
+            [
+                (base + i, t0 + dt.timedelta(minutes=m), u)
+                for i, (u, m) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long",
+        )
+
+    probe = frame(probe_rows, 1000)
+    build = frame(build_rows, 2000)
+    got = {
+        r["probe_id"]: r["match_id"]
+        for r in asof_match_forward(probe, build).collect()
+    }
+    want = {}
+    for i, (u, m) in enumerate(probe_rows):
+        cands = [
+            (mb, 2000 + j)
+            for j, (ub, mb) in enumerate(build_rows)
+            if ub == u and mb >= m
+        ]
+        if cands:
+            want[1000 + i] = min(cands)[1]
+    assert got == want
