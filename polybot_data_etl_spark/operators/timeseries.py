@@ -714,3 +714,83 @@ def q_ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+        SELECT event_type, n AS x,
+               lag(n) OVER (PARTITION BY event_type ORDER BY day) AS y
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS c,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM lagged WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, c AS n_pairs,
+           round((c * sxy - sx * sy)
+                 / sqrt((c * sxx - sx * sx)::DOUBLE
+                        * (c * syy - sy * sy)::DOUBLE)
+                 + 1e-9, 4) AS autocorr_lag1
+    FROM m
+    """,
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily volume — the
+    trend/seasonality detector (≈0 for memoryless traffic, high for
+    trending or weekly-patterned streams, negative for alternating
+    load).
+
+    The daily counts are INTEGERS, so the five moments are exact and
+    both engines compute the correlation from identical integers
+    through the same algebra (the q_ts_anomaly recipe) — only the final
+    division/sqrt are floats, nudged at rounding.  Shape: one hash agg
+    to day grain, a lag window over the tiny per-type daily frame, one
+    moment agg."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lag("n").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count("*").alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "event_type",
+        c.alias("n_pairs"),
+        F.round(
+            (c * sxy - sx * sy)
+            / F.sqrt(
+                (c * sxx - sx * sx).cast("double")
+                * (c * syy - sy * sy).cast("double")
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("autocorr_lag1"),
+    )
