@@ -247,13 +247,25 @@ def append_load(df: DataFrame, path: str) -> None:
 
 
 def merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, key: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: list[str],
+    allow_new_columns: bool = False,
 ) -> None:
     """SCD-1 keyed merge into the managed table at ``path``: rows whose
     key appears in ``updates`` are replaced, new keys are inserted,
     everything else is carried over unchanged.  Idempotent: applying the
     same update batch twice equals once.  A legacy plain-parquet
     directory is migrated into the managed layout first.
+
+    Schema evolution: with ``allow_new_columns=True`` the update batch
+    may carry columns the table doesn't have yet (ADD COLUMN) — the new
+    columns land in the table schema and surviving rows read NULL for
+    them, exactly Delta's ``mergeSchema`` semantics.  The batch must
+    still contain every existing table column (dropping or renaming is
+    a different, destructive operation and stays explicit); without the
+    flag, any schema difference raises.
 
     Plan: target ⟕̸ updates (left-anti on the key — keeps survivors)
     ∪ updates.  The updates side is deduplicated on the key first
@@ -276,9 +288,21 @@ def merge_upsert(
         _migrate_legacy(path)
     with table_lock(path):
         target = read_table(spark, path)
+        missing = set(target.columns) - set(updates.columns)
+        added = set(updates.columns) - set(target.columns)
+        if missing:
+            raise ValueError(
+                f"update batch lacks table columns {sorted(missing)}; "
+                "upserts must provide every existing column"
+            )
+        if added and not allow_new_columns:
+            raise ValueError(
+                f"update batch adds columns {sorted(added)}; pass "
+                "allow_new_columns=True to evolve the table schema"
+            )
         merged = target.join(
             updates.select(*key), key, "left_anti"
-        ).unionByName(updates)
+        ).unionByName(updates, allowMissingColumns=bool(added))
         version = _new_version()
         _write_version(merged, path, version)
         _commit(path, version)

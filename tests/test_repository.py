@@ -408,3 +408,39 @@ def test_writer_lock_times_out_and_breaks_stale(spark, sf_dir, tmp_path):
     with repo.table_lock(path, timeout_s=0.5, stale_s=600.0):
         assert os.path.exists(lock_path)
     assert not os.path.exists(lock_path)
+
+
+def test_merge_upsert_schema_evolution(spark, sf_dir, tmp_path):
+    """ADD COLUMN via upsert: with allow_new_columns=True the new
+    column lands in the table schema, surviving rows read NULL for it,
+    and the updated row carries its value; without the flag, or with a
+    batch missing existing columns, the merge raises."""
+    path = str(tmp_path / "evolve_repo")
+    base = table(spark, sf_dir, "region")
+    repo.create_table(base, path)
+
+    upd = (
+        base.filter(F.col("r_regionkey") == 0)
+        .withColumn("r_tier", F.lit("gold"))
+    )
+    with pytest.raises(ValueError, match="adds columns"):
+        repo.merge_upsert(spark, path, upd, ["r_regionkey"])
+    repo.merge_upsert(
+        spark, path, upd, ["r_regionkey"], allow_new_columns=True
+    )
+
+    got = repo.read_table(spark, path)
+    assert "r_tier" in got.columns
+    assert got.count() == base.count()
+    assert got.filter(F.col("r_regionkey") == 0).first().r_tier == "gold"
+    assert (
+        got.filter(F.col("r_regionkey") != 0)
+        .filter(F.col("r_tier").isNotNull())
+        .count()
+        == 0
+    )
+
+    # a later batch missing an existing column is rejected
+    bad = base.filter(F.col("r_regionkey") == 1)  # lacks r_tier
+    with pytest.raises(ValueError, match="lacks table columns"):
+        repo.merge_upsert(spark, path, bad, ["r_regionkey"])
