@@ -129,3 +129,80 @@ def test_binary_source_glob(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].content == b"\x00\x01\x02payload"
     assert rows[0].length == 10
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """Dirty-input posture: a malformed CSV row is quarantined into
+    _corrupt_record under PERMISSIVE, dropped under DROPMALFORMED, and
+    fails the read under FAILFAST — the three ingestion policies a
+    production loader chooses between."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    src = tmp_path / "dirty.csv"
+    src.write_text(
+        "k,v\n"
+        "1,10\n"
+        "2,not_an_int\n"
+        "3,30\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = files.read_csv(
+        spark, str(src), schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    assert permissive.count() == 3
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+    assert bad.first().k == 2  # typed fields parse where possible
+    permissive.unpersist()
+
+    strict_schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    dropped = files.read_csv(
+        spark, str(src), strict_schema, mode="DROPMALFORMED"
+    )
+    assert sorted(r.k for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception):
+        files.read_csv(
+            spark, str(src), strict_schema, mode="FAILFAST"
+        ).collect()
+
+
+def test_json_malformed_line_quarantine(spark, tmp_path):
+    """A syntactically broken JSON line lands in _corrupt_record with
+    NULL typed columns; clean lines parse normally."""
+    src = tmp_path / "dirty.jsonl"
+    src.write_text(
+        '{"k": 1, "v": 10}\n'
+        '{broken json!!\n'
+        '{"k": 3, "v": 30}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    got = files.read_json(
+        spark, str(src), schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    assert got.count() == 3
+    assert got.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert sorted(
+        r.k for r in got.filter(F.col("k").isNotNull()).collect()
+    ) == [1, 3]
+    got.unpersist()
