@@ -482,9 +482,23 @@ def cluster_table(
     a single range shuffle, identical cost to a plain sorted write.
 
     Timestamp columns are clustered on their epoch value; the Z column
-    itself is dropped before write (it is derivable, not data)."""
+    itself is dropped before write (it is derivable, not data).
+
+    Hive-partitioned tables are refused: a global Z-range repartition
+    followed by a partitionBy write would scatter every range partition
+    across every hive directory (file-count explosion) and the layout
+    win belongs WITHIN each partition — the production move is
+    per-partition clustering (Delta's OPTIMIZE ... WHERE partition
+    predicate), which this minimal layer doesn't implement."""
     if len(cols) != 2:
         raise ValueError("cluster_table interleaves exactly 2 columns")
+    part = table_spec(path).get("partition_by", [])
+    if part:
+        raise ValueError(
+            f"cluster_table does not support hive-partitioned tables "
+            f"(partition spec {part}); cluster within partitions via a "
+            "per-partition rewrite instead"
+        )
     df = read_table(spark, path)
 
     def _as_long(c: str):

@@ -126,3 +126,21 @@ def test_date_partitioned_events_prune_at_file_level(spark, sf_dir, tmp_path):
     day_dirs = [d for d in os.listdir(path) if d.startswith("event_date=")]
     assert "event_date=2024-01-05" in day_dirs
     assert len(day_dirs) > 1
+
+
+def test_cluster_refuses_partitioned_tables(spark, sf_dir, tmp_path):
+    """Z-ordering a hive-partitioned table would scatter every Z-range
+    partition across every hive directory — refuse with guidance
+    instead of silently dropping the partition layout."""
+    from polybot_data_etl_spark.catalog import table
+
+    path = str(tmp_path / "part_cluster")
+    e = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    repo.create_table(e, path, partition_by=["event_date"])
+    with pytest.raises(ValueError, match="partition"):
+        repo.cluster_table(spark, path, ["user_id", "value"], n_files=4)
+    # table untouched: same version, still partitioned
+    vdir = os.path.join(path, repo.current_version(path))
+    assert any(d.startswith("event_date=") for d in os.listdir(vdir))
