@@ -311,7 +311,10 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polybot_data_etl_spark.functions.dedup import hyperplane_buckets
 
     e = table(spark, sf_dir, "embeddings")
-    bk = hyperplane_buckets(e)
+    # bk feeds the probe and candidate sides; a lazy cut on the narrow
+    # (vec_id, band, bucket) frame runs the hyperplane matmul once
+    # instead of twice (same fix as q_dedup_embed / q_sim_topk_ivf).
+    bk = hyperplane_buckets(e).localCheckpoint(eager=False)
     probes = bk.filter(F.col("vec_id") < 20).withColumnRenamed(
         "vec_id", "probe_id"
     )
