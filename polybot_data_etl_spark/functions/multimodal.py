@@ -297,3 +297,54 @@ def q_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     long form — one row per (media, bin) so the hash check covers every
     histogram cell."""
     return byte_histogram(media(spark, sf_dir))
+
+
+@register(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id AS media_id, text, length(text) AS L
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+        SELECT media_id, text,
+               unnest(range(0, greatest(1, L // {_FRAME_BYTES}), 2))
+                   AS frame_idx
+        FROM v
+    )
+    SELECT media_id,
+           frame_idx::INT AS frame_idx,
+           length(substring(text, frame_idx * {_FRAME_BYTES} + 1,
+                            {_FRAME_BYTES}))::INT AS frame_len,
+           CAST(list_sum(list_transform(
+               string_split(substring(text, frame_idx * {_FRAME_BYTES} + 1,
+                                      {_FRAME_BYTES}), ''),
+               c -> ascii(c)::BIGINT)) AS BIGINT) AS frame_sum
+    FROM fr
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas fan-out kernel:
+    every video payload expands to one row per sampled frame (every 2nd
+    32-byte chunk), projected to (frame_idx, length, byte-sum) scalars
+    so the binary plumbing is hash-checked end-to-end — the oracle
+    replays the same slicing over characters (ASCII payloads).
+
+    Shape: a narrow per-row expansion inside Arrow batches — no
+    shuffle, no join; output volume ∝ sampled frames.  At 100 TB with
+    real codecs only the kernel body changes (decode + stride read);
+    the Spark plumbing — batch iteration, fan-out schema, binary
+    column — is exactly what this query exercises."""
+    frames = sample_frames(media(spark, sf_dir))
+    s = F.col("frame").cast("string")
+    fsum = F.aggregate(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length(s).cast("int").alias("frame_len"),
+        fsum.alias("frame_sum"),
+    )
