@@ -32,3 +32,33 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table count — planned as a metadata-only Parquet row-count."""
     return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_scan_time_pruned",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_scan_time_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded scan + aggregate: the canonical 'last N days'
+    dashboard read.  The ts-range predicate must reach the parquet scan
+    as PushedFilters (row-group min/max skipping on the flat file;
+    partition-directory pruning on the PARTITION_HINTS date layout —
+    tests/test_layout.py proves that half), so at 100 TB the query
+    reads two days, not the lake."""
+    e = table(spark, sf_dir, "events")
+    lo = F.expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'")
+    hi = F.expr("TIMESTAMP_NTZ '2024-01-12 00:00:00'")
+    return (
+        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

@@ -349,3 +349,14 @@ def test_psi_aggregates_before_joins(spark, sf_dir):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_pruned_scan_pushes_ts_range(spark, sf_dir):
+    """The ts-range predicate must reach the parquet scan (PushedFilters
+    row-group skipping), and only the three needed columns are read."""
+    plan = plan_of(spark, sf_dir, "q_scan_time_pruned")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+    assert "props" not in plan  # column pruning
+    assert "partial_sum" in plan

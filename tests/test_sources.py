@@ -206,3 +206,18 @@ def test_json_malformed_line_quarantine(spark, tmp_path):
         r.k for r in got.filter(F.col("k").isNotNull()).collect()
     ) == [1, 3]
     got.unpersist()
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    """The ORC connector must push filters into the scan like parquet
+    (the format is a drop-in for the lake layout)."""
+    path = str(tmp_path / "orders_orc")
+    files.write_orc(table(spark, sf_dir, "orders"), path)
+    back = files.read_orc(spark, path).filter(F.col("o_totalprice") > 100000.0)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = back._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(o_totalprice" in plan.split("PushedFilters:")[1][:200]
+    assert back.count() > 0
