@@ -447,3 +447,90 @@ def asof_match_forward(
             "match_id",
         )
     )
+
+
+@register(
+    "q_join_pit_staleness",
+    oracle="""
+    SELECT p.event_id AS probe_id, p.ts AS probe_ts, b.event_id AS match_id,
+           (epoch_us(p.ts) - epoch_us(b.ts)) // 60000000 AS staleness_min
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events
+               WHERE event_type <> 'purchase') b
+      ON p.user_id = b.user_id AND b.ts <= p.ts
+    WHERE epoch_us(p.ts) - epoch_us(b.ts) <= 3600000000::BIGINT
+    """,
+)
+def q_join_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join with a staleness bound: the backward as-of
+    match, kept only when the matched state is at most 1 hour old, with
+    the staleness (whole minutes, integer µs arithmetic) in the output
+    — the feature-store read discipline ('use the latest feature value,
+    but never one staler than the SLA').
+
+    Shape: the as-of core's single user-keyed window + a residual
+    filter on the matched timestamp — the bound never becomes a range
+    join.  Probes whose only match is stale drop out (the SLA-violating
+    rows a feature pipeline routes to a default/imputation path)."""
+    e = table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "purchase")
+    build = e.filter(F.col("event_type") != "purchase")
+    matched = asof_match_with_ts(probe, build)
+    lag_us = F.expr(
+        "unix_micros(cast(probe_ts as timestamp))"
+        " - unix_micros(cast(match_ts as timestamp))"
+    )
+    return (
+        matched.withColumn("__lag_us", lag_us)
+        .filter(F.col("__lag_us") <= 60 * 60_000_000)
+        .select(
+            "probe_id",
+            "probe_ts",
+            "match_id",
+            F.expr("__lag_us div 60000000").alias("staleness_min"),
+        )
+    )
+
+
+def asof_match_with_ts(
+    probe_events: DataFrame, build_events: DataFrame
+) -> DataFrame:
+    """asof_match variant that also carries the matched build row's
+    timestamp (needed by staleness-bounded reads)."""
+    probe = probe_events.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast("bigint").alias("build_id"),
+    )
+    build = build_events.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("probe_id"),
+        F.col("event_id").alias("build_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", F.coalesce("build_id", "probe_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    merged = (
+        probe.unionByName(build)
+        .withColumn(
+            "match_id", F.last("build_id", ignorenulls=True).over(w)
+        )
+        .withColumn("match_ts", F.last(bts, ignorenulls=True).over(w))
+    )
+    return (
+        merged.filter((F.col("is_probe") == 1) & F.col("match_id").isNotNull())
+        .select(
+            F.col("probe_id").alias("probe_id"),
+            F.col("ts").alias("probe_ts"),
+            "match_id",
+            "match_ts",
+        )
+    )
