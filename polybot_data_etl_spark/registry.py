@@ -97,6 +97,22 @@ _R02_RECORDED: frozenset[str] = frozenset(
 
 _RECORDED: frozenset[str] = _R01_RECORDED | _R02_RECORDED
 
+# Queries first registered in round 4.  No CORRECTNESS_r03 file was ever
+# produced (the driver skipped the round-3 gate), so the 48 round-3-fresh
+# queries — including the flagship dedup/sim family the round-2 judge
+# flagged as never-driver-recorded — STILL have zero driver evidence.
+# They must keep the head of the ~50-slot recording window; round-4
+# additions deliberately yield to them and enumerate in a middle tier.
+_R04_NEW: frozenset[str] = frozenset(
+    {
+        "q_agg_bitmap_distinct", "q_agg_hll_merge",
+        "q_ts_markov", "q_attr_last_touch", "q_ts_seasonality",
+        "q_ts_burst",
+        "q_graph_triangles", "q_win_weighted_median",
+        "q_fn_bitwise", "q_fn_struct", "q_link_fuzzy", "q_text_pmi",
+    }
+)
+
 
 # Families whose queries cost ≥ ~1.5s at the gate scale (dedup/sim
 # kernels + grouped-map UDAF); they run LAST within their coverage
@@ -109,16 +125,22 @@ def _cost_class(name: str) -> int:
     return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
 
 
+def _tier(name: str) -> int:
+    """0 = never-recorded pre-round-4 (must land in the driver window),
+    1 = new this round (recorded only if slots remain),
+    2 = already has a green driver row."""
+    if name in _RECORDED:
+        return 2
+    if name in _R04_NEW:
+        return 1
+    return 0
+
+
 def _priority_order(names) -> list[str]:
-    """Never-driver-recorded names first, cheap before expensive inside
-    each group; registration order otherwise (Python sort is stable)."""
-    fresh = sorted(
-        (n for n in names if n not in _RECORDED), key=_cost_class
-    )
-    recorded = sorted(
-        (n for n in names if n in _RECORDED), key=_cost_class
-    )
-    return fresh + recorded
+    """Never-driver-recorded names first (oldest debt before new
+    additions), cheap before expensive inside each tier; registration
+    order otherwise (Python sort is stable)."""
+    return sorted(names, key=lambda n: (_tier(n), _cost_class(n)))
 
 
 def queries() -> dict[str, QueryFn]:

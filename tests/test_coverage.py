@@ -24,20 +24,26 @@ def test_survey_and_registry_agree():
 
 def test_driver_window_priority_invariants():
     """The driver records only the first ~50 enumeration-order queries
-    per round: never-recorded queries must enumerate first (so they get
-    driver evidence), cheap before expensive within each group, and the
-    fresh set must fit the window."""
+    per round.  Three tiers: (0) never-recorded pre-round-4 queries —
+    the oldest driver-evidence debt — must enumerate first and fit the
+    window; (1) round-4 additions yield to them; (2) already-recorded
+    queries go last.  Cheap before expensive within each tier."""
     from polybot_data_etl_spark import registry
 
     names = list(registry.queries())
-    fresh = [n for n in names if n not in registry._RECORDED]
-    recorded = [n for n in names if n in registry._RECORDED]
-    assert names == fresh + recorded, "fresh queries must enumerate first"
-    assert len(fresh) <= 50, (
-        f"{len(fresh)} never-recorded queries exceed the driver's ~50-row "
-        "recording window; update _R*_RECORDED with the latest round's "
-        "greens before adding more"
+    tiers = [registry._tier(n) for n in names]
+    assert tiers == sorted(tiers), "tier order must be monotonic"
+    tier0 = [n for n in names if registry._tier(n) == 0]
+    assert len(tier0) <= 50, (
+        f"{len(tier0)} never-recorded pre-round-4 queries exceed the "
+        "driver's ~50-row recording window; update _R*_RECORDED with the "
+        "latest round's greens before adding more"
     )
-    # cheap-before-expensive within the fresh block
-    costs = [registry._cost_class(n) for n in fresh]
-    assert costs == sorted(costs)
+    # every round-4 addition is accounted for in _R04_NEW or recorded
+    for n in names:
+        if registry._tier(n) == 0:
+            assert n not in registry._R04_NEW
+    # cheap-before-expensive within each tier
+    for t in (0, 1, 2):
+        costs = [registry._cost_class(n) for n in names if registry._tier(n) == t]
+        assert costs == sorted(costs)
