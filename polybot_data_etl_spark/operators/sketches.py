@@ -1,0 +1,100 @@
+"""Sketch-based distinct counting (SURVEY.md §2 #165-166).
+
+Reference provenance: the reference's processor stage computed audience
+/ reach metrics over the event stream (SURVEY.md §0.1 [REC
+src/etl/.DS_Store:5104]); at 100 TB the naive ``count(DISTINCT ...)``
+is a full shuffle of every distinct value, so production engines
+pre-aggregate into mergeable summaries instead.  Two summary families:
+
+* **Roaring-style bitmaps** (exact): Spark 3.5+ ships
+  ``bitmap_bit_position / bitmap_bucket_number / bitmap_construct_agg /
+  bitmap_or_agg / bitmap_count``.  Each (key, bucket) partition
+  compresses into a <=4 KB bitmap before the shuffle, so shuffle bytes
+  scale with #buckets (one per 32768-id range), not #rows — the same
+  rollup trick Doris/ClickHouse bitmap indexes use, and the answer
+  stays EXACT, so it hash-checks against ``count(DISTINCT)``.
+* **HLL sketches** (approximate, mergeable): ``hll_sketch_agg`` builds
+  an Apache DataSketches HLL per group, ``hll_union_agg`` merges
+  partials — the canonical "store daily sketches, union them into any
+  window later" pattern.  Estimates are library-specific, so the
+  driver's check is rows-only by contract (like #30 q_agg_approx).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event type via bitmap partial
+    aggregation.
+
+    Stage 1 ORs every user_id bit into one bitmap per
+    (event_type, 32k-id bucket) — map-side combinable, tiny shuffle
+    payload; stage 2 sums per-bucket cardinalities.  Equivalent to
+    ``count(DISTINCT user_id)`` but the shuffle carries bitmaps instead
+    of raw ids: at 100 TB that is the difference between shuffling
+    every event row and shuffling #keys × #buckets fixed-size blobs.
+    The bitmap column itself is also a valid *stored* pre-aggregate
+    (write it daily, OR it across days), which count(DISTINCT) can
+    never be.
+    """
+    e = table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.select(
+            "event_type", F.expr("bitmap_count(bm)").alias("bucket_users")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("bucket_users").alias("n_users"))
+    )
+
+
+@register("q_agg_hll_merge", oracle=None)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate distinct: daily HLL sketches of the user
+    set per event type, unioned into a monthly estimate.
+
+    The two-level shape is the point: ``hll_sketch_agg`` runs once over
+    the raw events (what a daily ETL would persist), ``hll_union_agg``
+    then answers the cross-day rollup WITHOUT rescanning the raw data —
+    sketches are a few KB each, so the second stage is free at any
+    scale.  DataSketches HLL estimates are implementation-defined, so
+    this is a rows-only driver check by contract (SURVEY §2 #30
+    precedent); the pytest twin asserts the estimate lands within 5% of
+    exact truth at fixture scale.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            ),
+            F.count("*").alias("n_days"),
+        )
+        .select("event_type", "approx_users", "n_days")
+    )

@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
         predicates,
         relational_ext,
         scans,
+        sketches,
         skew,
         sort_setops,
         timeseries,

@@ -18,8 +18,9 @@ def test_survey_and_registry_agree():
     report = build_report(_SURVEY)
     assert report["problems"] == [], "\n".join(report["problems"])
     assert report["survey_queries"] == report["registered_queries"]
-    # the only rows-only query is the declared approximate one
-    assert report["rows_only"] == ["q_agg_approx"]
+    # the only rows-only queries are the declared approximate ones
+    # (HLL estimates are sketch-library-specific on both engines)
+    assert report["rows_only"] == ["q_agg_approx", "q_agg_hll_merge"]
 
 
 def test_driver_window_priority_invariants():

@@ -33,6 +33,25 @@ def test_every_oracle_has_query():
     assert set(ORACLES) <= set(registry.queries())
 
 
+def test_hll_merge_estimate_within_5pct(spark, duck, sf_dir):
+    """The merged-sketch estimate (rows-only at the driver) must land
+    within 5% of exact distinct truth per event type."""
+    est = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.queries()["q_agg_hll_merge"](spark, sf_dir).collect()
+    }
+    truth = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(truth)
+    for k, exact in truth.items():
+        assert abs(est[k] - exact) <= max(1, 0.05 * exact), (
+            k, est[k], exact
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as se
 
