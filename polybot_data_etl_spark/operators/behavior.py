@@ -1,0 +1,244 @@
+"""Behavioral / product-analytics operators (SURVEY.md §2 #167-170).
+
+Reference provenance: the reference's DAG layer scheduled event-stream
+analytics jobs (SURVEY.md §0.1 [REC src/etl/dags]); these four are the
+canonical session-behavior reads a product-analytics pipeline runs over
+an event lake: state-transition matrices, conversion attribution,
+weekly seasonality profiles, and burst (anomaly-rate) detection.
+
+Scale posture shared by all four: the only per-row shuffle is the lag/
+running window keyed on ``user_id`` (high-cardinality, skew handled by
+AQE) or the hour-bucket aggregation (map-side combinable); every
+normalization happens on a post-aggregate frame whose size is bounded
+by the *schema* (5x5 transitions, 168 week-cells, hour buckets), not by
+the row count, so each query is one fact-table pass at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_ts_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+    FROM t
+    """,
+)
+def q_ts_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event types.
+
+    One lag window per user (ts + event_id tiebreak = deterministic
+    sequence), then a count per (prev, next) pair and a row-probability
+    normalization.  The normalizing window runs over the 5x5 post-agg
+    matrix — size fixed by the event-type vocabulary, so the heavy part
+    is exactly one user-keyed shuffle of the fact table.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 4).alias("p"),
+    )
+
+
+@register(
+    "q_attr_last_touch",
+    oracle="""
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(
+                   CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS touch_type
+        FROM events
+    )
+    SELECT touch_type, count(*) AS n_conversions,
+           round(sum(value), 2) AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY touch_type
+    """,
+)
+def q_attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent preceding non-purchase event type.
+
+    ``last(..., ignorenulls)`` over a frame that ends one row before
+    the current event is the single-pass formulation — no self-join of
+    purchases back onto the event stream, which is the naive shape and
+    a second full shuffle.  Credit rollup is a 4-row aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch_type", touch)
+        .filter((F.col("event_type") == "purchase") & F.col("touch_type").isNotNull())
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "q_ts_seasonality",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    cells AS (
+        SELECT date_diff('day', DATE '1970-01-01', h::DATE) % 7 AS dow_idx,
+               extract(hour FROM h) AS hour_of_day,
+               round(avg(n), 4) AS avg_events
+        FROM hourly GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT avg(avg_events) AS mu, stddev_samp(avg_events) AS sigma
+        FROM cells
+    )
+    SELECT dow_idx, hour_of_day, avg_events,
+           round((avg_events - mu) / sigma, 4) AS z
+    FROM cells CROSS JOIN stats
+    """,
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: average hourly event volume per
+    (day-of-week, hour-of-day) cell, z-scored against the 168-cell week.
+
+    Day-of-week is computed as epoch-days mod 7 (1970-01-01 anchor) —
+    integer arithmetic identical on every engine, dodging the
+    Spark-1=Sunday vs DuckDB-0=Sunday trap (SURVEY §2.1 #5).  The
+    z-score stats come from a 1-row frame broadcast back onto the
+    168-cell profile; raw events are touched exactly once.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    cells = (
+        hourly.groupBy(
+            (F.datediff(F.col("h").cast("date"), F.lit("1970-01-01").cast("date")) % 7)
+            .alias("dow_idx"),
+            F.hour("h").alias("hour_of_day"),
+        )
+        .agg(F.round(F.avg("n"), 4).alias("avg_events"))
+    )
+    stats = cells.agg(
+        F.avg("avg_events").alias("mu"),
+        F.stddev_samp("avg_events").alias("sigma"),
+    )
+    return cells.join(F.broadcast(stats)).select(
+        "dow_idx",
+        "hour_of_day",
+        "avg_events",
+        F.round((F.col("avg_events") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+    )
+
+
+@register(
+    "q_ts_burst",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    scored AS (
+        SELECT event_type, h, n,
+               avg(n) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+               ) AS baseline,
+               count(*) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+               ) AS n_base
+        FROM hourly
+    )
+    SELECT event_type, h, n, round(baseline, 4) AS baseline,
+           round(n / baseline, 4) AS burst_ratio
+    FROM scored
+    WHERE n_base = 24 AND n / baseline >= 1.5
+    """,
+)
+def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours where an event type's volume is >= 1.5x
+    its trailing-24-observed-hours baseline.
+
+    The trailing window runs over the hourly PRE-AGGREGATE (24 rows per
+    frame, one partition per event type), not over raw events — the
+    classic rate-anomaly shape whose cost at 100 TB is the one hourly
+    rollup.  Frames with fewer than 24 prior observed hours are
+    excluded so early-history ratios don't false-positive.
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.avg("n").over(w).alias("baseline_raw"),
+        F.count("*").over(w).alias("n_base"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_base") == 24)
+            & (F.col("n") / F.col("baseline_raw") >= 1.5)
+        )
+        .select(
+            "event_type",
+            "h",
+            "n",
+            F.round("baseline_raw", 4).alias("baseline"),
+            F.round(F.col("n") / F.col("baseline_raw"), 4).alias("burst_ratio"),
+        )
+    )

@@ -164,6 +164,7 @@ def _ensure_loaded() -> None:
     # Imports are for their registration side effects.
     from polybot_data_etl_spark.operators import (  # noqa: F401
         aggregates,
+        behavior,
         graph,
         joins,
         predicates,
