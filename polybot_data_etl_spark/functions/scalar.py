@@ -272,3 +272,82 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.round(F.col("v").cast("double"), 4).alias("val"),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS band,
+           l_orderkey | 15 AS bor,
+           xor(l_orderkey, l_partkey) AS bxor,
+           l_linenumber << 3 AS shl,
+           l_orderkey >> 2 AS shr,
+           bit_count(l_orderkey) AS popcnt
+    FROM lineitem
+    WHERE l_orderkey <= 512
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: AND/OR/XOR, shifts, popcount — the
+    primitives hash-bucketing, bitmap indexes, bloom filters and
+    feature hashing are built from.  Pure whole-stage-codegen
+    projections; the key predicate is pushed to the parquet scan.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 512)
+    return li.select(
+        "l_orderkey",
+        F.expr("l_orderkey & 255").alias("band"),
+        F.expr("l_orderkey | 15").alias("bor"),
+        F.expr("l_orderkey ^ l_partkey").alias("bxor"),
+        F.expr("shiftleft(l_linenumber, 3)").cast("int").alias("shl"),
+        F.expr("shiftright(l_orderkey, 2)").alias("shr"),
+        F.expr("bit_count(l_orderkey)").alias("popcnt"),
+    )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           (struct_pack(
+               inner := struct_pack(nk := c_nationkey,
+                                    bal := round(c_acctbal, 2)),
+               seg := c_mktsegment
+           )).inner.nk AS nk,
+           (struct_pack(
+               inner := struct_pack(nk := c_nationkey,
+                                    bal := round(c_acctbal, 2)),
+               seg := c_mktsegment
+           )).inner.bal AS bal,
+           (struct_pack(
+               inner := struct_pack(nk := c_nationkey,
+                                    bal := round(c_acctbal, 2)),
+               seg := c_mktsegment
+           )).seg AS seg
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) construction and field access: build a
+    two-level struct, then project scalar leaves back out (hash runs
+    over scalars; nested *output* types are exercised by the multimodal
+    family).  Structs are how a wide-event schema nests typed metadata
+    without exploding the column count; Catalyst prunes unaccessed
+    struct fields from parquet reads the same way it prunes columns.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    nested = F.struct(
+        F.struct(
+            F.col("c_nationkey").alias("nk"),
+            F.round("c_acctbal", 2).alias("bal"),
+        ).alias("inner"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return c.select(
+        "c_custkey",
+        nested.getField("inner").getField("nk").alias("nk"),
+        nested.getField("inner").getField("bal").alias("bal"),
+        nested.getField("seg").alias("seg"),
+    )

@@ -692,3 +692,98 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+@register(
+    "q_text_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    big AS (
+        SELECT unnest(list_transform(
+                   range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM toks
+    ),
+    uni AS (
+        SELECT unnest(ws) AS word FROM toks
+    ),
+    bc AS (SELECT bigram, count(*) AS n_xy FROM big GROUP BY bigram),
+    uc AS (SELECT word, count(*) AS n_x FROM uni GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM big)
+    SELECT bigram, n_xy,
+           round((n_xy * n) / (l.n_x * r.n_x * 1.0), 4) AS lift
+    FROM bc
+    JOIN uc l ON l.word = string_split(bigram, ' ')[1]
+    JOIN uc r ON r.word = string_split(bigram, ' ')[2]
+    CROSS JOIN tot
+    WHERE n_xy >= 5
+    ORDER BY lift DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by pointwise-mutual-information
+    lift  P(xy) / (P(x)·P(y))  — pairs that co-occur far above chance
+    (named entities, fixed phrases), the signal phrase-aware tokenizers
+    and stop-phrase filters are built from.
+
+    The lift ratio IS exp(PMI); ranking by it avoids ln() whose libm
+    rounding differs across engines (same rationale as the sampling
+    family's hash-priority arithmetic).  Shape: one corpus pass for
+    bigram counts, one for unigram counts (both map-side combined),
+    two broadcast-sized joins of the n_xy frame against the unigram
+    frame, a 1-row total, then TakeOrderedAndProject — no global sort.
+    The n_xy >= 5 support floor is applied before the joins, so the
+    expensive side entering the join is the *distinct frequent bigram*
+    set, sublinear in corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.lit(1 << 30)),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    bc = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_xy"))
+        # Feeds both the support-filtered join side and the corpus
+        # total below — pin so the explode+count runs once.
+        .localCheckpoint(eager=False)
+    )
+    uc = (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_x"))
+    )
+    # Total bigram mass = Σ n_xy over the count table — no third
+    # corpus pass.
+    tot = bc.agg(F.sum("n_xy").alias("n"))
+    freq = bc.filter(F.col("n_xy") >= 5)
+    lw = F.split(F.col("bigram"), " ")
+    scored = (
+        freq.withColumn("wl", lw.getItem(0))
+        .withColumn("wr", lw.getItem(1))
+        .join(uc.select(F.col("word").alias("wl"), F.col("n_x").alias("nl")), "wl")
+        .join(uc.select(F.col("word").alias("wr"), F.col("n_x").alias("nr")), "wr")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.select(
+            "bigram",
+            "n_xy",
+            F.round(
+                (F.col("n_xy") * F.col("n"))
+                / (F.col("nl") * F.col("nr") * F.lit(1.0)),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(50)
+    )

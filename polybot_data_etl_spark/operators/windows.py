@@ -381,3 +381,64 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("len").alias("longest_streak"))
     )
+
+
+@register(
+    "q_win_weighted_median",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice,
+               sum(l_extendedprice) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_w,
+               sum(l_extendedprice) OVER (
+                   PARTITION BY l_returnflag
+               ) AS tot_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_quantity), 2) AS weighted_median_qty,
+           round(min(tot_w), 2) AS total_weight
+    FROM ranked
+    WHERE cum_w >= tot_w / 2
+    GROUP BY l_returnflag
+    """,
+)
+def q_win_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the quantity at which half the extended-price
+    mass per return flag is reached (the 'value-weighted typical order
+    size' — plain median treats a $10 and a $10,000 line the same).
+
+    Classic cumulative-weight formulation: sort each group by value
+    (unique-key tiebreak → deterministic cum-sums under ties), running
+    weight sum, pick the first value whose cumulative weight crosses
+    half the total.  Both windows share one (flag, qty, key) sort; the
+    crossing pick is a min-aggregate, not a second pass.  At 100 TB the
+    per-group sort is the cost — same shuffle as any percentile — and
+    for skewed groups the same two-pass bucketed rewrite as
+    q_win_dist_scaled applies (bucket-local cum-sums + 32-row bucket
+    summary), since cumulative weight is associative across buckets.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("l_extendedprice").over(w_cum).alias("cum_w"),
+        F.sum("l_extendedprice").over(w_tot).alias("tot_w"),
+    )
+    return (
+        ranked.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_quantity"), 2).alias("weighted_median_qty"),
+            F.round(F.min("tot_w"), 2).alias("total_weight"),
+        )
+    )
