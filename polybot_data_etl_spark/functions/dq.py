@@ -361,3 +361,29 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("tot").alias("n_events"), "entropy"
         )
     )
+
+
+@register(
+    "q_dq_kanon",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+           count(*) >= 5 AS is_k_anonymous
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the (nation, market-segment)
+    quasi-identifier: any equivalence class smaller than k re-identifies
+    its members when the table is released joined to public data.
+
+    One map-side-combinable groupBy on the quasi-identifier — the audit
+    costs the same as any distinct-count rollup at 100 TB.  Release
+    gating (suppress or generalize small classes) composes downstream:
+    semi-join the violating classes back onto the table.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") >= 5).alias("is_k_anonymous"),
+    )

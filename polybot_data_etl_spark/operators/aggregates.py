@@ -476,3 +476,113 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH raw AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               avg(l_quantity) AS m1,
+               avg(l_quantity * l_quantity) AS m2r,
+               avg(l_quantity * l_quantity * l_quantity) AS m3r,
+               avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                 / pow(m2r - m1 * m1, 1.5), 4) AS skewness,
+           round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                  - 3 * m1 * m1 * m1 * m1)
+                 / pow(m2r - m1 * m1, 2) - 3, 4) AS kurtosis_excess
+    FROM raw
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from raw
+    power sums.
+
+    Built-in `skewness`/`kurtosis` differ across engines (sample vs
+    population bias correction), so higher moments are derived from
+    E[x^k] partials — each a plain map-side-combinable avg, one
+    aggregation pass, portable algebra after.  This is also the form
+    that *merges*: per-partition (n, Σx, Σx², Σx³, Σx⁴) vectors
+    combine associatively, which is how a 100 TB scan computes exact
+    third/fourth moments in one shuffle of 5-number summaries.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    raw = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg(q).alias("m1"),
+        F.avg(q * q).alias("m2r"),
+        F.avg(q * q * q).alias("m3r"),
+        F.avg(q * q * q * q).alias("m4r"),
+    )
+    m1, m2r, m3r, m4r = (F.col(c) for c in ("m1", "m2r", "m3r", "m4r"))
+    var = m2r - m1 * m1
+    return raw.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 4
+        ).alias("skewness"),
+        F.round(
+            (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2)
+            - 3,
+            4,
+        ).alias("kurtosis_excess"),
+    )
+
+
+@register(
+    "q_agg_pareto",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               percent_rank() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS pr
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END)
+                 / sum(o_totalprice), 4) AS top10pct_share
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto check): the share of each order
+    priority's revenue contributed by its top-10% orders by value.
+
+    percent_rank with a unique-key tiebreak makes the top-decile
+    membership deterministic; the share is one conditional sum over
+    the ranked frame.  The window is keyed on o_orderpriority (5
+    partitions of the orders table); the skew-safe variant at extreme
+    scale is the same two-pass bucketed rank used by
+    q_win_dist_scaled.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.when(F.col("pr") <= 0.1, F.col("o_totalprice")).otherwise(0.0))
+            / F.sum("o_totalprice"),
+            4,
+        ).alias("top10pct_share"),
+    )

@@ -242,3 +242,57 @@ def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("baseline_raw"), 4).alias("burst_ratio"),
         )
     )
+
+
+@register(
+    "q_agg_rfm",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM per_cust
+    )
+    SELECT r, f, m, count(*) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored into quintiles
+    of Recency (latest order first), Frequency, and Monetary value,
+    rolled up to segment sizes — the standard CRM / lifecycle cut.
+
+    The windows run over the per-customer AGGREGATE (one row per
+    customer, already orders-of-magnitude smaller than the fact
+    table), with a custkey tiebreak making every ntile boundary
+    deterministic.  At 100 TB the global ntile sort over customers is
+    the pressure point; the drop-in rewrite is approx-quantile
+    cutpoints (computed once, broadcast, score by comparison) or the
+    two-pass bucketed rank of q_win_dist_scaled — both preserve these
+    segment semantics to within cutpoint resolution.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        per_cust.select(
+            F.ntile(5).over(w_r).alias("r"),
+            F.ntile(5).over(w_f).alias("f"),
+            F.ntile(5).over(w_m).alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+    )
