@@ -313,3 +313,40 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_outer(
+    left: DataFrame, right: DataFrame, band: str = "INTERVAL 1 HOUR"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left event, paired
+    with same-user right events following it within `band`, or
+    null-extended if none arrives.
+
+    Outer stream-stream joins are the watermark API's hardest contract:
+    a matched pair emits as soon as both sides meet, but the
+    null-extended row for an unmatched left event can only emit once
+    the watermark proves no in-band right row can still arrive
+    (watermark > left.ts + band) — at which point the buffered left row
+    is evicted from the join state.  The time-band condition is what
+    makes the state bounded on both sides; without it Spark rejects the
+    outer join outright.  Same shape as `interval_join`, different
+    `how` — the declarative surface stays identical.
+    """
+    a = left.withWatermark("ts", "0 seconds").alias("a")
+    b = right.withWatermark("ts", "0 seconds").alias("b")
+    return a.join(
+        b,
+        F.expr(
+            f"""
+            a.user_id = b.user_id AND
+            b.ts > a.ts AND
+            b.ts <= a.ts + {band}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.ts").alias("a_ts"),
+    )

@@ -381,3 +381,61 @@ def test_streaming_restart_resumes_from_checkpoint(
     ok, why = frames_match(combined, ref)
     assert ok, why
     assert n_phase1 > 0 and len(combined) > n_phase1
+
+
+def test_streaming_interval_join_outer_equals_batch(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """Left-outer stream-stream interval join: matched pairs equal the
+    batch left-join's matched set exactly; null-extended rows equal the
+    batch unmatched set for every left event old enough that the final
+    watermark (max ts) proves no in-band match can still arrive.
+    Younger unmatched lefts stay buffered when the query stops — the
+    honest outer-join watermark semantic, not a bug."""
+    left = jobs.events_file_stream(spark, replay_dir)
+    right = jobs.events_file_stream(spark, replay_dir)
+    got = _run(
+        spark,
+        jobs.interval_join_outer(left, right),
+        tmp_path,
+        name="ijo",
+    )
+
+    a = batch_events.alias("a")
+    b = batch_events.alias("b")
+    batch = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .select(
+            F.col("a.event_id").alias("a_id"),
+            F.col("b.event_id").alias("b_id"),
+            F.col("a.ts").alias("a_ts"),
+        )
+        .toPandas()
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    import pandas as pd
+
+    horizon = max_ts - pd.Timedelta(hours=1)
+
+    got_matched = got[got["b_id"].notna()]
+    batch_matched = batch[batch["b_id"].notna()]
+    assert set(map(tuple, got_matched[["a_id", "b_id"]].values)) == set(
+        map(tuple, batch_matched[["a_id", "b_id"]].values)
+    )
+    # null-extended rows: complete for lefts beyond the eviction horizon
+    got_null_old = set(got[got["b_id"].isna() & (got["a_ts"] < horizon)]["a_id"])
+    batch_null_old = set(
+        batch[batch["b_id"].isna() & (batch["a_ts"] < horizon)]["a_id"]
+    )
+    assert got_null_old == batch_null_old
+    assert len(batch_null_old) > 0, "fixture must exercise null-extension"
+    # and no spurious null-extension anywhere
+    assert set(got[got["b_id"].isna()]["a_id"]) <= set(
+        batch[batch["b_id"].isna()]["a_id"]
+    )
