@@ -351,3 +351,34 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         nested.getField("inner").getField("bal").alias("bal"),
         nested.getField("seg").alias("seg"),
     )
+
+
+@register(
+    "q_fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name || '|' || c_mktsegment) AS row_sha,
+           substring(md5(c_name), 1, 8) AS short_key
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface: md5 / sha-256 hex digests — the
+    portable content-address primitives (row fingerprints, change
+    detection, PII-safe join keys).  Standardized algorithms hash-match
+    across every engine, unlike engine-native hashes (xxhash64 etc.),
+    which is why the dedup family's *portable* fingerprints are built
+    from arithmetic instead.  Concatenation uses an explicit separator
+    so (a, bc) never collides with (ab, c).
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.concat_ws("|", "c_name", "c_mktsegment"), 256).alias(
+            "row_sha"
+        ),
+        F.substring(F.md5("c_name"), 1, 8).alias("short_key"),
+    )

@@ -296,3 +296,167 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "f", "m")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    centered AS (
+        SELECT event_type, day, n,
+               avg(n) OVER (PARTITION BY event_type) AS mu
+        FROM daily
+    ),
+    cusum AS (
+        SELECT event_type, day,
+               round(sum(n - mu) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS s
+        FROM centered
+    ),
+    ranked AS (
+        SELECT event_type, day, s,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY abs(s) DESC, day
+               ) AS rn
+        FROM cusum
+    )
+    SELECT event_type, day AS change_day, s AS cusum_stat
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: per event type, the day where the
+    cumulative sum of (daily volume − overall mean) peaks in magnitude
+    — the classic level-shift locator (a flat series random-walks near
+    zero; a mean shift makes |CUSUM| hill-shaped with its peak at the
+    shift).
+
+    Three windows, all over the DAILY pre-aggregate (≤31 rows per
+    type): mean, running CUSUM, argmax with a day tiebreak.  Raw
+    events are touched once, in the map-side-combinable daily rollup.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w_mu = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.select(
+        "event_type",
+        "day",
+        F.round(
+            F.sum(F.col("n") - F.avg("n").over(w_mu)).over(w_cum), 4
+        ).alias("s"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("s").alias("cusum_stat"),
+        )
+    )
+
+
+@register(
+    "q_attr_linear",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seg
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, seg, event_type AS touch_type,
+               count(*) AS n_type
+        FROM seq WHERE event_type <> 'purchase'
+        GROUP BY user_id, seg, event_type
+    ),
+    seg_tot AS (
+        SELECT user_id, seg, sum(n_type) AS n_tot
+        FROM touches GROUP BY user_id, seg
+    ),
+    conv AS (
+        SELECT user_id, seg, sum(value) AS conv_value
+        FROM seq WHERE event_type = 'purchase'
+        GROUP BY user_id, seg
+    )
+    SELECT t.touch_type,
+           round(sum(c.conv_value * t.n_type / s.n_tot), 2) AS credit
+    FROM touches t
+    JOIN seg_tot s ON s.user_id = t.user_id AND s.seg = t.seg
+    JOIN conv c ON c.user_id = t.user_id AND c.seg = t.seg
+    GROUP BY t.touch_type
+    """,
+)
+def q_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: each purchase's
+    value is split evenly across the touch types the user generated
+    since their previous purchase — the multi-touch counterpart of
+    q_attr_last_touch.
+
+    Journey segmentation is one exclusive running count of prior
+    purchases (seg k = the stretch before the (k+1)-th purchase); the
+    credit joins then run on (user, seg) — post-aggregate frames, two
+    orders smaller than the event stream.  All three frames derive
+    from ONE windowed pass over events; the fact table is never
+    re-joined against itself row-to-row.
+    """
+    e = table(spark, sf_dir, "events")
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.count(
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+        )
+        .over(w_seg)
+        .alias("seg"),
+    ).localCheckpoint(eager=False)
+    touches = (
+        seq.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "seg", F.col("event_type").alias("touch_type"))
+        .agg(F.count("*").alias("n_type"))
+    )
+    seg_tot = touches.groupBy("user_id", "seg").agg(
+        F.sum("n_type").alias("n_tot")
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "seg")
+        .agg(F.sum("value").alias("conv_value"))
+    )
+    return (
+        touches.join(seg_tot, ["user_id", "seg"])
+        .join(conv, ["user_id", "seg"])
+        .groupBy("touch_type")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("conv_value") * F.col("n_type") / F.col("n_tot")
+                ),
+                2,
+            ).alias("credit")
+        )
+    )
