@@ -98,3 +98,93 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "approx_users", "n_days")
     )
+
+
+# Count-min sketch geometry: d=4 portable multiplicative hash rows,
+# w=256 counters each.  The (a, b) pairs are fixed primes/odd constants
+# so both engines compute identical bucket indices — the sketch is
+# DETERMINISTIC, which is what makes its estimates hash-checkable,
+# unlike engine-native hash functions.
+_CMS_PARAMS: tuple[tuple[int, int, int], ...] = (
+    (0, 2654435761, 97),
+    (1, 2246822519, 1013),
+    (2, 3266489917, 293),
+    (3, 668265263, 7919),
+)
+_CMS_P = 1_000_000_007
+_CMS_W = 256
+
+
+def _cms_oracle() -> str:
+    values = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_PARAMS)
+    return f"""
+    WITH params(i, a, b) AS (VALUES {values}),
+    counters AS (
+        SELECT p.i,
+               ((l.l_partkey * p.a + p.b) % {_CMS_P}) % {_CMS_W} AS bk,
+               count(*) AS c
+        FROM lineitem l CROSS JOIN params p
+        GROUP BY p.i, bk
+    ),
+    keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+    est AS (
+        SELECT k.l_partkey, min(c.c) AS est_count
+        FROM keys k
+        CROSS JOIN params p
+        JOIN counters c
+          ON c.i = p.i
+         AND c.bk = ((k.l_partkey * p.a + p.b) % {_CMS_P}) % {_CMS_W}
+        GROUP BY k.l_partkey
+    )
+    SELECT l_partkey, est_count
+    FROM est ORDER BY est_count DESC, l_partkey LIMIT 20
+    """
+
+
+@register("q_agg_cms_topk", oracle=_cms_oracle())
+def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: top-20 part keys by CMS-estimated
+    frequency (d=4 hash rows × w=256 counters).
+
+    Completes the sketch family — bitmap (exact distinct), HLL
+    (mergeable approx distinct), CMS (frequency).  The counter build is
+    one map-side-combinable aggregation whose output is d·w = 1024 rows
+    REGARDLESS of input size — the whole point at 100 TB: the shuffle
+    carries a fixed-size table, counters merge associatively across
+    partitions/days, and any key's frequency is answerable later
+    without the raw data (estimate = min over rows, one-sided
+    overestimate ≤ εN).  The probe joins every distinct key against the
+    broadcast counter table and takes the row-minimum.  The hash family
+    is portable multiplicative arithmetic, so the DuckDB oracle
+    reproduces the sketch bit-for-bit — the check verifies the
+    ALGORITHM, not a lucky estimate.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def buckets(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (((key * F.lit(a) + F.lit(b)) % F.lit(_CMS_P)) % F.lit(_CMS_W)).alias("bk"),
+                )
+                for i, a, b in _CMS_PARAMS
+            ]
+        )
+
+    counters = (
+        li.select(F.explode(buckets(F.col("l_partkey"))).alias("x"))
+        .groupBy(F.col("x.i").alias("i"), F.col("x.bk").alias("bk"))
+        .agg(F.count("*").alias("c"))
+    )
+    keys = li.distinct()
+    probed = keys.select(
+        "l_partkey", F.explode(buckets(F.col("l_partkey"))).alias("x")
+    ).select("l_partkey", F.col("x.i").alias("i"), F.col("x.bk").alias("bk"))
+    return (
+        probed.join(F.broadcast(counters), ["i", "bk"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("l_partkey"))
+        .limit(20)
+    )

@@ -794,3 +794,128 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "q_ts_interp",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1
+        FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.event_type, s.h,
+               date_diff('hour', TIMESTAMP '1970-01-01', s.h) AS hidx,
+               o.n
+        FROM spine s LEFT JOIN hourly o
+          ON o.event_type = s.event_type AND o.h = s.h
+    ),
+    fenced AS (
+        SELECT event_type, h, hidx, n,
+               last_value(n IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hidx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_n,
+               last_value(CASE WHEN n IS NOT NULL THEN hidx END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY event_type ORDER BY hidx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_h,
+               first_value(n IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hidx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_n,
+               first_value(CASE WHEN n IS NOT NULL THEN hidx END IGNORE NULLS)
+                   OVER (
+                   PARTITION BY event_type ORDER BY hidx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_h
+        FROM joined
+    )
+    SELECT event_type, h,
+           round(CASE WHEN n IS NOT NULL THEN n
+                 ELSE prev_n + (next_n - prev_n) * (hidx - prev_h)
+                      / (next_h - prev_h) END, 4) AS value,
+           (n IS NULL) AS interpolated
+    FROM fenced
+    """,
+)
+def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gapfill: the hourly volume series per event
+    type on a dense min→max hour spine, missing hours filled by
+    interpolating between the nearest observed neighbors (the
+    time-series counterpart of LOCF — LOCF holds, interp slopes).
+
+    Same spine discipline as q_ts_gapfill: the dense axis is generated
+    per group with `sequence` (a Generate, no join against a calendar
+    table), and the neighbor search is two ignorenulls window fences —
+    never a per-gap self-join.  Gap positions interpolate on integer
+    epoch-hour indices, portable across engines.  Interior spine rows
+    always have both fences (the spine ends at observed extremes), so
+    no NULL edge cases leak out.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("double").alias("n"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.expr("unix_micros(cast(h as timestamp)) div 3600000000").alias(
+            "hidx"
+        ),
+        "n",
+    )
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("n").isNotNull(), F.col("hidx"))
+    fenced = joined.select(
+        "event_type",
+        "h",
+        "hidx",
+        "n",
+        F.last("n", ignorenulls=True).over(w_back).alias("prev_n"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("prev_h"),
+        F.first("n", ignorenulls=True).over(w_fwd).alias("next_n"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("next_h"),
+    )
+    interp = F.col("prev_n") + (F.col("next_n") - F.col("prev_n")) * (
+        F.col("hidx") - F.col("prev_h")
+    ) / (F.col("next_h") - F.col("prev_h"))
+    return fenced.select(
+        "event_type",
+        "h",
+        F.round(
+            F.when(F.col("n").isNotNull(), F.col("n")).otherwise(interp), 4
+        ).alias("value"),
+        F.col("n").isNull().alias("interpolated"),
+    )
