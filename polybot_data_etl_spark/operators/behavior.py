@@ -460,3 +460,85 @@ def q_attr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credit")
         )
     )
+
+
+@register(
+    "q_ts_growth",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM days
+    ),
+    maxd AS (SELECT max(d) AS dmax FROM days),
+    states AS (
+        SELECT d,
+               CASE WHEN prev_d IS NULL THEN 'new'
+                    WHEN prev_d = d - INTERVAL 1 DAY THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM seq
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY AS d, 'churned' AS state
+        FROM seq CROSS JOIN maxd
+        WHERE (next_d IS NULL OR next_d > d + INTERVAL 1 DAY)
+          AND d + INTERVAL 1 DAY <= dmax
+    )
+    SELECT d, state, count(*) AS n_users
+    FROM states GROUP BY d, state
+    """,
+)
+def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active user-day classified as new /
+    retained / resurrected, plus a churned row on the day after an
+    activity streak ends — the standard DAU decomposition
+    (new + retained + resurrected − churned telescopes into ΔDAU).
+
+    One distinct on (user, day) — map-side combined — then a single
+    user-keyed lag/lead window pass emits both the activity state and
+    the churn event; no day-by-day self-join of the activity matrix.
+    Churn attribution stops at the observation horizon (a user silent
+    on the final day is not yet churned).  Everything downstream of
+    the distinct is bounded by active user-days.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.select(
+        "user_id",
+        "d",
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    ).localCheckpoint(eager=False)
+    one_day = F.expr("INTERVAL 1 DAY")
+    states = seq.select(
+        "d",
+        F.when(F.col("prev_d").isNull(), F.lit("new"))
+        .when(F.col("prev_d") == F.col("d") - one_day, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    maxd = days.agg(F.max("d").alias("dmax"))
+    churned = (
+        seq.crossJoin(F.broadcast(maxd))
+        .filter(
+            (
+                F.col("next_d").isNull()
+                | (F.col("next_d") > F.col("d") + one_day)
+            )
+            & (F.col("d") + one_day <= F.col("dmax"))
+        )
+        .select(
+            (F.col("d") + one_day).alias("d"), F.lit("churned").alias("state")
+        )
+    )
+    return (
+        states.unionAll(churned)
+        .groupBy("d", "state")
+        .agg(F.count("*").alias("n_users"))
+    )

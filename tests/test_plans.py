@@ -160,6 +160,7 @@ _NLJ_ALLOWED = {
     "q_graph_triangles",  # 1-row edge-count × 1-row triangle-count join
     "q_ts_seasonality",   # 1-row z-score stats broadcast crossJoin
     "q_text_pmi",         # 1-row bigram-total broadcast crossJoin
+    "q_ts_growth",        # 1-row horizon-max broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
