@@ -586,3 +586,53 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top10pct_share"),
     )
+
+
+@register(
+    "q_agg_winsorized",
+    oracle="""
+    WITH cuts AS (
+        SELECT l_linestatus,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l.l_linestatus,
+           round(avg(l.l_extendedprice), 2) AS mean_raw,
+           round(avg(least(greatest(l.l_extendedprice, c.p05), c.p95)), 2)
+               AS mean_winsorized,
+           round(min(c.p05), 4) AS p05,
+           round(min(c.p95), 4) AS p95
+    FROM lineitem l JOIN cuts c ON c.l_linestatus = l.l_linestatus
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: the group mean after clamping values into the
+    [p05, p95] band — the robust location estimate reporting pipelines
+    use so a single fat-finger order can't move a revenue KPI.
+
+    Two passes by necessity (the cutpoints are order statistics): an
+    exact-percentile aggregate per group (3 rows) broadcast back onto
+    the fact table, then one clamped avg.  At 100 TB pass 1 switches
+    to `approx_percentile` (t-digest, one shuffle of digest state) and
+    pass 2 is unchanged — the clamp is a codegen projection.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_linestatus").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(cuts), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
+            F.round(F.avg(clamped), 2).alias("mean_winsorized"),
+            F.round(F.min("p05"), 4).alias("p05"),
+            F.round(F.min("p95"), 4).alias("p95"),
+        )
+    )

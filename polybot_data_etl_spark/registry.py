@@ -112,7 +112,7 @@ _R04_NEW: frozenset[str] = frozenset(
         "q_fn_bitwise", "q_fn_struct", "q_link_fuzzy", "q_text_pmi",
         "q_agg_rfm", "q_agg_moments", "q_agg_pareto", "q_dq_kanon",
         "q_fn_hash", "q_ts_changepoint", "q_attr_linear",
-        "q_agg_cms_topk", "q_ts_interp", "q_ts_growth",
+        "q_agg_cms_topk", "q_ts_interp", "q_ts_growth", "q_agg_winsorized",
     }
 )
 
