@@ -364,3 +364,57 @@ def test_time_pruned_scan_pushes_ts_range(spark, sf_dir):
     assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
     assert "props" not in plan  # column pruning
     assert "partial_sum" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime bloom-filter injection: a selective dimension
+    filter materializes a bloom filter that is pushed into the fact
+    side's scan stage, so fact rows with no join partner die before the
+    shuffle — at 100 TB this is the difference between shuffling the
+    full fact table and shuffling the ~2% that survives the dim filter.
+    Disabled-broadcast forces the shuffle-join shape where the bloom
+    matters; confs are restored after."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from polybot_data_etl_spark.catalog import table
+
+        li = table(spark, sf_dir, "lineitem")
+        pt = table(spark, sf_dir, "part").filter(
+            F.col("p_partkey") % 50 == 0
+        )
+        j = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
