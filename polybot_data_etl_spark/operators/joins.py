@@ -628,3 +628,50 @@ def q_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ck_a").alias("first_left"),
         F.max("ck_b").alias("last_right"),
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH fact AS (
+        SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
+               o_totalprice
+        FROM orders
+    ),
+    dim AS (
+        SELECT DISTINCT nullif(o_orderstatus, 'O') AS st FROM orders
+    )
+    SELECT d.st, count(*) AS n_orders,
+           round(sum(f.o_totalprice), 2) AS total
+    FROM fact f JOIN dim d ON f.st IS NOT DISTINCT FROM d.st
+    GROUP BY d.st
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — the semantics CDC
+    merges and dimension lookups need when the business key is
+    legitimately nullable (a plain equi-join silently drops every NULL
+    row; the null-safe operator keeps them AND stays a hash join,
+    since <=> is still an equality predicate Spark can partition on —
+    no degradation to a nested-loop).
+
+    The nullable key is derived with nullif so the fixture exercises
+    the NULL-matching path deterministically.
+    """
+    o = table(spark, sf_dir, "orders")
+    fact = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+        "o_totalprice",
+    )
+    dim = fact.select("st").distinct().alias("d")
+    return (
+        fact.alias("f")
+        .join(dim, F.col("f.st").eqNullSafe(F.col("d.st")))
+        .groupBy(F.col("d.st").alias("st"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

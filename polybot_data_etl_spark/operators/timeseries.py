@@ -919,3 +919,58 @@ def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value"),
         F.col("n").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "q_ts_forecast_snaive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    scored AS (
+        SELECT event_type, d, n,
+               lag(n, 7) OVER (
+                   PARTITION BY event_type ORDER BY d
+               ) AS forecast
+        FROM daily
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(avg(abs(n - forecast)), 4) AS mae,
+           round(avg(abs(n - forecast) / n), 4) AS mape
+    FROM scored
+    WHERE forecast IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's volume as
+    the volume 7 observed days earlier (weekly seasonality), and score
+    MAE / MAPE per event type over the days where the lag exists — the
+    baseline every real forecasting model must beat, and the shape of
+    a backtest harness (prediction = pure window function, scoring =
+    one aggregate).
+
+    All windows run over the daily pre-aggregate (≤31 rows per type);
+    the error ratios are integer-over-integer division, portable
+    across engines.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.withColumn("forecast", F.lag("n", 7).over(w))
+    err = F.abs(F.col("n") - F.col("forecast"))
+    return (
+        scored.filter(F.col("forecast").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(F.avg(err / F.col("n")), 4).alias("mape"),
+        )
+    )
