@@ -472,3 +472,69 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "valid_from", F.round("value", 2).alias("value_at"))
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE chain(c_custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey AS node, 0 AS depth
+    FROM customer WHERE c_custkey <= 500
+    UNION ALL
+    SELECT c_custkey, CAST(floor(node / 10) AS BIGINT) AS node,
+           depth + 1 AS depth
+    FROM chain WHERE node > 0
+)
+SELECT c_custkey, max(depth) AS depth_to_root,
+       count(*) AS chain_len
+FROM chain
+GROUP BY c_custkey
+"""
+
+
+@register("q_sql_recursive", oracle=_RECURSIVE_SQL)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (`WITH RECURSIVE`, new in Spark 4): walk each
+    customer key up its decimal-trie ancestry (node → node/10) to the
+    root and measure the chain — the hierarchy/bill-of-materials query
+    shape (org charts, category trees, ownership graphs).
+
+    Iteration semantics are the SQL-standard UNION ALL fixpoint and
+    match DuckDB exactly, so the oracle is the VERBATIM same string —
+    the strongest possible parity statement for the surface.  Depth is
+    bounded by the key width (≤ 9 here); at 100 TB the same query
+    iterates breadth-first with one shuffle per level, exactly like
+    the hand-rolled superstep loop in connected components, but
+    planner-managed.
+    """
+    _register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       round(t.o_totalprice, 2) AS top_price
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+WHERE c.c_custkey <= 300
+"""
+
+
+@register("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer row drives a top-2
+    probe into its own orders — the SQL-surface twin of the window
+    top-k (#32), kept verbatim-identical on both engines.
+
+    Catalyst decorrelates the LIMIT-bearing lateral into a ranked
+    window join rather than executing per-row probes, so the plan is
+    the same shuffle-once shape as q_win_topk_group — worth having as
+    a registered query precisely because users write this form and an
+    engine that executed it row-at-a-time would be unusable at scale.
+    """
+    _register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
