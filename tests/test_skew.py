@@ -144,3 +144,89 @@ def test_salted_join_rejects_outer_modes(spark, skewed):
     dim = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(skewed, dim, ["k"], how="full")
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """AQE's OptimizeSkewedJoin must split a hot shuffle partition into
+    parallel sub-reads (SortMergeJoin(skew=true) + 'skewed' AQE shuffle
+    read) on a 90%-hot join key — the runtime complement of the manual
+    salting in operators/skew.py (SCALE.md records when each wins).
+    Thresholds are lowered so fixture-scale data trips the detector;
+    confs are restored after."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k").select(
+            F.substring("pad", 1, 4).alias("s"), "w"
+        )
+        # Execute THIS DataFrame: AQE finalizes the plan it ran, and
+        # the skew markers only exist on the final physical plan.
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew split did not fire"
+        assert "skewed" in plan  # the AQEShuffleRead marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_observe_metrics_without_extra_pass(spark, sf_dir):
+    """The Observation API collects data-quality metrics DURING a query
+    (accumulator-based) — row counts and sums arrive with the result,
+    with no second scan of the input.  This is how a 100 TB pipeline
+    self-audits (rows read, nulls seen, value totals) for free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from polybot_data_etl_spark.catalog import table
+
+    obs = Observation("dq")
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        li.observe(
+            obs,
+            F.count("*").alias("rows_seen"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_total"),
+            F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["l_returnflag"]: r["n"] for r in out.collect()}
+    m = obs.get
+    assert m["rows_seen"] == sum(got.values())
+    assert m["null_qty"] == 0
+    assert m["price_total"] > 0
