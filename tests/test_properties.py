@@ -259,3 +259,25 @@ def test_asof_fwd_matches_bruteforce(spark, probe_rows, build_rows):
         if cands:
             want[1000 + i] = min(cands)[1]
     assert got == want
+
+
+def test_cms_estimate_one_sided(spark, sf_dir):
+    """Count-min invariant: the sketch NEVER under-counts (estimate ≥
+    exact frequency for every key — min over d hash rows of counters
+    that each contain the key's full count plus collisions), and the
+    total overestimate is bounded by collisions: est ≤ exact + N/w per
+    row in expectation; we assert the hard lower bound and a loose
+    deterministic upper bound est ≤ N (a counter can never exceed the
+    total insert count)."""
+    est_df = registry.queries()["q_agg_cms_topk"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    n_total = li.count()
+    exact = {
+        r["l_partkey"]: r["n"]
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(est_df) == 20
+    for r in est_df:
+        k, est = r["l_partkey"], r["est_count"]
+        assert est >= exact[k], (k, est, exact[k])
+        assert est <= n_total
