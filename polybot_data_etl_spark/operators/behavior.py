@@ -164,6 +164,9 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("h").alias("hour_of_day"),
         )
         .agg(F.round(F.avg("n"), 4).alias("avg_events"))
+        # Feeds both the 1-row z stats and the final join — pin the
+        # 168-row profile so events is scanned once.
+        .localCheckpoint(eager=False)
     )
     stats = cells.agg(
         F.avg("avg_events").alias("mu"),
@@ -505,9 +508,13 @@ def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct is bounded by active user-days.
     """
     e = table(spark, sf_dir, "events")
-    days = e.select(
-        "user_id", F.date_trunc("day", "ts").alias("d")
-    ).distinct()
+    days = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        # Feeds both the lag/lead pass and the horizon max — pin the
+        # active-user-day frame so events is scanned once.
+        .localCheckpoint(eager=False)
+    )
     w = Window.partitionBy("user_id").orderBy("d")
     seq = days.select(
         "user_id",

@@ -867,9 +867,13 @@ def q_ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").cast("double").alias("n"))
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("double").alias("n"))
+        # Feeds both the spine bounds and the observation join — pin
+        # the hour-bounded frame so events is scanned once.
+        .localCheckpoint(eager=False)
+    )
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
