@@ -418,3 +418,49 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_distinct_two_stage_no_join(spark, sf_dir):
+    """The bitmap rollup is exactly two aggregation exchanges (per-
+    bucket OR, then per-key sum) — no join, no expand: the shuffle
+    carries bitmaps, never raw ids."""
+    plan = plan_of(spark, sf_dir, "q_agg_bitmap_distinct")
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2
+    assert "Join" not in plan
+    assert "Expand" not in plan  # unlike count(DISTINCT)'s plan
+
+
+def test_link_fuzzy_has_no_join_at_all(spark, sf_dir):
+    """Deletion-neighborhood linkage generates candidate pairs entirely
+    via posting lists (groupBy + double explode): the physical plan
+    contains ZERO join operators — the strongest possible no-self-join
+    statement."""
+    plan = plan_of(spark, sf_dir, "q_link_fuzzy")
+    assert "Join" not in plan
+    assert "ObjectHashAggregate" in plan  # collect_list posting lists
+    assert "Generate" in plan  # variant + pair explodes
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """Both windows and the final aggregate share one l_returnflag
+    hash partitioning: the whole query is a single shuffle."""
+    plan = plan_of(spark, sf_dir, "q_win_weighted_median")
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+    assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_cms_counters_broadcast_topk_no_global_sort(spark, sf_dir):
+    """The 1024-row counter table broadcasts to the key probe, and the
+    final top-20 is TakeOrderedAndProject — no sort-merge join of the
+    probe against counters, no global sort."""
+    plan = plan_of(spark, sf_dir, "q_agg_cms_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_window_keyed_on_user(spark, sf_dir):
+    """The lag sequence shuffles on the high-cardinality user_id; the
+    probability normalization runs over the 5x5 post-agg matrix."""
+    plan = plan_of(spark, sf_dir, "q_ts_markov")
+    assert "hashpartitioning(user_id" in plan
