@@ -183,7 +183,73 @@ def main() -> int:
         )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+
+    # --- fuzzy linkage: naive block join vs deletion-neighborhood ----------
+    # Synthesized names in ~1k-member nation blocks: the naive variant
+    # scores |block|^2/2 Levenshtein pairs per block; the neighborhood
+    # variant only verifies bucket-mates sharing a 1-deletion variant.
+    n_names = min(args.rows // 20, 100_000)
+    names = spark.range(n_names).select(
+        F.col("id").alias("ck"),
+        (F.col("id") % 20).cast("int").alias("nk"),
+        F.concat(F.lit("Customer#"), F.lpad(F.col("id").cast("string"), 9, "0")).alias("nm"),
+    )
+    names.write.mode("overwrite").parquet("/tmp/polybot_stress_names")
+    names = spark.read.parquet("/tmp/polybot_stress_names")
+
+    def naive_fuzzy():
+        a, b = names.alias("a"), names.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.nk") == F.col("b.nk"))
+                & (F.col("a.ck") < F.col("b.ck"))
+                & (F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= 1),
+            )
+            .groupBy(F.col("a.nk"))
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    def neighborhood_fuzzy():
+        variants = F.concat(
+            F.array(F.col("nm")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("nm")),
+                lambda i: F.concat(
+                    F.col("nm").substr(F.lit(1), i - 1),
+                    F.col("nm").substr(i + 1, F.length("nm")),
+                ),
+            ),
+        )
+        keyed = names.select("ck", "nk", "nm", F.explode(variants).alias("v"))
+        buckets = (
+            keyed.groupBy("nk", "v")
+            .agg(F.collect_list(F.struct("ck", "nm")).alias("ms"))
+            .filter(F.size("ms") >= 2)
+        )
+        cand = (
+            buckets.select("nk", F.explode("ms").alias("a"), "ms")
+            .select("nk", F.col("a.ck").alias("ck_a"), F.col("a.nm").alias("nm_a"),
+                    F.explode("ms").alias("b"))
+            .filter(F.col("ck_a") < F.col("b.ck"))
+            .select("nk", "ck_a", F.col("b.ck").alias("ck_b"), "nm_a",
+                    F.col("b.nm").alias("nm_b"))
+            .distinct()
+        )
+        return (
+            cand.filter(F.levenshtein("nm_a", "nm_b") <= 1)
+            .groupBy("nk").agg(F.count("*").alias("n"))
+            .write.mode("overwrite").format("noop").save()
+        )
+
+    print(f"fuzzy linkage: {n_names:,} names in 20 blocks "
+          f"(~{n_names // 20:,} per block)")
+    timed("naive nation-block levenshtein join", naive_fuzzy)
+    timed("deletion-neighborhood posting lists", neighborhood_fuzzy)
+
     return 0
+
 
 
 if __name__ == "__main__":

@@ -464,3 +464,29 @@ def test_markov_window_keyed_on_user(spark, sf_dir):
     probability normalization runs over the 5x5 post-agg matrix."""
     plan = plan_of(spark, sf_dir, "q_ts_markov")
     assert "hashpartitioning(user_id" in plan
+
+
+def test_nested_struct_field_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """Catalyst prunes unread STRUCT LEAVES from the parquet read
+    schema, not just top-level columns: selecting one leaf of a
+    two-field struct must scan a single-field struct.  At 100 TB wide
+    nested event schemas live or die by this."""
+    import pyspark.sql.functions as F
+
+    from polybot_data_etl_spark.catalog import table
+
+    path = str(tmp_path / "nested")
+    c = table(spark, sf_dir, "customer")
+    c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+        ).alias("profile"),
+    ).write.parquet(path)
+    got = spark.read.parquet(path).select("c_custkey", "profile.bal")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "ReadSchema: struct<c_custkey:bigint,profile:struct<bal:double>>" in plan
+    assert "name" not in plan.split("ReadSchema")[1][:120]
