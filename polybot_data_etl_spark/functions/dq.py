@@ -387,3 +387,57 @@ def q_dq_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("group_size"),
         (F.count("*") >= 5).alias("is_k_anonymous"),
     )
+
+
+@register(
+    "q_dq_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_rows,
+           count(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma THEN 1 END)
+               AS n_outliers,
+           round(min(s.mu), 4) AS mu,
+           round(min(s.sigma), 4) AS sigma
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-sigma outlier audit per event type: how many values fall
+    outside mean ± 3σ — the cheapest continuous-column sanity monitor
+    (a broken upstream writer shows up here before it shows up in
+    revenue).
+
+    Two passes like every parametric audit: a 5-row stats aggregate
+    broadcast back, then one conditional count.  The robust variant
+    (median/MAD cutoffs) is the same plan with percentile cutpoints —
+    see q_agg_winsorized for that shape and its approx_percentile
+    scale path.
+    """
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu"))
+                    > 3 * F.col("sigma"),
+                    F.lit(1),
+                )
+            ).alias("n_outliers"),
+            F.round(F.min("mu"), 4).alias("mu"),
+            F.round(F.min("sigma"), 4).alias("sigma"),
+        )
+    )

@@ -114,7 +114,7 @@ _R04_NEW: frozenset[str] = frozenset(
         "q_fn_hash", "q_ts_changepoint", "q_attr_linear",
         "q_agg_cms_topk", "q_ts_interp", "q_ts_growth", "q_agg_winsorized",
         "q_ts_forecast_snaive", "q_join_null_safe",
-        "q_sql_recursive", "q_sql_lateral",
+        "q_sql_recursive", "q_sql_lateral", "q_dq_outliers",
     }
 )
 
