@@ -531,3 +531,52 @@ def cluster_table(
         .write.parquet(os.path.join(path, version))
     )
     _commit(path, version)
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    path: str,
+    delta_agg: DataFrame,
+    key: list[str],
+    measures: list[str],
+) -> None:
+    """Incremental (continuous-aggregate) rollup maintenance: fold a
+    pre-aggregated DELTA batch into the stored rollup at ``path``
+    without rescanning raw history — existing keys get their additive
+    measures summed, new keys are inserted.
+
+    This is the materialized-view refresh discipline every 100 TB
+    pipeline runs on: the raw event lake is touched only for the new
+    partition (the caller aggregates it to the rollup grain), and the
+    refresh cost is |delta| + |affected rollup keys| — history-size
+    independent.  Only works for additive/mergeable measures (sums,
+    counts, bitmap/HLL sketch columns); avg must be stored as
+    sum+count, min/max are mergeable too via greatest/least — the same
+    decomposition rule as salted_agg and the sketch family.
+
+    NOT idempotent by design (applying a delta twice double-counts);
+    exactly-once application is the commit protocol's job — pair with
+    the manifest-swap versioning (each refresh lands as one committed
+    version) and an upstream batch id when replays are possible.
+    """
+    n_delta = delta_agg.count()
+    n_keys = delta_agg.select(*key).distinct().count()
+    if n_delta != n_keys:
+        raise ValueError(
+            f"delta batch must be pre-aggregated to the rollup grain "
+            f"{key}: {n_delta} rows, {n_keys} distinct keys"
+        )
+    target = read_table(spark, path)
+    t, d = target.alias("t"), delta_agg.alias("d")
+    touched = t.join(d, key, "inner")
+    refreshed = touched.select(
+        *[F.col(f"t.{k}").alias(k) for k in key],
+        *[
+            (F.col(f"t.{m}") + F.col(f"d.{m}")).alias(m)
+            for m in measures
+        ],
+    )
+    new_keys = d.join(t.select(*key), key, "left_anti").select(
+        *key, *measures
+    )
+    merge_upsert(spark, path, refreshed.unionByName(new_keys), key)

@@ -444,3 +444,53 @@ def test_merge_upsert_schema_evolution(spark, sf_dir, tmp_path):
     bad = base.filter(F.col("r_regionkey") == 1)  # lacks r_tier
     with pytest.raises(ValueError, match="lacks table columns"):
         repo.merge_upsert(spark, path, bad, ["r_regionkey"])
+
+
+def test_refresh_rollup_incremental_equals_recompute(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: fold a new-partition delta
+    into the stored daily rollup; the refreshed table must equal a
+    full recompute over all history, and version history must show
+    exactly one new committed version per refresh."""
+    path = str(tmp_path / "rollup")
+    e = table(spark, sf_dir, "events")
+    grain = [
+        F.col("event_type"),
+        F.date_trunc("day", "ts").alias("day"),
+    ]
+    cut = F.lit("2024-01-21").cast("timestamp_ntz")
+
+    def agg(df):
+        return df.groupBy(*grain).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+
+    repo.create_table(agg(e.filter(F.col("ts") < cut)), path)
+    v_before = len(repo.list_versions(path))
+
+    delta = agg(e.filter(F.col("ts") >= cut))
+    repo.refresh_rollup(
+        spark, path, delta, key=["event_type", "day"], measures=["n", "total"]
+    )
+
+    got = repo.read_table(spark, path)
+    want = agg(e)
+    from polybot_data_etl_spark.testing import frames_match
+
+    # totals were rounded per-slice; re-round after the additive merge
+    got_pd = got.select(
+        "event_type", "day", "n", F.round("total", 2).alias("total")
+    ).toPandas()
+    want_pd = want.select(
+        "event_type", "day", "n", F.round("total", 2).alias("total")
+    ).toPandas()
+    ok, why = frames_match(got_pd, want_pd)
+    assert ok, why
+    assert len(repo.list_versions(path)) == v_before + 1
+    # delta grain must be enforced
+    with pytest.raises(ValueError):
+        repo.refresh_rollup(
+            spark, path,
+            delta.unionAll(delta),
+            key=["event_type", "day"], measures=["n", "total"],
+        )
