@@ -619,9 +619,16 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass 2 is unchanged — the clamp is a codegen projection.
     """
     li = table(spark, sf_dir, "lineitem")
+    # both cutpoints from ONE percentile buffer per group (the
+    # q_agg_percentile lesson: an array of percentages sorts once)
     cuts = li.groupBy("l_linestatus").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("ps")
+    ).select(
+        "l_linestatus",
+        F.col("ps")[0].alias("p05"),
+        F.col("ps")[1].alias("p95"),
     )
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
