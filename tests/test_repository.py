@@ -494,3 +494,42 @@ def test_refresh_rollup_incremental_equals_recompute(spark, sf_dir, tmp_path):
             delta.unionAll(delta),
             key=["event_type", "day"], measures=["n", "total"],
         )
+
+
+def test_refresh_rollup_multi_batch_sequence(spark, sf_dir, tmp_path):
+    """Day-by-day incremental maintenance: applying two successive
+    deltas (week 3, then week 4) must land exactly where one full
+    recompute lands — the associativity that makes additive rollups
+    safe to maintain forever."""
+    path = str(tmp_path / "rollup_seq")
+    e = table(spark, sf_dir, "events")
+    grain = [F.col("event_type"), F.date_trunc("day", "ts").alias("day")]
+    c1 = F.lit("2024-01-15").cast("timestamp_ntz")
+    c2 = F.lit("2024-01-22").cast("timestamp_ntz")
+
+    def agg(df):
+        return df.groupBy(*grain).agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+
+    repo.create_table(agg(e.filter(F.col("ts") < c1)), path)
+    repo.refresh_rollup(
+        spark, path,
+        agg(e.filter((F.col("ts") >= c1) & (F.col("ts") < c2))),
+        key=["event_type", "day"], measures=["n", "total"],
+    )
+    repo.refresh_rollup(
+        spark, path,
+        agg(e.filter(F.col("ts") >= c2)),
+        key=["event_type", "day"], measures=["n", "total"],
+    )
+    from polybot_data_etl_spark.testing import frames_match
+
+    got = repo.read_table(spark, path).select(
+        "event_type", "day", "n", F.round("total", 2).alias("total")
+    ).toPandas()
+    want = agg(e).select(
+        "event_type", "day", "n", F.round("total", 2).alias("total")
+    ).toPandas()
+    ok, why = frames_match(got, want)
+    assert ok, why
