@@ -350,3 +350,73 @@ def interval_join_outer(
         F.col("a.user_id").alias("user_id"),
         F.col("a.ts").alias("a_ts"),
     )
+
+
+def stream_rollup_to_table(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming continuous aggregate: each micro-batch is aggregated
+    to the (event_type, day) grain and FOLDED into the managed rollup
+    table via additive refresh — the stored daily dashboard that stays
+    current as the stream lands, without ever rescanning history.
+
+    Unlike the SCD-1 upsert (idempotent per key), additive refresh
+    would DOUBLE-COUNT a replayed batch, so exactly-once is enforced
+    explicitly: every applied micro-batch id is recorded in a
+    ``_BATCHES`` ledger file next to the table, inside the same
+    advisory writer lock that serializes the refresh itself, and a
+    replayed id is skipped.  This ledger + foreachBatch pair is the
+    standard recipe for non-idempotent sinks (the streaming twin of a
+    transactional MERGE with a batch-id watermark); Spark's checkpoint
+    guarantees batch ids are stable across restarts, which is what
+    makes the dedup sound.
+    """
+    import os
+
+    from polybot_data_etl_spark.sources import repository as repo
+
+    ledger = os.path.join(table_path, "_BATCHES")
+
+    def _applied(batch_id: int) -> bool:
+        if not os.path.exists(ledger):
+            return False
+        with open(ledger) as f:
+            return str(batch_id) in f.read().split()
+
+    def _record(batch_id: int) -> None:
+        with open(ledger, "a") as f:
+            f.write(f"{batch_id}\n")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _applied(batch_id):
+            return  # replayed batch: already folded, skip
+        delta = (
+            batch_df.groupBy(
+                "event_type", F.date_trunc("day", "ts").alias("day")
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        )
+        if delta.isEmpty():
+            _record(batch_id)
+            return
+        if repo.is_managed(table_path):
+            repo.refresh_rollup(
+                batch_df.sparkSession,
+                table_path,
+                delta,
+                key=["event_type", "day"],
+                measures=["n", "total"],
+            )
+        else:
+            repo.create_table(delta, table_path)
+        _record(batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -439,3 +439,50 @@ def test_streaming_interval_join_outer_equals_batch(
     assert set(got[got["b_id"].isna()]["a_id"]) <= set(
         batch[batch["b_id"].isna()]["a_id"]
     )
+
+
+def test_streaming_rollup_exactly_once(spark, sf_dir, replay_dir, batch_events, tmp_path):
+    """Streaming continuous aggregate == batch rollup over the same
+    events, and a REPLAYED micro-batch is skipped by the batch-id
+    ledger instead of double-counting (additive refresh is not
+    idempotent, so the ledger is what makes the sink exactly-once)."""
+    path = str(tmp_path / "stream_rollup")
+    jobs.stream_rollup_to_table(
+        jobs.events_file_stream(spark, replay_dir),
+        path,
+        str(tmp_path / "ckpt_rollup"),
+    )
+    from polybot_data_etl_spark.sources import repository as repo
+    from polybot_data_etl_spark.testing import frames_match
+
+    want = (
+        batch_events.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .toPandas()
+    )
+    got = (
+        repo.read_table(spark, path)
+        .select("event_type", "day", "n", F.round("total", 2).alias("total"))
+        .toPandas()
+    )
+    ok, why = frames_match(got, want)
+    assert ok, why
+
+    # simulate an at-least-once replay: run the whole stream again on
+    # the SAME checkpoint — no new files, no new batches, and even if
+    # foreachBatch re-fired, the ledger blocks re-folding
+    before = got
+    jobs.stream_rollup_to_table(
+        jobs.events_file_stream(spark, replay_dir),
+        path,
+        str(tmp_path / "ckpt_rollup"),
+    )
+    after = (
+        repo.read_table(spark, path)
+        .select("event_type", "day", "n", F.round("total", 2).alias("total"))
+        .toPandas()
+    )
+    ok, why = frames_match(before, after)
+    assert ok, f"replay double-counted: {why}"
