@@ -573,7 +573,7 @@ def _empty_pairs():
     )
 
 
-def _pairs_frame(ids_a, ids_b, X_a, X_b, within: bool):
+def _pairs_frame(ids_a, ids_b, X_a, X_b, within: bool, thresh=None):
     """Near-threshold pairs between two member blocks (one block twice
     when ``within``): a blocked X_a @ X_b.T matmul pre-filters, then the
     few survivors get a sequential-accumulation dot (same left-to-right
@@ -582,13 +582,15 @@ def _pairs_frame(ids_a, ids_b, X_a, X_b, within: bool):
     import numpy as np
     import pandas as pd
 
+    if thresh is None:
+        thresh = _EMBED_SIM
     S = X_a @ X_b.T
     if within:
         ia, ib = np.triu_indices(len(ids_a), k=1)
     else:
         ia = np.repeat(np.arange(len(ids_a)), len(ids_b))
         ib = np.tile(np.arange(len(ids_b)), len(ids_a))
-    keep = S[ia, ib] >= _EMBED_SIM - 5e-5
+    keep = S[ia, ib] >= thresh - 5e-5
     ia, ib = ia[keep], ib[keep]
     sims = np.empty(len(ia), dtype=np.float64)
     for k in range(len(ia)):
@@ -846,3 +848,69 @@ def component_labels(
             break
         prev_sum = new_sum
     return labels
+
+
+# --- SemDeDup: per-cluster dense semantic near-dup ---------------------------
+
+# Cosine threshold for "semantically duplicate" within a cluster.  Low
+# because the synthetic embeddings are near-orthogonal (max pairwise
+# ~0.47); a real corpus uses ~0.95+ unchanged through the same plan.
+_SEM_SIM = 0.30
+
+
+def _sem_pairs(pdf):
+    """Per-cluster kernel: dense G @ G.T over one cluster's members
+    (the SemDeDup inner loop), portable-dot re-verify for survivors."""
+    if len(pdf) < 2:
+        return _empty_pairs()
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return _pairs_frame(ids, ids, X, X, within=True, thresh=_SEM_SIM)
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    SELECT a.vec_id AS kept_id, b.vec_id AS dup_id,
+           round(list_inner_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= {_SEM_SIM}
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal scoped WITHIN pre-assigned clusters — pairwise cosine only
+    among members of the same cluster, keep the lowest id of each
+    over-threshold pair. Cluster = the fixture `label` (stand-in for the
+    k-means assignment step, which q_embed_kmeans provides).
+
+    Shape: ONE shuffle to group by cluster, then an applyInPandas dense
+    G@G.T per cluster — exactly the paper's per-cluster inner loop. The
+    matmul pre-filters with slack; survivors are re-verified with a
+    sequential-accumulation dot so the rounded value is engine-portable.
+    At 100 TB, cluster size is bounded by the k-means k (paper uses
+    k≈√n); an over-big cluster tiles through the same `_tile_pairs`
+    machinery as q_dedup_embed (bucket → _EMBED_TILE blocks)."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = (
+        e.select("label", "vec_id", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            lambda pdf: _sem_pairs(pdf),
+            "a_id long, b_id long, sim double",
+        )
+    )
+    return (
+        pairs.select(
+            F.col("a_id").alias("kept_id"),
+            F.col("b_id").alias("dup_id"),
+            F.round("sim", 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SEM_SIM)
+    )

@@ -385,3 +385,134 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hit") >= _CONTAM_MIN_HITS)
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 shape) —
+# bounds adapted to the synthetic corpus scale so both outcomes occur.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_WLEN = 3
+_GOPHER_MAX_MEAN_WLEN = 10
+_GOPHER_MIN_STOP_HITS = 2        # distinct stopwords present, of ('a','the')
+_GOPHER_MIN_UNIQ_FRAC = 0.30     # unique-word fraction (repetition guard)
+
+
+@register(
+    "q_text_gopher",
+    oracle=f"""
+    SELECT doc_id,
+           n_words,
+           round(mean_wlen + 1e-9, 4) AS mean_wlen,
+           round(uniq_frac + 1e-9, 4) AS uniq_frac,
+           CAST(ok_len AS BOOLEAN) AS ok_len,
+           CAST(ok_wlen AS BOOLEAN) AS ok_wlen,
+           CAST(ok_stop AS BOOLEAN) AS ok_stop,
+           CAST(ok_uniq AS BOOLEAN) AS ok_uniq,
+           CAST(ok_len AND ok_wlen AND ok_stop AND ok_uniq AS BOOLEAN)
+               AS keep
+    FROM (
+        SELECT doc_id, n_words,
+               n_char / CAST(n_words AS DOUBLE) AS mean_wlen,
+               n_uniq / CAST(n_words AS DOUBLE) AS uniq_frac,
+               n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                   AS ok_len,
+               n_char / CAST(n_words AS DOUBLE)
+                   BETWEEN {_GOPHER_MIN_MEAN_WLEN}
+                       AND {_GOPHER_MAX_MEAN_WLEN} AS ok_wlen,
+               stop_hits >= {_GOPHER_MIN_STOP_HITS} AS ok_stop,
+               n_uniq / CAST(n_words AS DOUBLE) >= {_GOPHER_MIN_UNIQ_FRAC}
+                   AS ok_uniq
+        FROM (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(replace(text, ' ', '')) AS n_char,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                   len(list_filter(list_distinct(string_split(text, ' ')),
+                                   t -> t IN ('a', 'the'))) AS stop_hits
+            FROM documents
+        )
+    )
+    """,
+)
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: per-document word count, mean word
+    length, stopword presence, and unique-word fraction, each gated by a
+    fixed threshold, plus the conjunctive keep flag (the rule-based
+    pre-filter stage of a pre-training corpus pipeline; Rae et al. 2021
+    §A1 rule family, thresholds adapted to the fixture corpus).
+
+    Shape: single-pass narrow projection — four array expressions per
+    document, zero shuffles, fully whole-stage-codegen. At 100 TB this
+    streams through the scan; the keep flag then drives a pushdown-able
+    filter in downstream stages."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(toks)
+    n_words = F.size(toks)
+    n_char = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_uniq = F.size(uniq)
+    stop_hits = F.size(
+        F.filter(uniq, lambda t: t.isin("a", "the"))
+    )
+    mean_wlen = n_char / n_words.cast("double")
+    uniq_frac = n_uniq / n_words.cast("double")
+    ok_len = (n_words >= _GOPHER_MIN_WORDS) & (n_words <= _GOPHER_MAX_WORDS)
+    ok_wlen = (mean_wlen >= _GOPHER_MIN_MEAN_WLEN) & (
+        mean_wlen <= _GOPHER_MAX_MEAN_WLEN
+    )
+    ok_stop = stop_hits >= _GOPHER_MIN_STOP_HITS
+    ok_uniq = uniq_frac >= _GOPHER_MIN_UNIQ_FRAC
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen + F.lit(1e-9), 4).alias("mean_wlen"),
+        F.round(uniq_frac + F.lit(1e-9), 4).alias("uniq_frac"),
+        ok_len.alias("ok_len"),
+        ok_wlen.alias("ok_wlen"),
+        ok_stop.alias("ok_stop"),
+        ok_uniq.alias("ok_uniq"),
+        (ok_len & ok_wlen & ok_stop & ok_uniq).alias("keep"),
+    )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    SELECT doc_id,
+           n_words,
+           syllables,
+           round(206.835 - 1.015 * n_words
+                 - 84.6 * (syllables / CAST(n_words AS DOUBLE))
+                 + 1e-9, 2) AS flesch
+    FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '[aeiou]+')) AS syllables
+        FROM documents
+    )
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability proxy: syllables estimated as vowel
+    groups (`[aeiou]+` runs), one "sentence" per document (the corpus
+    has no sentence punctuation), score = 206.835 − 1.015·words −
+    84.6·(syllables/word). Single-pass regexp projection, zero
+    shuffles; the vowel-group syllable estimator is the standard cheap
+    stand-in the readability literature uses when a dictionary is
+    unavailable."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    syl = F.size(F.regexp_extract_all(F.col("text"), F.lit("[aeiou]+"), 0))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        syl.alias("syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_words
+            - F.lit(84.6) * (syl / n_words.cast("double"))
+            + F.lit(1e-9),
+            2,
+        ).alias("flesch"),
+    )

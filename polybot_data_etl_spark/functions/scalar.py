@@ -382,3 +382,50 @@ def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(F.md5("c_name"), 1, 8).alias("short_key"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '\\?(.*)$', 1) AS query
+    FROM (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang || '&n=' || n_chars AS url
+        FROM documents
+    )
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: synthesize a canonical URL per document
+    (the fixtures ship no URL column), then split it back into host /
+    path / query / single-param with Spark's JVM-side ``parse_url`` —
+    the workhorse of web-corpus provenance dedup (URL-canonicalization
+    dedup keys on exactly these pieces).  The oracle reproduces each
+    component with regexes; outputs are plain strings so the comparison
+    is exact.  Single-pass narrow projection, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+    )

@@ -1,0 +1,220 @@
+"""Statistical-inference operators: Welch's t-test, chi-square
+independence, and simple linear regression — the A/B-testing /
+experimentation surface a product-analytics ETL engine exposes over its
+event stream.
+
+Reference provenance: the reference's sql/ + processor stages ran
+analytics over social-engagement events [REC src/etl/.DS_Store:4664,
+4992]; experiment readouts (did variant B lift the metric?) are the
+canonical consumer of such an events table. Concrete surface is [DES]
+per SURVEY.md §2.
+
+Cross-engine determinism: every statistic is derived from RAW MOMENTS
+(counts and plain sums) through identical algebra on both engines,
+never from the engines' own var_samp/corr/regr_* accumulators (their
+incremental Welford-style update order differs in the last ulps).
+Plain sums agree bit-for-bit at these scales; the shared formula keeps
+the rounded outputs hash-stable (same policy as q_agg_corr,
+operators/aggregates.py:393).
+
+Scale posture (100 TB): each statistic is ONE map-side-combined hash
+aggregation over a handful of groups (≤ tens) producing a few partial
+sums per group — the cheapest distributed shape there is. No joins, no
+windows, no second pass; the t-test's two-group compare and the
+chi-square's expected-count algebra run on the ≤10-row aggregate,
+which AQE collapses to a single post-shuffle task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.registry import register
+
+
+@register(
+    "q_stats_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(value) AS sx,
+               sum(value * value) AS sxx
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n,
+               sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) AS var
+        FROM m
+    )
+    SELECT a.n AS n_click, b.n AS n_view,
+           round(a.mean, 4) AS mean_click,
+           round(b.mean, 4) AS mean_view,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+           round(power(a.var / a.n + b.var / b.n, 2)
+                 / (power(a.var / a.n, 2) / (a.n - 1)
+                    + power(b.var / b.n, 2) / (b.n - 1)), 1) AS dof_welch
+    FROM (SELECT * FROM s WHERE event_type = 'click') a
+    CROSS JOIN (SELECT * FROM s WHERE event_type = 'view') b
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test: click-vs-view lift on `value`
+    (unequal variances, Welch–Satterthwaite dof). One hash agg over two
+    groups → a 1-row cross of the two group summaries."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select(
+        "event_type",
+        n,
+        (sx / n).alias("mean"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var"),
+    )
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_click"),
+        F.col("mean").alias("m_a"),
+        F.col("var").alias("v_a"),
+    )
+    b = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"),
+        F.col("mean").alias("m_b"),
+        F.col("var").alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_click") + F.col("v_b") / F.col("n_view")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_click"), 2) / (F.col("n_click") - 1)
+        + F.pow(F.col("v_b") / F.col("n_view"), 2) / (F.col("n_view") - 1)
+    )
+    return a.crossJoin(b).select(
+        "n_click",
+        "n_view",
+        F.round(F.col("m_a"), 4).alias("mean_click"),
+        F.round(F.col("m_b"), 4).alias("mean_view"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias(
+            "t_stat"
+        ),
+        F.round(dof, 1).alias("dof_welch"),
+    )
+
+
+@register(
+    "q_stats_chisq",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               cast(user_id % 2 AS INTEGER) AS cohort,
+               count(*) AS obs
+        FROM events
+        GROUP BY event_type, user_id % 2
+    ),
+    t AS (
+        SELECT event_type, cohort, obs,
+               sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+               sum(obs) OVER (PARTITION BY cohort) AS col_tot,
+               sum(obs) OVER () AS grand
+        FROM o
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_cells,
+           round(sum(power(obs - row_tot * col_tot / cast(grand AS DOUBLE), 2)
+                     / (row_tot * col_tot / cast(grand AS DOUBLE))), 4)
+               AS chi2
+    FROM t
+    """,
+)
+def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence: event_type × cohort
+    (user_id parity) contingency table → Σ (O−E)²/E.
+
+    Shape: one hash agg to the 10-cell contingency table, then the
+    marginals come from windows over that TINY aggregate (≤ rows ×
+    cohorts cells regardless of input size) — the windows never touch
+    the fact table."""
+    e = table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("cohort")
+    ).agg(F.count("*").alias("obs"))
+    from pyspark.sql import Window
+
+    t = o.select(
+        "event_type",
+        "cohort",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("cohort")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("grand"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double")
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 4).alias("chi2"),
+    )
+
+
+@register(
+    "q_stats_regression",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(cast(hour(ts) AS DOUBLE)) AS sx,
+               sum(value) AS sy,
+               sum(cast(hour(ts) AS DOUBLE) * value) AS sxy,
+               sum(cast(hour(ts) AS DOUBLE) * cast(hour(ts) AS DOUBLE))
+                   AS sxx,
+               sum(value * value) AS syy
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * sx / n, 4) AS intercept,
+           round(power(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of value ~ hour-of-day:
+    slope, intercept, R² per event type, from the five raw moments
+    (the regr_slope/regr_r2 surface, computed via shared algebra so
+    both engines round identically)."""
+    e = table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n,
+        F.round(slope, 4).alias("slope"),
+        F.round(sy / n - slope * sx / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    ).orderBy("event_type")

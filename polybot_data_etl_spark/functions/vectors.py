@@ -491,3 +491,141 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "dim").agg(
         F.round(F.avg("x") + F.lit(1e-9), 4).alias("centroid")
     )
+
+
+# --- k-means (Lloyd's algorithm, fixed seeds, 2 iterations) -----------------
+
+_KM_K = 4           # clusters; seeds = vec_id 0..3
+_KM_ITERS = 2       # fixed iteration count (deterministic, oracle-matched)
+
+
+def _kmeans_assign_long(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """One Lloyd assignment step in long form: exploded vectors
+    (vec_id, dim, x) × long-form centroids (cluster, dim, comp) →
+    (vec_id, cluster) via argmax of round(x·c − ½|c|², 4) with cluster-id
+    tiebreak. The dim-keyed equi-join broadcasts the k×dims centroid
+    frame; the per-vector argmax is a row_number window keyed by vec_id
+    (high cardinality — parallel)."""
+    nsq = cent.groupBy("cluster").agg(
+        F.sum(F.col("comp") * F.col("comp")).alias("nsq")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(F.col("x") * F.col("comp")).alias("dotp"))
+        .join(F.broadcast(nsq), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(F.col("dotp") - 0.5 * F.col("nsq"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cluster")
+    )
+    return dots.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+
+def _km_explode_sql() -> str:
+    return (
+        "SELECT vec_id, u.k AS dim, u.v::DOUBLE AS x FROM (SELECT vec_id,"
+        " unnest(list_transform(embedding, (v, k) ->"
+        " struct_pack(k := k, v := v))) AS u FROM embeddings)"
+    )
+
+
+def _km_assign_sql(cent_cte: str) -> str:
+    """Oracle assignment step against a long-form centroid CTE."""
+    return f"""
+        SELECT vec_id, cluster, score FROM (
+            SELECT d.vec_id, d.cluster,
+                   round(d.dotp - 0.5 * n.nsq, 4) AS score
+            FROM (
+                SELECT ex.vec_id, c.cluster, sum(ex.x * c.comp) AS dotp
+                FROM ex JOIN {cent_cte} c ON c.dim = ex.dim
+                GROUP BY ex.vec_id, c.cluster
+            ) d
+            JOIN (
+                SELECT cluster, sum(comp * comp) AS nsq
+                FROM {cent_cte} GROUP BY cluster
+            ) n ON n.cluster = d.cluster
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cluster
+        ) = 1
+    """
+
+
+@register(
+    "q_embed_kmeans",
+    oracle=f"""
+    WITH ex AS ({_km_explode_sql()}),
+    c0 AS (
+        SELECT vec_id AS cluster, dim, round(x + 1e-11, 6) AS comp
+        FROM ex WHERE vec_id < {_KM_K}
+    ),
+    a1 AS ({_km_assign_sql('c0')}),
+    c1 AS (
+        SELECT a1.cluster, ex.dim, round(avg(ex.x) + 1e-11, 6) AS comp
+        FROM ex JOIN a1 ON a1.vec_id = ex.vec_id
+        GROUP BY a1.cluster, ex.dim
+    ),
+    a2 AS ({_km_assign_sql('c1')})
+    SELECT cluster, cast(count(*) AS BIGINT) AS n_members,
+           round(avg(score) + 1e-9, 4) AS mean_score
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+)
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's): k=4 seeded from vec_id 0-3, two
+    fixed iterations, squared-Euclidean assignment via the dot-product
+    identity |v−c|² = |v|² − 2v·c + |c|² (the |v|² term is
+    assignment-invariant and dropped).
+
+    Engine-portability: assignment compares ROUNDED scores (4 dp,
+    cluster-id tiebreak) and each iteration's centroids are re-rounded
+    to 6 dp — both engines then run the argmax over identical decimals,
+    so cluster membership (and therefore every downstream number) is
+    hash-stable despite their different double-summation orders.
+
+    Scale posture (100 TB): the textbook Spark k-means shape — the k×dim
+    centroid frame is BROADCAST to every executor (k·dims doubles, tiny),
+    assignment is a per-row argmax, and the new centroids come from one
+    map-side-combined hash agg on (cluster, dim) whose shuffle is
+    k·dims partial rows per partition, independent of row count.
+    Iteration count is fixed (2 here; a production loop adds
+    localCheckpoint every few supersteps per SCALE.md §iteration)."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    cent = (
+        ex.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            "dim",
+            F.round(F.col("x") + F.lit(1e-11), 6).alias("comp"),
+        )
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        assign = _kmeans_assign_long(ex, cent)
+        cent = (
+            ex.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x") + F.lit(1e-11), 6).alias("comp"))
+        )
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.avg("score") + F.lit(1e-9), 4).alias("mean_score"),
+        )
+        .orderBy("cluster")
+    )

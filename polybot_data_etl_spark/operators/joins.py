@@ -675,3 +675,91 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# Interval-overlap join: probe-user set + minimum overlap (minutes).
+_OVERLAP_PROBES = 5          # probe users: user_id < 5
+_OVERLAP_MIN_MINUTES = 30
+
+
+@register(
+    "q_join_overlap",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               min(ts) AS s, max(ts) AS e
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    hits AS (
+        SELECT a.day, a.user_id AS probe_id, b.user_id AS other_id,
+               -- epoch() yields fractional-second doubles: bit-identical
+               -- to Spark's timestamp→double cast, so the floor lands
+               -- the same side of every minute boundary in both engines
+               -- (date_diff('second') would count boundary CROSSINGS).
+               cast(floor((epoch(least(a.e, b.e))
+                           - epoch(greatest(a.s, b.s))) / 60.0)
+                    AS BIGINT) AS overlap_min
+        FROM iv a JOIN iv b
+          ON a.day = b.day AND a.user_id <> b.user_id
+        WHERE a.user_id < {_OVERLAP_PROBES}
+          AND least(a.e, b.e) > greatest(a.s, b.s)
+    )
+    SELECT day, probe_id,
+           cast(count(*) AS BIGINT) AS n_overlapping,
+           max(overlap_min) AS max_overlap_min
+    FROM hits
+    WHERE overlap_min >= {_OVERLAP_MIN_MINUTES}
+    GROUP BY day, probe_id
+    """,
+)
+def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per-(user, day) activity intervals
+    [first event, last event], probe users joined against every other
+    user active the same day whose interval overlaps ≥ 30 minutes —
+    the concurrent-sessions / co-presence query.
+
+    Shape: intervals come from ONE hash agg on (user_id, day); the
+    overlap join is an equi-join on `day` with the overlap predicate
+    applied as a post-join filter — the day key gives hash
+    partitioning, and the probe side is filtered BEFORE the join (5
+    users × days, broadcast). At 100 TB with dense days, the day
+    bucket is subdivided by exploding each interval onto covered
+    hour-buckets and equi-joining on (day, hour) + dedup, exactly the
+    q_join_range_bucketed refinement (joins.py:261) — same machinery,
+    finer key."""
+    e = table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    probes = iv.filter(F.col("user_id") < _OVERLAP_PROBES).select(
+        F.col("user_id").alias("probe_id"),
+        F.col("day"),
+        F.col("s").alias("ps"),
+        F.col("e").alias("pe"),
+    )
+    others = iv.select(
+        F.col("user_id").alias("other_id"), "day", "s", "e"
+    )
+    lo = F.greatest(F.col("ps"), F.col("s"))
+    hi = F.least(F.col("pe"), F.col("e"))
+    # NTZ → TIMESTAMP (session is UTC) → double = fractional epoch
+    # seconds, the exact value DuckDB's epoch() yields.
+    overlap_min = F.floor(
+        (
+            hi.cast("timestamp").cast("double")
+            - lo.cast("timestamp").cast("double")
+        )
+        / 60.0
+    ).cast("long")
+    hits = (
+        F.broadcast(probes)
+        .join(others, "day")
+        .filter(F.col("probe_id") != F.col("other_id"))
+        .filter(hi > lo)
+        .withColumn("overlap_min", overlap_min)
+        .filter(F.col("overlap_min") >= _OVERLAP_MIN_MINUTES)
+    )
+    return hits.groupBy("day", "probe_id").agg(
+        F.count("*").cast("bigint").alias("n_overlapping"),
+        F.max("overlap_min").alias("max_overlap_min"),
+    )

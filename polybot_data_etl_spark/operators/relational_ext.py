@@ -538,3 +538,45 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_SQL)
+
+
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice, o_orderdate
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate DESC, o_orderkey
+) = 1
+"""
+
+
+@register("q_sql_qualify", oracle=_QUALIFY_SQL)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style latest-row-per-key dedup: each customer's most
+    recent order, expressed as a window filter (the "keep latest
+    snapshot" idiom every CDC/warehouse pipeline runs).
+
+    Spark 4 has no QUALIFY keyword, so the engine expresses the
+    identical semantics as row_number-over-window → filter — which is
+    exactly what QUALIFY desugars to in engines that have it (the
+    oracle runs the sugar form verbatim). Shape: one hash-partitioned
+    shuffle on the PARTITION BY key, per-group sort, no join; at 100 TB
+    the o_custkey key is high-cardinality so the window parallelizes
+    fully."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderdate",
+        )
+    )

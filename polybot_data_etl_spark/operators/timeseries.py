@@ -978,3 +978,112 @@ def q_ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(err / F.col("n")), 4).alias("mape"),
         )
     )
+
+
+# Holt's linear-trend smoothing constants (exact decimal literals —
+# both engines parse the same doubles).
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+@register(
+    "q_ts_holt",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               cast(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    series AS (
+        SELECT event_type,
+               list(y ORDER BY day) AS ys
+        FROM daily GROUP BY event_type
+    ),
+    -- The fold is a recursive CTE, NOT list_reduce: DuckDB 1.0's
+    -- list_reduce mutates a struct accumulator field-by-field, so a
+    -- later field's expression reads the EARLIER field's new value
+    -- (aliasing); a recursive CTE's SELECT list evaluates all columns
+    -- against the prior row, which is the fold semantics both engines
+    -- share. e-notation keeps every constant DOUBLE.
+    fitted AS (
+        WITH RECURSIVE r AS (
+            SELECT event_type, 2 AS i, ys[2] AS l, ys[2] - ys[1] AS b
+            FROM series
+            UNION ALL
+            SELECT r.event_type, r.i + 1,
+                   5e-1 * s.ys[r.i + 1] + 5e-1 * (r.l + r.b),
+                   3e-1 * ((5e-1 * s.ys[r.i + 1] + 5e-1 * (r.l + r.b))
+                           - r.l)
+                       + 7e-1 * r.b
+            FROM r JOIN series s USING (event_type)
+            WHERE r.i < len(s.ys)
+        )
+        SELECT r.event_type, r.i AS n_days, r.l, r.b
+        FROM r JOIN series s USING (event_type)
+        WHERE r.i = len(s.ys)
+    )
+    SELECT event_type, cast(n_days AS BIGINT) AS n_days,
+           round(l, 4) AS level,
+           round(b, 4) AS trend,
+           round(l + 1 * b, 4) AS fc_1,
+           round(l + 2 * b, 4) AS fc_2,
+           round(l + 3 * b, 4) AS fc_3
+    FROM fitted ORDER BY event_type
+    """,
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily event
+    count per type (α=0.5, β=0.3), initialized l₀=y₂, b₀=y₂−y₁, folded
+    over days 3..n, with 1/2/3-day-ahead forecasts l+h·b — the classic
+    double-exponential forecaster (Holt 1957; q_ts_forecast_snaive's
+    model-based sibling).
+
+    Engine-portability: the recursion is a strictly SEQUENTIAL
+    left-fold over the day-ordered series, so it runs as an
+    F.aggregate higher-order fold over a collected per-group array —
+    identical operation order to DuckDB's list_reduce, hence
+    bit-identical doubles into round().
+
+    Shape: daily counts are one map-side-combined hash agg; the
+    collect_list gathers ≤ |days| scalars per group (bounded by the
+    calendar, NOT the row count — 365 doubles/year/group), so the fold
+    input is tiny no matter the fact-table size, and each group's fold
+    is one JVM expression. This is the standard scale shape for
+    sequential recursions: aggregate-to-bounded-series first, fold
+    second."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("day"), F.col("y")))
+        ).alias("sd")
+    ).select(
+        "event_type",
+        F.transform(F.col("sd"), lambda s: s.getField("y")).alias("ys"),
+    )
+    a, b1 = F.lit(_HOLT_ALPHA), F.lit(1 - _HOLT_ALPHA)
+    g, g1 = F.lit(_HOLT_BETA), F.lit(1 - _HOLT_BETA)
+
+    def _step(acc, y):
+        new_l = a * y + b1 * (acc.getField("l") + acc.getField("b"))
+        new_b = g * (new_l - acc.getField("l")) + g1 * acc.getField("b")
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    ys = F.col("ys")
+    init = F.struct(
+        F.element_at(ys, 2).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+    )
+    st = F.aggregate(F.slice(ys, 3, F.lit(1 << 30)), init, _step)
+    lvl, tr = st.getField("l"), st.getField("b")
+    return series.select(
+        "event_type",
+        F.size(ys).cast("bigint").alias("n_days"),
+        F.round(lvl, 4).alias("level"),
+        F.round(tr, 4).alias("trend"),
+        F.round(lvl + 1 * tr, 4).alias("fc_1"),
+        F.round(lvl + 2 * tr, 4).alias("fc_2"),
+        F.round(lvl + 3 * tr, 4).alias("fc_3"),
+    ).orderBy("event_type")

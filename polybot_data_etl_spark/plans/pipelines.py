@@ -254,3 +254,44 @@ def q_pipeline_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+_CARD_SQL = """
+SELECT CASE WHEN GROUPING(lang) = 0 AND GROUPING(source) = 0
+            THEN 'lang_source'
+            WHEN GROUPING(lang) = 0 THEN 'lang'
+            WHEN GROUPING(source) = 0 THEN 'source'
+            ELSE 'all' END AS scope,
+       coalesce(lang, '*') AS lang,
+       coalesce(source, '*') AS source,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS n_chars,
+       cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       count(DISTINCT text) AS n_uniq,
+       round(1e0 - count(DISTINCT text) / cast(count(*) AS DOUBLE), 4)
+           AS dup_rate
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+_CARD_SPARK_SQL = _CARD_SQL.replace(
+    "len(string_split(text, ' '))", "size(split(text, ' '))"
+)
+
+
+@register("q_pipeline_card", oracle=_CARD_SQL)
+def q_pipeline_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary: the per-slice statistics block a training
+    corpus publishes (docs / chars / tokens / exact-dup rate, per
+    language, per source, per (language, source), and overall) — one
+    GROUPING SETS pass over the corpus.
+
+    Shape: Catalyst expands the grouping sets into a single Expand +
+    hash-agg (one shuffle); count(DISTINCT text) re-keys on the text
+    value — at 100 TB the same query keys the distinct on a 64-bit
+    content fingerprint instead (q_text_fingerprint's hash), which is
+    the standard dataset-card dedup-rate estimator.  Only the
+    tokenizer call differs per dialect (size(split()) vs
+    len(string_split())); the SQL text is otherwise verbatim-shared."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CARD_SPARK_SQL)

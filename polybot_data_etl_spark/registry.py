@@ -125,6 +125,20 @@ _R04_NEW: frozenset[str] = frozenset(
 # queries before any cutoff.
 _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 
+# Queries first registered in round 5 (statistics / corpus-filter /
+# clustering families).  They enumerate after the round-4 additions:
+# oldest unrecorded debt keeps the head of the driver's ~50-slot
+# recording window.
+_R05_NEW: frozenset[str] = frozenset(
+    {
+        "q_stats_ttest", "q_stats_chisq", "q_stats_regression",
+        "q_text_gopher", "q_text_readability",
+        "q_embed_kmeans", "q_dedup_semantic", "q_sql_qualify",
+        "q_fn_url", "q_pipeline_card", "q_join_overlap",
+        "q_ts_holt",
+    }
+)
+
 
 def _cost_class(name: str) -> int:
     return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
@@ -132,12 +146,14 @@ def _cost_class(name: str) -> int:
 
 def _tier(name: str) -> int:
     """0 = never-recorded pre-round-4 (must land in the driver window),
-    1 = new this round (recorded only if slots remain),
-    2 = already has a green driver row."""
+    1 = round-4 additions, 2 = round-5 additions (newest debt last),
+    3 = already has a green driver row."""
     if name in _RECORDED:
-        return 2
+        return 3
     if name in _R04_NEW:
         return 1
+    if name in _R05_NEW:
+        return 2
     return 0
 
 
@@ -187,6 +203,7 @@ def _ensure_loaded() -> None:
         multimodal,
         quality,
         scalar,
+        stats,
         text,
         udf,
         vectors,

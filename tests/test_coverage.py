@@ -40,11 +40,12 @@ def test_driver_window_priority_invariants():
         "driver's ~50-row recording window; update _R*_RECORDED with the "
         "latest round's greens before adding more"
     )
-    # every round-4 addition is accounted for in _R04_NEW or recorded
+    # every round-4/5 addition is accounted for in its _R*_NEW set
     for n in names:
         if registry._tier(n) == 0:
             assert n not in registry._R04_NEW
+            assert n not in registry._R05_NEW
     # cheap-before-expensive within each tier
-    for t in (0, 1, 2):
+    for t in (0, 1, 2, 3):
         costs = [registry._cost_class(n) for n in names if registry._tier(n) == t]
         assert costs == sorted(costs)
