@@ -135,7 +135,7 @@ _R05_NEW: frozenset[str] = frozenset(
         "q_text_gopher", "q_text_readability",
         "q_embed_kmeans", "q_dedup_semantic", "q_sql_qualify",
         "q_fn_url", "q_pipeline_card", "q_join_overlap",
-        "q_ts_holt",
+        "q_ts_holt", "q_ml_score", "q_ml_knn", "q_ml_hashing",
     }
 )
 
@@ -201,6 +201,7 @@ def _ensure_loaded() -> None:
         dedup,
         dq,
         multimodal,
+        ml,
         quality,
         scalar,
         stats,
