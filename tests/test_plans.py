@@ -161,6 +161,8 @@ _NLJ_ALLOWED = {
     "q_ts_seasonality",   # 1-row z-score stats broadcast crossJoin
     "q_text_pmi",         # 1-row bigram-total broadcast crossJoin
     "q_ts_growth",        # 1-row horizon-max broadcast crossJoin
+    "q_ml_knn",           # probe-bounded brute-force k-NN baseline
+    "q_stats_ttest",      # 1-row × 1-row group-summary cross
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -490,3 +492,79 @@ def test_nested_struct_field_pruning_reaches_scan(spark, sf_dir, tmp_path):
     plan = got._jdf.queryExecution().explainString(mode)
     assert "ReadSchema: struct<c_custkey:bigint,profile:struct<bal:double>>" in plan
     assert "name" not in plan.split("ReadSchema")[1][:120]
+
+
+def test_ml_score_is_fused_narrow(spark, sf_dir):
+    """The ICDE'25 inference-as-SQL claim, checked: model + features
+    compile to ONE codegen'd narrow stage — no shuffle, no Python."""
+    plan = plan_of(spark, sf_dir, "q_ml_score")
+    assert "codegen id" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_new_filters_are_narrow(spark, sf_dir):
+    for name in ("q_text_gopher", "q_text_readability", "q_fn_url"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Lloyd assignment must broadcast the k×dim centroid frame and
+    re-center via partial aggs — a shuffled centroid join or a
+    non-combined re-centering would not survive 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_embed_kmeans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_avg" in plan or "partial_sum" in plan
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark, sf_dir):
+    """SemDeDup = group-by-cluster + per-cluster pandas kernel: exactly
+    one exchange (the cluster key), Arrow-batched Python, no pairs
+    frame before Python."""
+    plan = plan_of(spark, sf_dir, "q_dedup_semantic")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") >= 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pairs are emitted by the kernel, not a join
+
+
+def test_qualify_windows_on_custkey(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sql_qualify")
+    assert "partitionspec(o_custkey" in plan.lower().replace(" ", "") or (
+        "Window" in plan and "o_custkey" in plan
+    )
+    assert "TakeOrderedAndProject" in plan or "GlobalSort" not in plan
+
+
+def test_overlap_join_is_day_equi_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_card_single_expand_agg(spark, sf_dir):
+    """GROUPING SETS must compile to one Expand + hash agg, not a
+    union of four scans."""
+    plan = plan_of(spark, sf_dir, "q_pipeline_card")
+    # one scan in the plan TREE (formatted mode repeats the node name in
+    # the detail section, hence the "+-" prefix)
+    assert plan.count("+- Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_stats_partial_sums(spark, sf_dir):
+    for name in ("q_stats_regression", "q_stats_chisq"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "partial_sum" in plan or "partial_count" in plan, name
+
+
+def test_holt_no_fact_table_window(spark, sf_dir):
+    """The Holt fold must run over the aggregated daily series (bounded
+    by the calendar), never a window over raw events."""
+    plan = plan_of(spark, sf_dir, "q_ts_holt")
+    assert "partial_count" in plan          # daily counts combine map-side
+    assert "Window" not in plan             # fold is an expression, not a window
