@@ -26,7 +26,9 @@ from __spark_entry__ import queries
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from polybot_data_etl_spark.config import EngineConfig
+
+    sf_dir = EngineConfig.from_env().sf_dir
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:

@@ -441,3 +441,61 @@ def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("sigma"), 4).alias("sigma"),
         )
     )
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice >= 1
+    ),
+    o AS (
+        SELECT digit, count(*) AS obs,
+               sum(count(*)) OVER () AS total
+        FROM d GROUP BY digit
+    )
+    SELECT digit,
+           cast(obs AS BIGINT) AS obs,
+           round(obs / CAST(total AS DOUBLE) + 1e-9, 4) AS freq,
+           round(log10(1e0 + 1e0 / digit) + 1e-9, 4) AS benford,
+           round(abs(obs / CAST(total AS DOUBLE)
+                     - log10(1e0 + 1e0 / digit)) + 1e-9, 4) AS abs_dev
+    FROM o
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit frequencies vs log10(1 + 1/d), with the absolute
+    deviation per digit — the classic fabricated-data / broken-feed
+    detector for financial measures (Nigrini's forensic-accounting
+    standard).
+
+    Shape: one narrow projection to the leading digit, one 9-group
+    map-side-combined agg; the total comes from a window over the
+    9-row aggregate (never the fact table)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    from pyspark.sql import Window
+
+    agg = d.groupBy("digit").agg(F.count("*").alias("obs"))
+    t = agg.withColumn(
+        "total", F.sum("obs").over(Window.partitionBy())
+    )
+    freq = F.col("obs") / F.col("total").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return t.select(
+        "digit",
+        F.col("obs").cast("bigint").alias("obs"),
+        F.round(freq + F.lit(1e-9), 4).alias("freq"),
+        F.round(benford + F.lit(1e-9), 4).alias("benford"),
+        F.round(F.abs(freq - benford) + F.lit(1e-9), 4).alias("abs_dev"),
+    )

@@ -1087,3 +1087,63 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lvl + 2 * tr, 4).alias("fc_2"),
         F.round(lvl + 3 * tr, 4).alias("fc_3"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_ts_m4",
+    oracle="""
+    SELECT event_type, bucket,
+           cast(n AS BIGINT) AS n,
+           round(v_min, 2) AS v_min,
+           round(v_max, 2) AS v_max,
+           round(v_first, 2) AS v_first,
+           round(v_last, 2) AS v_last
+    FROM (
+        -- first/last via lexicographic struct min/max — identical
+        -- tie-break to the Spark side's struct-packing trick
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               count(*) AS n,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               (min(struct_pack(ts := ts, eid := event_id, v := value))).v
+                   AS v_first,
+               (max(struct_pack(ts := ts, eid := event_id, v := value))).v
+                   AS v_last
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    )
+    """,
+)
+def q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per series
+    and per pixel-bucket (hour), keep min / max / first / last — the
+    four points that make a line-chart render pixel-identical to the
+    full series at any zoom level.
+
+    first/last tie-break on (ts, event_id) so simultaneous events pick
+    the same row in both engines (min_by/max_by alone are
+    nondeterministic under ts ties — DuckDB's ORDER BY variant and
+    Spark's struct-packing trick pin the same total order).
+
+    Shape: ONE map-side-combined hash agg on (series, bucket) — the
+    min/max/first/last accumulators are all associative, so the shuffle
+    carries 4 scalars per bucket regardless of the row count. This is
+    the standard downsample-before-visualize operator at 100 TB: output
+    is bounded by series × pixels, never by data."""
+    e = table(spark, sf_dir, "events")
+    # first/last via min/max over a (ts, event_id, value) struct: struct
+    # ordering is lexicographic, so this IS min_by/max_by with an
+    # explicit deterministic tie-break, and it stays map-side combinable.
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    g = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 2).alias("v_min"),
+        F.round(F.max("value"), 2).alias("v_max"),
+        F.round(F.min(key).getField("value"), 2).alias("v_first"),
+        F.round(F.max(key).getField("value"), 2).alias("v_last"),
+    )
+    return g.select(
+        "event_type", "bucket", "n", "v_min", "v_max", "v_first", "v_last"
+    )
