@@ -218,3 +218,96 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_cuped",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               cast(user_id % 2 AS INTEGER) AS variant,
+               sum(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                        ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM per_user
+    ),
+    t AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               sx / n AS mx
+        FROM m
+    )
+    SELECT variant,
+           cast(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 4) AS mean_y,
+           round(avg(y - t.theta * (x - t.mx)), 4) AS mean_y_cuped,
+           round(t.theta, 4) AS theta
+    FROM per_user CROSS JOIN t
+    GROUP BY variant, t.theta
+    ORDER BY variant
+    """,
+)
+def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    user's experiment-period metric y by θ·(x − x̄) where x is the
+    PRE-period covariate and θ = cov(x,y)/var(x) — the standard
+    experimentation readout that shrinks metric variance without
+    biasing the treatment difference (θ pooled across variants).
+
+    Split: pre = Jan 1-15, experiment = Jan 16-30; variant = user_id
+    parity (a hash split in production — q_split_assign).
+
+    Shape: one hash agg to per-user (x, y) — fixed two doubles per
+    user; θ from one global moment agg over that frame (plain sums,
+    shared algebra both engines); the 1-row (θ, x̄) frame broadcasts
+    back. Three aggs total, no fact-table windows."""
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias(
+            "x"
+        ),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+        ).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    t = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
+        (sx / n).alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(t))
+    return (
+        adj.groupBy("variant", "theta")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(
+                F.avg(
+                    F.col("y")
+                    - F.col("theta") * (F.col("x") - F.col("mx"))
+                ),
+                4,
+            ).alias("mean_y_cuped"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            "mean_y",
+            "mean_y_cuped",
+            F.round("theta", 4).alias("theta"),
+        )
+        .orderBy("variant")
+    )

@@ -1147,3 +1147,128 @@ def q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "bucket", "n", "v_min", "v_max", "v_first", "v_last"
     )
+
+
+@register(
+    "q_ts_concurrency",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM ev
+    ),
+    numbered AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+        FROM numbered GROUP BY user_id, sid
+    ),
+    segs AS (
+        SELECT user_id,
+               d.day,
+               greatest(s, d.day) AS seg_s,
+               least(e, d.day + INTERVAL 1 DAY) AS seg_e
+        FROM sessions,
+             LATERAL (
+                 SELECT unnest(generate_series(
+                     date_trunc('day', s),
+                     date_trunc('day', e - INTERVAL 1 MICROSECOND),
+                     INTERVAL 1 DAY)) AS day
+             ) d
+    ),
+    pts AS (
+        SELECT day, seg_s AS t, 1 AS delta, user_id FROM segs
+        UNION ALL
+        SELECT day, seg_e AS t, -1 AS delta, user_id FROM segs
+    ),
+    run AS (
+        SELECT day,
+               sum(delta) OVER (PARTITION BY day
+                                ORDER BY t, delta, user_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cur
+        FROM pts
+    )
+    SELECT day, cast(max(cur) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day ORDER BY day
+    """,
+)
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line (+1 at session
+    start, −1 at end, running sum, max) over 30-minute-gap sessions,
+    with sessions split into per-day segments so the sweep partitions
+    by day (a session spanning midnight contributes a segment to each
+    day it touches, so carry-over concurrency is exact).
+
+    Determinism: at equal timestamps, ends (−1) sort before starts
+    (+1) on both engines (ORDER BY t, delta, user_id), so the peak is
+    the conservative no-overlap-at-touch reading and ties never
+    reorder across engines.
+
+    Shape: sessionization is the engine's q_ts_session shuffle
+    (user-keyed); the segment explode is bounded by session length in
+    days (≤2 for real session gaps); the sweep windows partition by
+    DAY — at 100 TB each day's boundary-event list is two rows per
+    session, orders of magnitude under the fact table, and days are
+    independent tasks."""
+    e = table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.lit(1).alias("one"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s"),
+            F.col("w.end").alias("e"),
+        )
+    )
+    day_seq = F.sequence(
+        F.date_trunc("day", F.col("s")),
+        F.date_trunc(
+            "day", F.col("e") - F.expr("INTERVAL 1 MICROSECOND")
+        ),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    segs = sess.select(
+        "user_id",
+        F.explode(day_seq).alias("day"),
+        F.col("s"),
+        F.col("e"),
+    ).select(
+        "user_id",
+        "day",
+        F.greatest(F.col("s"), F.col("day")).alias("seg_s"),
+        F.least(
+            F.col("e"), F.col("day") + F.expr("INTERVAL 1 DAY")
+        ).alias("seg_e"),
+    )
+    pts = segs.select(
+        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        segs.select(
+            "day",
+            F.col("seg_e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("cur", F.sum("delta").over(w))
+    return (
+        run.groupBy("day")
+        .agg(F.max("cur").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )
