@@ -787,3 +787,92 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(50)
     )
+
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+    WITH freq AS (
+        SELECT t, count(*) AS f
+        FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS t
+            FROM documents
+        )
+        GROUP BY t
+        ORDER BY f DESC, t
+        LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+        SELECT log10(CAST(row_number() OVER (ORDER BY f DESC, t) AS DOUBLE))
+                   AS lx,
+               log10(CAST(f AS DOUBLE)) AS ly
+        FROM freq
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * ly) AS sxy, sum(lx * lx) AS sxx,
+               sum(ly * ly) AS syy
+        FROM ranked
+    )
+    SELECT cast(n AS BIGINT) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * sx / n, 4) AS intercept,
+           round(power(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency vs log-rank on the top-100 tokens (natural corpora
+    slope ≈ −1; a synthetic or templated corpus shows up immediately as
+    a flat slope — a cheap corpus-health fingerprint).
+
+    Shape: ONE map-side-combined token-count agg; the top-100 head is
+    TakeOrdered (no global sort); ranking + the moment sums run on the
+    100-row frame. Ranks and counts are integers, so the log inputs
+    are bit-identical across engines before the shared OLS algebra."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    ).alias("t")
+    freq = (
+        d.select(toks)
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.asc("t"))
+        .limit(_ZIPF_TOP)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    ranked = freq.select(
+        F.log10(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log10(F.col("f").cast("double")).alias("ly"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(sy / n - slope * sx / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )

@@ -442,3 +442,82 @@ def q_win_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("tot_w"), 2).alias("total_weight"),
         )
     )
+
+
+@register(
+    "q_win_skyline",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderdate AS d, o.o_totalprice AS p
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    daily AS (
+        SELECT seg, d, max(p) AS dmax FROM o GROUP BY seg, d
+    ),
+    frontier AS (
+        SELECT seg, d, dmax
+        FROM (
+            SELECT seg, d, dmax,
+                   max(dmax) OVER (PARTITION BY seg ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_max
+            FROM daily
+        )
+        WHERE prev_max IS NULL OR dmax > prev_max
+    )
+    SELECT o.seg, o.d AS o_orderdate, round(o.p, 2) AS o_totalprice
+    FROM o JOIN frontier f
+      ON o.seg = f.seg AND o.d = f.d AND o.p = f.dmax
+    """,
+)
+def q_win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) query per market segment: orders not
+    dominated on (earlier date, higher total) — the ICDE'01 skyline
+    operator (Börzsönyi et al.) in its sort-based formulation.
+
+    A point is dominated iff another same-segment order has date ≤ and
+    price ≥ with one strict. Decomposition: (1) collapse to per-(seg,
+    day) max price — a map-side-combined agg, the only pass over the
+    fact table; (2) frontier days = days whose max beats the running
+    max of all STRICTLY earlier days (window over the calendar-bounded
+    daily frame — equal-price later days are correctly dominated by
+    the strict >); (3) equi-join back to recover every order at the
+    frontier point, keeping same-day price ties (both undominated).
+
+    At 100 TB step 2's window runs over |segments| × |days| rows — the
+    calendar, not the order count; the join back is an equi-join on
+    (seg, day) that AQE broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    od = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_totalprice").alias("p"),
+    )
+    daily = od.groupBy("seg", "d").agg(F.max("p").alias("dmax"))
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        daily.withColumn("prev_max", F.max("dmax").over(w))
+        .filter(
+            F.col("prev_max").isNull() | (F.col("dmax") > F.col("prev_max"))
+        )
+        .select(
+            F.col("seg").alias("f_seg"),
+            F.col("d").alias("f_d"),
+            F.col("dmax").alias("f_p"),
+        )
+    )
+    return od.join(
+        F.broadcast(frontier),
+        (F.col("seg") == F.col("f_seg"))
+        & (F.col("d") == F.col("f_d"))
+        & (F.col("p") == F.col("f_p")),
+    ).select(
+        "seg",
+        F.col("d").alias("o_orderdate"),
+        F.round("p", 2).alias("o_totalprice"),
+    )
