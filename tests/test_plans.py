@@ -163,6 +163,7 @@ _NLJ_ALLOWED = {
     "q_ts_growth",        # 1-row horizon-max broadcast crossJoin
     "q_ml_knn",           # probe-bounded brute-force k-NN baseline
     "q_stats_ttest",      # 1-row × 1-row group-summary cross
+    "q_stats_cuped",      # 1-row (θ, x̄) frame broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -568,3 +569,51 @@ def test_holt_no_fact_table_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ts_holt")
     assert "partial_count" in plan          # daily counts combine map-side
     assert "Window" not in plan             # fold is an expression, not a window
+
+
+def test_m4_single_combinable_agg(spark, sf_dir):
+    """M4's whole point: one map-side-combinable agg, output bounded by
+    series × pixels — no windows, no joins, one exchange."""
+    plan = plan_of(spark, sf_dir, "q_ts_m4")
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+
+
+def test_benford_window_only_on_digit_frame(spark, sf_dir):
+    """The single-partition window is fine ONLY because it runs over
+    the 9-row digit aggregate, after the map-side-combined count."""
+    plan = plan_of(spark, sf_dir, "q_dq_benford")
+    assert "partial_count" in plan
+    # window input comes from the aggregate, so the exchange feeding it
+    # is a SinglePartition over ≤9 rows — the fact scan never single-partitions
+    assert "Scan parquet" in plan
+
+
+def test_cuped_no_fact_windows(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_stats_cuped")
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_concurrency_sweep_partitions_by_day(spark, sf_dir):
+    """The running-sum window must hash-partition on day — a global
+    sweep would funnel every boundary event into one task."""
+    plan = plan_of(spark, sf_dir, "q_ts_concurrency")
+    assert "windowspecdefinition(day" in plan
+    assert "hashpartitioning(day" in plan
+
+
+def test_zipf_head_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_text_zipf")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_skyline_aggregates_before_frontier_window(spark, sf_dir):
+    """The frontier window must consume the per-(seg, day) aggregate,
+    never raw orders: partial max first, window partitioned by seg."""
+    plan = plan_of(spark, sf_dir, "q_win_skyline")
+    assert "partial_max" in plan
+    assert "windowspecdefinition(seg" in plan
