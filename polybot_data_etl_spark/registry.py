@@ -137,7 +137,7 @@ _R05_NEW: frozenset[str] = frozenset(
         "q_fn_url", "q_pipeline_card", "q_join_overlap",
         "q_ts_holt", "q_ml_score", "q_ml_knn", "q_ml_hashing",
         "q_ts_m4", "q_dq_benford", "q_stats_cuped", "q_ts_concurrency",
-        "q_text_zipf", "q_win_skyline",
+        "q_text_zipf", "q_win_skyline", "q_geo_distance", "q_geo_join",
     }
 )
 
@@ -188,6 +188,7 @@ def _ensure_loaded() -> None:
     from polybot_data_etl_spark.operators import (  # noqa: F401
         aggregates,
         behavior,
+        geo,
         graph,
         joins,
         predicates,
