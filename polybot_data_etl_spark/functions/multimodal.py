@@ -348,3 +348,96 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(s).cast("int").alias("frame_len"),
         fsum.alias("frame_sum"),
     )
+
+
+_AUDIO_WIN = 32       # fake PCM window (samples = bytes) for RMS energy
+
+
+def audio_energy(media_df: DataFrame) -> DataFrame:
+    """mapInPandas kernel: audio payloads → per-window RMS energy
+    (windowed short-time energy, the first feature every audio
+    pipeline computes). The DETERMINISTIC FAKE decode treats each
+    payload byte as one PCM sample (librosa would yield float frames;
+    the import-gated decode_strict marks where it plugs in).
+
+    Output: ``media_id long, win_idx int, n_samples int, rms double``
+    — one row per non-overlapping 32-sample window, fan-out inside the
+    Arrow batch (no shuffle, no join)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {
+                "media_id": [], "win_idx": [], "n_samples": [], "rms": [],
+            }
+            for mid, modality, payload in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"]
+            ):
+                if modality != "audio":
+                    continue
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for w in range(max(1, len(samples) // _AUDIO_WIN)):
+                    chunk = samples[w * _AUDIO_WIN:(w + 1) * _AUDIO_WIN]
+                    if len(chunk) == 0:
+                        continue
+                    # integer sum of squares, then one float division +
+                    # sqrt — the same op order as the SQL oracle
+                    ssq = int((chunk.astype(np.int64) ** 2).sum())
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w)
+                    out["n_samples"].append(len(chunk))
+                    out["rms"].append(
+                        float(np.sqrt(ssq / len(chunk)))
+                    )
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        kernel, "media_id long, win_idx int, n_samples int, rms double"
+    )
+
+
+@register(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS media_id, text, length(text) AS L
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    win AS (
+        SELECT media_id, text,
+               unnest(range(0, greatest(1, L // {_AUDIO_WIN})))
+                   AS win_idx
+        FROM a
+    ),
+    chunk AS (
+        SELECT media_id, win_idx,
+               substring(text, win_idx * {_AUDIO_WIN} + 1, {_AUDIO_WIN})
+                   AS c
+        FROM win
+    )
+    SELECT media_id, win_idx::INT AS win_idx,
+           length(c)::INT AS n_samples,
+           round(sqrt(list_sum(list_transform(string_split(c, ''),
+                     ch -> ascii(ch)::BIGINT * ascii(ch)::BIGINT))
+                 / CAST(length(c) AS DOUBLE)) + 1e-9, 4) AS rms
+    FROM chunk
+    WHERE length(c) > 0
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio RMS energy through the real mapInPandas kernel —
+    the audio member of the decode/histogram/frames kernel triple.
+    Hash-checked end-to-end: the fake PCM decode is byte arithmetic,
+    replayed over characters in the oracle (integer sum of squares,
+    one division, one sqrt — same op order both engines).
+
+    Shape: narrow Arrow-batch fan-out, zero shuffles; at 100 TB only
+    the kernel body changes (real PCM frames via the import-gated
+    codec), the plumbing is what this query locks in."""
+    en = audio_energy(media(spark, sf_dir))
+    return en.select(
+        "media_id",
+        "win_idx",
+        "n_samples",
+        F.round(F.col("rms") + F.lit(1e-9), 4).alias("rms"),
+    )
