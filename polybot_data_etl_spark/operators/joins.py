@@ -536,39 +536,12 @@ def asof_match_with_ts(
     )
 
 
-@register(
-    "q_link_fuzzy",
-    oracle="""
-    SELECT a.c_nationkey AS nationkey,
-           count(*) AS n_matches,
-           min(a.c_custkey) AS first_left,
-           max(b.c_custkey) AS last_right
-    FROM customer a JOIN customer b
-      ON a.c_nationkey = b.c_nationkey
-     AND a.c_custkey < b.c_custkey
-     AND levenshtein(a.c_name, b.c_name) <= 1
-    GROUP BY a.c_nationkey
-    """,
-)
-def q_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy record linkage: candidate customer pairs whose
-    names are within Levenshtein distance 1, generated only inside a
-    nation block.
-
-    Candidate generation is **deletion-neighborhood blocking** (the
-    spell-checker index): every name emits itself plus its |name|
-    single-character-deletion variants; two names at Levenshtein
-    distance ≤ 1 MUST share a variant (dist 0 → the name itself;
-    substitution → the deletion at the differing position;
-    insert/delete → one side's full name equals the other's variant),
-    so the equi-join on (nation, variant) finds every true pair while
-    only ever joining within tiny variant buckets.  The exact
-    ``levenshtein`` then verifies the deduped candidates — thousands
-    of rows, not the Σ|block|² matrix a plain nation-block join
-    scores (measured: 12.1 s → sub-second at sf0.1, and the gap grows
-    quadratically with block size at 100 TB).  The oracle replays the
-    naive block-join + filter, which must agree exactly.
-    """
+def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified fuzzy-match pairs (nationkey, ck_a, ck_b): the
+    deletion-neighborhood candidate generator + exact Levenshtein ≤ 1
+    verify shared by q_link_fuzzy (aggregate view) and
+    q_pipeline_entities (entity resolution). See q_link_fuzzy for the
+    algorithm and scale rationale."""
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name"
     )
@@ -622,8 +595,45 @@ def q_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # names sharing several variants appear once
     )
-    pairs = cand.filter(F.levenshtein("name_a", "name_b") <= 1)
-    return pairs.groupBy("nationkey").agg(
+    return cand.filter(F.levenshtein("name_a", "name_b") <= 1).select(
+        "nationkey", "ck_a", "ck_b"
+    )
+
+
+@register(
+    "q_link_fuzzy",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey,
+           count(*) AS n_matches,
+           min(a.c_custkey) AS first_left,
+           max(b.c_custkey) AS last_right
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.c_nationkey
+    """,
+)
+def q_link_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate customer pairs whose
+    names are within Levenshtein distance 1, generated only inside a
+    nation block.
+
+    Candidate generation is **deletion-neighborhood blocking** (the
+    spell-checker index): every name emits itself plus its |name|
+    single-character-deletion variants; two names at Levenshtein
+    distance ≤ 1 MUST share a variant (dist 0 → the name itself;
+    substitution → the deletion at the differing position;
+    insert/delete → one side's full name equals the other's variant),
+    so the equi-join on (nation, variant) finds every true pair while
+    only ever joining within tiny variant buckets.  The exact
+    ``levenshtein`` then verifies the deduped candidates — thousands
+    of rows, not the Σ|block|² matrix a plain nation-block join
+    scores (measured: 12.1 s → sub-second at sf0.1, and the gap grows
+    quadratically with block size at 100 TB).  The oracle replays the
+    naive block-join + filter, which must agree exactly.
+    """
+    return fuzzy_pairs(spark, sf_dir).groupBy("nationkey").agg(
         F.count("*").alias("n_matches"),
         F.min("ck_a").alias("first_left"),
         F.max("ck_b").alias("last_right"),

@@ -295,3 +295,73 @@ def q_pipeline_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     len(string_split())); the SQL text is otherwise verbatim-shared."""
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_CARD_SPARK_SQL)
+
+
+@register(
+    "q_pipeline_entities",
+    oracle="""
+    WITH RECURSIVE fp AS (
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM fp
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM fp
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    assign AS (
+        SELECT node, min(lbl) AS entity_id FROM reach GROUP BY node
+    )
+    SELECT entity_id,
+           cast(count(*) AS BIGINT) AS n_members,
+           string_agg(node::VARCHAR, ',' ORDER BY node) AS members
+    FROM assign
+    GROUP BY entity_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_pipeline_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (the MDM golden-record pipeline):
+    deletion-neighborhood fuzzy linkage (operators/joins.fuzzy_pairs)
+    → connected components over the match graph → one golden entity
+    per component (entity_id = min member key) with its member list —
+    the composition that turns pairwise matches into deduplicated
+    master records.
+
+    Shape: pairing is the posting-list variant join (no Σ|block|²
+    sweep); components iterate over edge-endpoint nodes only
+    (functions/dedup.component_labels — O(|E|) per superstep, NOT the
+    customer count); the member list aggregates the component-sized
+    assign frame. The oracle replays the identical graph through a
+    recursive CTE."""
+    from polybot_data_etl_spark.functions.dedup import component_labels
+    from polybot_data_etl_spark.operators.joins import fuzzy_pairs
+
+    pairs = fuzzy_pairs(spark, sf_dir).select(
+        F.col("ck_a").alias("a_id"), F.col("ck_b").alias("b_id")
+    )
+    labels = component_labels(pairs)
+    return (
+        labels.groupBy(F.col("lbl").alias("entity_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            # numeric sort FIRST, cast after — a string sort would put
+            # "10" before "2" and diverge from the oracle's ORDER BY node
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("node"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
