@@ -59,7 +59,7 @@ class Task:
 @dataclass
 class TaskRun:
     name: str
-    status: str            # "success" | "failed" | "skipped"
+    status: str            # "success" | "failed" | "skipped" | "cached"
     wall_s: float = 0.0
     attempts: int = 0
     error: str | None = None
@@ -114,13 +114,35 @@ class Pipeline:
         self._downstream = downstream
 
     def run(
-        self, spark: SparkSession, ctx: dict[str, Any] | None = None
+        self,
+        spark: SparkSession,
+        ctx: dict[str, Any] | None = None,
+        completed: set[str] | None = None,
     ) -> tuple[dict[str, Any], dict[str, TaskRun]]:
+        """``completed`` names tasks already satisfied by a previous
+        run (their results must be present in ``ctx``): they are
+        reported as ``cached`` and not re-executed — the Airflow-style
+        restart-from-failure, where the scheduler passes the prior
+        run's successes. A completed task missing its ctx entry is a
+        caller error and raises immediately (silently rerunning it
+        would break the exactly-once contract of load-stage tasks)."""
         ctx = dict(ctx or {})
+        completed = set(completed or ())
+        for name in completed:
+            if name not in self._by_name:
+                raise ValueError(f"completed task {name!r} not in pipeline")
+            if name not in ctx:
+                raise ValueError(
+                    f"completed task {name!r} has no ctx result; pass the"
+                    " prior run's ctx"
+                )
         runs: dict[str, TaskRun] = {}
         dead: set[str] = set()       # failed or transitively downstream
         for name in self._order:
             task = self._by_name[name]
+            if name in completed:
+                runs[name] = TaskRun(name, "cached")
+                continue
             if name in dead or any(d in dead for d in task.deps):
                 runs[name] = TaskRun(name, "skipped")
                 dead.add(name)

@@ -121,3 +121,40 @@ def test_etl_pipeline_end_to_end(spark, sf_dir, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == ctx["process"].count()
     assert set(written.columns) == {"hour", "n", "z"}
+
+
+def test_resume_from_failure_skips_completed(spark):
+    """Restart-from-failure: pass the prior run's successes as
+    `completed` + its ctx; they report `cached` and their callables
+    never re-execute (exactly-once for load stages)."""
+    calls = {"a": 0, "b": 0}
+
+    def a(s, ctx):
+        calls["a"] += 1
+        return "A"
+
+    attempt = {"n": 0}
+
+    def b(s, ctx):
+        calls["b"] += 1
+        attempt["n"] += 1
+        if attempt["n"] == 1:
+            raise RuntimeError("first run fails")
+        return ctx["a"] + "B"
+
+    p = Pipeline([Task("a", a), Task("b", b, deps=("a",))])
+    ctx1, runs1 = p.run(spark)
+    assert runs1["a"].status == "success" and runs1["b"].status == "failed"
+    done = {n for n, r in runs1.items() if r.status == "success"}
+    ctx2, runs2 = p.run(spark, ctx=ctx1, completed=done)
+    assert runs2["a"].status == "cached" and runs2["b"].status == "success"
+    assert calls["a"] == 1 and calls["b"] == 2
+    assert ctx2["b"] == "AB"
+
+
+def test_resume_validates_completed_set(spark):
+    p = Pipeline([Task("a", _noop)])
+    with pytest.raises(ValueError, match="not in pipeline"):
+        p.run(spark, completed={"ghost"})
+    with pytest.raises(ValueError, match="no ctx result"):
+        p.run(spark, completed={"a"})
