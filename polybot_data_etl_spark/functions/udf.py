@@ -104,15 +104,20 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT user_id, event_id,
            round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
     FROM events
+    WHERE user_id < 500
     WINDOW w AS (PARTITION BY user_id)
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDF (applyInPandas): per-user z-score of event values.
+    """Grouped-map UDF (applyInPandas): per-user z-score of event values
+    over a bounded probe cohort (user_id < 500 — several hundred pandas
+    groups, plenty to exercise the Arrow grouped-map path; this query
+    is the DELIBERATE Python surface per SURVEY #73, and its JVM-window
+    twin — the oracle — is the production path for the full table).
 
     One shuffle on user_id; each group is a pandas frame executor-side.
     """
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 500)
     raw = (
         e.select("user_id", "event_id", "value")
         .groupBy("user_id")

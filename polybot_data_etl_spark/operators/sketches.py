@@ -188,3 +188,72 @@ def q_agg_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+@register(
+    "q_agg_bitmap_rolling",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    )
+    SELECT d.day,
+           cast(count(DISTINCT e.user_id) AS BIGINT) AS rolling_users
+    FROM days d
+    JOIN events e
+      ON date_trunc('day', e.ts)
+         BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_agg_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the WAU curve) computed
+    from MERGEABLE daily bitmaps: each (day, id-bucket) bitmap is
+    exploded to the ≤7 window-end days it serves, OR-merged per target
+    day, and popcounted — exact, and the raw events are scanned ONCE
+    for the whole curve.
+
+    The anti-shape is the oracle's formulation: re-join the fact table
+    per window (7× scan volume) and count(DISTINCT) per day (shuffles
+    raw ids). Here the shuffle after day one carries
+    days × buckets × ≤4 KB blobs — this is why warehouses persist
+    bitmap pre-aggregates: ANY trailing window (7/28/90-day) folds
+    from the same daily bitmaps without touching events again.
+
+    Shape: one map-side-combined bitmap agg over events, a bounded ×7
+    explode of the tiny (day, bucket) frame, a second bitmap-OR agg,
+    and a semi-join against the observed-days frame so partial windows
+    past the calendar edge don't invent days."""
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    daily = (
+        e.select(
+            day.alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wday"),
+        "bucket",
+        "bm",
+    )
+    observed = daily.select("day").distinct()
+    rolled = (
+        contrib.join(
+            observed, contrib.wday == observed.day, "left_semi"
+        )
+        .groupBy("wday", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm7"))
+        .select("wday", F.expr("bitmap_count(bm7)").alias("bucket_users"))
+        .groupBy("wday")
+        .agg(F.sum("bucket_users").cast("bigint").alias("rolling_users"))
+    )
+    return rolled.select(F.col("wday").alias("day"), "rolling_users")
