@@ -311,3 +311,68 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "q_stats_wilson",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS clicks,
+               sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+                        ELSE 0 END) AS n
+        FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT day, cast(clicks AS BIGINT) AS clicks, cast(n AS BIGINT) AS n,
+           round(clicks / cast(n AS DOUBLE) + 1e-9, 4) AS ctr,
+           round((clicks / cast(n AS DOUBLE)
+                  + {_WILSON_Z} * {_WILSON_Z} / (2e0 * n)
+                  - {_WILSON_Z} * sqrt(
+                        clicks / cast(n AS DOUBLE)
+                        * (1e0 - clicks / cast(n AS DOUBLE)) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4e0 * n * n)))
+                 / (1e0 + {_WILSON_Z} * {_WILSON_Z} / n) + 1e-9, 4)
+               AS wilson_low
+    FROM d
+    """,
+)
+def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click-through rate with the Wilson score lower bound
+    (z=1.96) — the interval estimate that stays sane at small n, the
+    standard ranking statistic for rate metrics (Wilson 1927; the
+    "how not to sort by average rating" formula).
+
+    Shape: one map-side-combined conditional-count agg to the daily
+    frame; the interval algebra runs on |days| rows. Same-literal z
+    and shared formula keep both engines' doubles identical before
+    rounding."""
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("clicks"),
+        F.sum(
+            F.when(
+                F.col("event_type").isin("click", "view"), 1
+            ).otherwise(0)
+        ).alias("n"),
+    )
+    z = F.lit(_WILSON_Z)
+    n = F.col("n").cast("double")
+    p = F.col("clicks") / n
+    wilson = (
+        p
+        + z * z / (2 * n)
+        - z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    ) / (1 + z * z / n)
+    return d.select(
+        "day",
+        F.col("clicks").cast("bigint").alias("clicks"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(p + F.lit(1e-9), 4).alias("ctr"),
+        F.round(wilson + F.lit(1e-9), 4).alias("wilson_low"),
+    )

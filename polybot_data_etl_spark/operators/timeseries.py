@@ -1272,3 +1272,71 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cur").cast("bigint").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@register(
+    "q_ts_retention",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    first_seen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM ev GROUP BY user_id
+    ),
+    active AS (
+        SELECT f.cohort_day,
+               cast(date_diff('day', f.cohort_day,
+                              date_trunc('day', e.ts)) AS BIGINT) AS offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_day
+    )
+    SELECT a.cohort_day, a.offset, a.n_active,
+           round(a.n_active / cast(s.cohort_size AS DOUBLE) + 1e-9, 4)
+               AS retention
+    FROM active a JOIN sizes s USING (cohort_day)
+    """,
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-rate curve: for each signup cohort (first-seen day)
+    and day offset N, the fraction of the cohort active N days later —
+    the normalized version of the q_ts_cohort matrix, i.e. the actual
+    retention triangle a product team reads.
+
+    Shape: first-seen is one hash agg to a per-user frame (broadcast
+    back, same as cohort); the distinct-active agg keys on
+    (cohort_day, offset); cohort sizes aggregate the per-user frame
+    and join on the tiny (≤ days) cohort list — no fact-table windows,
+    no second events scan."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            )
+            .cast("bigint")
+            .alias("offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return active.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "offset",
+        "n_active",
+        F.round(
+            F.col("n_active") / F.col("cohort_size").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("retention"),
+    )
