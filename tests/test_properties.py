@@ -281,3 +281,52 @@ def test_cms_estimate_one_sided(spark, sf_dir):
         k, est = r["l_partkey"], r["est_count"]
         assert est >= exact[k], (k, est, exact[k])
         assert est <= n_total
+
+
+# --- hypothesis: per-block union-find vs BFS reference -----------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_block_union_find_matches_bfs(edges):
+    """q_pipeline_entities' in-memory kernel must label every
+    edge-endpoint node with its component minimum — checked against a
+    plain BFS on arbitrary small graphs (self-loops included)."""
+    import pandas as pd
+
+    from polybot_data_etl_spark.plans.pipelines import _block_union_find
+
+    pdf = pd.DataFrame(
+        {"a_id": [a for a, _ in edges], "b_id": [b for _, b in edges]}
+    )
+    got = dict(
+        zip(*(lambda f: (f["node"], f["lbl"]))(_block_union_find(pdf)))
+    ) if len(edges) else {}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        root = min(comp)
+        for n in comp:
+            expect[n] = root
+    assert {int(k): int(v) for k, v in got.items()} == expect
