@@ -549,3 +549,73 @@ def q_ts_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "state")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+_PATH_K = 10
+
+
+@register(
+    "q_ts_paths",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS day, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id, day,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, day
+    )
+    SELECT path, cast(count(*) AS BIGINT) AS n
+    FROM paths
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {_PATH_K}
+    """,
+)
+def q_ts_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-opening event paths: each (user, day)'s first three
+    events concatenated in time order, ranked by frequency — the path
+    analysis view behind onboarding/funnel design (q_ts_markov gives
+    the 1-step transition matrix; this gives the most-travelled
+    3-step prefixes).
+
+    Shape: ONE window keyed on the high-cardinality (user, day) pair
+    picks each day's first three rows (ties broken by event_id, same
+    order both engines), a per-(user, day) ordered string-agg builds
+    the path, a map-side-combined count ranks it, and the top-10 head
+    is TakeOrdered — no global sort, no joins."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", "ts")
+    ranked = e.select(
+        "user_id",
+        day.alias("day"),
+        "event_type",
+        F.row_number().over(
+            Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+        ).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATH_K)
+    )

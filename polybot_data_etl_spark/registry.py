@@ -139,7 +139,7 @@ _R05_NEW: frozenset[str] = frozenset(
         "q_ts_m4", "q_dq_benford", "q_stats_cuped", "q_ts_concurrency",
         "q_text_zipf", "q_win_skyline", "q_geo_distance", "q_geo_join",
         "q_multimodal_audio", "q_pipeline_entities", "q_agg_bitmap_rolling",
-        "q_ts_retention", "q_stats_wilson",
+        "q_ts_retention", "q_stats_wilson", "q_ts_paths",
     }
 )
 
