@@ -876,3 +876,69 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+@register(
+    "q_text_urldedup",
+    oracle="""
+    WITH urls AS (
+        -- mixed-case hosts, tracking params, trailing slashes: the
+        -- noise URL canonicalization removes (derived deterministically)
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+               || 'www.Example.com/docs/' || (doc_id // 4)
+               || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END
+                   AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_replace(url, '\\?utm_[^#]*$', '')),
+                   '/+$', '') AS curl
+        FROM urls
+    )
+    SELECT curl, cast(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS kept_id
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    """,
+)
+def q_text_urldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: lowercase, strip tracking params and
+    trailing slashes, then group identical canonical URLs keeping the
+    min doc_id — the first dedup pass every web corpus runs (exact
+    content dedup only sees bytes; URL dedup catches re-crawls of the
+    same page before any content comparison). URLs are synthesized
+    deterministically with the noise classes the canonicalizer must
+    remove (case, utm params, trailing slash).
+
+    Shape: narrow canonicalization projection (regexp + lower + rtrim,
+    all codegen) → ONE hash agg on the canonical string — at 100 TB
+    this is the cheapest dedup in the pipeline and runs first."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("https://")
+        ),
+        F.lit("www.Example.com/docs/"),
+        F.floor(F.col("doc_id") / 4).cast("long"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")
+        ).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.lower(F.regexp_replace(url, r"\?utm_[^#]*$", "")), "/+$", ""
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("kept_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )

@@ -1340,3 +1340,80 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("retention"),
     )
+
+
+@register(
+    "q_ts_ltv",
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
+    first_seen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM ev GROUP BY user_id
+    ),
+    rev AS (
+        SELECT f.cohort_day,
+               cast(date_diff('day', f.cohort_day,
+                              date_trunc('day', e.ts)) AS BIGINT) AS offset,
+               sum(e.value) AS day_rev
+        FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_day
+    )
+    SELECT r.cohort_day, r.offset,
+           round(sum(r.day_rev) OVER (
+               PARTITION BY r.cohort_day ORDER BY r.offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / cast(s.cohort_size AS DOUBLE) + 1e-9, 4) AS ltv_per_user
+    FROM rev r JOIN sizes s USING (cohort_day)
+    """,
+)
+def q_ts_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per cohort member
+    by day offset — the revenue sibling of q_ts_retention (the two
+    curves together are the subscription-business dashboard).
+
+    Shape: revenue aggregates to the (cohort, offset) frame FIRST
+    (map-side combined), the running sum windows over that
+    calendar-bounded frame (≤ days² rows), never raw events; cohort
+    sizes join from the tiny per-day frame."""
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort_day")
+            )
+            .cast("bigint")
+            .alias("offset"),
+        )
+        .agg(F.sum("value").alias("day_rev"))
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "offset",
+        F.round(
+            F.sum("day_rev").over(w)
+            / F.col("cohort_size").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("ltv_per_user"),
+    )
