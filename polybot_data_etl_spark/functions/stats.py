@@ -276,6 +276,9 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
         ).alias("y"),
     ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    # bounded per-user (x, y) frame consumed twice (θ moments + the
+    # adjusted means): one lineage cut → one events scan
+    per_user = per_user.localCheckpoint(eager=False)
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
     t = per_user.agg(

@@ -605,6 +605,12 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.col("x0").cast("double").alias("x"),
     )
+    # The exploded feature frame feeds every assignment AND every
+    # re-centering (2 iterations → 5 consumers); truncate its lineage
+    # once so the plan scans/explodes the store once, not per consumer
+    # — the same shared-subtree cut as PageRank's edge frame
+    # (SCALE.md §shared-subtree; MLlib's Lloyd caches this frame too).
+    ex = ex.localCheckpoint(eager=False)
     cent = (
         ex.filter(F.col("vec_id") < _KM_K)
         .select(

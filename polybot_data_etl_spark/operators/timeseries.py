@@ -1312,9 +1312,11 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     and join on the tiny (≤ days) cohort list — no fact-table windows,
     no second events scan."""
     e = table(spark, sf_dir, "events")
+    # bounded per-user frame consumed twice (cohort join + sizes):
+    # one lineage cut → one events scan (SCALE.md §shared-subtree)
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
-    )
+    ).localCheckpoint(eager=False)
     active = (
         e.join(F.broadcast(first_seen), "user_id")
         .groupBy(
@@ -1383,7 +1385,7 @@ def q_ts_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
-    )
+    ).localCheckpoint(eager=False)
     rev = (
         e.filter(F.col("event_type") == "purchase")
         .join(F.broadcast(first_seen), "user_id")
