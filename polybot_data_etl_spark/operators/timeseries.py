@@ -1249,15 +1249,25 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e"), F.col("day") + F.expr("INTERVAL 1 DAY")
         ).alias("seg_e"),
     )
+    # Both boundary events come from ONE pass over the segment frame
+    # (explode of a 2-element struct array) — a union of two selects
+    # would re-run sessionization + the day explode twice.
     pts = segs.select(
-        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta"), "user_id"
-    ).unionByName(
-        segs.select(
-            "day",
-            F.col("seg_e").alias("t"),
-            F.lit(-1).alias("delta"),
-            "user_id",
-        )
+        "day",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("seg_s").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("seg_e").alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "day", F.col("b.t").alias("t"), F.col("b.delta").alias("delta"),
+        "user_id",
     )
     from pyspark.sql import Window
 
