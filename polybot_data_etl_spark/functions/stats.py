@@ -77,12 +77,14 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value") * F.col("value")).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    # the 2-row summary feeds both filter branches: one lineage cut
+    # -> one events scan
     s = m.select(
         "event_type",
         n,
         (sx / n).alias("mean"),
         ((sxx - sx * sx / n) / (n - 1)).alias("var"),
-    )
+    ).localCheckpoint(eager=False)
     a = s.filter(F.col("event_type") == "click").select(
         F.col("n").alias("n_click"),
         F.col("mean").alias("m_a"),

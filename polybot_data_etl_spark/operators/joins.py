@@ -738,9 +738,13 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_join_range_bucketed refinement (joins.py:261) — same machinery,
     finer key."""
     e = table(spark, sf_dir, "events")
+    # consumed by both join sides: one lineage cut -> one events scan
+    # (bounded user x day frame)
     iv = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e")).localCheckpoint(
+        eager=False
+    )
     probes = iv.filter(F.col("user_id") < _OVERLAP_PROBES).select(
         F.col("user_id").alias("probe_id"),
         F.col("day"),

@@ -233,6 +233,9 @@ def q_agg_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day", "bucket")
         .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        # consumed by contrib AND the observed-days semi-join: one
+        # lineage cut -> one events scan (bounded days x buckets frame)
+        .localCheckpoint(eager=False)
     )
     contrib = daily.select(
         F.explode(
