@@ -429,3 +429,44 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
     )
+
+
+@register(
+    "q_fn_null",
+    oracle="""
+    SELECT o_orderkey,
+           st,
+           coalesce(st, o_orderpriority) AS st_or_prio,
+           CASE WHEN st IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_tag,
+           (st IS NOT DISTINCT FROM 'F') AS is_final_nullsafe,
+           (st IS DISTINCT FROM 'F') AS not_final_nullsafe
+    FROM (
+        SELECT o_orderkey, o_orderpriority,
+               nullif(o_orderstatus, 'O') AS st
+        FROM orders
+        WHERE o_orderkey < 5000
+    )
+    """,
+)
+def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NULL-semantics function surface: nullif / coalesce / nvl2 /
+    null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM) over a derived
+    nullable column — the expression family every CDC merge and
+    nullable-dimension lookup leans on (q_join_null_safe exercises the
+    JOIN side; this pins the scalar side).
+
+    Single-pass narrow projection with the key filter pushed into the
+    scan; zero shuffles."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    d = o.select("o_orderkey", "o_orderpriority", st.alias("st"))
+    return d.select(
+        "o_orderkey",
+        "st",
+        F.coalesce(F.col("st"), F.col("o_orderpriority")).alias(
+            "st_or_prio"
+        ),
+        F.nvl2(F.col("st"), F.lit("has"), F.lit("none")).alias("nvl2_tag"),
+        F.col("st").eqNullSafe(F.lit("F")).alias("is_final_nullsafe"),
+        (~F.col("st").eqNullSafe(F.lit("F"))).alias("not_final_nullsafe"),
+    )

@@ -140,7 +140,7 @@ _R05_NEW: frozenset[str] = frozenset(
         "q_text_zipf", "q_win_skyline", "q_geo_distance", "q_geo_join",
         "q_multimodal_audio", "q_pipeline_entities", "q_agg_bitmap_rolling",
         "q_ts_retention", "q_stats_wilson", "q_ts_paths",
-        "q_ts_ltv", "q_text_urldedup",
+        "q_ts_ltv", "q_text_urldedup", "q_fn_null",
     }
 )
 
