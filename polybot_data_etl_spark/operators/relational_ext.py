@@ -25,6 +25,7 @@ from polybot_data_etl_spark.registry import register
 
 # Closed event-type domain (FIXTURES.md §events, verified on fixtures).
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_PACK_BUCKETS = 32  # hash-range shards per language for the two-pass cumsum
 
 
 @register(
@@ -396,24 +397,49 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest (doc count + real token sum) a packed-pretraining loader
     consumes.  A boundary-spanning doc stays in the bin where its
     prefix starts — prefix packing, the streaming-friendly greedy
-    variant that needs one pass and no bin state.  Shape: one window
-    prefix-sum per language partition + one hash agg; at 100 TB the
-    pack key becomes (lang, shard) with shard = hash(doc_id) % N so no
-    partition outgrows an executor (same recipe as SCALE.md's window
-    sharding)."""
+    variant that needs one pass and no bin state.
+
+    Scale shape (two-pass bucket-offset prefix sum, the
+    q_win_dist_scaled recipe): a single-``lang`` window would sort an
+    entire language's corpus in one task at 100 TB, so the hash order
+    is cut into ``_PACK_BUCKETS`` contiguous ranges of the portable
+    shuffle key; a (lang, bucket) window computes bucket-LOCAL running
+    sums in parallel, per-bucket totals (≤ _PACK_BUCKETS rows per lang)
+    prefix-sum into carry-in offsets, and the global cumulative = offset
+    + local.  Bin ids are unchanged because the order key is the same
+    portable hash."""
     from pyspark.sql import Window
 
+    n_buckets = _PACK_BUCKETS
+    bucket_width = 1000000007 // n_buckets + 1
     d = table(spark, sf_dir, "documents")
     tokens = F.floor((F.col("n_chars") + 3) / 4)
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(h, F.col("doc_id"))
+    staged = d.select(
+        "lang", "doc_id", tokens.alias("tokens"), h.alias("__h")
+    ).withColumn("__bkt", (F.col("__h") / F.lit(bucket_width)).cast("int"))
+    w_local = (
+        Window.partitionBy("lang", "__bkt")
+        .orderBy("__h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = staged.withColumn("__lcum", F.sum("tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        staged.groupBy("lang", "__bkt")
+        .agg(F.sum("tokens").alias("__bt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__bt").over(w_off), F.lit(0))
+        )
+        .select("lang", "__bkt", "__off")
+    )
     return (
-        d.select("lang", "doc_id", tokens.alias("tokens"))
-        .withColumn("cum", F.sum("tokens").over(w))
+        local.join(F.broadcast(offsets), ["lang", "__bkt"])
+        .withColumn("cum", F.col("__off") + F.col("__lcum"))
         .select(
             "lang",
             "tokens",

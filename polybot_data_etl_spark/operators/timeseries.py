@@ -75,8 +75,10 @@ def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, value,
+               -- >= (not >): Spark session_window is half-open —
+               -- an event at exactly prev_ts + gap starts a NEW session
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS brk
         FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
@@ -1155,8 +1157,10 @@ def q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
     flagged AS (
         SELECT user_id, ts,
+               -- >= (not >): Spark session_window is half-open —
+               -- an event at exactly prev_ts + gap starts a NEW session
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL 30 MINUTE
+                         >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS brk
         FROM ev
@@ -1215,10 +1219,16 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: sessionization is the engine's q_ts_session shuffle
     (user-keyed); the segment explode is bounded by session length in
-    days (≤2 for real session gaps); the sweep windows partition by
-    DAY — at 100 TB each day's boundary-event list is two rows per
-    session, orders of magnitude under the fact table, and days are
-    independent tasks."""
+    days (≤2 for real session gaps).  The running sum is associative,
+    so the sweep is TWO-LEVEL (the q_win_dist_scaled bucket-offset
+    recipe): boundary events bucket by the HOUR of t within the day
+    (hour = floor((t − day)/1h), a pure function of the row, monotone
+    in the sort key so hour buckets are contiguous order ranges);
+    per-(day, hour) windows run local sweeps in parallel, per-hour
+    delta totals (≤ 25 rows/day) prefix-sum into carry-in offsets, and
+    the true concurrency = carry-in + local.  A hot day with 10⁸
+    sessions is then 25 bounded tasks, not one ~2×10⁸-row sorted
+    window task."""
     e = table(spark, sf_dir, "events")
     sess = (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -1271,12 +1281,32 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("day")
+    hr = F.floor(
+        (F.unix_timestamp("t") - F.unix_timestamp("day")) / 3600
+    ).cast("int")
+    pts = pts.withColumn("hr", hr)
+    w_local = (
+        Window.partitionBy("day", "hr")
         .orderBy("t", "delta", "user_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.withColumn("cur", F.sum("delta").over(w))
+    local = pts.withColumn("lcur", F.sum("delta").over(w_local))
+    w_off = (
+        Window.partitionBy("day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        pts.groupBy("day", "hr")
+        .agg(F.sum("delta").alias("htot"))
+        .withColumn(
+            "carry", F.coalesce(F.sum("htot").over(w_off), F.lit(0))
+        )
+        .select("day", "hr", "carry")
+    )
+    run = local.join(F.broadcast(offsets), ["day", "hr"]).withColumn(
+        "cur", F.col("carry") + F.col("lcur")
+    )
     return (
         run.groupBy("day")
         .agg(F.max("cur").cast("bigint").alias("peak_concurrent"))

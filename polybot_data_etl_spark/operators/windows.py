@@ -230,19 +230,17 @@ def q_win_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-partition sort.
 
     Two-pass range-bucketed rank:
-      1. A tiny min/max aggregate fixes ORDERED value buckets
-         deterministically: bkt = floor((val - lo) / ((hi - lo) / P)).
-         (Deliberately NOT ``repartitionByRange`` +
-         ``spark_partition_id()``: Catalyst evaluates a multi-branch
-         plan's common subtree once per branch, and nothing guarantees
-         two range-exchanges sample identical boundaries — a
-         partition-id bucket could then disagree between the row branch
-         and the count branch.  A value-derived bucket is a pure
-         function of the row, so recomputation is always consistent.)
-         A window partitioned by bkt computes bucket-LOCAL row numbers
-         in parallel (each task sorts only its own value range;
-         production would pick boundaries by approx-quantiles instead
-         of min/max to resist value skew).
+      1. An approx-quantile aggregate fixes ORDERED value boundaries
+         (P−1 cut points at i/P quantiles), collected to the driver as
+         LITERALS — the same tiny boundary-collect repartitionByRange
+         does internally.  Literal boundaries make the bucket a pure
+         deterministic function of the row (no risk of two plan
+         branches recomputing a sketch differently), and quantile cuts
+         — unlike the min/max-width buckets this used before — can't be
+         starved by value skew: every bucket holds ≈ n/P rows no matter
+         the distribution.  A window partitioned by bkt computes
+         bucket-LOCAL row numbers in parallel (each task sorts only its
+         own value range).
       2. Per-bucket row counts (≤ P rows) get prefix-summed into global
          offsets — the only global window runs over that tiny bucket
          summary, never the data.
@@ -253,21 +251,19 @@ def q_win_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_buckets = 32
     c = table(spark, sf_dir, "customer")
-    stats = c.agg(
-        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
-    )
-    width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
-    bkt = (
-        F.when(F.col("hi") == F.col("lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("c_acctbal") - F.col("lo")) / width),
-            )
-        )
-        .cast("int")
-    )
-    bucketed = c.crossJoin(F.broadcast(stats)).withColumn("bkt", bkt)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = c.agg(
+        F.percentile_approx("c_acctbal", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(
+            F.filter(cuts, lambda x: x <= F.col("c_acctbal"))
+        ).cast("int")
+    else:
+        bkt = F.lit(0)
+    bucketed = c.withColumn("bkt", bkt)
     w_local = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
     local = bucketed.withColumn("lrn", F.row_number().over(w_local))
     counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))

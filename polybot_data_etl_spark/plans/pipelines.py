@@ -84,6 +84,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_TOKEN_BUDGET = 2_000  # per-language token budget for the mix
+_MIX_BUCKETS = 32  # hash-range shards per language for the two-pass cumsum
 
 
 @register(
@@ -112,16 +113,25 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-shuffled order — the downsampling step that turns
     per-source corpora into a mixture with prescribed token shares.
 
-    Shape: one window per stratum (cumulative token sum over the
-    multiplicative-hash order — same portable shuffle as
-    q_sample_stratified), then a filter on the running total; all
-    integer arithmetic, no RNG, so the same mix materializes on any
-    engine and any partitioning.  At 100 TB the window partitions by
-    language (or by (source, language) for finer strata) and never
-    sorts globally."""
+    Scale shape (the two-pass bucket-offset prefix sum, same recipe as
+    q_win_dist_scaled's ranks): a single-``lang`` window would hand one
+    task an entire language's corpus at 100 TB, so the hash order is cut
+    into ``_MIX_BUCKETS`` contiguous ranges of the portable shuffle key
+    ``__h`` (bucket = __h div width — a pure function of the row, so
+    every plan branch recomputes it identically):
+      1. a window per (lang, bkt) computes bucket-LOCAL running token
+         sums in parallel — each task sorts only its own hash range;
+      2. per-bucket totals (≤ _MIX_BUCKETS rows per lang) get
+         prefix-summed into carry-in offsets — the only per-lang-wide
+         window runs over that tiny summary, never the data.
+    Global running total = offset + local running total; the budget
+    filter then keeps exactly the same prefix of the hash order as the
+    single-window form.  All integer arithmetic, no RNG, so the same
+    mix materializes on any engine and any partitioning."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
+    bucket_width = 1000000007 // _MIX_BUCKETS + 1
     staged = d.select(
         "lang",
         "doc_id",
@@ -131,14 +141,27 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).alias(
             "__h"
         ),
-    )
-    w = (
-        Window.partitionBy("lang")
+    ).withColumn("__bkt", (F.col("__h") / F.lit(bucket_width)).cast("int"))
+    w_local = (
+        Window.partitionBy("lang", "__bkt")
         .orderBy("__h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = staged.withColumn("__lcum", F.sum("n_tokens").over(w_local))
+    counts = staged.groupBy("lang", "__bkt").agg(
+        F.sum("n_tokens").alias("__bkt_tokens")
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bkt_tokens").over(w_off), F.lit(0))
+    ).select("lang", "__bkt", "__off")
     return (
-        staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offsets), ["lang", "__bkt"])
+        .withColumn("cum_tokens", F.col("__off") + F.col("__lcum"))
         .filter(F.col("cum_tokens") <= _MIX_TOKEN_BUDGET)
         .select("lang", "doc_id", "n_tokens", "cum_tokens")
     )

@@ -235,6 +235,41 @@ def test_weighted_sample_and_mix_stratum_windows(spark, sf_dir):
         assert "SinglePartition" not in plan, name
 
 
+def _window_specs(plan: str) -> list[str]:
+    import re
+
+    return re.findall(r"windowspecdefinition\([^)]*\)", plan)
+
+
+def test_mix_budget_and_pack_greedy_data_windows_bucket_sharded(
+    spark, sf_dir
+):
+    """VERDICT r3 #2/#3: the prefix-sum window over the CORPUS (the one
+    ordering by the portable hash ``__h``) must partition by
+    (lang, hash-range bucket) — a single-lang data window hands one
+    task an entire language at 100 TB.  The only lang-only window runs
+    over the ≤32-row-per-lang bucket summary (orders by ``__bkt``)."""
+    for name in ("q_mix_budget", "q_pack_greedy"):
+        plan = plan_of(spark, sf_dir, name)
+        data_specs = [s for s in _window_specs(plan) if "__h#" in s]
+        assert data_specs, name
+        for s in data_specs:
+            assert "__bkt" in s, (name, s)
+
+
+def test_ts_concurrency_sweep_is_hour_sharded(spark, sf_dir):
+    """VERDICT r3 #4: the sweep-line running sum (the window ordering
+    by the boundary timestamp ``t``) must partition by (day, hour) —
+    a day-only window makes a hot day one ~2×10⁸-row sorted task.  The
+    day-only window may only touch the ≤25-row per-hour carry summary
+    (orders by ``hr``)."""
+    plan = plan_of(spark, sf_dir, "q_ts_concurrency")
+    data_specs = [s for s in _window_specs(plan) if " t#" in s or "(t#" in s]
+    assert data_specs
+    for s in data_specs:
+        assert "hr#" in s, s
+
+
 def test_chunk_is_narrow_generate(spark, sf_dir):
     """Chunking is a per-row Generate + codegen substring — zero
     shuffles, no join, no Python."""

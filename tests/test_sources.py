@@ -91,7 +91,7 @@ def test_orc_round_trip_partitioned(spark, sf_dir, tmp_path):
     _assert_same_rows(orders, back, "o_orderkey")
 
 
-def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+def test_orc_pushdown_plan_filters(spark, sf_dir, tmp_path):
     orders = table(spark, sf_dir, "orders")
     path = str(tmp_path / "orders_orc_pd")
     files.write_orc(orders, path)
