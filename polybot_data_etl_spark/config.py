@@ -69,7 +69,10 @@ class EngineConfig:
             cpus=_int("SPARK_GRAFT_CPUS", None),
             shuffle_partitions=_int("SPARK_GRAFT_SHUFFLE", 32),
         )
-        if not os.path.isdir(cfg.sf_dir):
+        # Validate the data dir only when SPARK_GRAFT_SF_DIR was set
+        # explicitly: the machine-default path need not exist on hosts
+        # that only run unit tests with injected env mappings.
+        if "SPARK_GRAFT_SF_DIR" in e and not os.path.isdir(cfg.sf_dir):
             raise ValueError(
                 f"SPARK_GRAFT_SF_DIR={cfg.sf_dir!r} is not a directory"
             )

@@ -795,15 +795,27 @@ def connected_components(
 
 
 def component_labels(
-    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+    pairs: DataFrame,
+    max_iters: int = _CC_MAX_ITERS,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Min-label propagation restricted to edge-endpoint nodes.
+
+    ``algorithm="star"`` switches to the alternating large-star/
+    small-star formulation (component_labels_star) — O(log n)-ish
+    supersteps on ANY graph shape vs propagation's O(diameter).
+    Near-dup graphs are dense (2-3 supersteps), so propagation is the
+    default; the star fallback is for pathological long-path graphs.
 
     Returns (node, lbl) for every node with degree ≥ 1 only.  Each
     superstep shuffles O(|E|) rows — the dup-pair graph, not the corpus
     — so the iteration cost is bound by the near-dup rate, not the
     table size (at 100 TB the pair graph is orders of magnitude smaller
     than the document set)."""
+    if algorithm == "star":
+        return component_labels_star(pairs, max_iters=max_iters)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -848,6 +860,101 @@ def component_labels(
             break
         prev_sum = new_sum
     return labels
+
+
+def component_labels_star(
+    pairs: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (the
+    MapReduce CC construction of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014) — the documented fallback for
+    pathological long-path graphs where min-label propagation needs
+    O(diameter) supersteps.
+
+    Each round rewrites the undirected edge set with two neighborhood-
+    min operations (each one groupBy + join over O(|E|) rows):
+      * large-star(u): every neighbor v > u re-attaches to
+        m = min(Γ(u) ∪ {u});
+      * small-star(u): every neighbor v ≤ u (and u itself) attaches
+        to m.
+    The edge set converges to a star forest rooted at each component's
+    min node in O(log² n) rounds (O(log n) observed); labels are then
+    read straight off the star edges.  Returns (node, lbl) for
+    degree-≥1 nodes only, exactly like component_labels."""
+    # canonical undirected orientation (u < v); self-pairs drop out
+    e = (
+        pairs.select(
+            F.least("a_id", "b_id").alias("u"),
+            F.greatest("a_id", "b_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _canon(emitted: DataFrame) -> DataFrame:
+        return (
+            emitted.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # xor-fold, not sum: ANSI mode makes a long sum of 2^63-range
+            # hashes an overflow error
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_iters):
+        # large-star: neighbors v > u hook onto u's neighborhood min
+        sym = _sym(e)
+        nmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = _canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(nmin, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: neighbors v ≤ u (plus u) hook onto the min
+        sym = _sym(large)
+        nmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = _canon(
+            sym.filter(F.col("v") < F.col("u"))
+            .join(nmin, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                nmin.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        ).localCheckpoint(eager=True)
+        cur = _checksum(small)
+        e = small
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint = star forest with canonical edges (root, v): the u side
+    # is the component min.  Roots label themselves.
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("lbl"))
+        .unionByName(
+            e.select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        )
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+    )
 
 
 # --- SemDeDup: per-cluster dense semantic near-dup ---------------------------

@@ -1052,7 +1052,11 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is tiny no matter the fact-table size, and each group's fold
     is one JVM expression. This is the standard scale shape for
     sequential recursions: aggregate-to-bounded-series first, fold
-    second."""
+    second.
+
+    Holt needs two observations to initialize (l₀=y₂, b₀=y₂−y₁), so
+    single-day groups are dropped — matching the oracle's recursion,
+    whose seed row i=2 never exists when len(ys)=1."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -1064,7 +1068,7 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         F.transform(F.col("sd"), lambda s: s.getField("y")).alias("ys"),
-    )
+    ).filter(F.size("ys") >= 2)
     a, b1 = F.lit(_HOLT_ALPHA), F.lit(1 - _HOLT_ALPHA)
     g, g1 = F.lit(_HOLT_BETA), F.lit(1 - _HOLT_BETA)
 

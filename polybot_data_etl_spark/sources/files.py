@@ -112,3 +112,55 @@ def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> Data
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro module is on the session's classpath.
+
+    Avro has been an EXTERNAL Spark module since 2.4: the pip pyspark
+    distribution does not bundle ``spark-avro``; clusters add it via
+    ``--packages org.apache.spark:spark-avro_2.13:<spark version>``.
+    The connector below degrades to a clear, named error when absent
+    (the same import-gating contract as the multimodal codecs).
+    """
+    try:
+        # the same resolver the reader/writer uses — a bare
+        # Class.forName probe is wrong here (pip pyspark ships SOME
+        # sql.avro classes for from_avro/to_avro without registering
+        # the file source)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+_AVRO_HINT = (
+    "spark-avro is an external module: submit with --packages "
+    "org.apache.spark:spark-avro_2.13:<spark-version> (not bundled "
+    "with pip pyspark)"
+)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro connector (lake interchange format #4 after parquet/ORC/
+    CSV/JSON). Raises a RuntimeError naming the missing package when
+    the external module is not deployed."""
+    if not avro_available(spark):
+        raise RuntimeError(_AVRO_HINT)
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(_AVRO_HINT)
+    writer = df.write.format("avro").mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

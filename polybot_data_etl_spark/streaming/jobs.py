@@ -43,6 +43,41 @@ def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
     )
 
 
+def events_rate_stream(
+    spark: SparkSession, rows_per_batch: int = 100
+) -> DataFrame:
+    """Broker-shaped UNBOUNDED source mapped to the events schema.
+
+    A real deployment reads Kafka here (``format("kafka")`` + the same
+    projection); that connector is an external jar, so the public
+    ``rate-micro-batch`` source stands in: like a broker and unlike the
+    file source it never exhausts, emits fixed-size micro-batches, and
+    delivers (timestamp, value) rows the job maps onto the events
+    shape.  Every downstream job (tumbling_agg, stream_dedup, …) is
+    source-agnostic — swapping in Kafka changes only this function.
+
+    ``startTimestamp=0`` + 1s per batch makes the generated event times
+    deterministic, so tests can assert real aggregate values, not just
+    liveness.
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    return raw.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        (F.col("value") % 7).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ("click", "view", "purchase")]),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 10).cast("double").alias("value"),
+    )
+
+
 def tumbling_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """#67: tumbling 1-hour window count/sum with late-data drop.
 

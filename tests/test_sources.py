@@ -221,3 +221,24 @@ def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters:" in plan
     assert "GreaterThan(o_totalprice" in plan.split("PushedFilters:")[1][:200]
     assert back.count() > 0
+
+
+def test_avro_connector_gate_or_roundtrip(spark, sf_dir, tmp_path):
+    """Avro is the one lake format pip pyspark doesn't bundle
+    (external module since Spark 2.4).  When the jar is deployed the
+    connector must round-trip like ORC; when it isn't, it must fail
+    with an error naming the package to add — never a raw
+    ClassNotFoundException from inside the DataSource resolver."""
+    nation = table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_avro")
+    if files.avro_available(spark):
+        files.write_avro(nation, path)
+        back = files.read_avro(spark, path).select(*nation.columns)
+        _assert_same_rows(nation, back, "n_nationkey")
+    else:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            files.write_avro(nation, path)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            files.read_avro(spark, path)
