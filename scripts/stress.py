@@ -404,6 +404,72 @@ def main() -> int:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_t)
 
+    # --- two-pass rank bucketing: min/max-width vs approx-quantile
+    # boundaries on a pathologically skewed value column -------------
+    # val = rand^8 * 1e6: continuous but heavy-tailed — ~92% of values
+    # land in the lowest 1/32 of the range, so width buckets put ~all
+    # rows in bucket 0 (one task sorts nearly everything) while
+    # quantile cuts keep every bucket ≈ n/P.  (Identical-value ties are
+    # the one skew boundaries can't split — that needs a composite
+    # (val, hash-range) bucket key, same trick as the salted agg.)
+    n_rank = args.rows
+    skewed = spark.range(n_rank).select(
+        F.col("id").alias("k"),
+        (F.pow(F.rand(seed=11), 8) * 1e6).alias("val"),
+    )
+    skewed.write.mode("overwrite").parquet("/tmp/polybot_stress_rank")
+    skewed = spark.read.parquet("/tmp/polybot_stress_rank")
+    n_buckets = 32
+
+    def rank_two_pass(quantile_cuts: bool):
+        from pyspark.sql import Window as W
+
+        if quantile_cuts:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            bounds = sorted(
+                set(
+                    skewed.agg(
+                        F.percentile_approx("val", qs, 10_000)
+                    ).first()[0]
+                )
+            )
+            cuts = F.array(*[F.lit(float(b)) for b in bounds])
+            bkt = F.size(F.filter(cuts, lambda x: x <= F.col("val")))
+        else:
+            lohi = skewed.agg(
+                F.min("val").alias("lo"), F.max("val").alias("hi")
+            ).first()
+            width = (lohi["hi"] - lohi["lo"]) / n_buckets or 1.0
+            bkt = F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("val") - F.lit(lohi["lo"])) / F.lit(width)),
+            ).cast("int")
+        b = skewed.withColumn("bkt", bkt)
+        local = b.withColumn(
+            "lrn",
+            F.row_number().over(W.partitionBy("bkt").orderBy("val", "k")),
+        )
+        counts = b.groupBy("bkt").agg(F.count("*").alias("cnt"))
+        offsets = counts.withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select("bkt", "off")
+        ranked = local.join(F.broadcast(offsets), "bkt").select(
+            "k", (F.col("off") + F.col("lrn")).alias("rn")
+        )
+        ranked.write.mode("overwrite").format("noop").save()
+        mx = counts.agg(F.max("cnt")).first()[0]
+        return f"max bucket = {mx:,} of {n_rank:,}"
+
+    print(f"two-pass global rank on 90%-hot value column: {n_rank:,} rows")
+    timed("min/max-width buckets (skew-starved)", lambda: rank_two_pass(False))
+    timed("approx-quantile buckets (engine shape)", lambda: rank_two_pass(True))
+
     return 0
 
 
