@@ -957,6 +957,75 @@ def component_labels_star(
     )
 
 
+@register(
+    "q_dedup_paragraph",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, substring(text, CAST(s AS INTEGER), 40) AS chunk
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, n_chars, 40)) AS s
+            FROM documents
+        )
+    ),
+    freq AS (
+        SELECT chunk, count(DISTINCT doc_id) AS nd
+        FROM ch GROUP BY chunk
+    )
+    SELECT ch.doc_id,
+           cast(count(*) AS BIGINT) AS n_chunks,
+           cast(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           round(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) + 1e-9, 4) AS dup_frac
+    FROM ch JOIN freq f USING (chunk)
+    GROUP BY ch.doc_id
+    """,
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the C4 recipe: dedup at PARAGRAPH
+    granularity, not document granularity — boilerplate and quoted
+    passages repeat across pages whose full texts differ).  Documents
+    are segmented into fixed 40-char paragraphs (the synthetic corpus
+    has no newlines; a real corpus splits on '\\n\\n' with the same
+    plan); a paragraph is duplicated when it appears in >1 distinct
+    document.  Output: the per-doc cleaning manifest — total segments,
+    duplicated segments, duplicated fraction — that the curation
+    pipeline uses to strip or down-weight docs.
+
+    Shape: narrow Generate (sequence+substring, codegen) → ONE hash agg
+    on the paragraph text (count distinct doc, map-side combined) →
+    equi-join back on the paragraph key → per-doc hash agg.  Nothing
+    quadratic: cost is O(total segments).  At 100 TB the group/join key
+    becomes xxhash64(paragraph) so the shuffle carries 8-byte keys
+    instead of strings — same plan, smaller exchange (kept as the raw
+    string here for cross-engine oracle parity)."""
+    d = table(spark, sf_dir, "documents")
+    s = F.explode(
+        F.sequence(
+            F.lit(1).cast("long"), F.col("n_chars"), F.lit(40).cast("long")
+        )
+    ).alias("s")
+    ch = d.select("doc_id", "text", s).select(
+        "doc_id", F.expr("substring(text, CAST(s AS INT), 40)").alias("chunk")
+    )
+    freq = ch.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup) / F.count("*") + F.lit(1e-9), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # --- SemDeDup: per-cluster dense semantic near-dup ---------------------------
 
 # Cosine threshold for "semantically duplicate" within a cluster.  Low

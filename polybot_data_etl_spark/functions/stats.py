@@ -381,3 +381,123 @@ def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p + F.lit(1e-9), 4).alias("ctr"),
         F.round(wilson + F.lit(1e-9), 4).alias("wilson_low"),
     )
+
+
+@register(
+    "q_stats_mannwhitney",
+    oracle="""
+    WITH v AS (
+        SELECT value, count(*) AS cnt,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS cnt_a
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY value
+    ),
+    r AS (
+        SELECT value, cnt, cnt_a,
+               sum(cnt) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM v
+    ),
+    s AS (
+        SELECT sum(cnt_a) AS n1,
+               sum(cnt) - sum(cnt_a) AS n2,
+               sum(cnt) AS n,
+               sum((cum - (cnt - 1) / 2.0) * cnt_a) AS r1,
+               sum(cnt * cnt * cnt - cnt) AS ties
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click,
+           CAST(n2 AS BIGINT) AS n_view,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - ties * 1.0 / (n * (n - 1))))
+                 + 1e-9, 4) AS z
+    FROM s
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: does the `value`
+    distribution differ between click and view events? — the
+    nonparametric sibling of q_stats_ttest for metrics too skewed for
+    a mean compare.  Tie-averaged ranks, U = R₁ − n₁(n₁+1)/2, and the
+    tie-corrected normal approximation z = (U − μ)/σ.
+
+    Determinism without float-sum luck: ranks come from the DISTINCT-
+    value frame (value, cnt, cnt_a), where the cumulative count is an
+    integer and the tied-block average rank cum − (cnt−1)/2 is an exact
+    multiple of 0.5 — so R₁ is a sum of exactly-representable halves,
+    identical on any engine in any order; n/ties are integer sums.
+
+    Scale shape: the fact table collapses to the distinct-value frame
+    with ONE map-side-combined hash agg; the rank prefix-sum then runs
+    the engine's two-pass bucket-offset recipe (quantile-literal value
+    buckets → bucket-local cumsums → ≤P-row carry prefix — same as
+    q_win_dist_scaled), so no single task ever sorts the whole value
+    domain; the final reduce is a 1-row aggregate."""
+    from pyspark.sql import Window
+
+    n_buckets = 32
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("cnt_a"),
+        )
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = v.agg(
+        F.percentile_approx("value", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("value")))
+    else:
+        bkt = F.lit(0)
+    v = v.withColumn("bkt", bkt)
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = v.withColumn("lcum", F.sum("cnt").over(w_local))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        v.groupBy("bkt")
+        .agg(F.sum("cnt").alias("bt"))
+        .withColumn("off", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    r = local.join(F.broadcast(offsets), "bkt").withColumn(
+        "cum", F.col("off") + F.col("lcum")
+    )
+    s = r.agg(
+        F.sum("cnt_a").alias("n1"),
+        (F.sum("cnt") - F.sum("cnt_a")).alias("n2"),
+        F.sum("cnt").alias("n"),
+        F.sum(
+            (F.col("cum") - (F.col("cnt") - 1) / 2.0) * F.col("cnt_a")
+        ).alias("r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u = F.col("r1") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("ties") * 1.0 / (n * (n - 1)))
+    )
+    return s.select(
+        n1.cast("bigint").alias("n_click"),
+        n2.cast("bigint").alias("n_view"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - n1 * n2 / 2.0) / sigma + F.lit(1e-9), 4).alias("z"),
+    )

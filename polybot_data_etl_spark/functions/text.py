@@ -942,3 +942,78 @@ def q_text_urldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+    WITH ch AS (
+        SELECT source, doc_id,
+               substring(text, CAST(s AS INTEGER), 40) AS chunk
+        FROM (
+            SELECT source, doc_id, text,
+                   unnest(generate_series(1, n_chars, 40)) AS s
+            FROM documents
+        )
+    ),
+    per AS (
+        SELECT source, chunk, count(DISTINCT doc_id) AS nd
+        FROM ch GROUP BY source, chunk
+    ),
+    docs AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs
+        FROM ch GROUP BY source
+    )
+    SELECT per.source,
+           cast(any_value(n_docs) AS BIGINT) AS n_docs,
+           cast(count(*) AS BIGINT) AS n_chunks_distinct,
+           cast(sum(CASE WHEN nd >= 2 AND nd * 20 >= n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM per JOIN docs USING (source)
+    GROUP BY per.source
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection (the CCNet/RefinedWeb cleaning
+    pass): a segment is boilerplate when it recurs across ≥5% of a
+    SOURCE's documents (and ≥2 docs) — headers, footers, nav chrome
+    repeat within a crawl source, not across unrelated sources, which
+    is why the frequency is source-relative.  Same 40-char segmentation
+    as q_dedup_paragraph (newline-free synthetic corpus); the ≥5%
+    threshold is the integer comparison nd*20 ≥ n_docs, so no float
+    threshold can diverge across engines.  Output: per-source manifest
+    (docs, distinct segments, boilerplate segments).
+
+    Shape: Generate → hash agg on (source, segment) → tiny per-source
+    doc-count agg broadcast back → per-source hash agg.  All group keys
+    are high-cardinality except the final |sources| rollup; nothing
+    quadratic, no window."""
+    d = table(spark, sf_dir, "documents")
+    s = F.explode(
+        F.sequence(
+            F.lit(1).cast("long"), F.col("n_chars"), F.lit(40).cast("long")
+        )
+    ).alias("s")
+    ch = d.select("source", "doc_id", "text", s).select(
+        "source",
+        "doc_id",
+        F.expr("substring(text, CAST(s AS INT), 40)").alias("chunk"),
+    )
+    per = ch.groupBy("source", "chunk").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    docs = ch.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    boiler = F.when(
+        (F.col("nd") >= 2) & (F.col("nd") * 20 >= F.col("n_docs")), 1
+    ).otherwise(0)
+    return (
+        per.join(F.broadcast(docs), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n_docs").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_chunks_distinct"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+        )
+    )

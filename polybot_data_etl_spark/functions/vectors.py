@@ -635,3 +635,79 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "q_embed_whiten",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id,
+               u.k AS dim,
+               u.v::DOUBLE AS x
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(
+                       embedding, (v, k) -> struct_pack(k := k, v := v)))
+                       AS u
+            FROM embeddings
+        )
+    ),
+    stats AS (
+        -- raw moments, not stddev_pop: the shared q_stats_* policy —
+        -- both engines derive sd from the same avg() values
+        SELECT dim, avg(x) AS mu,
+               sqrt(avg(x * x) - avg(x) * avg(x)) AS sd
+        FROM comp GROUP BY dim
+    )
+    -- "+ 0.0" after round: IEEE -0.0 + 0.0 = +0.0, normalizing the
+    -- signed zero a near-zero z-score can round to (array cells skip
+    -- the checker's scalar -0.0 normalization)
+    SELECT vec_id,
+           list(round((x - mu) / sd + 1e-9, 4) + 0.0 ORDER BY dim)
+               AS whitened
+    FROM comp JOIN stats USING (dim)
+    GROUP BY vec_id
+    """,
+)
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding whitening (z-score standardization):
+    subtract the corpus mean and divide by the population std of each
+    coordinate — the preprocessing that stops high-variance dimensions
+    from dominating cosine/L2 retrieval (and the diagonal special case
+    of full PCA whitening).
+
+    Shape: posexplode to (vec_id, dim, x) → ONE map-side-combined hash
+    agg on dim (|dims| rows, independent of corpus size — the
+    q_embed_centroid shape with second moments) → broadcast the tiny
+    stats frame back onto the exploded rows → re-assemble with
+    array_sort(collect_list(struct(dim, z))).  Std from raw moments
+    (E[x²]−E[x]², shared q_stats_* policy) so both engines round the
+    same doubles."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "x0")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.avg("x").alias("mu"),
+        F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+        .alias("sd"),
+    )
+    z = (
+        F.round((F.col("x") - F.col("mu")) / F.col("sd") + F.lit(1e-9), 4)
+        + F.lit(0.0)  # normalize IEEE -0.0 (see oracle comment)
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", z.alias("z"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))),
+                lambda s: s.getField("z"),
+            ).alias("whitened")
+        )
+    )

@@ -123,3 +123,42 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = li.filter(F.col("l_quantity") > 30).select(F.col("l_orderkey").alias("okey"))
     return a.subtract(b)
+
+
+@register(
+    "q_setops_all",
+    oracle="""
+    SELECT 'intersect' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    UNION ALL
+    SELECT 'except' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicity-aware overlap and difference of two event streams —
+    "how many click events does each user have matched/unmatched by a
+    view event" without collapsing duplicates, which the DISTINCT
+    variants (q_intersect/q_except) would destroy.
+
+    Shape: Spark plans both as a single aggregate on the value row
+    computing per-side counts then a generate of min(c₁,c₂) /
+    max(c₁−c₂,0) replicas — one shuffle on the row key, no join, same
+    cost class as a groupBy; scale-safe for any key cardinality."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.intersectAll(views).select(
+        F.lit("intersect").alias("op"), "user_id"
+    ).unionByName(
+        clicks.exceptAll(views).select(
+            F.lit("except").alias("op"), "user_id"
+        )
+    )

@@ -432,3 +432,70 @@ def q_pipeline_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+_EPOCH_BUDGET = 50_000   # target total training tokens for the mix
+_EPOCH_TAU = 0.5         # temperature exponent for allocation weights
+_EPOCH_CAP = 4.0         # max repeats of any source (data-constrained rule)
+
+
+@register(
+    "q_mix_epochs",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens ** {_EPOCH_TAU}) AS z FROM per_src)
+    SELECT source, n_tokens,
+           round(n_tokens ** {_EPOCH_TAU} / z + 1e-9, 4) AS weight,
+           round({_EPOCH_BUDGET} * n_tokens ** {_EPOCH_TAU} / z + 1e-9, 2)
+               AS alloc_tokens,
+           round(least({_EPOCH_CAP},
+                       {_EPOCH_BUDGET} * n_tokens ** {_EPOCH_TAU} / z
+                           / n_tokens) + 1e-9, 2) AS epochs
+    FROM per_src CROSS JOIN tot
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition planning for a data-constrained training mix
+    (the Muennighoff et al. 2023 regime): temperature weights (τ=0.5)
+    allocate a fixed token budget across sources, and each source's
+    epoch count = allocated/available, capped at 4 repeats — past
+    which repeated data stops helping.  The output is the per-source
+    (tokens, weight, allocation, epochs) plan a training loader
+    consumes; q_mix_temperature's sibling that turns weights into
+    actual repeat factors.
+
+    Shape: one map-side-combined token-count agg per source, a 1-row
+    normalizer broadcast — |sources| rows total regardless of corpus
+    size.  Double determinism follows the q_mix_temperature
+    convention: both engines pow/divide the same integer token counts
+    and the +1e-9 nudge keeps libm last-ulp differences off the
+    rounding boundary."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    z = per_src.agg(F.sum(F.pow(F.col("n_tokens"), _EPOCH_TAU)).alias("z"))
+    w = F.pow(F.col("n_tokens"), _EPOCH_TAU) / F.col("z")
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(w + F.lit(1e-9), 4).alias("weight"),
+        F.round(F.lit(_EPOCH_BUDGET) * w + F.lit(1e-9), 2).alias(
+            "alloc_tokens"
+        ),
+        F.round(
+            F.least(
+                F.lit(_EPOCH_CAP),
+                F.lit(_EPOCH_BUDGET) * w / F.col("n_tokens"),
+            )
+            + F.lit(1e-9),
+            2,
+        ).alias("epochs"),
+    )

@@ -133,7 +133,10 @@ _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 # after the r3 gate).  They enumerate after the 58-query evidence debt:
 # oldest unrecorded debt keeps the head of the driver's ~50-slot
 # recording window (VERDICT r3: "add nothing ahead of tier 0").
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    "q_dedup_paragraph", "q_text_boilerplate", "q_mix_epochs",
+    "q_stats_mannwhitney", "q_setops_all", "q_embed_whiten",
+}
 
 
 def _cost_class(name: str) -> int:

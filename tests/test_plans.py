@@ -157,6 +157,7 @@ _NLJ_ALLOWED = {
     "q_dq_freshness",     # 1-row global-max broadcast crossJoin
     "q_graph_pagerank",   # 1-row node-count broadcast crossJoin
     "q_mix_temperature",  # 1-row normalizer broadcast crossJoin
+    "q_mix_epochs",       # 1-row normalizer broadcast crossJoin
     "q_graph_triangles",  # 1-row edge-count × 1-row triangle-count join
     "q_ts_seasonality",   # 1-row z-score stats broadcast crossJoin
     "q_text_pmi",         # 1-row bigram-total broadcast crossJoin
