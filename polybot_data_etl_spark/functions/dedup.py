@@ -728,6 +728,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup cluster assignment (connected components over near-dup pairs)
 
 _CC_MAX_ITERS = 20
+# Edge-count ceiling for the driver-local union-find fast path; above
+# it the distributed min-label supersteps run.  100k 16-byte pairs is a
+# ~2 MB driver pull — far under any broadcast threshold.
+_CC_LOCAL_EDGES = 100_000
 
 
 @register(
@@ -798,6 +802,7 @@ def component_labels(
     pairs: DataFrame,
     max_iters: int = _CC_MAX_ITERS,
     algorithm: str = "propagation",
+    local_threshold: int = _CC_LOCAL_EDGES,
 ) -> DataFrame:
     """Min-label propagation restricted to edge-endpoint nodes.
 
@@ -816,6 +821,40 @@ def component_labels(
         return component_labels_star(pairs, max_iters=max_iters)
     if algorithm != "propagation":
         raise ValueError(f"unknown CC algorithm: {algorithm!r}")
+    # Size-adaptive local fast path: near-dup pair graphs are orders of
+    # magnitude smaller than the corpus, and below _CC_LOCAL_EDGES the
+    # distributed supersteps pay 4-6 jobs of fixed overhead to shuffle
+    # a frame that fits in one driver pandas batch.  Count once (the
+    # pair frame is computed either way); under the threshold, pull the
+    # edge list and union-find it locally — the same adaptive
+    # local-execution escape hatch graph engines use for small
+    # components.  Above the threshold: the superstep path, untouched.
+    # materialize the (usually expensive) pair computation ONCE — the
+    # size probe and whichever path wins both read the checkpoint
+    pairs = pairs.localCheckpoint(eager=True)
+    n_edges = pairs.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        pdf = pairs.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        if not rows:
+            return spark.createDataFrame([], "node long, lbl long")
+        return spark.createDataFrame(rows, "node long, lbl long")
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))

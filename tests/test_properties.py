@@ -204,11 +204,16 @@ def test_component_labels_match_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(a, b) for a, b in edges], "a_id long, b_id long"
     )
-    got = {
-        r["node"]: r["lbl"] for r in component_labels(pairs).collect()
-    }
-    want = _union_find(edges)
-    assert got == want
+    # both execution paths must agree with the reference: the
+    # size-adaptive driver union-find (default at this scale) and the
+    # distributed min-label supersteps (forced via local_threshold=0)
+    for kw in ({}, {"local_threshold": 0}):
+        got = {
+            r["node"]: r["lbl"]
+            for r in component_labels(pairs, **kw).collect()
+        }
+        want = _union_find(edges)
+        assert got == want, kw
 
 
 @settings(max_examples=8, deadline=None)
