@@ -217,3 +217,218 @@ def q_ml_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+
+
+# Fused scoring model for the evaluation family: a 3-component logistic
+# head over the embedding (weights are plan literals, like q_ml_score);
+# ground truth is the odd/even label bit.  Scores round to 4 BEFORE any
+# thresholding/ranking so both engines binarize and rank identical
+# values.
+_EVAL_SCORE_SQL = """
+    SELECT vec_id,
+           (label % 2 = 1) AS truth,
+           round(1e0 / (1e0 + exp(-(
+               2e0 * embedding[1]::DOUBLE
+               + 15e-1 * embedding[2]::DOUBLE
+               + embedding[3]::DOUBLE - 1e-1))) + 1e-9, 4) AS score
+    FROM embeddings
+"""
+
+
+def _eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    z = (
+        F.lit(2.0) * F.col("embedding")[0].cast("double")
+        + F.lit(1.5) * F.col("embedding")[1].cast("double")
+        + F.col("embedding")[2].cast("double")
+        - F.lit(0.1)
+    )
+    return emb.select(
+        "vec_id",
+        (F.col("label") % 2 == 1).alias("truth"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 4
+        ).alias("score"),
+    )
+
+
+@register(
+    "q_ml_confusion",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL})
+    SELECT CAST(sum(CASE WHEN score >= 5e-1 AND truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN score >= 5e-1 AND NOT truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN score < 5e-1 AND truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN score < 5e-1 AND NOT truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           round(sum(CASE WHEN score >= 5e-1 AND truth THEN 1 ELSE 0 END)
+                 * 1e0 / nullif(sum(CASE WHEN score >= 5e-1
+                                         THEN 1 ELSE 0 END), 0)
+                 + 1e-9, 4) AS precision_,
+           round(sum(CASE WHEN score >= 5e-1 AND truth THEN 1 ELSE 0 END)
+                 * 1e0 / nullif(sum(CASE WHEN truth THEN 1 ELSE 0 END), 0)
+                 + 1e-9, 4) AS recall_,
+           round(2e0 * sum(CASE WHEN score >= 5e-1 AND truth
+                                THEN 1 ELSE 0 END)
+                 / nullif(sum(CASE WHEN score >= 5e-1 THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN truth THEN 1 ELSE 0 END), 0)
+                 + 1e-9, 4) AS f1
+    FROM s
+    """,
+)
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix + precision/recall/F1
+    for the fused logistic head at threshold 0.5 against the label-bit
+    ground truth — the metric readout every model-scoring pipeline ends
+    with (q_ml_score's missing second half).
+
+    Shape: the scorer is a zero-shuffle narrow projection (model
+    weights are plan literals); the whole evaluation is ONE conditional
+    count aggregate collapsing to a single row — counts are exact
+    integers, ratios int-over-int doubles, so the output is
+    engine-identical at any scale.  F1 computed as 2·tp/(pred_pos +
+    actual_pos) — the algebraic form that avoids compounding two
+    rounded ratios."""
+    s = _eval_scores(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    tp = F.sum(F.when(pred & F.col("truth"), 1).otherwise(0))
+    fp = F.sum(F.when(pred & ~F.col("truth"), 1).otherwise(0))
+    fn = F.sum(F.when(~pred & F.col("truth"), 1).otherwise(0))
+    tn = F.sum(F.when(~pred & ~F.col("truth"), 1).otherwise(0))
+    agg = s.agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn")
+    )
+    p = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    r = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    f1 = (
+        F.lit(2.0)
+        * F.col("tp")
+        / F.nullif(
+            (F.col("tp") + F.col("fp")) + (F.col("tp") + F.col("fn")),
+            F.lit(0),
+        )
+    )
+    return agg.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round(p + F.lit(1e-9), 4).alias("precision_"),
+        F.round(r + F.lit(1e-9), 4).alias("recall_"),
+        F.round(f1 + F.lit(1e-9), 4).alias("f1"),
+    )
+
+
+@register(
+    "q_ml_auc",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    v AS (
+        SELECT score, count(*) AS cnt,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS cnt_p
+        FROM s GROUP BY score
+    ),
+    r AS (
+        SELECT score, cnt, cnt_p,
+               sum(cnt) OVER (ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM v
+    ),
+    agg AS (
+        SELECT sum(cnt_p) AS np, sum(cnt) - sum(cnt_p) AS nn,
+               sum((cum - (cnt - 1) / 2.0) * cnt_p) AS rp
+        FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((rp - np * (np + 1) / 2.0) / (np * nn) + 1e-9, 4) AS auc
+    FROM agg
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the rank-sum identity AUC = U/(n₊·n₋) — the
+    probability a random positive outscores a random negative, computed
+    WITHOUT materializing the ROC curve: tie-averaged ranks of the
+    (rounded) scores, positives' rank sum, Mann-Whitney U
+    (q_stats_mannwhitney's machinery pointed at model evaluation).
+
+    Determinism: scores round to 4 before ranking, so the distinct-
+    score frame is identical across engines and rank sums are exact
+    half-integers (order-independent).  Shape: fact → distinct-score
+    frame via one map-side-combined agg (≤10⁴ rows for 4-dp scores —
+    bounded by the score grid, not the corpus), ordered prefix over
+    that bounded frame, 1-row reduce."""
+    from pyspark.sql import Window
+
+    s = _eval_scores(spark, sf_dir)
+    v = s.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("cnt_p"),
+    )
+    # 4-dp scores give a ≤20k-row distinct frame: a single ordered
+    # window over it is bounded by the score grid (the two-pass bucket
+    # recipe of q_stats_mannwhitney applies unchanged if scores were
+    # ranked unrounded)
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = v.withColumn("cum", F.sum("cnt").over(w))
+    agg = r.agg(
+        F.sum("cnt_p").alias("np"),
+        (F.sum("cnt") - F.sum("cnt_p")).alias("nn"),
+        F.sum(
+            (F.col("cum") - (F.col("cnt") - 1) / 2.0) * F.col("cnt_p")
+        ).alias("rp"),
+    )
+    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(auc + F.lit(1e-9), 4).alias("auc"),
+    )
+
+
+@register(
+    "q_ml_calibration",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL})
+    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score) + 1e-9, 4) AS mean_score,
+           round(sum(CASE WHEN truth THEN 1 ELSE 0 END) * 1e0 / count(*)
+                 + 1e-9, 4) AS pos_rate
+    FROM s GROUP BY 1
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve: decile buckets of the (rounded) score with
+    per-bucket mean prediction vs realized positive rate — how far the
+    model's probabilities are from the truth (reliability diagram
+    data; a well-calibrated model has mean_score ≈ pos_rate per
+    bucket).
+
+    Shape: narrow scorer → ONE hash agg on the 10-value bucket key
+    (map-side combined; ≤10 output rows at any corpus size).  Bucket =
+    least(floor(score·10), 9) of the 4-dp-rounded score — integer
+    bucketing of identical doubles, so bucket membership can't diverge
+    across engines; avg(score) averages exact 4-dp values."""
+    s = _eval_scores(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("bigint")
+    return (
+        s.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score") + F.lit(1e-9), 4).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("truth"), 1).otherwise(0))
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            ).alias("pos_rate"),
+        )
+    )

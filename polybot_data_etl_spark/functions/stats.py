@@ -501,3 +501,52 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 2).alias("u_stat"),
         F.round((u - n1 * n2 / 2.0) / sigma + F.lit(1e-9), 4).alias("z"),
     )
+
+
+@register(
+    "q_stats_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(med), 4) AS median_,
+           round(median(abs(e.value - med)), 4) AS mad,
+           round(1.4826 * median(abs(e.value - med)) + 1e-9, 4)
+               AS mad_sigma
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust spread
+    estimator outlier-laden metrics need (q_dq_outliers' IQR sibling);
+    mad_sigma = 1.4826·MAD is the consistent normal-σ estimate.
+
+    Two exact-median passes: per-group median, broadcast the ≤|types|-
+    row frame back, median of absolute deviations.  Exact medians are
+    sort-based aggregates (the q_agg_percentile cost class); the 100 TB
+    path swaps both passes to approx_percentile(…, accuracy) with the
+    same plan shape.  Median of exact parquet doubles — no float-sum
+    order anywhere except the final ×1.4826 (nudged)."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 4).alias("median_"),
+            F.round(
+                F.median(F.abs(F.col("value") - F.col("med"))), 4
+            ).alias("mad"),
+            F.round(
+                F.lit(1.4826)
+                * F.median(F.abs(F.col("value") - F.col("med")))
+                + F.lit(1e-9),
+                4,
+            ).alias("mad_sigma"),
+        )
+    )

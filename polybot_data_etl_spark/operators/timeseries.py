@@ -1463,3 +1463,39 @@ def q_ts_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ltv_per_user"),
     )
+
+
+@register(
+    "q_ts_calendar",
+    oracle="""
+    SELECT CAST(dayofweek(ts::TIMESTAMP) AS BIGINT) AS dow,
+           CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value) + 1e-9, 2) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the calendar seasonality
+    matrix behind every traffic dashboard): event count and mean value
+    per (dow, hour) cell.
+
+    Cross-engine calendar gotcha handled explicitly: Spark's
+    dayofweek() is 1-based Sunday=1 while DuckDB's dayofweek() is
+    0-based Sunday=0, so the Spark side subtracts 1 — a silent
+    off-by-one across every cell otherwise.  Shape: ONE map-side-
+    combined hash agg onto the fixed 7×24 key grid — output width is
+    constant at any fact size, the cheapest distributed shape there
+    is."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value") + F.lit(1e-9), 2).alias("avg_value"),
+        )
+    )

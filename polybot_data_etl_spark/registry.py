@@ -136,6 +136,8 @@ _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 _NEW_THIS_ROUND: set[str] = {
     "q_dedup_paragraph", "q_text_boilerplate", "q_mix_epochs",
     "q_stats_mannwhitney", "q_setops_all", "q_embed_whiten",
+    "q_ml_confusion", "q_ml_auc", "q_ml_calibration",
+    "q_stats_mad", "q_ts_calendar",
 }
 
 
