@@ -432,3 +432,90 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos_rate"),
         )
     )
+
+
+@register(
+    "q_ml_ndcg",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS pos
+        FROM events
+    ),
+    per_user AS (
+        SELECT r.user_id,
+               sum(CASE WHEN r.pos <= 10
+                        THEN r.rel / log2(r.pos + 1) ELSE 0 END) AS dcg,
+               sum(r.rel) AS n_rel
+        FROM ranked r
+        GROUP BY r.user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               dcg / list_sum(list_transform(
+                   range(1, CAST(least(n_rel, 10) AS INTEGER) + 1),
+                   i -> 1.0 / log2(i + 1))) AS ndcg
+        FROM per_user
+        WHERE n_rel > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(ndcg) + 1e-9, 4) AS mean_ndcg,
+           CAST(sum(CASE WHEN ndcg >= 0.999999 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_perfect
+    FROM scored
+    """,
+)
+def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 — the ranking-quality metric for retrieval/recommender
+    evaluation: treat each user's events as a ranked list (by `value`
+    desc, event_id tiebreak), relevance = the click bit, and score how
+    near the top the clicks land vs the ideal ordering.  Mean NDCG over
+    users with ≥1 relevant item, plus the perfect-ranking count.
+
+    Determinism: the ranking key (value DESC, event_id) is total, so
+    positions agree across engines; IDCG is evaluated as a SEQUENTIAL
+    fold over sequence(1, min(n_rel, 10)) — both engines fold the same
+    1/log₂(i+1) terms in the same order, giving bit-identical ideals
+    (never a hardcoded lookup that could drift from the formula).
+
+    Scale shape: one window partitioned by user_id (high-cardinality —
+    no hot task), one per-user agg fused on the same shuffle
+    partitioning (Catalyst reuses the hash exchange), then a 1-row
+    reduce; the ≤10-term DCG sums are absorbed by the +1e-9 nudge."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("pos"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") <= 10,
+                F.col("rel") / F.log2(F.col("pos") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum("rel").alias("n_rel"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(10)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i + 1),
+    )
+    scored = per_user.filter(F.col("n_rel") > 0).select(
+        "user_id", (F.col("dcg") / idcg).alias("ndcg")
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg("ndcg") + F.lit(1e-9), 4).alias("mean_ndcg"),
+        F.sum(F.when(F.col("ndcg") >= 0.999999, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_perfect"),
+    )

@@ -550,3 +550,117 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_sigma"),
         )
     )
+
+
+@register(
+    "q_stats_spearman",
+    oracle="""
+    WITH d AS (
+        SELECT lang, n_chars AS x,
+               len(string_split(text, ' ')) AS y
+        FROM documents
+    ),
+    rx AS (
+        SELECT lang, x,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                   - (cnt - 1) / 2.0 AS r
+        FROM (SELECT lang, x, count(*) AS cnt FROM d GROUP BY lang, x)
+    ),
+    ry AS (
+        SELECT lang, y,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                   - (cnt - 1) / 2.0 AS r
+        FROM (SELECT lang, y, count(*) AS cnt FROM d GROUP BY lang, y)
+    ),
+    m AS (
+        SELECT d.lang, count(*) AS c,
+               sum(rx.r) AS sx, sum(ry.r) AS sy,
+               sum(rx.r * ry.r) AS sxy,
+               sum(rx.r * rx.r) AS sxx,
+               sum(ry.r * ry.r) AS syy
+        FROM d
+        JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+        JOIN ry ON ry.lang = d.lang AND ry.y = d.y
+        GROUP BY d.lang
+    )
+    SELECT lang, CAST(c AS BIGINT) AS n_docs,
+           round((c * sxy - sx * sy)
+                 / sqrt((c * sxx - sx * sx) * (c * syy - sy * sy))
+                 + 1e-9, 4) AS rho
+    FROM m
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per language between document length
+    (n_chars) and whitespace token count — the robust monotonic-
+    association twin of q_agg_corr's Pearson (outlier documents can't
+    move it), the standard screen for redundant features before
+    training.
+
+    Determinism: tie-averaged ranks come from the DISTINCT-VALUE frame
+    (rank = cum − (cnt−1)/2 — exact half-integers, order-independent;
+    the q_stats_mannwhitney machinery applied per variable), and rho
+    is derived from raw rank moments through the shared q_agg_corr
+    algebra — rank sums/products are exact multiples of 0.25, so both
+    engines see identical moments.
+
+    Scale shape: each variable collapses to its distinct-value frame
+    with one map-side-combined agg; the rank prefix runs per (lang,
+    value-bucket) exactly as q_win_dist_scaled when a frame outgrows a
+    task (bounded by |distinct values|, not corpus size at these
+    fixtures); two equi-joins back on (lang, value) — broadcastable
+    while frames are small — then ONE moment agg per lang."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), " ")).alias("y"),
+    )
+
+    def rank_frame(col: str) -> DataFrame:
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            d.groupBy("lang", col)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn(
+                "r", F.sum("cnt").over(w) - (F.col("cnt") - 1) / 2.0
+            )
+            .select("lang", col, "r")
+        )
+
+    rx = rank_frame("x").withColumnRenamed("r", "rx")
+    ry = rank_frame("y").withColumnRenamed("r", "ry")
+    m = (
+        d.join(F.broadcast(rx), ["lang", "x"])
+        .join(F.broadcast(ry), ["lang", "y"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("rx").alias("sx"),
+            F.sum("ry").alias("sy"),
+            F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+            F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        )
+    )
+    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "lang",
+        c.cast("bigint").alias("n_docs"),
+        F.round(
+            (c * sxy - sx * sy)
+            / F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy))
+            + F.lit(1e-9),
+            4,
+        ).alias("rho"),
+    )

@@ -711,3 +711,112 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("whitened")
         )
     )
+
+
+_COV_D = 8  # leading-block width; the full-d path is the same plan
+
+_COV_PAIRS = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+
+
+def _cov_oracle() -> str:
+    """Generate the DuckDB mirror of the moment agg + pair explode."""
+    sums = ", ".join(
+        f"sum(embedding[{i + 1}]::DOUBLE) AS s{i}" for i in range(_COV_D)
+    )
+    xsums = ", ".join(
+        f"sum(embedding[{i + 1}]::DOUBLE * embedding[{j + 1}]::DOUBLE)"
+        f" AS s{i}_{j}"
+        for i, j in _COV_PAIRS
+    )
+    rows = ", ".join(
+        f"{{'i': {i}, 'j': {j}, 'sxy': s{i}_{j}, 'sx': s{i}, "
+        f"'sy': s{j}, 'sxx': s{i}_{i}, 'syy': s{j}_{j}}}"
+        for i, j in _COV_PAIRS
+    )
+    return f"""
+    WITH m AS (
+        SELECT count(*) AS c, {sums}, {xsums}
+        FROM embeddings
+    ),
+    p AS (
+        SELECT c, unnest([{rows}]) AS u FROM m
+    ),
+    q AS (
+        SELECT c,
+               u['i'] AS i, u['j'] AS j, u['sxy'] AS sxy,
+               u['sx'] AS sx, u['sy'] AS sy,
+               u['sxx'] AS sxx, u['syy'] AS syy
+        FROM p
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(c AS BIGINT) AS n,
+           round((sxy - sx * sy / c) / (c - 1) + 1e-12, 6) AS cov,
+           round((c * sxy - sx * sy)
+                 / sqrt((c * sxx - sx * sx) * (c * syy - sy * sy))
+                 + 1e-9, 4) AS corr
+    FROM q
+    ORDER BY i, j
+    """
+
+
+@register("q_embed_cov", oracle=_cov_oracle())
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance/correlation block: the upper triangle of
+    the leading 8×8 covariance and correlation matrices — the
+    off-diagonal complement of q_embed_whiten's per-dimension z-score
+    (full PCA-whitening, redundancy detection, and dimension-collapse
+    monitoring all start from this matrix).
+
+    Shape — corpus-size-independent, ZERO shuffles of data: all
+    d(d+1)/2 + d + 1 moments (Σxᵢxⱼ, Σxᵢ, n) accumulate in ONE
+    map-side-combined tree reduce to a single row; the pair explosion
+    to 36 output rows is a literal-array inline on that 1-row frame.
+    At full d=64 the same plan carries 2,145 sums — still one reduce
+    whose state is O(d²), not O(rows); cov/corr derive from raw
+    moments via the q_agg_corr shared-algebra policy."""
+    emb = table(spark, sf_dir, "embeddings")
+    aggs = [F.count("*").alias("c")] + [
+        F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+        for i in range(_COV_D)
+    ] + [
+        F.sum(
+            F.col("embedding")[i].cast("double")
+            * F.col("embedding")[j].cast("double")
+        ).alias(f"s{i}_{j}")
+        for i, j in _COV_PAIRS
+    ]
+    m = emb.agg(*aggs)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.col(f"s{i}_{j}").alias("sxy"),
+                F.col(f"s{i}").alias("sx"),
+                F.col(f"s{j}").alias("sy"),
+                F.col(f"s{i}_{i}").alias("sxx"),
+                F.col(f"s{j}_{j}").alias("syy"),
+            )
+            for i, j in _COV_PAIRS
+        ]
+    )
+    p = m.select("c", F.explode(pair_structs).alias("u")).select(
+        "c", "u.i", "u.j", "u.sxy", "u.sx", "u.sy", "u.sxx", "u.syy"
+    )
+    c = F.col("c")
+    sx, sy, sxy = F.col("sx"), F.col("sy"), F.col("sxy")
+    sxx, syy = F.col("sxx"), F.col("syy")
+    return p.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        c.cast("bigint").alias("n"),
+        F.round((sxy - sx * sy / c) / (c - 1) + F.lit(1e-12), 6).alias(
+            "cov"
+        ),
+        F.round(
+            (c * sxy - sx * sy)
+            / F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy))
+            + F.lit(1e-9),
+            4,
+        ).alias("corr"),
+    ).orderBy("i", "j")

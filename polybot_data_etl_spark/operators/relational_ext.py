@@ -606,3 +606,55 @@ def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
         )
     )
+
+
+@register(
+    "q_sample_reservoir",
+    oracle="""
+    SELECT lang, pos, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+        FROM documents
+    )
+    WHERE pos <= 20
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: exactly k=20 documents per
+    language, chosen by md5(doc_id) order — the reproducible
+    distributed reservoir (same k docs on every engine, every run,
+    every cluster size; md5 uniformity makes it an unbiased uniform
+    sample, unlike LIMIT's partition-order bias).  The eval-set /
+    human-review draw every curation pipeline needs.
+
+    Scale shape — distributed top-k, never a whole-language sort: pass
+    1 takes the k smallest hashes per (lang, shard-of-32) so each task
+    sorts 1/32 of a language; pass 2 merges the ≤32·k survivors per
+    language (a few-hundred-row frame at ANY corpus size) into the
+    final k.  Equivalent to the single-window plan (the global top-k
+    is contained in the shard-local top-ks) — the oracle states the
+    simple form, the engine runs the sharded one."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    k = 20
+    local_w = Window.partitionBy(
+        "lang", F.pmod(F.hash("doc_id"), F.lit(32))
+    ).orderBy("h", "doc_id")
+    survivors = d.withColumn(
+        "lrn", F.row_number().over(local_w)
+    ).filter(F.col("lrn") <= k)
+    final_w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("pos", F.row_number().over(final_w))
+        .filter(F.col("pos") <= k)
+        .select("lang", "pos", "doc_id", "n_chars")
+    )

@@ -138,6 +138,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_mannwhitney", "q_setops_all", "q_embed_whiten",
     "q_ml_confusion", "q_ml_auc", "q_ml_calibration",
     "q_stats_mad", "q_ts_calendar",
+    "q_stats_spearman", "q_ml_ndcg", "q_sample_reservoir", "q_embed_cov",
 }
 
 

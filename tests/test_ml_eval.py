@@ -111,3 +111,123 @@ def test_calendar_grid_partitions_events(spark, sf_dir):
     assert all(0 <= r.dow <= 6 for r in rows)
     assert all(0 <= r.hr <= 23 for r in rows)
     assert len(rows) <= 7 * 24
+
+
+def _avg_ranks(xs):
+    """Tie-averaged ranks (1-based) for a list, by value."""
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    ranks = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and xs[order[j]] == xs[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = avg
+        i = j
+    return ranks
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    docs: dict[str, list[tuple[int, int]]] = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        docs.setdefault(r.lang, []).append(
+            (r.n_chars, len(r.text.split(" ")))
+        )
+    from polybot_data_etl_spark.functions.stats import q_stats_spearman
+
+    got = {r.lang: r for r in q_stats_spearman(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for lang, pairs in docs.items():
+        rx = _avg_ranks([p[0] for p in pairs])
+        ry = _avg_ranks([p[1] for p in pairs])
+        c = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        rho = (c * sxy - sx * sy) / math.sqrt(
+            (c * sxx - sx * sx) * (c * syy - sy * sy)
+        )
+        assert got[lang].n_docs == c
+        assert abs(got[lang].rho - round(rho + 1e-9, 4)) < 1e-9
+        assert -1.0 <= got[lang].rho <= 1.0
+
+
+def test_ndcg_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_ndcg
+
+    users: dict[int, list[tuple[float, int, bool]]] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        users.setdefault(r.user_id, []).append(
+            (r.value, r.event_id, r.event_type == "click")
+        )
+    ndcgs = []
+    for evs in users.values():
+        evs.sort(key=lambda t: (-t[0], t[1]))
+        n_rel = sum(1 for e in evs if e[2])
+        if n_rel == 0:
+            continue
+        dcg = sum(
+            1.0 / math.log2(pos + 2)
+            for pos, e in enumerate(evs[:10])
+            if e[2]
+        )
+        idcg = 0.0
+        for i in range(1, min(n_rel, 10) + 1):
+            idcg += 1.0 / math.log2(i + 1)
+        ndcgs.append(dcg / idcg)
+    got = q_ml_ndcg(spark, sf_dir).collect()[0]
+    assert got.n_users == len(ndcgs)
+    mean = sum(ndcgs) / len(ndcgs)
+    assert abs(got.mean_ndcg - round(mean + 1e-9, 4)) < 2e-4
+    assert got.n_perfect == sum(1 for x in ndcgs if x >= 0.999999)
+
+
+def test_reservoir_deterministic_and_sized(spark, sf_dir):
+    import hashlib
+
+    from polybot_data_etl_spark.operators.relational_ext import (
+        q_sample_reservoir,
+    )
+
+    docs: dict[str, list[int]] = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        docs.setdefault(r.lang, []).append(r.doc_id)
+    rows = q_sample_reservoir(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(docs)
+    for lang, ids in docs.items():
+        expect = sorted(
+            ids,
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )[:20]
+        got = sorted(by_lang[lang], key=lambda r: r.pos)
+        assert [r.doc_id for r in got] == expect
+        assert [r.pos for r in got] == list(range(1, len(expect) + 1))
+
+
+def test_embed_cov_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from polybot_data_etl_spark.functions.vectors import q_embed_cov
+
+    X = np.array(
+        [
+            [float(v) for v in r.embedding[:8]]
+            for r in table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    cov = np.cov(X, rowvar=False, ddof=1)
+    corr = np.corrcoef(X, rowvar=False)
+    rows = q_embed_cov(spark, sf_dir).collect()
+    assert len(rows) == 8 * 9 // 2
+    for r in rows:
+        assert r.n == X.shape[0]
+        assert abs(r.cov - cov[r.i][r.j]) < 1e-5
+        assert abs(r.corr - corr[r.i][r.j]) < 1e-3
+        if r.i == r.j:
+            assert abs(r.corr - 1.0) < 1e-9
