@@ -653,3 +653,38 @@ def test_skyline_aggregates_before_frontier_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_win_skyline")
     assert "partial_max" in plan
     assert "windowspecdefinition(seg" in plan
+
+
+def test_reservoir_windows_are_sharded_then_merged(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sample_reservoir")
+    # pass 1 partitions by (lang, shard-of-32) — no whole-language sort
+    assert "pmod" in plan
+    # two window stages: shard-local top-k, then the per-lang merge of
+    # the ≤32k survivors
+    assert plan.count("Window") >= 2
+    # projection prunes text: only lang/doc_id/n_chars are read
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_embed_cov_single_reduce_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_embed_cov")
+    # all O(d²) moments in one partial/final agg — no join, no window
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_sum" in plan
+    # the only exchanges are the 1-row agg gather + the 36-row sort
+    assert plan.count("Exchange") <= 3
+
+
+def test_ndcg_reuses_user_partitioning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_ml_ndcg")
+    # window and per-user agg share the user_id hash partitioning:
+    # exactly one hashpartitioning(user_id) exchange feeds both
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_spearman_rank_frames_broadcast_back(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_stats_spearman")
+    # both distinct-value rank frames come back via broadcast joins —
+    # the fact table is never shuffled for the join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
