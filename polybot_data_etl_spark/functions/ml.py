@@ -519,3 +519,71 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_perfect"),
     )
+
+
+@register(
+    "q_ml_pr_curve",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    v AS (
+        SELECT score, count(*) AS cnt,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS cnt_p
+        FROM s GROUP BY score
+    ),
+    tot AS (
+        SELECT sum(cnt_p) AS ap FROM v
+    ),
+    pts AS (
+        SELECT t.thr,
+               sum(v.cnt) AS pp,
+               sum(v.cnt_p) AS tp
+        FROM (SELECT unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+                             0.6, 0.7, 0.8, 0.9]) AS thr) t
+        JOIN v ON v.score >= t.thr
+        GROUP BY t.thr
+    )
+    SELECT round(p.thr, 1) AS threshold,
+           CAST(coalesce(p.tp, 0) AS BIGINT) AS tp,
+           CAST(coalesce(p.pp, 0) AS BIGINT) AS pred_pos,
+           round(p.tp * 1e0 / nullif(p.pp, 0) + 1e-9, 4) AS precision_,
+           round(p.tp * 1e0 / nullif(tot.ap, 0) + 1e-9, 4) AS recall_
+    FROM pts p, tot
+    """,
+)
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at a 10-point threshold grid — the
+    operating-point sweep between q_ml_confusion's single threshold
+    and q_ml_auc's threshold-free summary (pick the deployment
+    threshold from this table).
+
+    Shape: the corpus collapses ONCE to the distinct-score frame
+    (bounded by the 4-dp score grid, not row count); the threshold
+    sweep is a ≤10×|grid| range join on that bounded frame — never a
+    second pass over the facts; totals ride along from a 1-row
+    aggregate.  Counts are exact integers; ratios int-over-int."""
+    s = _eval_scores(spark, sf_dir)
+    v = s.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("cnt_p"),
+    )
+    thr = spark.range(10).select(
+        (F.col("id") / 10.0).alias("thr")
+    )
+    pts = (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("thr"))
+        .groupBy("thr")
+        .agg(F.sum("cnt").alias("pp"), F.sum("cnt_p").alias("tp"))
+    )
+    tot = v.agg(F.sum("cnt_p").alias("ap"))
+    return pts.crossJoin(F.broadcast(tot)).select(
+        F.round("thr", 1).alias("threshold"),
+        F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+        F.coalesce(F.col("pp"), F.lit(0)).cast("bigint").alias("pred_pos"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("pp"), F.lit(0)) + F.lit(1e-9), 4
+        ).alias("precision_"),
+        F.round(
+            F.col("tp") / F.nullif(F.col("ap"), F.lit(0)) + F.lit(1e-9), 4
+        ).alias("recall_"),
+    )

@@ -664,3 +664,138 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rho"),
     )
+
+
+@register(
+    "q_stats_kruskal",
+    oracle="""
+    WITH v AS (
+        SELECT value, event_type, count(*) AS cnt
+        FROM events GROUP BY value, event_type
+    ),
+    d AS (
+        SELECT value, sum(cnt) AS tot
+        FROM v GROUP BY value
+    ),
+    r AS (
+        SELECT value,
+               sum(tot) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                   - (tot - 1) / 2.0 AS rank_,
+               tot
+        FROM d
+    ),
+    g AS (
+        SELECT v.event_type,
+               sum(v.cnt) AS ng,
+               sum(r.rank_ * v.cnt) AS rg
+        FROM v JOIN r ON r.value = v.value
+        GROUP BY v.event_type
+    ),
+    s AS (
+        SELECT sum(ng) AS n,
+               sum(rg * rg / ng) AS rsq,
+               count(*) AS k
+        FROM g
+    ),
+    t AS (
+        SELECT sum(tot * tot * tot - tot) AS ties FROM d
+    )
+    SELECT CAST(s.k AS BIGINT) AS k_groups,
+           CAST(s.n AS BIGINT) AS n,
+           round((12.0 / (s.n * (s.n + 1)) * s.rsq - 3 * (s.n + 1))
+                 / (1 - t.ties * 1.0 / (s.n * s.n * s.n - s.n))
+                 + 1e-9, 4) AS h_stat
+    FROM s, t
+    """,
+)
+def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: does `value` differ across ALL event types at
+    once? — the k-group extension of q_stats_mannwhitney (one omnibus
+    test instead of k² pairwise comparisons), tie-corrected:
+    H = [12/(N(N+1)) · Σ R²g/n g − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)).
+
+    Determinism: the same distinct-value-frame machinery — tied-block
+    average ranks cum − (tot−1)/2 are exact half-integers from integer
+    cumulative counts; per-group rank sums Σ rank·cnt are exact
+    multiples of 0.5; the H algebra runs on a k-row aggregate.
+
+    Scale shape: fact → (value, type) frame with one map-side-combined
+    agg; the rank prefix runs over the value-marginal frame (two-pass
+    quantile-bucket recipe when it outgrows a task, exactly as
+    q_stats_mannwhitney); one broadcast-sized join back on value, a
+    k-row group agg, and a 1-row reduce."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    v = e.groupBy("value", "event_type").agg(F.count("*").alias("cnt"))
+    d = v.groupBy("value").agg(F.sum("cnt").alias("tot"))
+    # two-pass bucket-offset rank prefix (the q_stats_mannwhitney /
+    # q_win_dist_scaled recipe): quantile-literal value buckets →
+    # bucket-local cumsums → ≤P-row carry prefix — no single task ever
+    # sorts the whole value domain
+    n_buckets = 32
+    row = d.agg(
+        F.percentile_approx(
+            "value", [i / n_buckets for i in range(1, n_buckets)], 10_000
+        ).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("value")))
+    else:
+        bkt = F.lit(0)
+    d = d.withColumn("bkt", bkt)
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("tot").alias("bt"))
+        .withColumn("off", F.coalesce(F.sum("bt").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    r = (
+        d.withColumn("lcum", F.sum("tot").over(w_local))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "value",
+            (
+                F.col("off") + F.col("lcum") - (F.col("tot") - 1) / 2.0
+            ).alias("rank_"),
+            "tot",
+        )
+    )
+    g = (
+        v.join(F.broadcast(r.select("value", "rank_")), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("ng"),
+            F.sum(F.col("rank_") * F.col("cnt")).alias("rg"),
+        )
+    )
+    s = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("rsq"),
+        F.count("*").alias("k"),
+    )
+    ties = d.agg(
+        F.sum(
+            F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot")
+        ).alias("ties")
+    )
+    n = F.col("n")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("rsq") - 3 * (n + 1)
+    h = h_raw / (1 - F.col("ties") * F.lit(1.0) / (n * n * n - n))
+    return s.crossJoin(F.broadcast(ties)).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n"),
+        F.round(h + F.lit(1e-9), 4).alias("h_stat"),
+    )

@@ -1017,3 +1017,81 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(boiler).cast("bigint").alias("n_boiler"),
         )
     )
+
+
+def _novelty_oracle() -> str:
+    from polybot_data_etl_spark.functions.dedup import _SHINGLES_SQL
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    first_owner AS (
+        SELECT s, min(doc_id) AS first_id FROM sh GROUP BY s
+    ),
+    per_doc AS (
+        SELECT sh.doc_id,
+               count(*) AS n_sh,
+               sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM sh JOIN first_owner f USING (s)
+        GROUP BY sh.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.n_novel) AS BIGINT) AS novel_shingles,
+           round(avg(p.n_novel * 1e0 / p.n_sh) + 1e-9, 4)
+               AS mean_novelty,
+           CAST(sum(CASE WHEN p.n_novel = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fully_seen
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@register("q_text_novelty", oracle=_novelty_oracle())
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus novelty: for each document, the fraction of
+    its distinct 3-token shingles whose FIRST corpus occurrence (min
+    doc_id — ingestion order) is this document; aggregated per
+    language.  The streaming-curation signal behind "is this crawl
+    batch adding anything new?" — dedup tells you what to drop,
+    novelty tells you what the rest is worth (a doc with n_novel = 0
+    is fully covered by earlier documents: the n-gram-level SemDeDup
+    criterion).
+
+    Shape: ONE shingle explode feeds both sides — the (s → min doc_id)
+    first-owner frame via a map-side-combined min agg, equi-joined
+    back on the shingle key (both sides share the hash(s) exchange, so
+    Catalyst co-partitions; never doc×doc) — then per-doc counts and a
+    per-lang rollup.  Cost is O(total shingles), same class as
+    q_dedup_ngram's posting build, with no quadratic pair stage."""
+    from polybot_data_etl_spark.functions.dedup import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles()).alias("s"))
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+            F.round(
+                F.avg(F.col("n_novel") / F.col("n_sh")) + F.lit(1e-9), 4
+            ).alias("mean_novelty"),
+            F.sum(F.when(F.col("n_novel") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fully_seen"),
+        )
+    )

@@ -139,6 +139,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ml_confusion", "q_ml_auc", "q_ml_calibration",
     "q_stats_mad", "q_ts_calendar",
     "q_stats_spearman", "q_ml_ndcg", "q_sample_reservoir", "q_embed_cov",
+    "q_stats_kruskal", "q_ml_pr_curve", "q_text_novelty",
 }
 
 

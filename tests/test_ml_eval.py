@@ -231,3 +231,81 @@ def test_embed_cov_matches_numpy(spark, sf_dir):
         assert abs(r.corr - corr[r.i][r.j]) < 1e-3
         if r.i == r.j:
             assert abs(r.corr - 1.0) < 1e-9
+
+
+def test_kruskal_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_kruskal
+
+    vals, groups = [], []
+    for r in table(spark, sf_dir, "events").collect():
+        vals.append(r.value)
+        groups.append(r.event_type)
+    ranks = _avg_ranks(vals)
+    by_g: dict[str, list[float]] = {}
+    for g, rk in zip(groups, ranks):
+        by_g.setdefault(g, []).append(rk)
+    n = len(vals)
+    rsq = sum(sum(rs) ** 2 / len(rs) for rs in by_g.values())
+    h = 12.0 / (n * (n + 1)) * rsq - 3 * (n + 1)
+    # tie correction
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(vals).values())
+    h /= 1 - ties / (n**3 - n)
+    got = q_stats_kruskal(spark, sf_dir).collect()[0]
+    assert got.k_groups == len(by_g)
+    assert got.n == n
+    assert abs(got.h_stat - round(h + 1e-9, 4)) < 1e-6
+
+
+def test_pr_curve_monotone_and_consistent(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_pr_curve
+
+    scores = _python_scores(spark, sf_dir)
+    ap = sum(1 for _, t in scores if t)
+    rows = sorted(
+        q_ml_pr_curve(spark, sf_dir).collect(), key=lambda r: r.threshold
+    )
+    prev_pp = None
+    for r in rows:
+        tp = sum(1 for s, t in scores if s >= r.threshold and t)
+        pp = sum(1 for s, _ in scores if s >= r.threshold)
+        assert (r.tp, r.pred_pos) == (tp, pp)
+        assert abs(r.recall_ - round(tp / ap + 1e-9, 4)) < 1e-9
+        # pred_pos shrinks (recall falls) as the threshold rises
+        if prev_pp is not None:
+            assert pp <= prev_pp
+        prev_pp = pp
+
+
+def test_novelty_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.text import q_text_novelty
+
+    def py_shingles(text):
+        words = text.lower().split(" ")
+        if len(words) < 3:
+            return {" ".join(words)}
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+
+    docs = table(spark, sf_dir, "documents").collect()
+    first: dict[str, int] = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        for s in py_shingles(r.text):
+            first.setdefault(s, r.doc_id)
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        sh = py_shingles(r.text)
+        novel = sum(1 for s in sh if first[s] == r.doc_id)
+        per_lang.setdefault(r.lang, []).append((novel, len(sh)))
+    got = {r.lang: r for r in q_text_novelty(spark, sf_dir).collect()}
+    assert set(got) == set(per_lang)
+    for lang, pairs in per_lang.items():
+        assert got[lang].n_docs == len(pairs)
+        assert got[lang].novel_shingles == sum(p[0] for p in pairs)
+        mean = sum(p[0] / p[1] for p in pairs) / len(pairs)
+        assert abs(got[lang].mean_novelty - round(mean + 1e-9, 4)) < 1e-8
+        assert got[lang].n_fully_seen == sum(
+            1 for p in pairs if p[0] == 0
+        )
