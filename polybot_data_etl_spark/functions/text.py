@@ -1060,38 +1060,41 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fully covered by earlier documents: the n-gram-level SemDeDup
     criterion).
 
-    Shape: ONE shingle explode feeds both sides — the (s → min doc_id)
-    first-owner frame via a map-side-combined min agg, equi-joined
-    back on the shingle key (both sides share the hash(s) exchange, so
-    Catalyst co-partitions; never doc×doc) — then per-doc counts and a
-    per-lang rollup.  Cost is O(total shingles), same class as
-    q_dedup_ngram's posting build, with no quadratic pair stage."""
+    Shape: the shingle explode runs ONCE, and the heavy frame never
+    joins back — per-doc totals are `size(shingles())` computed
+    NARROWLY on the document scan (the shingle array is distinct, so
+    its size IS the per-doc count), and per-doc novel counts come from
+    re-keying the first-owner frame by its min-doc-id (first-owner
+    frame is |distinct shingles| rows, far smaller than the exploded
+    one).  One explode → one hash(s) agg → one hash(first_id) agg →
+    left join onto the narrow doc frame — vs the naive sh⋈first
+    formulation whose un-reused explode subtree shuffles O(shingles)
+    rows TWICE and joins two shingle-sized frames (at 100 TB the
+    difference between one |shingles| exchange and three).  Cost
+    O(total shingles), no quadratic stage; local wall is codegen-bound
+    at bench scale."""
     from polybot_data_etl_spark.functions.dedup import shingles
 
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(shingles()).alias("s"))
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
-    per_doc = (
-        sh.join(first, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(
-                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = (
+        sh.groupBy("s")
+        .agg(F.min("doc_id").alias("first_id"))
+        .groupBy("first_id")
+        .agg(F.count("*").alias("n_novel"))
+        .withColumnRenamed("first_id", "doc_id")
     )
-    return (
-        per_doc.join(d.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_novel").cast("bigint").alias("novel_shingles"),
-            F.round(
-                F.avg(F.col("n_novel") / F.col("n_sh")) + F.lit(1e-9), 4
-            ).alias("mean_novelty"),
-            F.sum(F.when(F.col("n_novel") == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_fully_seen"),
-        )
+    per_doc = d.select(
+        "doc_id", "lang", F.size(shingles()).alias("n_sh")
+    ).join(novel, "doc_id", "left")
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_novel).cast("bigint").alias("novel_shingles"),
+        F.round(
+            F.avg(n_novel / F.col("n_sh")) + F.lit(1e-9), 4
+        ).alias("mean_novelty"),
+        F.sum(F.when(n_novel == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fully_seen"),
     )
