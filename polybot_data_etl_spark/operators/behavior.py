@@ -619,3 +619,109 @@ def q_ts_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(_PATH_K)
     )
+
+
+@register(
+    "q_ts_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               count(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_stat
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d
+        GROUP BY a.event_type
+    ),
+    nn AS (
+        SELECT event_type, count(*) AS n FROM daily GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               sum(t * (t - 1) * (2 * t + 5)) AS tie_corr
+        FROM (SELECT event_type, x, count(*) AS t
+              FROM daily GROUP BY event_type, x)
+        GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(nn.n AS BIGINT) AS n_days,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1
+                                  ELSE 0 END)
+                 / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                         - ties.tie_corr) / 18.0)
+                 + 1e-9, 4) AS z,
+           CASE WHEN s.s_stat > 0 THEN 'up'
+                WHEN s.s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
+    FROM s
+    JOIN nn ON nn.event_type = s.event_type
+    JOIN ties ON ties.event_type = s.event_type
+    """,
+)
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type: is daily volume
+    monotonically rising or falling? — the nonparametric trend detector
+    (no linearity or normality assumed; robust to spikes) behind
+    "is this metric actually growing" alerts.  S = Σ_{i<j}
+    sign(x_j − x_i) over day-ordered daily counts, tie-corrected
+    variance, continuity-corrected z.
+
+    Scale shape — aggregate-then-quadratic: the fact table collapses
+    FIRST to the (type, day) frame (one map-side-combined agg; ≤365
+    rows/type/year regardless of corpus size), and the O(days²)
+    pair stage runs on that bounded frame — the same
+    bounded-self-join conduct as q_graph_triangles' oracle.  All
+    statistics are integer sums; only the final z divides."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").alias("x"))
+    b = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("x").alias("bx"),
+    )
+    s = (
+        daily.join(
+            b,
+            (F.col("bt") == F.col("event_type")) & (F.col("bd") > F.col("d")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("bx") > F.col("x"), 1)
+                .when(F.col("bx") < F.col("x"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_corr")
+        )
+    )
+    j = s.join(nn, "event_type").join(ties, "event_type")
+    n, ss = F.col("n"), F.col("s_stat")
+    cc = F.when(ss > 0, 1).when(ss < 0, -1).otherwise(0)
+    var = (n * (n - 1) * (2 * n + 5) - F.col("tie_corr")) / 18.0
+    return j.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        ss.cast("bigint").alias("s_stat"),
+        F.round((ss - cc) / F.sqrt(var) + F.lit(1e-9), 4).alias("z"),
+        F.when(ss > 0, "up")
+        .when(ss < 0, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )

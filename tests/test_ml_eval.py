@@ -309,3 +309,37 @@ def test_novelty_matches_python(spark, sf_dir):
         assert got[lang].n_fully_seen == sum(
             1 for p in pairs if p[0] == 0
         )
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from polybot_data_etl_spark.operators.behavior import q_ts_trend
+
+    daily: dict[str, dict] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        d = r.ts.date()
+        daily.setdefault(r.event_type, {}).setdefault(d, 0)
+        daily[r.event_type][d] += 1
+    got = {r.event_type: r for r in q_ts_trend(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for et, by_day in daily.items():
+        xs = [by_day[d] for d in sorted(by_day)]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        cc = 1 if s > 0 else (-1 if s < 0 else 0)
+        z = (s - cc) / math.sqrt(var)
+        assert got[et].n_days == n
+        assert got[et].s_stat == s
+        assert abs(got[et].z - round(z + 1e-9, 4)) < 1e-9
+        assert got[et].trend == (
+            "up" if s > 0 else ("down" if s < 0 else "flat")
+        )
