@@ -820,3 +820,104 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("corr"),
     ).orderBy("i", "j")
+
+
+@register(
+    "q_embed_outliers",
+    oracle="""
+    WITH ex AS (
+        SELECT label, u.k AS dim, u.v::DOUBLE AS x
+        FROM (
+            SELECT label,
+                   unnest(list_transform(
+                       embedding,
+                       (v, k) -> struct_pack(k := k, v := v))) AS u
+            FROM embeddings
+        )
+    ),
+    cent AS (
+        SELECT label, list(round(mu + 1e-9, 6) ORDER BY dim) AS c
+        FROM (
+            SELECT label, dim, avg(x) AS mu
+            FROM ex GROUP BY label, dim
+        )
+        GROUP BY label
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               round(sqrt(list_sum(list_transform(
+                   e.embedding,
+                   (v, k) -> pow(v::DOUBLE - cent.c[k], 2)))) + 1e-9, 4)
+                   AS dist
+        FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT label, vec_id, dist
+    FROM (
+        SELECT label, vec_id, dist,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY dist DESC, vec_id) AS rn
+        FROM dists
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outliers: the 5 vectors FARTHEST from their
+    label's centroid — the embedding-QA screen for mislabeled or
+    corrupted examples (a vector far from its class prototype is
+    either novel or wrong; both want human eyes before training).
+
+    Determinism: centroids round to 6 dp BEFORE the distance (the
+    q_embed_kmeans re-rounding policy — cross-engine float-sum order
+    in the mean can't leak into ranking), the distance fold is
+    sequential zip_with/aggregate on both engines, distances round to
+    4 dp before the (dist, vec_id)-tiebroken top-k.
+
+    Shape: posexplode → (label, dim) map-side-combined centroid agg
+    (shuffle independent of row count) → ≤|labels|-row centroid-array
+    frame BROADCAST back onto the un-exploded vectors → narrow
+    per-row fold (no second shuffle) → per-label top-k window on a
+    high-cardinality-partitioned frame."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.round(F.avg("x") + F.lit(1e-9), 6).alias("mu"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s.getField("mu"),
+            ).alias("c")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("c"),
+                    lambda v, m: F.pow(v.cast("double") - m, 2),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    dists = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist.alias("dist")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", "dist")
+    )

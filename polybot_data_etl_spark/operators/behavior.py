@@ -725,3 +725,103 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("trend"),
     )
+
+
+@register(
+    "q_attr_position",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seg
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, seg, event_type AS touch_type,
+               row_number() OVER (PARTITION BY user_id, seg
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, seg) AS n_tot
+        FROM seq WHERE event_type <> 'purchase'
+    ),
+    conv AS (
+        SELECT user_id, seg, sum(value) AS conv_value
+        FROM seq WHERE event_type = 'purchase'
+        GROUP BY user_id, seg
+    ),
+    weighted AS (
+        SELECT t.touch_type,
+               c.conv_value *
+               CASE WHEN t.n_tot = 1 THEN 1.0
+                    WHEN t.n_tot = 2 THEN 0.5
+                    WHEN t.rn = 1 THEN 0.4
+                    WHEN t.rn = t.n_tot THEN 0.4
+                    ELSE 0.2 / (t.n_tot - 2) END AS credit
+        FROM touches t
+        JOIN conv c ON c.user_id = t.user_id AND c.seg = t.seg
+    )
+    SELECT touch_type, round(sum(credit) + 1e-9, 2) AS credit
+    FROM weighted GROUP BY touch_type
+    """,
+)
+def q_attr_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40% of each
+    purchase's value to the FIRST touch of the journey segment, 40% to
+    the LAST, the remaining 20% split across the middle touches
+    (1-touch segments get 100%, 2-touch 50/50) — the third standard
+    attribution model beside q_attr_last_touch and q_attr_linear.
+
+    Shape: the same single windowed segmentation pass as
+    q_attr_linear; positions come from row_number + count windows
+    sharing ONE (user, seg) exchange; credit joins run on the
+    post-aggregate (user, seg) frames.  The fact table is never
+    self-joined row-to-row and every window key is high-cardinality.
+    Weights are the same double literals on both engines; the 2-dp
+    money round carries the +1e-9 half-tie nudge."""
+    e = table(spark, sf_dir, "events")
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        .over(w_seg)
+        .alias("seg"),
+    ).localCheckpoint(eager=False)
+    w_rn = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id", "seg")
+    touches = seq.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "seg",
+        F.col("event_type").alias("touch_type"),
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(w_n).alias("n_tot"),
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "seg")
+        .agg(F.sum("value").alias("conv_value"))
+    )
+    weight = (
+        F.when(F.col("n_tot") == 1, F.lit(1.0))
+        .when(F.col("n_tot") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n_tot"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_tot") - 2))
+    )
+    return (
+        touches.join(conv, ["user_id", "seg"])
+        .groupBy("touch_type")
+        .agg(
+            F.round(
+                F.sum(F.col("conv_value") * weight) + F.lit(1e-9), 2
+            ).alias("credit")
+        )
+    )

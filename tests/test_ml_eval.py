@@ -343,3 +343,59 @@ def test_mann_kendall_matches_python(spark, sf_dir):
         assert got[et].trend == (
             "up" if s > 0 else ("down" if s < 0 else "flat")
         )
+
+
+def test_attr_position_conserves_value(spark, sf_dir):
+    from polybot_data_etl_spark.operators.behavior import q_attr_position
+
+    # total credit across touch types == total purchase value of
+    # journeys that HAVE at least one preceding touch segment-mate
+    events = table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r)
+    total = 0.0
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        seg, touches_in_seg, purch = 0, {}, {}
+        for r in evs:
+            if r.event_type == "purchase":
+                purch[seg] = purch.get(seg, 0.0) + r.value
+                seg += 1
+            else:
+                touches_in_seg[seg] = touches_in_seg.get(seg, 0) + 1
+        for s, v in purch.items():
+            if touches_in_seg.get(s):
+                total += v
+    rows = q_attr_position(spark, sf_dir).collect()
+    assert abs(sum(r.credit for r in rows) - total) < 0.05
+    assert all(r.credit >= 0 for r in rows)
+
+
+def test_embed_outliers_are_true_top5(spark, sf_dir):
+    import numpy as np
+
+    from polybot_data_etl_spark.functions.vectors import q_embed_outliers
+
+    by_label: dict[int, list] = {}
+    for r in table(spark, sf_dir, "embeddings").collect():
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    got: dict[int, list] = {}
+    for r in q_embed_outliers(spark, sf_dir).collect():
+        got.setdefault(r.label, []).append((r.vec_id, r.dist))
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        X = np.stack([v for _, v in vecs])
+        mu = np.round(X.mean(axis=0) + 1e-9, 6)
+        dists = {
+            vid: round(float(np.sqrt(((v - mu) ** 2).sum())) + 1e-9, 4)
+            for vid, v in vecs
+        }
+        expect = sorted(dists, key=lambda k: (-dists[k], k))[:5]
+        assert [vid for vid, _ in sorted(
+            got[label], key=lambda t: (-t[1], t[0])
+        )] == expect
+        for vid, d in got[label]:
+            assert abs(d - dists[vid]) < 1e-9
