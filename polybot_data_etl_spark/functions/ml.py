@@ -587,3 +587,58 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp") / F.nullif(F.col("ap"), F.lit(0)) + F.lit(1e-9), 4
         ).alias("recall_"),
     )
+
+
+@register(
+    "q_ml_logloss",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    c AS (
+        SELECT CASE WHEN truth THEN 1e0 ELSE 0e0 END AS y,
+               least(greatest(score, 1e-6), 1 - 1e-6) AS p
+        FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(-avg(y * ln(p) + (1 - y) * ln(1 - p)) + 1e-9, 4)
+               AS log_loss,
+           round(avg((p - y) * (p - y)) + 1e-9, 4) AS brier,
+           round(avg(y) + 1e-9, 4) AS base_rate
+    FROM c
+    """,
+)
+def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper scoring rules for the fused logistic head: log loss
+    (cross-entropy) and Brier score against the label-bit truth, plus
+    the base rate — the calibration-sensitive complements of
+    q_ml_auc's rank-only view (AUC can't see miscalibration; these
+    can).
+
+    Determinism: probabilities are the 4-dp-rounded scores clipped to
+    [1e-6, 1−1e-6] with identical double literals on both engines, so
+    every ln/square input is bit-identical; the only cross-engine
+    variance is float-sum order in the mean, absorbed by the +1e-9
+    4-dp round.  Shape: zero-shuffle scorer → ONE map-side-combined
+    1-row reduce — the cheapest distributed shape there is."""
+    s = _eval_scores(spark, sf_dir)
+    y = F.when(F.col("truth"), F.lit(1.0)).otherwise(F.lit(0.0))
+    p = F.least(
+        F.greatest(F.col("score"), F.lit(1e-6)), F.lit(1.0) - F.lit(1e-6)
+    )
+    c = s.select(y.alias("y"), p.alias("p"))
+    return c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(F.col("p"))
+                + (1 - F.col("y")) * F.log(1 - F.col("p"))
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("log_loss"),
+        F.round(
+            F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+            + F.lit(1e-9),
+            4,
+        ).alias("brier"),
+        F.round(F.avg("y") + F.lit(1e-9), 4).alias("base_rate"),
+    )

@@ -799,3 +799,73 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.round(h + F.lit(1e-9), 4).alias("h_stat"),
     )
+
+
+@register(
+    "q_stats_proportion",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               count(*) AS n,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x
+        FROM events
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN variant = 'A' THEN x END) AS xa,
+               max(CASE WHEN variant = 'A' THEN n END) AS na,
+               max(CASE WHEN variant = 'B' THEN x END) AS xb,
+               max(CASE WHEN variant = 'B' THEN n END) AS nb
+        FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(xa * 1e0 / na + 1e-9, 4) AS rate_a,
+           round(xb * 1e0 / nb + 1e-9, 4) AS rate_b,
+           round((xa * 1e0 / na - xb * 1e0 / nb)
+                 / sqrt((xa + xb) * 1e0 / (na + nb)
+                        * (1 - (xa + xb) * 1e0 / (na + nb))
+                        * (1e0 / na + 1e0 / nb))
+                 + 1e-9, 4) AS z
+    FROM w
+    """,
+)
+def q_stats_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on click-through rate between the
+    even/odd-user_id variants (the hash-split A/B assignment of
+    q_split_assign) — the binary-metric experiment readout beside
+    q_stats_ttest's continuous one; pooled-variance z.
+
+    Raw-moment policy: both engines derive the statistic from the four
+    integer counts (x_a, n_a, x_b, n_b) through identical algebra —
+    integer sums can't diverge, the z algebra is fixed-order double
+    ops.  Shape: ONE map-side-combined 2-group agg pivoted to a single
+    row via conditional max — no join, no window."""
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "B", F.col("x"))).alias("xb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+    )
+    xa, na = F.col("xa"), F.col("na")
+    xb, nb = F.col("xb"), F.col("nb")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    return w.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(pa + F.lit(1e-9), 4).alias("rate_a"),
+        F.round(pb + F.lit(1e-9), 4).alias("rate_b"),
+        F.round(z + F.lit(1e-9), 4).alias("z"),
+    )

@@ -399,3 +399,45 @@ def test_embed_outliers_are_true_top5(spark, sf_dir):
         )] == expect
         for vid, d in got[label]:
             assert abs(d - dists[vid]) < 1e-9
+
+
+def test_logloss_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_logloss
+
+    scores = _python_scores(spark, sf_dir)
+    clipped = [
+        (min(max(s, 1e-6), 1 - 1e-6), 1.0 if t else 0.0)
+        for s, t in scores
+    ]
+    n = len(clipped)
+    ll = -sum(
+        y * math.log(p) + (1 - y) * math.log(1 - p) for p, y in clipped
+    ) / n
+    brier = sum((p - y) ** 2 for p, y in clipped) / n
+    got = q_ml_logloss(spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert abs(got.log_loss - round(ll + 1e-9, 4)) < 2e-4
+    assert abs(got.brier - round(brier + 1e-9, 4)) < 2e-4
+    assert got.log_loss > 0 and 0 <= got.brier <= 1
+
+
+def test_proportion_ztest_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_proportion
+
+    na = nb = xa = xb = 0
+    for r in table(spark, sf_dir, "events").collect():
+        click = r.event_type == "click"
+        if r.user_id % 2 == 0:
+            na += 1
+            xa += click
+        else:
+            nb += 1
+            xb += click
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    got = q_stats_proportion(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (na, nb)
+    assert abs(got.rate_a - round(pa + 1e-9, 4)) < 1e-9
+    assert abs(got.rate_b - round(pb + 1e-9, 4)) < 1e-9
+    assert abs(got.z - round(z + 1e-9, 4)) < 1e-9

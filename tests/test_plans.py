@@ -165,6 +165,8 @@ _NLJ_ALLOWED = {
     "q_ml_knn",           # probe-bounded brute-force k-NN baseline
     "q_stats_ttest",      # 1-row × 1-row group-summary cross
     "q_stats_cuped",      # 1-row (θ, x̄) frame broadcast crossJoin
+    "q_stats_kruskal",    # 1-row tie-correction broadcast crossJoin
+    "q_ml_pr_curve",      # ≤10-row threshold grid × bounded score frame
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
