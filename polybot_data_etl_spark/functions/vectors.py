@@ -921,3 +921,150 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("label", "vec_id", "dist")
     )
+
+
+def _pca_oracle() -> str:
+    """DuckDB mirror of the unrolled power iteration: full 8×8
+    covariance (upper moments mirrored), v₀ = 1/√8, three
+    C·v → re-round → normalize steps."""
+    d = _COV_D
+    sums = ", ".join(
+        f"sum(embedding[{i + 1}]::DOUBLE) AS s{i}" for i in range(d)
+    )
+    xsums = ", ".join(
+        f"sum(embedding[{i + 1}]::DOUBLE * embedding[{j + 1}]::DOUBLE)"
+        f" AS s{i}_{j}"
+        for i, j in _COV_PAIRS
+    )
+    cells = ", ".join(
+        f"{{'i': {i}, 'j': {j}, "
+        f"'sxy': s{min(i, j)}_{max(i, j)}, 'sx': s{i}, 'sy': s{j}}}"
+        for i in range(d)
+        for j in range(d)
+    )
+    its = []
+    prev = "v0"
+    for t in (1, 2, 3):
+        its.append(f"""
+    u{t} AS (
+        SELECT cov.i AS dim, round(sum(cv * val) + 1e-12, 6) AS u
+        FROM cov JOIN {prev} ON {prev}.dim = cov.j
+        GROUP BY cov.i
+    ),
+    n{t} AS (SELECT sqrt(sum(u * u)) AS nm FROM u{t}),
+    v{t} AS (SELECT dim, round(u / nm + 1e-9, 6) AS val FROM u{t}, n{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH m AS (
+        SELECT count(*) AS c, {sums}, {xsums} FROM embeddings
+    ),
+    p AS (SELECT c, unnest([{cells}]) AS u FROM m),
+    cov AS (
+        SELECT u['i'] AS i, u['j'] AS j,
+               round((u['sxy'] - u['sx'] * u['sy'] / c) / (c - 1)
+                     + 1e-12, 6) AS cv
+        FROM p
+    ),
+    v0 AS (SELECT unnest(range(0, {d})) AS dim, 1 / sqrt({d}e0) AS val),
+    {",".join(its)}
+    SELECT CAST(v3.dim AS BIGINT) AS dim,
+           round(v3.val + 1e-9, 4) AS loading,
+           round(n3.nm + 1e-9, 4) AS eigenvalue
+    FROM v3, n3
+    ORDER BY dim
+    """
+
+
+@register("q_embed_pca", oracle=_pca_oracle())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration estimate of the top principal component of the
+    leading 8-dim embedding block (3 unrolled steps) — the dominant-
+    variance probe every embedding-drift monitor and PCA-whitening
+    pipeline starts from; eigenvalue = ||C·v|| of the final iterate.
+    Convergence to the true eigenvector is eigengap-bounded
+    ((l2/l1)^t); on a near-isotropic corpus like the synthetic
+    fixtures the 3-step iterate is a deterministic variance-probe
+    direction whose Rayleigh quotient already beats the mean
+    eigenvalue — more unrolled steps are the same plan shape.
+
+    Determinism across engines: covariance cells round to 6 dp (from
+    the raw-moment algebra of q_embed_cov), every matrix-vector
+    product re-rounds to 6 dp and every normalized iterate re-rounds
+    with the +1e-9 nudge — the q_embed_kmeans policy that stops
+    last-ulp float-sum differences from amplifying through iterations;
+    v₀ = 1/√8 is the same IEEE expression on both engines.
+
+    Shape: ONE corpus pass (the O(d²)-state moment tree-reduce of
+    q_embed_cov); everything after — the 64-cell covariance frame and
+    three join/agg supersteps — runs on ≤64-row frames, cost
+    independent of corpus size.  Statically unrolled: no driver loop,
+    no collect, one job."""
+    emb = table(spark, sf_dir, "embeddings")
+    d = _COV_D
+    aggs = [F.count("*").alias("c")] + [
+        F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+        for i in range(d)
+    ] + [
+        F.sum(
+            F.col("embedding")[i].cast("double")
+            * F.col("embedding")[j].cast("double")
+        ).alias(f"s{i}_{j}")
+        for i, j in _COV_PAIRS
+    ]
+    m = emb.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.col(f"s{min(i, j)}_{max(i, j)}").alias("sxy"),
+                F.col(f"s{i}").alias("sx"),
+                F.col(f"s{j}").alias("sy"),
+            )
+            for i in range(d)
+            for j in range(d)
+        ]
+    )
+    cov = m.select("c", F.explode(cells).alias("u")).select(
+        F.col("u.i").alias("i"),
+        F.col("u.j").alias("j"),
+        F.round(
+            (F.col("u.sxy") - F.col("u.sx") * F.col("u.sy") / F.col("c"))
+            / (F.col("c") - 1)
+            + F.lit(1e-12),
+            6,
+        ).alias("cv"),
+    ).localCheckpoint(eager=False)
+    v = spark.range(d).select(
+        F.col("id").alias("dim"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("val"),
+    )
+    norm = None
+    for _ in range(3):
+        u = (
+            cov.join(v, cov["j"] == v["dim"])
+            .groupBy(cov["i"].alias("dim"))
+            .agg(
+                F.round(
+                    F.sum(F.col("cv") * F.col("val")) + F.lit(1e-12), 6
+                ).alias("u")
+            )
+        )
+        norm = u.agg(
+            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm")
+        )
+        v = u.crossJoin(F.broadcast(norm)).select(
+            "dim",
+            F.round(F.col("u") / F.col("nm") + F.lit(1e-9), 6).alias(
+                "val"
+            ),
+        )
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(F.col("val") + F.lit(1e-9), 4).alias("loading"),
+            F.round(F.col("nm") + F.lit(1e-9), 4).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

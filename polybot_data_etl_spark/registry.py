@@ -141,7 +141,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_spearman", "q_ml_ndcg", "q_sample_reservoir", "q_embed_cov",
     "q_stats_kruskal", "q_ml_pr_curve", "q_text_novelty",
     "q_ts_trend", "q_attr_position", "q_embed_outliers",
-    "q_ml_logloss", "q_stats_proportion",
+    "q_ml_logloss", "q_stats_proportion", "q_embed_pca",
 }
 
 

@@ -441,3 +441,34 @@ def test_proportion_ztest_matches_python(spark, sf_dir):
     assert abs(got.rate_a - round(pa + 1e-9, 4)) < 1e-9
     assert abs(got.rate_b - round(pb + 1e-9, 4)) < 1e-9
     assert abs(got.z - round(z + 1e-9, 4)) < 1e-9
+
+
+def test_pca_power_iteration_properties(spark, sf_dir):
+    import numpy as np
+
+    from polybot_data_etl_spark.functions.vectors import q_embed_pca
+
+    X = np.array(
+        [
+            [float(v) for v in r.embedding[:8]]
+            for r in table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    cov = np.cov(X, rowvar=False, ddof=1)
+    w = np.linalg.eigvalsh(cov)
+    rows = sorted(q_embed_pca(spark, sf_dir).collect(), key=lambda r: r.dim)
+    got = np.array([r.loading for r in rows])
+    assert len(rows) == 8
+    # unit norm (to 4-dp rounding)
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-3
+    # the Rayleigh quotient of the 3-step iterate must beat the mean
+    # eigenvalue (power iteration monotonically tilts toward the top
+    # of the spectrum; the fixtures are near-isotropic — l2/l1 ~ 0.96
+    # — so full eigenvector alignment is NOT expected in 3 steps)
+    rq = float(got @ cov @ got)
+    assert rq > w.mean()
+    # the eigenvalue estimate ||C v|| lies inside the spectrum's range
+    assert w[0] - 1e-6 <= rows[0].eigenvalue <= w[-1] + 1e-4
+    # and improves on the uniform start's Rayleigh quotient
+    v0 = np.full(8, 1 / np.sqrt(8))
+    assert rq >= float(v0 @ cov @ v0) - 1e-9
