@@ -249,3 +249,62 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return n_edges.crossJoin(F.broadcast(tri))
+
+
+@register(
+    "q_graph_degree",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph (same edge
+    set as q_graph_triangles): how many nodes have each degree — the
+    first diagnostic of any graph workload (hubs ⇒ skew risk for the
+    wedge join; the distribution's tail width IS the orientation
+    trick's justification).
+
+    Shape: fact self-join on l_orderkey → distinct edge set (both
+    shuffles shared with the triangles pipeline at 100 TB via a
+    materialized edge table) → endpoint union → two map-side-combined
+    aggs (node degree, then degree histogram).  Output is bounded by
+    the max degree, not the node count."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("x"), li.alias("y")
+    edges = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )

@@ -499,3 +499,72 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("epochs"),
     )
+
+
+@register(
+    "q_mix_upsample",
+    oracle="""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    mx AS (SELECT max(n_docs) AS mx FROM per),
+    plan_ AS (
+        SELECT source, n_docs,
+               least(4, CAST(ceil(mx * 1e0 / n_docs) AS BIGINT)) AS rep
+        FROM per, mx
+    ),
+    up AS (
+        SELECT d.source, d.doc_id, u.copy
+        FROM documents d
+        JOIN plan_ p USING (source)
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(1, CAST(p.rep AS INTEGER) + 1)) AS copy
+        ) u
+    )
+    SELECT source, CAST(copy AS BIGINT) AS copy,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM up GROUP BY source, copy
+    """,
+)
+def q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized deterministic oversampling: each source is
+    replicated ceil(max_source_docs / own_docs) times (capped at 4 —
+    the q_mix_epochs repetition ceiling) toward doc-count balance, via
+    integer `sequence` explosion — the step that turns q_mix_epochs'
+    PLAN into an actual balanced training table, with a `copy` index so
+    downstream shuffles can tell replicas apart.  Output is the
+    per-(source, copy) manifest proving the materialization (≤
+    |sources|·4 rows at any corpus size).
+
+    Shape: per-source counts (map-side combined, |sources| rows) + a
+    1-row max, broadcast back as the replication plan; the explosion is
+    a narrow per-row Generate (fan-out ≤4, no shuffle); the manifest is
+    one hash agg.  Determinism: replication factors are integer
+    arithmetic on exact counts — no sampling, same replicas on every
+    engine and every run (unlike rand()-based oversampling)."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    mx = per.agg(F.max("n_docs").alias("mx"))
+    plan = per.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.lit(4),
+            F.ceil(F.col("mx") / F.col("n_docs")).cast("long"),
+        ).alias("rep"),
+    )
+    up = (
+        d.select("source", "doc_id")
+        .join(F.broadcast(plan), "source")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("rep"))
+            ).alias("copy"),
+        )
+    )
+    return up.groupBy("source", F.col("copy").cast("bigint").alias("copy")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )

@@ -472,3 +472,53 @@ def test_pca_power_iteration_properties(spark, sf_dir):
     # and improves on the uniform start's Rayleigh quotient
     v0 = np.full(8, 1 / np.sqrt(8))
     assert rq >= float(v0 @ cov @ v0) - 1e-9
+
+
+def test_graph_degree_partitions_nodes(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import q_graph_degree
+
+    rows = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set] = {}
+    for r in rows:
+        if r.l_partkey % 4 == 0:
+            by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    from collections import Counter
+
+    hist = Counter(deg.values())
+    got = {r.degree: r.n_nodes for r in q_graph_degree(spark, sf_dir).collect()}
+    assert got == dict(hist)
+
+
+def test_upsample_balances_and_caps(spark, sf_dir):
+    import math as _math
+
+    from polybot_data_etl_spark.plans.pipelines import q_mix_upsample
+
+    per: dict[str, int] = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        per[r.source] = per.get(r.source, 0) + 1
+    mx = max(per.values())
+    rows = q_mix_upsample(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(per)
+    for src, n in per.items():
+        rep = min(4, _math.ceil(mx / n))
+        copies = sorted(r.copy for r in by_src[src])
+        assert copies == list(range(1, rep + 1))
+        for r in by_src[src]:
+            # every copy is a FULL replica of the source
+            assert r.n_rows == n and r.n_docs == n
