@@ -499,3 +499,106 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford + F.lit(1e-9), 4).alias("benford"),
         F.round(F.abs(freq - benford) + F.lit(1e-9), 4).alias("abs_dev"),
     )
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+    WITH checks AS (
+        SELECT
+            count(*) AS n_rows,
+            sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS c_value_neg,
+            sum(CASE WHEN event_type NOT IN
+                     ('click', 'view', 'purchase', 'signup', 'error')
+                     THEN 1 ELSE 0 END) AS c_type_domain,
+            sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS c_user_null,
+            sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                           AS INTEGER) NOT BETWEEN 0 AND 100
+                          OR json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS c_props_k,
+            sum(CASE WHEN ts::TIMESTAMP < TIMESTAMP '2020-01-01'
+                          OR ts::TIMESTAMP >= TIMESTAMP '2030-01-01'
+                     THEN 1 ELSE 0 END) AS c_ts_range
+        FROM events
+    )
+    SELECT u.name AS expectation,
+           CAST(u.viol AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           (u.viol = 0) AS passed
+    FROM (
+        SELECT n_rows,
+               unnest([
+                   {'name': 'value_non_negative', 'viol': c_value_neg},
+                   {'name': 'event_type_in_domain', 'viol': c_type_domain},
+                   {'name': 'user_id_not_null', 'viol': c_user_null},
+                   {'name': 'props_k_in_0_100', 'viol': c_props_k},
+                   {'name': 'ts_in_2020s', 'viol': c_ts_range}
+               ]) AS u
+        FROM checks
+    )
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over the event stream (the
+    Great-Expectations/Deequ pattern): five schema/domain constraints
+    — non-negative value, event_type domain, user_id presence, props.k
+    ∈ [0,100], timestamps inside the 2020s — evaluated in ONE pass,
+    one row per expectation with its violation count and pass bit.
+    This is the CI gate a lakehouse ingestion job runs before
+    publishing a partition.
+
+    Shape: all five checks are conditional counts inside a SINGLE
+    map-side-combined 1-row aggregate (one scan, no matter how many
+    expectations), then a literal-array inline explodes the row to the
+    ≤5-row report — adding an expectation costs one more counter in
+    the same reduce, never another pass.  All counts are exact
+    integers; no float anywhere."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    checks = e.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+            "c_value_neg"
+        ),
+        F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("c_type_domain"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "c_user_null"
+        ),
+        F.sum(
+            F.when(~k.between(0, 100) | k.isNull(), 1).otherwise(0)
+        ).alias("c_props_k"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("c_ts_range"),
+    )
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("name"), F.col(c).alias("viol")
+            )
+            for nm, c in [
+                ("value_non_negative", "c_value_neg"),
+                ("event_type_in_domain", "c_type_domain"),
+                ("user_id_not_null", "c_user_null"),
+                ("props_k_in_0_100", "c_props_k"),
+                ("ts_in_2020s", "c_ts_range"),
+            ]
+        ]
+    )
+    return checks.select("n_rows", F.explode(report).alias("u")).select(
+        F.col("u.name").alias("expectation"),
+        F.col("u.viol").cast("bigint").alias("n_violations"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("u.viol") == 0).alias("passed"),
+    )

@@ -777,3 +777,130 @@ def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_overlapping"),
         F.max("overlap_min").alias("max_overlap_min"),
     )
+
+
+@register(
+    "q_join_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               CASE WHEN event_type = 'click' THEN 1 ELSE NULL END
+                   AS is_probe,
+               CASE WHEN event_type = 'click' THEN event_id END AS probe_id,
+               CASE WHEN event_type = 'purchase' THEN event_id END
+                   AS build_id,
+               CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END
+                   AS build_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+        SELECT user_id, ts, probe_id,
+               last_value(build_id IGNORE NULLS) OVER w_prev AS prev_id,
+               last_value(build_ts IGNORE NULLS) OVER w_prev AS prev_ts,
+               first_value(build_id IGNORE NULLS) OVER w_next AS next_id,
+               first_value(build_ts IGNORE NULLS) OVER w_next AS next_ts
+        FROM u
+        WINDOW w_prev AS (
+            PARTITION BY user_id
+            ORDER BY ts, is_probe NULLS FIRST,
+                     coalesce(build_id, probe_id)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (
+            PARTITION BY user_id
+            ORDER BY ts, is_probe NULLS FIRST,
+                     coalesce(build_id, probe_id)
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT probe_id AS click_id,
+           CASE WHEN next_id IS NULL THEN prev_id
+                WHEN prev_id IS NULL THEN next_id
+                WHEN date_diff('second', prev_ts, ts)
+                     <= date_diff('second', ts, next_ts) THEN prev_id
+                ELSE next_id END AS nearest_purchase_id,
+           CASE WHEN next_id IS NULL THEN 'prev'
+                WHEN prev_id IS NULL THEN 'next'
+                WHEN date_diff('second', prev_ts, ts)
+                     <= date_diff('second', ts, next_ts) THEN 'prev'
+                ELSE 'next' END AS direction,
+           CAST(CASE WHEN next_id IS NULL
+                     THEN date_diff('second', prev_ts, ts)
+                WHEN prev_id IS NULL THEN date_diff('second', ts, next_ts)
+                WHEN date_diff('second', prev_ts, ts)
+                     <= date_diff('second', ts, next_ts)
+                     THEN date_diff('second', prev_ts, ts)
+                ELSE date_diff('second', ts, next_ts) END AS BIGINT)
+               AS gap_sec
+    FROM m
+    WHERE probe_id IS NOT NULL
+      AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    """,
+)
+def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: each click matched to the temporally CLOSEST
+    purchase of the same user in either direction (prev wins gap ties)
+    — the bidirectional completion of q_join_asof (backward) and
+    q_join_asof_fwd (forward); the feature-engineering primitive for
+    "time to nearest conversion".
+
+    Same union + ordered window machinery as asof_match — one shuffle
+    on user_id, zero pairwise blow-up: the backward candidate is
+    last(purchase, ignorenulls) over the inclusive preceding frame,
+    the forward one first(purchase, ignorenulls) over the strictly-
+    following frame (purchases sort before ties-at-equal-ts clicks, so
+    at-equal-ts purchases count as 'prev' — gap 0, prev tiebreak).
+    Deterministic under duplicate timestamps via the build-id ordering
+    (max prev id / min next id, same convention as asof_match)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    u = e.select(
+        "user_id",
+        "ts",
+        F.when(is_click, 1).alias("is_probe"),
+        F.when(is_click, F.col("event_id")).alias("probe_id"),
+        F.when(~is_click, F.col("event_id")).alias("build_id"),
+        F.when(~is_click, F.col("ts")).alias("build_ts"),
+    )
+    order = [
+        F.col("ts"),
+        F.col("is_probe").asc_nulls_first(),
+        F.coalesce("build_id", "probe_id"),
+    ]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    m = u.select(
+        "ts",
+        "probe_id",
+        F.last("build_id", ignorenulls=True).over(w_prev).alias("prev_id"),
+        F.last("build_ts", ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("build_id", ignorenulls=True).over(w_next).alias("next_id"),
+        F.first("build_ts", ignorenulls=True).over(w_next).alias("next_ts"),
+    ).filter(
+        F.col("probe_id").isNotNull()
+        & (F.col("prev_id").isNotNull() | F.col("next_id").isNotNull())
+    )
+    gap_prev = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    gap_next = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    prev_wins = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (gap_prev <= gap_next)
+    )
+    return m.select(
+        F.col("probe_id").alias("click_id"),
+        F.when(prev_wins, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_purchase_id"),
+        F.when(prev_wins, "prev").otherwise("next").alias("direction"),
+        F.when(prev_wins, gap_prev)
+        .otherwise(gap_next)
+        .cast("bigint")
+        .alias("gap_sec"),
+    )

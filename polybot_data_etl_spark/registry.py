@@ -142,7 +142,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_kruskal", "q_ml_pr_curve", "q_text_novelty",
     "q_ts_trend", "q_attr_position", "q_embed_outliers",
     "q_ml_logloss", "q_stats_proportion", "q_embed_pca",
-    "q_graph_degree", "q_mix_upsample",
+    "q_graph_degree", "q_mix_upsample", "q_join_nearest",
+    "q_dq_expectations",
 }
 
 

@@ -522,3 +522,49 @@ def test_upsample_balances_and_caps(spark, sf_dir):
         for r in by_src[src]:
             # every copy is a FULL replica of the source
             assert r.n_rows == n and r.n_docs == n
+
+
+def test_nearest_join_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.joins import q_join_nearest
+
+    clicks, purchases = {}, {}
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append((r.ts, r.event_id))
+        elif r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    expect = {}
+    for uid, cs in clicks.items():
+        ps = purchases.get(uid)
+        if not ps:
+            continue
+        for cts, cid in cs:
+            prev = [(ts, eid) for ts, eid in ps if ts <= cts]
+            nxt = [(ts, eid) for ts, eid in ps if ts > cts]
+            pbest = max(prev, key=lambda t: (t[0], t[1])) if prev else None
+            nbest = min(nxt, key=lambda t: (t[0], t[1])) if nxt else None
+            # second-truncated epochs: unix_timestamp/date_diff semantics
+            sec = lambda ts: int(ts.timestamp())  # noqa: E731
+            gp = sec(cts) - sec(pbest[0]) if pbest else None
+            gn = sec(nbest[0]) - sec(cts) if nbest else None
+            if nbest is None or (pbest is not None and gp <= gn):
+                expect[cid] = (pbest[1], "prev", gp)
+            else:
+                expect[cid] = (nbest[1], "next", gn)
+    got = {
+        r.click_id: (r.nearest_purchase_id, r.direction, r.gap_sec)
+        for r in q_join_nearest(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_expectations_all_pass_on_clean_fixtures(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_expectations
+
+    total = table(spark, sf_dir, "events").count()
+    rows = q_dq_expectations(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.n_rows == total for r in rows)
+    # synthetic fixtures are clean: every expectation passes with 0
+    # violations (the operator's job is to PROVE that, not assume it)
+    assert all(r.passed and r.n_violations == 0 for r in rows)
