@@ -642,3 +642,98 @@ def q_ml_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brier"),
         F.round(F.avg("y") + F.lit(1e-9), 4).alias("base_rate"),
     )
+
+
+@register(
+    "q_ml_feature_auc",
+    oracle="""
+    WITH ex AS (
+        SELECT u.k AS dim, round(u.v::DOUBLE + 1e-9, 4) AS score,
+               (label % 2 = 1) AS truth
+        FROM (
+            SELECT label,
+                   unnest(list_transform(
+                       embedding[1:8],
+                       (v, k) -> struct_pack(k := k, v := v))) AS u
+            FROM embeddings
+        )
+    ),
+    v AS (
+        SELECT dim, score, count(*) AS cnt,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS cnt_p
+        FROM ex GROUP BY dim, score
+    ),
+    r AS (
+        SELECT dim, score, cnt, cnt_p,
+               sum(cnt) OVER (PARTITION BY dim ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM v
+    ),
+    agg AS (
+        SELECT dim, sum(cnt_p) AS np, sum(cnt) - sum(cnt_p) AS nn,
+               sum((cum - (cnt - 1) / 2.0) * cnt_p) AS rp
+        FROM r GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round((rp - np * (np + 1) / 2.0) / (np * nn) + 1e-9, 4) AS auc,
+           round(abs((rp - np * (np + 1) / 2.0) / (np * nn) - 0.5)
+                 + 1e-9, 4) AS separation
+    FROM agg
+    """,
+)
+def q_ml_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate feature screening: per-dimension ROC AUC of each of
+    the leading 8 embedding components as a standalone classifier for
+    the label bit, plus |AUC − 0.5| separation — the ranking a feature-
+    selection pass starts from (a dim with AUC ≈ 0.5 carries no signal
+    alone; q_ml_auc's machinery swept across features instead of
+    models).
+
+    Shape: ONE posexplode pass (8 rows/vector) → per-(dim, 4-dp score)
+    distinct-value frames via a map-side-combined agg — each dim's
+    frame is bounded by its score grid, not the corpus — → dim-
+    partitioned rank prefix (8 independent bounded windows; the
+    two-pass bucket recipe applies per dim if a grid outgrows a task)
+    → 8-row rank-sum reduce.  Scores round to 4 dp BEFORE ranking so
+    tie structure is engine-identical."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("label") % 2 == 1).alias("truth"),
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias(
+            "dim0", "x"
+        ),
+    ).select(
+        "truth",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") + F.lit(1e-9), 4).alias(
+            "score"
+        ),
+    )
+    v = ex.groupBy("dim", "score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("cnt_p"),
+    )
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = v.withColumn("cum", F.sum("cnt").over(w))
+    agg = r.groupBy("dim").agg(
+        F.sum("cnt_p").alias("np"),
+        (F.sum("cnt") - F.sum("cnt_p")).alias("nn"),
+        F.sum(
+            (F.col("cum") - (F.col("cnt") - 1) / 2.0) * F.col("cnt_p")
+        ).alias("rp"),
+    )
+    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0) / (
+        F.col("np") * F.col("nn")
+    )
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(auc + F.lit(1e-9), 4).alias("auc"),
+        F.round(F.abs(auc - 0.5) + F.lit(1e-9), 4).alias("separation"),
+    )

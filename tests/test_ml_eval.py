@@ -568,3 +568,31 @@ def test_expectations_all_pass_on_clean_fixtures(spark, sf_dir):
     # synthetic fixtures are clean: every expectation passes with 0
     # violations (the operator's job is to PROVE that, not assume it)
     assert all(r.passed and r.n_violations == 0 for r in rows)
+
+
+def test_feature_auc_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_feature_auc
+
+    rows = table(spark, sf_dir, "embeddings").collect()
+    got = {r.dim: r for r in q_ml_feature_auc(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 9))
+    for dim in range(1, 9):
+        scored = [
+            (round(float(r.embedding[dim - 1]) + 1e-9, 4), r.label % 2 == 1)
+            for r in rows
+        ]
+        by_score: dict[float, list[bool]] = {}
+        for s, t in scored:
+            by_score.setdefault(s, []).append(t)
+        rank_pos, cum = 0.0, 0
+        n_pos = sum(1 for _, t in scored if t)
+        n_neg = len(scored) - n_pos
+        for s in sorted(by_score):
+            grp = by_score[s]
+            rank_pos += (cum + (len(grp) + 1) / 2.0) * sum(grp)
+            cum += len(grp)
+        auc = (rank_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+        assert abs(got[dim].auc - round(auc + 1e-9, 4)) < 1e-9
+        assert abs(
+            got[dim].separation - round(abs(auc - 0.5) + 1e-9, 4)
+        ) < 1e-9
