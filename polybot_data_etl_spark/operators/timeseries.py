@@ -1499,3 +1499,59 @@ def q_ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value") + F.lit(1e-9), 2).alias("avg_value"),
         )
     )
+
+
+@register(
+    "q_ts_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               date_diff('second',
+                         lag(ts::TIMESTAMP) OVER (
+                             PARTITION BY event_type,
+                                          date_trunc('day', ts)
+                             ORDER BY ts, event_id),
+                         ts::TIMESTAMP) AS gap
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(median(gap) AS DOUBLE) AS p50_sec,
+           CAST(quantile_cont(gap, 0.95) AS DOUBLE) AS p95_sec,
+           CAST(max(gap) AS BIGINT) AS max_sec
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap percentiles per event type (p50/p95/max
+    seconds between consecutive same-type events within a day) — the
+    event-delivery SLA / feed-liveness metric every ingestion monitor
+    watches (a p95 spike means the upstream producer is stalling).
+
+    Scale shape: the lag window partitions by (event_type, DAY) — a
+    hot event type never becomes one task's global sort; day-boundary
+    gaps are excluded by construction (first event of each partition
+    has NULL lag).  Gaps are exact integer seconds (cross-engine safe
+    division-free date_diff), and the exact percentile is the
+    q_agg_percentile cost class with approx_percentile as the
+    documented 100 TB swap."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("day", "ts")
+    ).orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.median("gap").cast("double").alias("p50_sec"),
+        F.percentile("gap", F.lit(0.95)).cast("double").alias("p95_sec"),
+        F.max("gap").cast("bigint").alias("max_sec"),
+    )

@@ -143,7 +143,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ts_trend", "q_attr_position", "q_embed_outliers",
     "q_ml_logloss", "q_stats_proportion", "q_embed_pca",
     "q_graph_degree", "q_mix_upsample", "q_join_nearest",
-    "q_dq_expectations", "q_ml_feature_auc",
+    "q_dq_expectations", "q_ml_feature_auc", "q_ts_gaps",
 }
 
 

@@ -596,3 +596,35 @@ def test_feature_auc_matches_python(spark, sf_dir):
         assert abs(
             got[dim].separation - round(abs(auc - 0.5) + 1e-9, 4)
         ) < 1e-9
+
+
+def test_gaps_match_python(spark, sf_dir):
+    import statistics as _st
+
+    from polybot_data_etl_spark.operators.timeseries import q_ts_gaps
+
+    by_key: dict[tuple, list] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        by_key.setdefault((r.event_type, r.ts.date()), []).append(
+            (r.ts, r.event_id)
+        )
+    gaps: dict[str, list[int]] = {}
+    for (et, _), evs in by_key.items():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gaps.setdefault(et, []).append(
+                int(b.timestamp()) - int(a.timestamp())
+            )
+    got = {r.event_type: r for r in q_ts_gaps(spark, sf_dir).collect()}
+    assert set(got) == set(gaps)
+    for et, gs in gaps.items():
+        assert got[et].n_gaps == len(gs)
+        assert abs(got[et].p50_sec - _st.median(gs)) < 1e-9
+        assert got[et].max_sec == max(gs)
+        # p95 within the sorted neighborhood of the python quantile
+        gs_sorted = sorted(gs)
+        import math as _m
+
+        pos = 0.95 * (len(gs) - 1)
+        lo, hi = gs_sorted[_m.floor(pos)], gs_sorted[_m.ceil(pos)]
+        assert lo - 1e-9 <= got[et].p95_sec <= hi + 1e-9
