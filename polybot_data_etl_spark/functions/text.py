@@ -1098,3 +1098,70 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_fully_seen"),
     )
+
+
+def _lsh_stats_oracle() -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" ({_band_bucket_sql(b)})::BIGINT AS bucket FROM sig"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    banded AS ({banded}),
+    occ AS (
+        SELECT band, bucket, count(*) AS sz
+        FROM banded GROUP BY band, bucket
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(sz AS BIGINT) AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS pair_cost
+    FROM occ GROUP BY band, sz
+    """
+
+
+@register("q_dedup_lsh_stats", oracle=_lsh_stats_oracle())
+def q_dedup_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy diagnostics for the MinHash index: per
+    band, the bucket-size histogram and the candidate-pair cost
+    Σ C(size, 2) each size class contributes — the tuning readout that
+    tells you BEFORE running dedup whether a hot bucket is about to
+    blow up the pair join (the q_dedup_ngram df-cap decision, made
+    observable).  Healthy LSH is geometric: almost all buckets
+    singletons, pair_cost concentrated in small sizes.
+
+    Shape: the same signature kernel + banding as q_dedup_minhash
+    (Arrow mapInPandas, 8 band keys per doc), then TWO map-side-
+    combined aggs — (band, bucket) occupancy, then the per-(band,
+    size) histogram.  Output bounded by |bands| × max-bucket-size;
+    never materializes a posting list or a pair."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _band_bucket(
+                [
+                    F.col(f"sig_{b * _MINHASH_ROWS_PER_BAND + r}")
+                    for r in range(_MINHASH_ROWS_PER_BAND)
+                ]
+            ).alias("bucket"),
+        )
+        for b in range(_MINHASH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    occ = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
+    return occ.groupBy(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("sz").cast("bigint").alias("bucket_size"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+        .cast("bigint")
+        .alias("pair_cost"),
+    )

@@ -628,3 +628,28 @@ def test_gaps_match_python(spark, sf_dir):
         pos = 0.95 * (len(gs) - 1)
         lo, hi = gs_sorted[_m.floor(pos)], gs_sorted[_m.ceil(pos)]
         assert lo - 1e-9 <= got[et].p95_sec <= hi + 1e-9
+
+
+def test_lsh_stats_accounts_all_docs(spark, sf_dir):
+    from polybot_data_etl_spark.functions.text import (
+        _MINHASH_BANDS,
+        q_dedup_lsh_stats,
+    )
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    rows = q_dedup_lsh_stats(spark, sf_dir).collect()
+    bands = {r.band for r in rows}
+    assert bands == set(range(_MINHASH_BANDS))
+    for b in bands:
+        # every doc lands in exactly one bucket per band:
+        # sum(size * n_buckets) over the band == corpus size
+        total = sum(
+            r.bucket_size * r.n_buckets for r in rows if r.band == b
+        )
+        assert total == n_docs
+        for r in rows:
+            if r.band == b:
+                expect_cost = (
+                    r.bucket_size * (r.bucket_size - 1) // 2
+                ) * r.n_buckets
+                assert r.pair_cost == expect_cost
