@@ -568,3 +568,105 @@ def q_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+_CURRICULUM_SCORE_SQL = """
+    SELECT doc_id, lang,
+           round(4e-1 * least(len(string_split(text, ' '))::DOUBLE / 5e1,
+                              1e0)
+                 + 3e-1 * (1e0 - len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('a', 'the')))
+                           / len(string_split(text, ' '))::DOUBLE)
+                 + 3e-1 * least((length(replace(text, ' ', ''))
+                                 / len(string_split(text, ' '))::DOUBLE)
+                                / 8e0, 1e0)
+                 + 1e-9, 4) AS q
+    FROM documents
+"""
+
+
+@register(
+    "q_mix_curriculum",
+    oracle=f"""
+    WITH s AS ({_CURRICULUM_SCORE_SQL}),
+    cuts AS (
+        SELECT lang,
+               quantile_cont(q, 0.25) AS c1,
+               quantile_cont(q, 0.50) AS c2,
+               quantile_cont(q, 0.75) AS c3
+        FROM s GROUP BY lang
+    ),
+    phased AS (
+        SELECT s.lang, s.q,
+               1 + CASE WHEN s.q > c.c1 THEN 1 ELSE 0 END
+                 + CASE WHEN s.q > c.c2 THEN 1 ELSE 0 END
+                 + CASE WHEN s.q > c.c3 THEN 1 ELSE 0 END AS phase
+        FROM s JOIN cuts c USING (lang)
+    )
+    SELECT lang, CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q) + 1e-9, 4) AS avg_quality,
+           round(min(q), 4) AS min_quality,
+           round(max(q), 4) AS max_quality
+    FROM phased GROUP BY lang, phase
+    """,
+)
+def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-phase assignment: each document gets a phase 1-4 by
+    quality-score quartile WITHIN its language (curriculum learning
+    feeds the cleanest quartile first; per-lang quartiles stop a
+    high-resource language from monopolizing the early phases).
+    Quality is the q_text_quality heuristic (4-dp rounded).
+
+    Scale shape — cutpoints-broadcast, NOT a per-lang ntile window
+    (the single-lang window is exactly the hot-task pattern VERDICT r3
+    flagged elsewhere): one exact-percentile agg per lang (3 cuts,
+    ≤|langs| rows — approx_percentile at 100 TB, same plan), broadcast
+    back, phase = 1 + Σ(score > cutᵢ) as a narrow projection, then one
+    (lang, phase) rollup.  Both engines compare identical 4-dp scores
+    to identical interpolated cut doubles, so membership can't
+    diverge."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stop_cnt = F.size(
+        F.filter(toks, lambda t: t.isin("a", "the"))
+    ).cast("double")
+    n_char = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double")
+    q = F.round(
+        0.4 * F.least(n_tok / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_cnt / n_tok)
+        + 0.3 * F.least((n_char / n_tok) / 8.0, F.lit(1.0))
+        + F.lit(1e-9),
+        4,
+    )
+    s = d.select("lang", q.alias("q"))
+    cuts = s.groupBy("lang").agg(
+        F.percentile(
+            "q", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("cs")
+    ).select(
+        "lang",
+        F.col("cs")[0].alias("c1"),
+        F.col("cs")[1].alias("c2"),
+        F.col("cs")[2].alias("c3"),
+    )
+    phase = (
+        F.lit(1)
+        + F.when(F.col("q") > F.col("c1"), 1).otherwise(0)
+        + F.when(F.col("q") > F.col("c2"), 1).otherwise(0)
+        + F.when(F.col("q") > F.col("c3"), 1).otherwise(0)
+    )
+    return (
+        s.join(F.broadcast(cuts), "lang")
+        .select("lang", "q", phase.cast("bigint").alias("phase"))
+        .groupBy("lang", "phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("q") + F.lit(1e-9), 4).alias("avg_quality"),
+            F.round(F.min("q"), 4).alias("min_quality"),
+            F.round(F.max("q"), 4).alias("max_quality"),
+        )
+    )

@@ -653,3 +653,26 @@ def test_lsh_stats_accounts_all_docs(spark, sf_dir):
                     r.bucket_size * (r.bucket_size - 1) // 2
                 ) * r.n_buckets
                 assert r.pair_cost == expect_cost
+
+
+def test_curriculum_partitions_each_lang(spark, sf_dir):
+    from polybot_data_etl_spark.plans.pipelines import q_mix_curriculum
+
+    per_lang: dict[str, int] = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    rows = q_mix_curriculum(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(per_lang)
+    for lang, rs in by_lang.items():
+        assert sum(r.n_docs for r in rs) == per_lang[lang]
+        assert {r.phase for r in rs} <= {1, 2, 3, 4}
+        # phases are ordered score bands: min of phase p+1 >= max of p
+        ordered = sorted(rs, key=lambda r: r.phase)
+        for a, b in zip(ordered, ordered[1:]):
+            assert b.min_quality >= a.max_quality - 1e-9
+        # quartile balance: no phase holds more than ~45% of the lang
+        # (exact quartiles up to cutpoint ties)
+        assert max(r.n_docs for r in rs) <= 0.45 * per_lang[lang] + 2
