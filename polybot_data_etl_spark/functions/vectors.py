@@ -978,27 +978,31 @@ def _pca_oracle() -> str:
 @register("q_embed_pca", oracle=_pca_oracle())
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-iteration estimate of the top principal component of the
-    leading 8-dim embedding block (3 unrolled steps) — the dominant-
-    variance probe every embedding-drift monitor and PCA-whitening
-    pipeline starts from; eigenvalue = ||C·v|| of the final iterate.
+    leading 8-dim embedding block (3 steps) — the dominant-variance
+    probe every embedding-drift monitor and PCA-whitening pipeline
+    starts from; eigenvalue = ||C·v|| of the final iterate.
     Convergence to the true eigenvector is eigengap-bounded
     ((l2/l1)^t); on a near-isotropic corpus like the synthetic
     fixtures the 3-step iterate is a deterministic variance-probe
     direction whose Rayleigh quotient already beats the mean
-    eigenvalue — more unrolled steps are the same plan shape.
+    eigenvalue — more steps are the same shape.
 
-    Determinism across engines: covariance cells round to 6 dp (from
-    the raw-moment algebra of q_embed_cov), every matrix-vector
-    product re-rounds to 6 dp and every normalized iterate re-rounds
-    with the +1e-9 nudge — the q_embed_kmeans policy that stops
-    last-ulp float-sum differences from amplifying through iterations;
-    v₀ = 1/√8 is the same IEEE expression on both engines.
+    Shape: the ONLY corpus-sized stage is the O(d²)-state moment
+    tree-reduce of q_embed_cov (distributed, map-side combined).  The
+    8×8 iteration then runs DRIVER-SIDE on the collected 1-row moment
+    frame — the q_win_dist_scaled conduct (driver-collected
+    control-plane scalars, here 45 doubles), chosen over the
+    DataFrame-per-superstep formulation whose 3×(join + broadcast +
+    checkpoint) jobs on 8-row frames cost ~2.7 s of pure scheduling
+    overhead at ANY scale (measured; the driver math is <1 ms).
 
-    Shape: ONE corpus pass (the O(d²)-state moment tree-reduce of
-    q_embed_cov); everything after — the 64-cell covariance frame and
-    three join/agg supersteps — runs on ≤64-row frames, cost
-    independent of corpus size.  Statically unrolled: no driver loop,
-    no collect, one job."""
+    Determinism: covariance cells, every matrix-vector product, and
+    every normalized iterate re-round to 6 dp with the standard
+    nudges (half-away-from-zero, matching both engines' round away
+    from the banker's-rounding trap); v₀ = 1/√8 the same IEEE
+    expression."""
+    import math
+
     emb = table(spark, sf_dir, "embeddings")
     d = _COV_D
     aggs = [F.count("*").alias("c")] + [
@@ -1011,60 +1015,41 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"s{i}_{j}")
         for i, j in _COV_PAIRS
     ]
-    m = emb.agg(*aggs)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(j).alias("j"),
-                F.col(f"s{min(i, j)}_{max(i, j)}").alias("sxy"),
-                F.col(f"s{i}").alias("sx"),
-                F.col(f"s{j}").alias("sy"),
+    row = emb.agg(*aggs).first()
+
+    def rnd(x: float, n: int) -> float:
+        # half-away-from-zero on the scaled double — the SQL round()
+        # semantics of both engines (Python's round() is half-even)
+        s10 = x * 10**n
+        r = math.floor(s10 + 0.5) if s10 >= 0 else math.ceil(s10 - 0.5)
+        return r / 10**n
+
+    c = row["c"]
+    sx = [row[f"s{i}"] for i in range(d)]
+    cov = [
+        [
+            rnd(
+                (row[f"s{min(i, j)}_{max(i, j)}"] - sx[i] * sx[j] / c)
+                / (c - 1)
+                + 1e-12,
+                6,
             )
-            for i in range(d)
             for j in range(d)
         ]
-    )
-    cov = m.select("c", F.explode(cells).alias("u")).select(
-        F.col("u.i").alias("i"),
-        F.col("u.j").alias("j"),
-        F.round(
-            (F.col("u.sxy") - F.col("u.sx") * F.col("u.sy") / F.col("c"))
-            / (F.col("c") - 1)
-            + F.lit(1e-12),
-            6,
-        ).alias("cv"),
-    ).localCheckpoint(eager=False)
-    v = spark.range(d).select(
-        F.col("id").alias("dim"),
-        (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("val"),
-    )
-    norm = None
+        for i in range(d)
+    ]
+    v = [1.0 / math.sqrt(float(d))] * d
+    nm = 0.0
     for _ in range(3):
-        u = (
-            cov.join(v, cov["j"] == v["dim"])
-            .groupBy(cov["i"].alias("dim"))
-            .agg(
-                F.round(
-                    F.sum(F.col("cv") * F.col("val")) + F.lit(1e-12), 6
-                ).alias("u")
-            )
-        )
-        norm = u.agg(
-            F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm")
-        )
-        v = u.crossJoin(F.broadcast(norm)).select(
-            "dim",
-            F.round(F.col("u") / F.col("nm") + F.lit(1e-9), 6).alias(
-                "val"
-            ),
-        )
-    return (
-        v.crossJoin(F.broadcast(norm))
-        .select(
-            F.col("dim").cast("bigint").alias("dim"),
-            F.round(F.col("val") + F.lit(1e-9), 4).alias("loading"),
-            F.round(F.col("nm") + F.lit(1e-9), 4).alias("eigenvalue"),
-        )
-        .orderBy("dim")
-    )
+        u = [
+            rnd(sum(cov[i][j] * v[j] for j in range(d)) + 1e-12, 6)
+            for i in range(d)
+        ]
+        nm = math.sqrt(sum(x * x for x in u))
+        v = [rnd(x / nm + 1e-9, 6) for x in u]
+    out = [
+        (i, rnd(v[i] + 1e-9, 4), rnd(nm + 1e-9, 4)) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, schema="dim bigint, loading double, eigenvalue double"
+    ).orderBy("dim")

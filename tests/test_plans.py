@@ -167,7 +167,6 @@ _NLJ_ALLOWED = {
     "q_stats_cuped",      # 1-row (θ, x̄) frame broadcast crossJoin
     "q_stats_kruskal",    # 1-row tie-correction broadcast crossJoin
     "q_ml_pr_curve",      # ≤10-row threshold grid × bounded score frame
-    "q_embed_pca",        # 1-row norm frame × ≤8-row iterate crossJoin
     "q_mix_upsample",     # 1-row max-count broadcast crossJoin (plan)
 }
 _ROW_PYTHON_ALLOWED = {
