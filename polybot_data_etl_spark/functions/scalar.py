@@ -470,3 +470,38 @@ def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").eqNullSafe(F.lit("F")).alias("is_final_nullsafe"),
         (~F.col("st").eqNullSafe(F.lit("F"))).alias("not_final_nullsafe"),
     )
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+    SELECT c_custkey,
+           base64(c_name::BLOB) AS name_b64,
+           lower(hex(c_name)) AS name_hex,
+           length(from_base64(base64(c_name::BLOB))::VARCHAR)
+               AS b64_roundtrip_len,
+           (from_base64(base64(c_name::BLOB))::VARCHAR = c_name)
+               AS b64_roundtrip_ok
+    FROM customer
+    WHERE c_custkey <= 100
+    """,
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding scalar surface: base64 / hex encode plus decode
+    round-trips — the wire-format primitives for shipping binary
+    columns through text-only channels (JSON logs, CSV interchange,
+    URL-safe ids).  RFC 4648 base64 and hex are engine-portable by
+    definition; hex is lower()ed because engines disagree on digit
+    case.  Narrow projection with a pushed key filter — zero shuffle,
+    whole-stage codegen."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.lower(F.hex(F.col("c_name"))).alias("name_hex"),
+        F.length(F.unbase64(b64)).alias("b64_roundtrip_len"),
+        (F.unbase64(b64).cast("string") == F.col("c_name")).alias(
+            "b64_roundtrip_ok"
+        ),
+    )

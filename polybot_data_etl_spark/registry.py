@@ -144,7 +144,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ml_logloss", "q_stats_proportion", "q_embed_pca",
     "q_graph_degree", "q_mix_upsample", "q_join_nearest",
     "q_dq_expectations", "q_ml_feature_auc", "q_ts_gaps",
-    "q_dedup_lsh_stats", "q_mix_curriculum",
+    "q_dedup_lsh_stats", "q_mix_curriculum", "q_fn_binary",
 }
 
 
