@@ -1129,3 +1129,71 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= _SEM_SIM)
     )
+
+
+_XSRC_ORACLE = f"""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest({_SHINGLES_SQL}) AS s
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.shared AS BIGINT) AS shared_shingles,
+           CAST(zb.n AS BIGINT) AS n_b,
+           round(i.shared * 1e0 / zb.n + 1e-9, 4) AS containment
+    FROM inter i JOIN sizes zb ON zb.source = i.src_b
+    """
+
+
+@register("q_dedup_cross_source", oracle=_XSRC_ORACLE)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source containment matrix: for every ordered source pair
+    (A, B), the fraction of B's distinct 3-gram shingles that also
+    occur in A — the "is crawl B mostly crawl A?" readout that decides
+    whether a new source is worth ingesting BEFORE any doc-level
+    dedup runs (q_dedup_containment's question lifted from documents
+    to corpora).
+
+    Shape: one shingle explode → distinct (source, shingle) frame →
+    per-shingle source posting lists (≤|sources| elements, bounded by
+    the source catalog, not the corpus) → pairs by double explode
+    INSIDE each posting row (the q_dedup_ngram conduct — never a raw
+    self-join on the shingle key) → one pair-keyed count +  a
+    broadcast sizes join.  Output is |sources|² rows at any scale."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(shingles()).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    postings = sh.groupBy("s").agg(
+        F.collect_set("source").alias("srcs")
+    )
+    pairs = (
+        postings.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.withColumnsRenamed({"source": "src_b", "n": "n_b"})
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared_shingles"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("shared") / F.col("n_b") + F.lit(1e-9), 4
+            ).alias("containment"),
+        )
+    )

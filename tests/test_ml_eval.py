@@ -676,3 +676,40 @@ def test_curriculum_partitions_each_lang(spark, sf_dir):
         # quartile balance: no phase holds more than ~45% of the lang
         # (exact quartiles up to cutpoint ties)
         assert max(r.n_docs for r in rs) <= 0.45 * per_lang[lang] + 2
+
+
+def test_cross_source_containment_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dedup import (
+        q_dedup_cross_source,
+    )
+
+    def py_shingles(text):
+        words = text.lower().split(" ")
+        if len(words) < 3:
+            return {" ".join(words)}
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+
+    per_src: dict[str, set] = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        per_src.setdefault(r.source, set()).update(py_shingles(r.text))
+    got = {
+        (r.src_a, r.src_b): r
+        for r in q_dedup_cross_source(spark, sf_dir).collect()
+    }
+    for a in per_src:
+        for b in per_src:
+            if a == b:
+                continue
+            shared = len(per_src[a] & per_src[b])
+            if shared == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r.shared_shingles == shared
+            assert r.n_b == len(per_src[b])
+            assert abs(
+                r.containment
+                - round(shared / len(per_src[b]) + 1e-9, 4)
+            ) < 1e-9
