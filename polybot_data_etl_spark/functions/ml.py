@@ -737,3 +737,77 @@ def q_ml_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc + F.lit(1e-9), 4).alias("auc"),
         F.round(F.abs(auc - 0.5) + F.lit(1e-9), 4).alias("separation"),
     )
+
+
+@register(
+    "q_ml_threshold",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    v AS (
+        SELECT score, count(*) AS cnt,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS cnt_p
+        FROM s GROUP BY score
+    ),
+    tot AS (SELECT sum(cnt_p) AS ap FROM v),
+    c AS (
+        SELECT score,
+               sum(cnt) OVER (ORDER BY score DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS pp,
+               sum(cnt_p) OVER (ORDER BY score DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS tp
+        FROM v
+    ),
+    f AS (
+        SELECT score AS threshold,
+               round(2e0 * tp / (pp + tot.ap) + 1e-9, 4) AS f1,
+               CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pred_pos
+        FROM c, tot
+    )
+    SELECT threshold, f1, tp, pred_pos
+    FROM f
+    ORDER BY f1 DESC, threshold DESC
+    LIMIT 1
+    """,
+)
+def q_ml_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-optimal decision threshold: sweep EVERY distinct score as a
+    candidate threshold (predict positive at score ≥ t) and return the
+    one maximizing F1 — the operating-point selection step after
+    q_ml_pr_curve's fixed grid (F1 = 2·tp/(pp+ap), the single-ratio
+    form; ties break to the higher threshold = fewer positives).
+
+    Shape: the corpus collapses ONCE to the bounded distinct-score
+    frame; cumulative tp/pp at every candidate come from a
+    score-descending prefix over that bounded frame (the two-pass
+    bucket recipe applies if it outgrows a task); the argmax is a
+    deterministic (f1, threshold)-ordered limit 1.  Counts exact
+    integers throughout."""
+    from pyspark.sql import Window
+
+    s = _eval_scores(spark, sf_dir)
+    v = s.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("cnt_p"),
+    )
+    tot = v.agg(F.sum("cnt_p").alias("ap"))
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        "score",
+        F.sum("cnt").over(w).alias("pp"),
+        F.sum("cnt_p").over(w).alias("tp"),
+    )
+    f = c.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        F.round(
+            F.lit(2.0) * F.col("tp") / (F.col("pp") + F.col("ap"))
+            + F.lit(1e-9),
+            4,
+        ).alias("f1"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("pp").cast("bigint").alias("pred_pos"),
+    )
+    return f.orderBy(F.desc("f1"), F.desc("threshold")).limit(1)

@@ -1555,3 +1555,100 @@ def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap", F.lit(0.95)).cast("double").alias("p95_sec"),
         F.max("gap").cast("bigint").alias("max_sec"),
     )
+
+
+@register(
+    "q_ts_conversion_window",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               CASE WHEN event_type = 'purchase' THEN 1 END AS is_probe,
+               CASE WHEN event_type = 'purchase' THEN event_id END
+                   AS probe_id,
+               CASE WHEN event_type = 'click' THEN event_id END
+                   AS build_id,
+               CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END
+                   AS build_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+        SELECT ts, probe_id,
+               last_value(build_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_probe NULLS FIRST,
+                            coalesce(build_id, probe_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_ts
+        FROM u
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+                         AND date_diff('second', last_click_ts, ts)
+                             <= 3600
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           round(sum(CASE WHEN last_click_ts IS NOT NULL
+                          AND date_diff('second', last_click_ts, ts)
+                              <= 3600
+                          THEN 1 ELSE 0 END) * 1e0 / count(*)
+                 + 1e-9, 4) AS attribution_rate
+    FROM m
+    WHERE probe_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_ts_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window conversion: per day, the share of purchases
+    preceded by a click from the SAME user within the last hour — the
+    click-through-conversion KPI with an explicit lookback window (the
+    q_join_asof machinery with a gap predicate on top).
+
+    Shape: one union + ordered window pass on user_id (no pairwise
+    join, same as asof_match), the 1-hour check is an integer-second
+    comparison on the matched timestamp, then one day-keyed rollup.
+    Deterministic under duplicate timestamps via the asof ordering
+    (clicks sort before ties-at-equal-ts purchases — a click AT the
+    purchase instant counts, gap 0)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_p = F.col("event_type") == "purchase"
+    u = e.select(
+        "user_id",
+        "ts",
+        F.when(is_p, 1).alias("is_probe"),
+        F.when(is_p, F.col("event_id")).alias("probe_id"),
+        F.when(~is_p, F.col("event_id")).alias("build_id"),
+        F.when(~is_p, F.col("ts")).alias("build_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.col("is_probe").asc_nulls_first(),
+            F.coalesce("build_id", "probe_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.select(
+        "ts",
+        "probe_id",
+        F.last("build_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    ).filter(F.col("probe_id").isNotNull())
+    attributed = F.when(
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            <= 3600
+        ),
+        1,
+    ).otherwise(0)
+    return m.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(attributed).cast("bigint").alias("n_attributed"),
+        F.round(
+            F.sum(attributed) / F.count("*") + F.lit(1e-9), 4
+        ).alias("attribution_rate"),
+    )

@@ -713,3 +713,58 @@ def test_cross_source_containment_matches_python(spark, sf_dir):
                 r.containment
                 - round(shared / len(per_src[b]) + 1e-9, 4)
             ) < 1e-9
+
+
+def test_threshold_is_argmax_f1(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_threshold
+
+    scores = _python_scores(spark, sf_dir)
+    ap = sum(1 for _, t in scores if t)
+    best = None
+    for cand in sorted({s for s, _ in scores}, reverse=True):
+        tp = sum(1 for s, t in scores if s >= cand and t)
+        pp = sum(1 for s, _ in scores if s >= cand)
+        f1 = round(2.0 * tp / (pp + ap) + 1e-9, 4)
+        if best is None or f1 > best[1] or (
+            f1 == best[1] and cand > best[0]
+        ):
+            best = (cand, f1, tp, pp)
+    got = q_ml_threshold(spark, sf_dir).collect()[0]
+    assert (got.threshold, got.f1, got.tp, got.pred_pos) == best
+
+
+def test_conversion_window_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_conversion_window,
+    )
+
+    by_user: dict[int, list] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type in ("click", "purchase"):
+            by_user.setdefault(r.user_id, []).append(r)
+    per_day: dict = {}
+    for evs in by_user.values():
+        evs.sort(
+            key=lambda r: (
+                r.ts,
+                0 if r.event_type == "click" else 1,
+                r.event_id,
+            )
+        )
+        last_click = None
+        for r in evs:
+            if r.event_type == "click":
+                last_click = r.ts
+            else:
+                day = r.ts.date()
+                n, a = per_day.get(day, (0, 0))
+                hit = last_click is not None and (
+                    int(r.ts.timestamp()) - int(last_click.timestamp())
+                    <= 3600
+                )
+                per_day[day] = (n + 1, a + (1 if hit else 0))
+    got = {
+        r.day.date(): (r.n_purchases, r.n_attributed)
+        for r in q_ts_conversion_window(spark, sf_dir).collect()
+    }
+    assert got == per_day
