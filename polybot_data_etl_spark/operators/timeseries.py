@@ -1652,3 +1652,57 @@ def q_ts_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(attributed) / F.count("*") + F.lit(1e-9), 4
         ).alias("attribution_rate"),
     )
+
+
+@register(
+    "q_ts_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS d
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT d AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM per_day
+    """,
+)
+def q_ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-audience curve: per day, the users seen for the
+    FIRST time and the exact running total of distinct users ever seen
+    — the registered-users growth chart, computed exactly (not a
+    prefix of approx-distinct sketches).
+
+    The trick that makes exact cumulative COUNT DISTINCT cheap:
+    cumulative distinct users at day d == users whose FIRST event is
+    ≤ d, so one per-user min-day agg (map-side combined,
+    high-cardinality key) collapses the fact table, a day rollup
+    bounds the frame at ≤365 rows/year, and the prefix sum runs over
+    THAT — never a distinct-accumulating window over events.  The
+    q_agg_bitmap_rolling sibling for the exact-running-distinct
+    problem, via first-touch decomposition instead of bitmaps."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("d").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cumulative_users"
+        ),
+    )

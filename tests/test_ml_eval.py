@@ -768,3 +768,29 @@ def test_conversion_window_matches_python(spark, sf_dir):
         for r in q_ts_conversion_window(spark, sf_dir).collect()
     }
     assert got == per_day
+
+
+def test_cumulative_users_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_cumulative_users,
+    )
+
+    first: dict[int, object] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    from collections import Counter
+
+    per_day = Counter(first.values())
+    rows = sorted(
+        q_ts_cumulative_users(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert [r.day.date() for r in rows] == sorted(per_day)
+    cum = 0
+    for r in rows:
+        assert r.new_users == per_day[r.day.date()]
+        cum += r.new_users
+        assert r.cumulative_users == cum
+    assert cum == len(first)
