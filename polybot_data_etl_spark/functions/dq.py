@@ -602,3 +602,111 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         (F.col("u.viol") == 0).alias("passed"),
     )
+
+
+@register(
+    "q_dq_drift_ks",
+    oracle="""
+    WITH half AS (
+        SELECT event_type, round(value, 2) AS v,
+               CASE WHEN date_trunc('day', ts)
+                         < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS h
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, v,
+               sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1
+        FROM half GROUP BY event_type, v
+    ),
+    tot AS (
+        SELECT event_type, sum(c0) AS n0, sum(c1) AS n1
+        FROM g GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, v,
+               sum(c0) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS p0,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS p1
+        FROM g
+    )
+    SELECT c.event_type,
+           CAST(t.n0 AS BIGINT) AS n_first_half,
+           CAST(t.n1 AS BIGINT) AS n_second_half,
+           round(max(abs(c.p0 * 1e0 / t.n0 - c.p1 * 1e0 / t.n1))
+                 + 1e-9, 4) AS ks
+    FROM c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY c.event_type, t.n0, t.n1
+    """,
+)
+def q_dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: two-sample Kolmogorov-Smirnov on
+    `value` between the first and second half of the month, per event
+    type — the nonparametric twin of q_dq_psi (no binning choices; KS
+    sees ANY CDF shift, PSI only what its bins resolve).  A training
+    pipeline runs exactly this between a reference and a candidate
+    snapshot before accepting new data.
+
+    Shape: per-(type, 2-dp value) counts in one map-side-combined agg
+    (the distinct-value frame bounds everything downstream), both
+    half-CDFs from one type-partitioned ordered prefix, then a
+    per-type max reduce — integer ratios throughout, the
+    q_stats_mannwhitney bucket recipe available if a value grid
+    outgrows a task."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    half = e.select(
+        "event_type",
+        F.round("value", 2).alias("v"),
+        F.when(
+            F.date_trunc("day", "ts")
+            < F.lit("2024-01-16").cast("timestamp"),
+            0,
+        )
+        .otherwise(1)
+        .alias("h"),
+    )
+    g = half.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = g.groupBy("event_type").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "event_type",
+        F.sum("c0").over(w).alias("p0"),
+        F.sum("c1").over(w).alias("p1"),
+    )
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("p0") / F.col("n0")
+                        - F.col("p1") / F.col("n1")
+                    )
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("ks")
+        )
+        .select(
+            "event_type",
+            F.col("n0").cast("bigint").alias("n_first_half"),
+            F.col("n1").cast("bigint").alias("n_second_half"),
+            "ks",
+        )
+    )

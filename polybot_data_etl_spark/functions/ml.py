@@ -811,3 +811,79 @@ def q_ml_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pp").cast("bigint").alias("pred_pos"),
     )
     return f.orderBy(F.desc("f1"), F.desc("threshold")).limit(1)
+
+
+@register(
+    "q_ml_ks",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    v AS (
+        SELECT score,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS cnt_p,
+               sum(CASE WHEN truth THEN 0 ELSE 1 END) AS cnt_n
+        FROM s GROUP BY score
+    ),
+    tot AS (
+        SELECT sum(cnt_p) AS np, sum(cnt_n) AS nn FROM v
+    ),
+    c AS (
+        SELECT score,
+               sum(cnt_p) OVER (ORDER BY score
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cp,
+               sum(cnt_n) OVER (ORDER BY score
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cn
+        FROM v
+    )
+    SELECT round(max(abs(cp * 1e0 / tot.np - cn * 1e0 / tot.nn))
+                 + 1e-9, 4) AS ks,
+           CAST(tot.np AS BIGINT) AS n_pos,
+           CAST(tot.nn AS BIGINT) AS n_neg
+    FROM c, tot
+    GROUP BY tot.np, tot.nn
+    """,
+)
+def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov separation of the fused logistic head: the
+    max gap between the positive and negative score CDFs — credit-
+    scoring's favorite single-number separation metric (KS = 0 means
+    the score can't tell the classes apart; reported beside AUC
+    because KS localizes WHERE the distributions separate).
+
+    Shape: the q_ml_auc skeleton — corpus → bounded distinct-score
+    frame (4-dp grid) → one ordered prefix for both class CDFs → a
+    1-row max reduce.  CDF values are exact integer ratios at every
+    step; the max over them is order-independent."""
+    from pyspark.sql import Window
+
+    s = _eval_scores(spark, sf_dir)
+    v = s.groupBy("score").agg(
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("cnt_p"),
+        F.sum(F.when(F.col("truth"), 0).otherwise(1)).alias("cnt_n"),
+    )
+    tot = v.agg(
+        F.sum("cnt_p").alias("np"), F.sum("cnt_n").alias("nn")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        F.sum("cnt_p").over(w).alias("cp"),
+        F.sum("cnt_n").over(w).alias("cn"),
+    )
+    return c.crossJoin(F.broadcast(tot)).groupBy("np", "nn").agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cp") / F.col("np") - F.col("cn") / F.col("nn")
+                )
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("ks")
+    ).select(
+        "ks",
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+    )

@@ -794,3 +794,55 @@ def test_cumulative_users_matches_python(spark, sf_dir):
         cum += r.new_users
         assert r.cumulative_users == cum
     assert cum == len(first)
+
+
+def test_ks_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_ks
+
+    scores = _python_scores(spark, sf_dir)
+    pos = sorted(s for s, t in scores if t)
+    neg = sorted(s for s, t in scores if not t)
+    grid = sorted({s for s, _ in scores})
+    import bisect
+
+    ks = max(
+        abs(
+            bisect.bisect_right(pos, g) / len(pos)
+            - bisect.bisect_right(neg, g) / len(neg)
+        )
+        for g in grid
+    )
+    got = q_ml_ks(spark, sf_dir).collect()[0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert abs(got.ks - round(ks + 1e-9, 4)) < 1e-9
+    assert 0.0 <= got.ks <= 1.0
+
+
+def test_drift_ks_matches_python(spark, sf_dir):
+    import bisect
+    from datetime import date
+
+    from polybot_data_etl_spark.functions.dq import q_dq_drift_ks
+
+    halves: dict[str, tuple[list, list]] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        v = round(r.value, 2)
+        first = r.ts.date() < date(2024, 1, 16)
+        a, b = halves.setdefault(r.event_type, ([], []))
+        (a if first else b).append(v)
+    got = {r.event_type: r for r in q_dq_drift_ks(spark, sf_dir).collect()}
+    assert set(got) == set(halves)
+    for et, (a, b) in halves.items():
+        a.sort()
+        b.sort()
+        grid = sorted(set(a) | set(b))
+        ks = max(
+            abs(
+                bisect.bisect_right(a, g) / len(a)
+                - bisect.bisect_right(b, g) / len(b)
+            )
+            for g in grid
+        )
+        assert got[et].n_first_half == len(a)
+        assert got[et].n_second_half == len(b)
+        assert abs(got[et].ks - round(ks + 1e-9, 4)) < 1e-6

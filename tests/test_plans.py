@@ -169,6 +169,7 @@ _NLJ_ALLOWED = {
     "q_ml_pr_curve",      # ≤10-row threshold grid × bounded score frame
     "q_mix_upsample",     # 1-row max-count broadcast crossJoin (plan)
     "q_ml_threshold",     # 1-row actual-positive total broadcast crossJoin
+    "q_ml_ks",            # 1-row class-total broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
