@@ -441,3 +441,39 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round(F.col("rms") + F.lit(1e-9), 4).alias("rms"),
     )
+
+
+@register(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           CAST(min(doc_id) AS BIGINT) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup: group the binary payload store by
+    its md5 fingerprint, keep the min media_id per content hash — the
+    byte-identical image/audio dedup pass every multimodal ingest runs
+    BEFORE any perceptual hashing (a re-uploaded file is the same
+    bytes; no decode needed).  q_dedup_exact's conduct lifted to the
+    binary column.
+
+    Shape: fingerprint is a narrow projection over the payload (no
+    decode, no Python), then ONE map-side-combined hash agg on the
+    128-bit key — the cheapest dedup there is, and the md5 key is the
+    portable content address downstream stages join on.  Oracle: the
+    payload is the UTF-8 text bytes by construction, so md5(payload)
+    == md5(text) lets DuckDB replay it without BLOB support."""
+    m = media(spark, sf_dir)
+    return (
+        m.select("media_id", F.md5(F.col("payload")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("media_id").cast("bigint").alias("media_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("content_md5", "media_id", "n_copies")
+    )

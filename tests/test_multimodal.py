@@ -153,3 +153,23 @@ def test_batch_iteration_is_batched(media_df):
         assert got["n_batches"] >= got["rows"] // 7
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_media_dedup_is_content_addressed(spark, sf_dir):
+    import hashlib
+
+    from polybot_data_etl_spark.catalog import table
+    from polybot_data_etl_spark.functions.multimodal import (
+        q_multimodal_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents").collect()
+    expect: dict[str, list[int]] = {}
+    for r in docs:
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        expect.setdefault(h, []).append(r.doc_id)
+    got = {r.content_md5: r for r in q_multimodal_dedup(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for h, ids in expect.items():
+        assert got[h].media_id == min(ids)
+        assert got[h].n_copies == len(ids)
