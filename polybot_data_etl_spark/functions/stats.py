@@ -869,3 +869,69 @@ def q_stats_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb + F.lit(1e-9), 4).alias("rate_b"),
         F.round(z + F.lit(1e-9), 4).alias("z"),
     )
+
+
+@register(
+    "q_stats_ratio",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               sum(value) AS x, count(*) AS y
+        FROM events GROUP BY event_type, user_id
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy,
+               sum(x * y) AS sxy
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           round(sx / sy + 1e-9, 4) AS ratio,
+           round(sqrt(
+               ((sxx - sx * sx / n) / (n - 1)
+                + (sx / sy) * (sx / sy) * (syy - sy * sy / n) / (n - 1)
+                - 2 * (sx / sy) * (sxy - sx * sy / n) / (n - 1))
+               / n) / (sy / n) + 1e-9, 4) AS se_delta
+    FROM m
+    """,
+)
+def q_stats_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric inference per event type: value-per-event ratio
+    R = Σx/Σy over per-user aggregates, with the DELTA-METHOD standard
+    error — the correct uncertainty for ratio metrics whose numerator
+    and denominator are correlated within users (naive per-event SEs
+    are wrong because events within a user aren't independent; the
+    per-user unit-of-analysis + delta linearization is the standard
+    experimentation fix):  SE² ≈ (var x + R²·var y − 2R·cov(x,y)) /
+    (n·ȳ²).
+
+    Shape: per-(type, user) agg (high-cardinality, map-side combined)
+    collapses the stream; per-type raw moments (Σx, Σy, Σx², Σy²,
+    Σxy) in one more agg; the delta algebra runs on the ≤|types|-row
+    frame — the q_agg_corr shared-algebra policy throughout."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("x"), F.count("*").alias("y")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = sx / sy
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    se = F.sqrt((var_x + r * r * var_y - 2 * r * cov) / n) / (sy / n)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_users"),
+        F.round(r + F.lit(1e-9), 4).alias("ratio"),
+        F.round(se + F.lit(1e-9), 4).alias("se_delta"),
+    )

@@ -846,3 +846,35 @@ def test_drift_ks_matches_python(spark, sf_dir):
         assert got[et].n_first_half == len(a)
         assert got[et].n_second_half == len(b)
         assert abs(got[et].ks - round(ks + 1e-9, 4)) < 1e-6
+
+
+def test_ratio_delta_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_ratio
+
+    per: dict[str, dict[int, list]] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        u = per.setdefault(r.event_type, {}).setdefault(
+            r.user_id, [0.0, 0]
+        )
+        u[0] += r.value
+        u[1] += 1
+    got = {r.event_type: r for r in q_stats_ratio(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for et, users in per.items():
+        xs = [v[0] for v in users.values()]
+        ys = [v[1] for v in users.values()]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        ratio = sx / sy
+        var_x = (sum(x * x for x in xs) - sx * sx / n) / (n - 1)
+        var_y = (sum(y * y for y in ys) - sy * sy / n) / (n - 1)
+        cov = (
+            sum(x * y for x, y in zip(xs, ys)) - sx * sy / n
+        ) / (n - 1)
+        se = math.sqrt(
+            (var_x + ratio * ratio * var_y - 2 * ratio * cov) / n
+        ) / (sy / n)
+        assert got[et].n_users == n
+        assert abs(got[et].ratio - round(ratio + 1e-9, 4)) < 1e-9
+        assert abs(got[et].se_delta - round(se + 1e-9, 4)) < 1e-7
+        assert got[et].se_delta >= 0
