@@ -1706,3 +1706,62 @@ def q_ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_users"
         ),
     )
+
+
+@register(
+    "q_ts_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d AS day, CAST(n AS BIGINT) AS n_events,
+           CAST(median(n) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med7
+    FROM daily
+    """,
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily volume per event type — the
+    spike-resistant twin of q_win_moving's rolling mean (one
+    flash-crowd day can't move a median baseline, which is why
+    anomaly thresholds prefer it).
+
+    Spark has no median-over-frame, so the operator builds it
+    declaratively: array_sort(collect_list) over the ≤7-element frame
+    + exact middle / two-middle average — identical to the oracle's
+    interpolating window median because the frame never exceeds 7
+    values.  All windows run over the day-level PRE-AGGREGATE (≤365
+    rows/type/year — bounded, never the event stream), the
+    q_ts_forecast_snaive conduct."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("n").over(w))
+    k = F.size(arr)
+    med = F.when(
+        k % 2 == 1,
+        F.element_at(arr, ((k + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(arr, (k / 2).cast("int"))
+            + F.element_at(arr, (k / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return daily.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        med.alias("med7"),
+    )

@@ -147,7 +147,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_dedup_lsh_stats", "q_mix_curriculum", "q_fn_binary",
     "q_dedup_cross_source", "q_ml_threshold", "q_ts_conversion_window",
     "q_ts_cumulative_users", "q_ml_ks", "q_dq_drift_ks",
-    "q_multimodal_dedup", "q_stats_ratio",
+    "q_multimodal_dedup", "q_stats_ratio", "q_ts_rolling_median",
 }
 
 

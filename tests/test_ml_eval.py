@@ -878,3 +878,28 @@ def test_ratio_delta_matches_python(spark, sf_dir):
         assert abs(got[et].ratio - round(ratio + 1e-9, 4)) < 1e-9
         assert abs(got[et].se_delta - round(se + 1e-9, 4)) < 1e-7
         assert got[et].se_delta >= 0
+
+
+def test_rolling_median_matches_python(spark, sf_dir):
+    import statistics as _st
+
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_rolling_median,
+    )
+
+    daily: dict[str, dict] = {}
+    for r in table(spark, sf_dir, "events").collect():
+        d = r.ts.date()
+        daily.setdefault(r.event_type, {}).setdefault(d, 0)
+        daily[r.event_type][d] += 1
+    got = {
+        (r.event_type, r.day.date()): r
+        for r in q_ts_rolling_median(spark, sf_dir).collect()
+    }
+    for et, by_day in daily.items():
+        days = sorted(by_day)
+        for i, d in enumerate(days):
+            frame = [by_day[x] for x in days[max(0, i - 6) : i + 1]]
+            r = got[(et, d)]
+            assert r.n_events == by_day[d]
+            assert abs(r.med7 - _st.median(frame)) < 1e-9
