@@ -120,7 +120,35 @@ _R03_RECORDED: frozenset[str] = frozenset(
     }
 )
 
-_RECORDED: frozenset[str] = _R01_RECORDED | _R02_RECORDED | _R03_RECORDED
+# CORRECTNESS_r04.json greens (49 hash_match=true + q_agg_hll_merge's
+# declared rows-only row, zero err). With these folded in, exactly 50
+# registered queries have never had a driver-recorded row (the 8 tier-0
+# spillover from r4's window + the 42 queries first registered in round
+# 4); they own the head of round 5's ~50-slot recording window
+# (VERDICT r4 §Next-round #1).
+_R04_RECORDED: frozenset[str] = frozenset(
+    {
+        "q_agg_bitmap_distinct", "q_agg_bitmap_rolling", "q_agg_cms_topk",
+        "q_agg_hll_merge", "q_agg_rfm", "q_agg_winsorized",
+        "q_attr_last_touch", "q_attr_linear", "q_dq_benford", "q_dq_kanon",
+        "q_dq_outliers", "q_fn_bitwise", "q_fn_hash", "q_fn_null",
+        "q_fn_struct", "q_fn_url", "q_geo_distance", "q_geo_join",
+        "q_graph_triangles", "q_join_null_safe", "q_join_overlap",
+        "q_link_fuzzy", "q_ml_hashing", "q_ml_knn", "q_ml_score",
+        "q_multimodal_audio", "q_sql_lateral", "q_sql_qualify",
+        "q_sql_recursive", "q_stats_chisq", "q_stats_cuped",
+        "q_stats_regression", "q_stats_ttest", "q_text_gopher",
+        "q_text_readability", "q_ts_burst", "q_ts_changepoint",
+        "q_ts_concurrency", "q_ts_forecast_snaive", "q_ts_growth",
+        "q_ts_holt", "q_ts_interp", "q_ts_ltv", "q_ts_m4", "q_ts_markov",
+        "q_ts_paths", "q_ts_retention", "q_ts_seasonality",
+        "q_win_skyline", "q_win_weighted_median",
+    }
+)
+
+_RECORDED: frozenset[str] = (
+    _R01_RECORDED | _R02_RECORDED | _R03_RECORDED | _R04_RECORDED
+)
 
 
 # Families whose queries cost ≥ ~1.5s at the gate scale (dedup/sim
@@ -129,26 +157,13 @@ _RECORDED: frozenset[str] = _R01_RECORDED | _R02_RECORDED | _R03_RECORDED
 # queries before any cutoff.
 _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 
-# Queries first registered in round 4 of the build (new surface added
-# after the r3 gate).  They enumerate after the 58-query evidence debt:
+# Queries first registered in round 5 of the build (new surface added
+# after the r4 gate).  They enumerate after the 50-query evidence debt:
 # oldest unrecorded debt keeps the head of the driver's ~50-slot
-# recording window (VERDICT r3: "add nothing ahead of tier 0").
-_NEW_THIS_ROUND: set[str] = {
-    "q_dedup_paragraph", "q_text_boilerplate", "q_mix_epochs",
-    "q_stats_mannwhitney", "q_setops_all", "q_embed_whiten",
-    "q_ml_confusion", "q_ml_auc", "q_ml_calibration",
-    "q_stats_mad", "q_ts_calendar",
-    "q_stats_spearman", "q_ml_ndcg", "q_sample_reservoir", "q_embed_cov",
-    "q_stats_kruskal", "q_ml_pr_curve", "q_text_novelty",
-    "q_ts_trend", "q_attr_position", "q_embed_outliers",
-    "q_ml_logloss", "q_stats_proportion", "q_embed_pca",
-    "q_graph_degree", "q_mix_upsample", "q_join_nearest",
-    "q_dq_expectations", "q_ml_feature_auc", "q_ts_gaps",
-    "q_dedup_lsh_stats", "q_mix_curriculum", "q_fn_binary",
-    "q_dedup_cross_source", "q_ml_threshold", "q_ts_conversion_window",
-    "q_ts_cumulative_users", "q_ml_ks", "q_dq_drift_ks",
-    "q_multimodal_dedup", "q_stats_ratio", "q_ts_rolling_median",
-}
+# recording window (VERDICT r4: "add nothing ahead of tier 0").  The 42
+# round-4 additions are now plain tier-0 debt (never driver-recorded)
+# and dominate the window head alongside the 8 r4 spillover queries.
+_NEW_THIS_ROUND: set[str] = set()
 
 
 def _cost_class(name: str) -> int:

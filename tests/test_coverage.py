@@ -25,8 +25,8 @@ def test_survey_and_registry_agree():
 
 def test_driver_window_priority_invariants():
     """The driver records only the first ~50 enumeration-order queries
-    per round.  Three tiers: (0) the 58-query never-driver-recorded
-    evidence debt (VERDICT r3 §Next-round #1) must enumerate first;
+    per round.  Three tiers: (0) the never-driver-recorded evidence
+    debt (VERDICT §Next-round #1 each round) must enumerate first;
     (1) queries newly registered this round yield to them; (2) already-
     recorded queries go last.  Cheap before expensive within each tier
     so a time-capped driver run records the maximum number of rows."""
@@ -36,13 +36,17 @@ def test_driver_window_priority_invariants():
     tiers = [registry._tier(n) for n in names]
     assert tiers == sorted(tiers), "tier order must be monotonic"
     tier0 = [n for n in names if registry._tier(n) == 0]
-    # 58 never-recorded queries after folding in CORRECTNESS_r03; the
-    # ~8 that spill past the 50-row window must lead round 5's window —
-    # nothing new may be registered ahead of them (keep _NEW_THIS_ROUND
-    # up to date for any round-4 additions).
-    assert len(tier0) == 58, (
-        f"tier-0 evidence-debt set changed size ({len(tier0)}); update "
-        "_R*_RECORDED with the latest round's greens and re-pin"
+    # The tier-0 set is exactly "registered minus recorded minus new":
+    # derive the expectation from the same constants instead of a magic
+    # number (ADVICE r4) so a legitimate recording update can't break
+    # the invariant — only genuine drift (a query in both _RECORDED and
+    # _NEW_THIS_ROUND, or a recorded name no longer registered) does.
+    expected_tier0 = set(names) - registry._RECORDED - registry._NEW_THIS_ROUND
+    assert set(tier0) == expected_tier0
+    assert not (registry._RECORDED & registry._NEW_THIS_ROUND)
+    assert registry._RECORDED <= set(names), (
+        "recorded set names queries that are no longer registered: "
+        f"{sorted(registry._RECORDED - set(names))}"
     )
     for n in names:
         if registry._tier(n) == 0:
