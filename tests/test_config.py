@@ -39,7 +39,10 @@ def test_env_reads_confined_to_config_boundary():
         os.path.dirname(os.path.abspath(__file__))
     )
     out = subprocess.run(
-        ["grep", "-rln", "SPARK_GRAFT", os.path.join(pkg, "polybot_data_etl_spark")],
+        [
+            "grep", "-rln", "--include=*.py", "SPARK_GRAFT",
+            os.path.join(pkg, "polybot_data_etl_spark"),
+        ],
         capture_output=True,
         text=True,
     ).stdout.splitlines()
