@@ -150,6 +150,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Lazy data-dir validation (ADVICE r4): config.from_env only checks
+    # SPARK_GRAFT_SF_DIR when it is explicitly set, so a missing
+    # machine-default dir must still fail HERE with the variable named,
+    # not as an opaque parquet read error deep in a plan.
+    import os
+
+    if not os.path.isdir(sf_dir):
+        from polybot_data_etl_spark.config import SF_DIR_ENV
+
+        raise ValueError(f"{SF_DIR_ENV}={sf_dir!r} is not a directory")
     try:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     except Exception:

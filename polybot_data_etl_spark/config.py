@@ -25,6 +25,11 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+# Canonical env-var name for the fixture dir, importable by the lazy
+# validation at catalog.table() so error messages can name the knob
+# without other modules hardcoding (or reading) the environment.
+SF_DIR_ENV = "SPARK_GRAFT_SF_DIR"
+
 
 @dataclass(frozen=True)
 class EngineConfig:

@@ -816,7 +816,13 @@ def component_labels(
     superstep shuffles O(|E|) rows — the dup-pair graph, not the corpus
     — so the iteration cost is bound by the near-dup rate, not the
     table size (at 100 TB the pair graph is orders of magnitude smaller
-    than the document set)."""
+    than the document set).
+
+    Execution contract: EAGER.  The pair frame is materialized at call
+    time (localCheckpoint + size probe) to pick the local-vs-superstep
+    path; below ``local_threshold`` edges the returned frame is a
+    driver-materialized createDataFrame.  Callers must pass exactly the
+    two edge-endpoint columns (``a_id``, ``b_id``); extras raise."""
     if algorithm == "star":
         return component_labels_star(pairs, max_iters=max_iters)
     if algorithm != "propagation":
@@ -831,10 +837,17 @@ def component_labels(
     # components.  Above the threshold: the superstep path, untouched.
     # materialize the (usually expensive) pair computation ONCE — the
     # size probe and whichever path wins both read the checkpoint
+    if set(pairs.columns) != {"a_id", "b_id"}:
+        raise ValueError(
+            "component_labels expects exactly columns a_id/b_id, got "
+            f"{pairs.columns}"
+        )
     pairs = pairs.localCheckpoint(eager=True)
     n_edges = pairs.limit(local_threshold + 1).count()
     if n_edges <= local_threshold:
-        pdf = pairs.toPandas()
+        # name-addressed, not positional — a reordered projection must
+        # not silently swap edge endpoints (ADVICE r4)
+        pdf = pairs.select("a_id", "b_id").toPandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -843,7 +856,7 @@ def component_labels(
                 x = parent[x]
             return x
 
-        for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+        for a, b in zip(pdf["a_id"], pdf["b_id"]):
             a, b = int(a), int(b)
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -1004,7 +1017,7 @@ def component_labels_star(
         FROM (
             SELECT doc_id, text,
                    unnest(generate_series(1, n_chars, 40)) AS s
-            FROM documents
+            FROM documents WHERE n_chars >= 1
         )
     ),
     freq AS (
@@ -1039,7 +1052,10 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes xxhash64(paragraph) so the shuffle carries 8-byte keys
     instead of strings — same plan, smaller exchange (kept as the raw
     string here for cross-engine oracle parity)."""
-    d = table(spark, sf_dir, "documents")
+    # Empty docs: Spark's sequence(1, 0, 40) throws where DuckDB's
+    # generate_series returns empty — filter them out on BOTH sides so
+    # the edge is a no-op, not a crash/divergence (ADVICE r4).
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
     s = F.explode(
         F.sequence(
             F.lit(1).cast("long"), F.col("n_chars"), F.lit(40).cast("long")

@@ -539,7 +539,7 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(v.cnt_p) AS tp
         FROM (SELECT unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
                              0.6, 0.7, 0.8, 0.9]) AS thr) t
-        JOIN v ON v.score >= t.thr
+        LEFT JOIN v ON v.score >= t.thr
         GROUP BY t.thr
     )
     SELECT round(p.thr, 1) AS threshold,
@@ -560,7 +560,11 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by the 4-dp score grid, not row count); the threshold
     sweep is a ≤10×|grid| range join on that bounded frame — never a
     second pass over the facts; totals ride along from a 1-row
-    aggregate.  Counts are exact integers; ratios int-over-int."""
+    aggregate.  Counts are exact integers; ratios int-over-int.
+    The grid side is a LEFT join (ADVICE r4): every one of the 10
+    thresholds appears even when no score reaches it, which is what
+    makes the coalesce(tp/pp, 0) columns meaningful (precision is NULL
+    at such points, on both engines)."""
     s = _eval_scores(spark, sf_dir)
     v = s.groupBy("score").agg(
         F.count("*").alias("cnt"),
@@ -570,8 +574,7 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") / 10.0).alias("thr")
     )
     pts = (
-        v.crossJoin(F.broadcast(thr))
-        .filter(F.col("score") >= F.col("thr"))
+        thr.join(F.broadcast(v), F.col("score") >= F.col("thr"), "left")
         .groupBy("thr")
         .agg(F.sum("cnt").alias("pp"), F.sum("cnt_p").alias("tp"))
     )

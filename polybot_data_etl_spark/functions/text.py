@@ -515,7 +515,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id, text,
                unnest(generate_series(1, n_chars, 90)) AS s
-        FROM documents
+        FROM documents WHERE n_chars >= 1
     )
     """,
 )
@@ -528,8 +528,10 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, so the operator is a narrow per-row expansion:
     zero shuffles, linear in output size, embarrassingly parallel at
     100 TB.  Both engines use 1-based inclusive substring semantics and
-    an inclusive arithmetic sequence, so values hash-match exactly."""
-    d = table(spark, sf_dir, "documents")
+    an inclusive arithmetic sequence, so values hash-match exactly.
+    Empty docs are filtered on both sides (Spark's sequence throws on
+    start>stop with positive step; DuckDB's generate_series is empty)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
     s = F.explode(
         F.sequence(F.lit(1).cast("long"), F.col("n_chars"), F.lit(90).cast("long"))
     ).alias("s")
@@ -953,7 +955,7 @@ def q_text_urldedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT source, doc_id, text,
                    unnest(generate_series(1, n_chars, 40)) AS s
-            FROM documents
+            FROM documents WHERE n_chars >= 1
         )
     ),
     per AS (
@@ -988,7 +990,9 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-count agg broadcast back → per-source hash agg.  All group keys
     are high-cardinality except the final |sources| rollup; nothing
     quadratic, no window."""
-    d = table(spark, sf_dir, "documents")
+    # n_chars >= 1 on both sides: Spark's sequence throws on empty docs
+    # where DuckDB's generate_series is empty (ADVICE r4).
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
     s = F.explode(
         F.sequence(
             F.lit(1).cast("long"), F.col("n_chars"), F.lit(40).cast("long")

@@ -75,10 +75,13 @@ def q_ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, value,
-               -- >= (not >): Spark session_window is half-open —
-               -- an event at exactly prev_ts + gap starts a NEW session
+               -- STRICT > : Spark session_window end = last + gap and an
+               -- event at exactly that end point EXTENDS the session
+               -- (verified empirically: tests/test_edge_cases.py
+               -- test_session_exact_gap_boundary), so only a gap
+               -- strictly larger than 30 min breaks it
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
+                         > INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS brk
         FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
@@ -1161,10 +1164,10 @@ def q_ts_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events),
     flagged AS (
         SELECT user_id, ts,
-               -- >= (not >): Spark session_window is half-open —
-               -- an event at exactly prev_ts + gap starts a NEW session
+               -- STRICT > : an event at exactly prev_ts + gap EXTENDS
+               -- the Spark session (tests/test_edge_cases.py)
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
+                         > INTERVAL 30 MINUTE
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS brk
         FROM ev
