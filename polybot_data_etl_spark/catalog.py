@@ -151,9 +151,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Lazy data-dir validation (ADVICE r4): config.from_env only checks
-    # SPARK_GRAFT_SF_DIR when it is explicitly set, so a missing
-    # machine-default dir must still fail HERE with the variable named,
-    # not as an opaque parquet read error deep in a plan.
+    # the fixture-dir env var when it is explicitly set, so a missing
+    # machine-default dir must still fail HERE with the variable named
+    # (config.SF_DIR_ENV), not as an opaque parquet read error deep in
+    # a plan.
     import os
 
     if not os.path.isdir(sf_dir):

@@ -693,3 +693,53 @@ def test_spearman_rank_frames_broadcast_back(spark, sf_dir):
     # the fact table is never shuffled for the join
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_ml_eval_windows_input_is_bounded_score_frame(spark, sf_dir):
+    """The ml-eval family plans unpartitioned windows (WARN WindowExec)
+    that are safe ONLY because their input is the distinct-score frame
+    (bounded by the 4-dp score grid, ≤ ~10k rows at any corpus size),
+    never the fact table.  Pin that: every Window's Input must be the
+    aggregated (score, cnt*) columns — a raw fact column appearing
+    there means someone re-pointed the window at the corpus
+    (VERDICT r4 #4)."""
+    import re
+
+    raw_fact_cols = ("embedding#", "label#", "truth#", "event_", "user_id#")
+    for name in ("q_ml_auc", "q_ml_ks", "q_ml_threshold", "q_ml_feature_auc"):
+        plan = plan_of(spark, sf_dir, name)
+        wins = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert wins, f"{name}: expected a Window over the score frame"
+        for inp in wins:
+            assert "cnt" in inp, f"{name}: window input {inp!r} lacks agg cols"
+            for col in raw_fact_cols:
+                assert col not in inp, (
+                    f"{name}: window input {inp!r} references fact column"
+                    f" {col} — the bounded-frame contract is broken"
+                )
+    # pr_curve has no window at all: the sweep is a broadcast range join
+    assert "Window" not in plan_of(spark, sf_dir, "q_ml_pr_curve")
+
+
+def test_winsorized_approx_variant_is_sketch_partial(spark, sf_dir):
+    """The 100 TB winsorized path (method="approx") must aggregate a
+    bounded Greenwald-Khanna sketch with map-side partial merge — never
+    ship every value into per-group sort buffers like the exact oracle
+    form (VERDICT r4 #2)."""
+    import re
+
+    from polybot_data_etl_spark.operators.aggregates import winsorized_means
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    df = winsorized_means(spark, sf_dir, method="approx")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "partial_approx_percentile" in plan  # map-side sketch merge
+    # no EXACT percentile aggregate anywhere in the approx plan
+    assert not re.search(r"(?<!approx_)percentile\(", plan)
+    # cutpoints still broadcast back onto the fact side
+    assert "BroadcastHashJoin" in plan
+    # and the registered (oracle) form keeps the exact aggregate
+    exact = plan_of(spark, sf_dir, "q_agg_winsorized")
+    assert re.search(r"(?<!approx_)percentile\(", exact)
