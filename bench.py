@@ -77,6 +77,11 @@ def main() -> int:
 
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Ambient-load audit (VERDICT r4 #8): same-code same-day walls have
+    # varied ±20-45% with box load; recording the 1/5/15-min load
+    # averages at suite start and end makes the noise band auditable
+    # in BENCH_r*.json instead of inferred.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     t_suite = time.time()
     for name, fn in sorted(qs.items()):
         t0 = time.time()
@@ -96,6 +101,8 @@ def main() -> int:
         "queries": per_query,
         "sf": sf,
         "n_queries": len(per_query),
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors
