@@ -43,6 +43,41 @@ def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
     )
 
 
+def events_broker_stream(
+    spark: SparkSession,
+    topic_dir: str,
+    max_offsets_per_trigger: int = 1000,
+    chunk_rows: int = 200,
+) -> DataFrame:
+    """Broker-replay source with `maxOffsetsPerTrigger`-style batch-size
+    control (VERDICT r4 #9).
+
+    Reads a topic dir of fixed-`chunk_rows` offset files (written by
+    testing.broker_topic_chunks) and bounds each micro-batch to
+    ``max_offsets_per_trigger`` rows by consuming
+    ``max_offsets_per_trigger // chunk_rows`` files per trigger — the
+    file-source analogue of a Kafka partition's offset-sliced consume.
+    A real deployment replaces this with ``format("kafka")`` +
+    ``option("maxOffsetsPerTrigger", …)`` and the same events
+    projection; that connector is an external jar, so this harness
+    exercises the batch-size-control contract (bounded rows per
+    trigger, exhaustive coverage, replay order) against public Spark
+    only.  Downstream jobs are source-agnostic.
+    """
+    if max_offsets_per_trigger < chunk_rows:
+        raise ValueError(
+            "max_offsets_per_trigger must be >= chunk_rows "
+            f"({max_offsets_per_trigger} < {chunk_rows})"
+        )
+    files_per_trigger = max_offsets_per_trigger // chunk_rows
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(topic_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def events_rate_stream(
     spark: SparkSession, rows_per_batch: int = 100
 ) -> DataFrame:
