@@ -890,3 +890,170 @@ def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("bigint").alias("n_pos"),
         F.col("nn").cast("bigint").alias("n_neg"),
     )
+
+
+@register(
+    "q_ml_lift",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    ranked AS (
+        SELECT truth,
+               row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM s
+    ),
+    tot AS (SELECT count(*) AS n, sum(CASE WHEN truth THEN 1 ELSE 0 END) AS np
+            FROM ranked),
+    dec AS (
+        SELECT ((rn - 1) * 10) // n AS decile,
+               count(*) AS n_rows,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS n_pos
+        FROM ranked, tot GROUP BY 1
+    )
+    SELECT decile,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(n_pos * 1e0 / n_rows + 1e-9, 4) AS resp_rate,
+           round((n_pos * 1e0 / n_rows) / (t.np * 1e0 / t.n) + 1e-9, 4)
+               AS lift,
+           round(sum(n_pos) OVER (ORDER BY decile
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                 * 1e0 / t.np + 1e-9, 4) AS cum_gain
+    FROM dec, tot t
+    """,
+)
+def q_ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table — the campaign-targeting readout: rank
+    the corpus by model score, cut into 10 equal-population deciles,
+    and report each decile's response rate, lift over the base rate,
+    and cumulative gain (share of all positives captured through that
+    decile).
+
+    Determinism: the ranking key (score DESC, vec_id) is total, so the
+    decile assignment ``floor((rn−1)·10 / n)`` is identical across
+    engines; counts are exact ints and every ratio is int-over-int
+    rounded at 4 dp.
+
+    Scale shape: the global row number is NOT a single-partition window
+    over the facts — the per-score counts aggregate first (bounded by
+    the 4-dp score grid), a bounded window over that distinct-score
+    frame yields each score's cumulative offset, and the row-level rank
+    is offset + rank-within-score (window partitioned by score — high
+    cardinality, no hot task).  The oracle uses the textbook global
+    row_number; the two constructions agree exactly because the rank
+    key is total.  Final lift algebra runs on the 10-row decile frame
+    (its window is bounded by construction)."""
+    s = _eval_scores(spark, sf_dir)
+    per_score = s.groupBy("score").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_score.select(
+        "score", (F.sum("c").over(w_cum) - F.col("c")).alias("off")
+    )
+    w_in = Window.partitionBy("score").orderBy("vec_id")
+    ranked = (
+        s.join(F.broadcast(offsets), "score")
+        .select(
+            "truth",
+            (F.col("off") + F.row_number().over(w_in)).alias("rn"),
+        )
+    )
+    tot = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("np"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.floor((F.col("rn") - 1) * 10 / F.col("n")).alias("decile")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+    w_gain = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dec.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(F.col("n_pos") / F.col("n_rows") + F.lit(1e-9), 4).alias(
+            "resp_rate"
+        ),
+        F.round(
+            (F.col("n_pos") / F.col("n_rows"))
+            / (F.col("np") / F.col("n"))
+            + F.lit(1e-9),
+            4,
+        ).alias("lift"),
+        F.round(
+            F.sum("n_pos").over(w_gain) / F.col("np") + F.lit(1e-9), 4
+        ).alias("cum_gain"),
+    )
+
+
+@register(
+    "q_ml_mrr",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS pos
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(pos) AS first_pos
+        FROM ranked WHERE rel = 1 GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(1e0 / first_pos) + 1e-9, 4) AS mrr,
+           CAST(sum(CASE WHEN first_pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_at_1,
+           CAST(sum(CASE WHEN first_pos <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_at_3
+    FROM firsts
+    """,
+)
+def q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank + hit@k — the first-relevant-result metric
+    that complements q_ml_ndcg's graded gain: each user's events rank
+    by (value DESC, event_id), relevance = the click bit, and the score
+    is 1/position of the FIRST click (users with no clicks are
+    excluded, as in standard MRR).
+
+    Determinism: the rank key is total, so first_pos is exact on both
+    engines; 1/first_pos sums are ≤1-magnitude doubles absorbed by the
+    4-dp round + nudge; hit@k counts are exact ints.
+
+    Scale shape: one window partitioned by user_id (high-cardinality,
+    no hot task), the min-position agg reuses the same user_id hash
+    partitioning (exchange reuse, as pinned for q_ml_ndcg), then a
+    1-row reduce."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("pos"),
+    )
+    firsts = (
+        ranked.filter(F.col("rel") == 1)
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    return firsts.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.avg(F.lit(1.0) / F.col("first_pos")) + F.lit(1e-9), 4).alias(
+            "mrr"
+        ),
+        F.sum(F.when(F.col("first_pos") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit_at_1"),
+        F.sum(F.when(F.col("first_pos") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit_at_3"),
+    )

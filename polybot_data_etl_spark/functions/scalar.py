@@ -505,3 +505,137 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b64_roundtrip_ok"
         ),
     )
+
+
+@register(
+    "q_fn_decimal",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(9,2)) AS price,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(l_tax AS DECIMAL(4,2)) AS tax
+        FROM lineitem
+    ),
+    c AS (
+        SELECT l_returnflag, price,
+               price * (1 - disc) AS dp,
+               price * (1 - disc) * (1 + tax) AS ch
+        FROM d
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price) AS DECIMAL(20,2))::VARCHAR AS sum_price,
+           CAST(sum(dp) AS DECIMAL(24,4))::VARCHAR AS sum_disc_price,
+           CAST(sum(ch) AS DECIMAL(28,6))::VARCHAR AS sum_charge,
+           CAST(max(price) AS DECIMAL(9,2))::VARCHAR AS max_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money math (SURVEY §1.2's one unexercised type
+    family, VERDICT r4 #5): cents-exact revenue accounting that a
+    double-typed pipeline cannot guarantee (float sums drift in the
+    last ulps; ledgers must reconcile to the cent).
+
+    Determinism contract: NO intermediate rounding anywhere.  The
+    doubles cast to DECIMAL(9,2)/(4,2) once (both engines round the
+    cents-exact doubles to the same 2-dp values); products then carry
+    their EXACT algebraic scale (price×(1−disc) → scale 4,
+    ×(1+tax) → scale 6, all within precision 38 on both engines), and
+    decimal sums are exact integers underneath — so the engines agree
+    bit-for-bit with zero tolerance, unlike any float formulation.
+    An intermediate CAST to scale 2 was measured to DIVERGE: Spark
+    rounds ties HALF_UP where DuckDB's decimal cast rounds them
+    half-to-even, and 4-dp products end in ...50 constantly.  Output
+    money columns are fixed-scale decimals rendered as strings (both
+    engines print trailing-zero-padded exact values; pandas would
+    otherwise coerce them to float64 and re-introduce the drift).
+
+    Shape: one map-side-combined hash agg over a narrow projection —
+    decimal sums are 128-bit adds, codegen'd, shuffle state is one
+    decimal per column per group."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(9,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    dp = price * (F.lit(1) - disc)          # decimal(15,4), exact
+    ch = dp * (F.lit(1) + tax)              # decimal(21,6), exact
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(price).cast("decimal(20,2)").cast("string").alias("sum_price"),
+        F.sum(dp).cast("decimal(24,4)").cast("string").alias("sum_disc_price"),
+        F.sum(ch).cast("decimal(28,6)").cast("string").alias("sum_charge"),
+        F.max(price).cast("string").alias("max_price"),
+    )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))) + 1e-9, 4)
+               AS avg_ship_days,
+           CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS max_ship_days,
+           CAST(sum(CASE WHEN date_diff('day',
+                                        CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)) < 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+           CAST(sum(CASE WHEN l.l_shipdate
+                              < o.o_orderdate + INTERVAL 1 MONTH
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_month
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL / date arithmetic surface (the other SURVEY §1.2 type
+    family no query exercised): order-to-ship latency per priority
+    class — day diffs, day-interval and calendar-month-interval
+    comparisons.
+
+    Cross-engine notes: datediff runs on DATE (both engines truncate
+    the NTZ timestamp identically); `+ INTERVAL 1 MONTH` clamps to
+    month-end the same way in Spark and DuckDB (Jan 31 + 1 month =
+    Feb 28), so the calendar-interval predicate is portable.  Counts
+    are exact ints; the single avg rounds at 4 dp with the +1e-9
+    nudge.  TRAP (measured, DuckDB 1.0): INTERVAL 30 DAY and INTERVAL
+    1 MONTH compare EQUAL under DuckDB's interval equality, so two
+    such additions in one select get conflated by common-subexpression
+    elimination (the month predicate silently becomes the 30-day one).
+    The 30-day window is therefore an integer datediff comparison on
+    both sides, leaving exactly one interval expression in the query.
+
+    Shape: fact⋈fact equi-join on the orderkey (the bucketed-layout
+    join of SCALE.md at 100 TB), then one map-side-combined agg to
+    |priorities| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    ship_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg(ship_days) + F.lit(1e-9), 4).alias("avg_ship_days"),
+            F.max(ship_days).cast("bigint").alias("max_ship_days"),
+            F.sum(F.when(ship_days < 30, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_within_30d"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    < F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_within_month"),
+        )
+    )

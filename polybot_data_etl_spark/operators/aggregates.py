@@ -670,3 +670,55 @@ def winsorized_means(
             F.round(F.min("p95"), 4).alias("p95"),
         )
     )
+
+
+@register(
+    "q_agg_hhi",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               round(sum(o.o_totalprice), 2) AS t
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(t * t) / (sum(t) * sum(t)) + 1e-9, 4) AS hhi,
+           round(max(t) / sum(t) + 1e-9, 4) AS top_share
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment:
+    HHI = Σ share_i² over customer spend shares (1/n = perfectly even,
+    → 1 = one customer owns the segment), plus the top customer's
+    share — the dependence/attrition-risk readout.
+
+    Determinism: per-customer totals round to cents FIRST (both
+    engines sum cents-exact doubles ≪ 2⁵³, so the 2-dp round erases
+    sum-order ulps); the HHI then uses the algebraic identity
+    Σtᵢ²/(Σtᵢ)² — no shares materialize, no broadcast-back join — and
+    rounds at 4 dp with the nudge.
+
+    Shape: fact⋈dim equi-join (customer broadcasts), two stacked
+    map-side-combined hash aggs — (segment, custkey) then segment —
+    the second reusing the first's hash partitioning prefix.  Shuffle
+    state is three doubles per group; no windows, no skew (custkey is
+    uniform)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("t"))
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_custs"),
+        F.round(
+            F.sum(F.col("t") * F.col("t"))
+            / (F.sum("t") * F.sum("t"))
+            + F.lit(1e-9),
+            4,
+        ).alias("hhi"),
+        F.round(F.max("t") / F.sum("t") + F.lit(1e-9), 4).alias("top_share"),
+    )

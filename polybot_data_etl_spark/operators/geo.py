@@ -208,3 +208,49 @@ def q_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_km") <= _RADIUS_KM)
         .select("a_id", "b_id", "d_km")
     )
+
+
+_GRID_DEG = 10.0  # coarse density grid (10° cells)
+
+
+@register(
+    "q_geo_grid",
+    oracle=f"""
+    WITH pts AS ({_coords_sql()}),
+    cells AS (
+        SELECT CAST(floor(lat / {_GRID_DEG}) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / {_GRID_DEG}) AS BIGINT) AS cell_lon,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2
+    )
+    SELECT cell_lat, cell_lon, CAST(n AS BIGINT) AS n
+    FROM cells
+    ORDER BY n DESC, cell_lat, cell_lon
+    LIMIT 25
+    """,
+)
+def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid: bucket every point into a 10°×10° cell
+    and report the 25 densest cells — the heatmap/hot-region readout,
+    and the load-model for sizing the radius join's cell grid.
+
+    floor(lat/10) is exact on both engines (the derived coords carry
+    exactly 2 decimals), so cell keys are portable integers.  Shape:
+    zero-shuffle narrow projection → ONE map-side-combined hash agg on
+    the cell key (≤ 18×36 = 648 groups at any corpus size) → top-k via
+    TakeOrderedAndProject (no global sort).  At 100 TB this is the
+    degenerate-cheap query shape: the combine collapses everything
+    scan-side."""
+    pts = coords(spark, sf_dir)
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lat") / _GRID_DEG).cast("bigint").alias("cell_lat"),
+            F.floor(F.col("lon") / _GRID_DEG).cast("bigint").alias("cell_lon"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cells.select("cell_lat", "cell_lon", F.col("n").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "cell_lat", "cell_lon")
+        .limit(25)
+    )

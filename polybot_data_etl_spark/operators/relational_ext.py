@@ -658,3 +658,43 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= k)
         .select("lang", "pos", "doc_id", "n_chars")
     )
+
+
+_SYS_K = 20   # systematic stride
+_SYS_R = 7    # stride offset (any fixed residue)
+
+
+@register(
+    "q_sample_systematic",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN doc_id % {_SYS_K} = {_SYS_R}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(sum(CASE WHEN doc_id % {_SYS_K} = {_SYS_R}
+                          THEN 1 ELSE 0 END) * 1e0 / count(*) + 1e-9, 4)
+               AS rate
+    FROM documents GROUP BY lang
+    """,
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (stride) sampling: keep rows with
+    doc_id ≡ 7 (mod 20) — the auditable deterministic 5% sample used
+    for eval holdouts and quick-look QA, with the per-language realized
+    rate alongside the population count to show the stride is unbiased
+    across strata.
+
+    Unlike TABLESAMPLE/rand() the membership is a pure function of the
+    key: re-runs, engines, and partitionings all agree, and the sample
+    can be reproduced years later from the id alone.  Shape: the
+    sample predicate is a codegen'd scan-side expression — ZERO
+    shuffle to take the sample at 100 TB (contrast q_sample_reservoir,
+    which needs the shuffle for exact-k) — and this summary is one
+    map-side-combined agg over |langs| groups."""
+    d = table(spark, sf_dir, "documents")
+    hit = F.when(F.col("doc_id") % _SYS_K == _SYS_R, 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(hit).cast("bigint").alias("n_sampled"),
+        F.round(F.sum(hit) / F.count("*") + F.lit(1e-9), 4).alias("rate"),
+    )

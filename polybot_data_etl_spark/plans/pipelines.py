@@ -670,3 +670,70 @@ def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("q"), 4).alias("max_quality"),
         )
     )
+
+
+@register(
+    "q_mix_kl",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(c) AS n, count(*) AS k FROM cells),
+    marg_l AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+    marg_s AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source)
+    SELECT CAST(t.k AS BIGINT) AS n_cells,
+           round(sum((c.c * 1e0 / t.n) * ln((c.c * 1e0 / t.n) * t.k))
+                 + 1e-9, 4) AS kl_vs_uniform,
+           round(sum((c.c * 1e0 / t.n)
+                     * ln((c.c * 1e0 * t.n) / (ml.cl * 1e0 * ms.cs)))
+                 + 1e-9, 4) AS mutual_info
+    FROM cells c
+    JOIN marg_l ml USING (lang)
+    JOIN marg_s ms USING (source)
+    CROSS JOIN tot t
+    GROUP BY t.k
+    """,
+)
+def q_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-divergence diagnostics over the (lang × source) corpus
+    grid: KL(actual ‖ uniform) — how far the training mix sits from a
+    balanced recipe (0 = perfectly even cells) — and the lang↔source
+    mutual information, i.e. KL(joint ‖ product-of-marginals): 0 means
+    the source mix is identical within every language, large means
+    languages draw from disjoint sources (a leakage/bias signal when
+    splits are assigned by source).
+
+    Determinism: every probability is an exact integer ratio; the ≤
+    |langs|·|sources| ln() terms sum on a tiny frame, absorbed by the
+    4-dp round + nudge.
+
+    Shape: ONE map-side-combined hash agg to the bounded cell frame;
+    marginals re-aggregate the cells (not the corpus) and join back
+    broadcast; the final reduce is over ≤ dozens of rows.  Corpus is
+    touched exactly once at any scale."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count("*").alias("k")
+    )
+    marg_l = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    marg_s = cells.groupBy("source").agg(F.sum("c").alias("cs"))
+    j = (
+        cells.join(F.broadcast(marg_l), "lang")
+        .join(F.broadcast(marg_s), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c") / F.col("n")
+    kl_u = p * F.log(p * F.col("k"))
+    mi = p * F.log(
+        (F.col("c") * F.col("n")) / (F.col("cl") * F.col("cs"))
+    )
+    return j.groupBy("k").agg(
+        F.round(F.sum(kl_u) + F.lit(1e-9), 4).alias("kl_vs_uniform"),
+        F.round(F.sum(mi) + F.lit(1e-9), 4).alias("mutual_info"),
+    ).select(
+        F.col("k").cast("bigint").alias("n_cells"),
+        "kl_vs_uniform",
+        "mutual_info",
+    )

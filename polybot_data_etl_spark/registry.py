@@ -163,7 +163,10 @@ _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 # recording window (VERDICT r4: "add nothing ahead of tier 0").  The 42
 # round-4 additions are now plain tier-0 debt (never driver-recorded)
 # and dominate the window head alongside the 8 r4 spillover queries.
-_NEW_THIS_ROUND: set[str] = set()
+_NEW_THIS_ROUND: set[str] = {
+    "q_fn_decimal", "q_fn_interval", "q_ml_lift", "q_ml_mrr",
+    "q_agg_hhi", "q_geo_grid", "q_mix_kl", "q_sample_systematic",
+}
 
 
 def _cost_class(name: str) -> int:

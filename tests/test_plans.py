@@ -170,6 +170,8 @@ _NLJ_ALLOWED = {
     "q_mix_upsample",     # 1-row max-count broadcast crossJoin (plan)
     "q_ml_threshold",     # 1-row actual-positive total broadcast crossJoin
     "q_ml_ks",            # 1-row class-total broadcast crossJoin
+    "q_ml_lift",          # 1-row (n, np) totals broadcast crossJoin
+    "q_mix_kl",           # 1-row (n, k) totals broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -743,3 +745,26 @@ def test_winsorized_approx_variant_is_sketch_partial(spark, sf_dir):
     # and the registered (oracle) form keeps the exact aggregate
     exact = plan_of(spark, sf_dir, "q_agg_winsorized")
     assert re.search(r"(?<!approx_)percentile\(", exact)
+
+
+def test_ml_lift_fact_window_is_score_partitioned(spark, sf_dir):
+    """q_ml_lift's global-rank construction: the only window that sees
+    fact rows must be PARTITIONED BY score (high-cardinality — the
+    rank-within-score stage); the unpartitioned windows may only see
+    the bounded distinct-score / 10-row decile frames (same contract
+    as the ml-eval family)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_ml_lift")
+    blocks = re.findall(
+        r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]\nArguments: \[([^\n]*)",
+        plan,
+    )
+    assert blocks, "expected Window operators in q_ml_lift"
+    for inp, args in blocks:
+        if "vec_id#" in inp or "truth#" in inp:  # the fact-row window
+            assert "windowspecdefinition(score#" in args, (
+                "fact-row window lost its score partitioning: " + args
+            )
+        else:  # bounded frames only
+            assert "c#" in inp or "n_pos#" in inp, inp

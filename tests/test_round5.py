@@ -1,0 +1,221 @@
+"""Property tests for the round-5 additions (decimal/interval scalar
+surface, lift/MRR evaluation, HHI concentration, KL mix diagnostics,
+geo grid, systematic sampling) — each verified against an independent
+pure-Python recomputation on the sf0.001 fixtures (the oracle gate
+checks DuckDB parity; these check the MATH)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from decimal import Decimal
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.functions.ml import q_ml_lift, q_ml_mrr
+from polybot_data_etl_spark.functions.scalar import (
+    q_fn_decimal,
+    q_fn_interval,
+)
+from polybot_data_etl_spark.operators.aggregates import q_agg_hhi
+from polybot_data_etl_spark.operators.geo import q_geo_grid
+from polybot_data_etl_spark.operators.relational_ext import (
+    q_sample_systematic,
+)
+from polybot_data_etl_spark.plans.pipelines import q_mix_kl
+
+
+def test_decimal_sums_are_cents_exact(spark, sf_dir):
+    """Recompute the DECIMAL ledger with Python's exact Decimal: the
+    operator's string-rendered sums must match to the last digit (the
+    whole point of the no-rounding contract)."""
+    want_price = defaultdict(Decimal)
+    want_dp = defaultdict(Decimal)
+    want_ch = defaultdict(Decimal)
+    n = Counter()
+    q2 = Decimal("0.01")
+    for r in table(spark, sf_dir, "lineitem").collect():
+        price = Decimal(str(r.l_extendedprice)).quantize(q2)
+        disc = Decimal(str(r.l_discount)).quantize(q2)
+        tax = Decimal(str(r.l_tax)).quantize(q2)
+        k = r.l_returnflag
+        n[k] += 1
+        want_price[k] += price
+        want_dp[k] += price * (1 - disc)
+        want_ch[k] += price * (1 - disc) * (1 + tax)
+    got = {r.l_returnflag: r for r in q_fn_decimal(spark, sf_dir).collect()}
+    assert set(got) == set(n)
+    for k, r in got.items():
+        assert r.n == n[k]
+        assert Decimal(r.sum_price) == want_price[k]
+        assert Decimal(r.sum_disc_price) == want_dp[k]
+        assert Decimal(r.sum_charge) == want_ch[k]
+        # fixed-scale rendering: always 2/4/6 fractional digits
+        assert len(r.sum_price.split(".")[1]) == 2
+        assert len(r.sum_disc_price.split(".")[1]) == 4
+        assert len(r.sum_charge.split(".")[1]) == 6
+
+
+def test_interval_windows_match_python(spark, sf_dir):
+    orders = {
+        r.o_orderkey: (r.o_orderdate, r.o_orderpriority)
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0, None])  # n, d30, mon, sumd, maxd
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_orderkey not in orders:
+            continue
+        od, prio = orders[r.l_orderkey]
+        days = (r.l_shipdate.date() - od.date()).days
+        a = agg[prio]
+        a[0] += 1
+        a[1] += 1 if days < 30 else 0
+        # calendar month add with month-end clamping
+        y, m = od.year + (od.month % 12 == 0), od.month % 12 + 1
+        import calendar as _cal
+
+        day = min(od.day, _cal.monthrange(y, m)[1])
+        plus_month = od.replace(year=y, month=m, day=day)
+        a[2] += 1 if r.l_shipdate < plus_month else 0
+        a[3] += days
+        a[4] = days if a[4] is None else max(a[4], days)
+    got = {r.o_orderpriority: r for r in q_fn_interval(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for k, r in got.items():
+        n, d30, mon, sumd, maxd = agg[k]
+        assert r.n_items == n
+        assert r.n_within_30d == d30
+        assert r.n_within_month == mon
+        assert r.max_ship_days == maxd
+        assert abs(r.avg_ship_days - round(sumd / n + 1e-9, 4)) < 1e-9
+
+
+def _python_scores(spark, sf_dir):
+    out = []
+    for r in table(spark, sf_dir, "embeddings").collect():
+        e = r.embedding
+        z = 2.0 * float(e[0]) + 1.5 * float(e[1]) + float(e[2]) - 0.1
+        out.append(
+            (round(1.0 / (1.0 + math.exp(-z)) + 1e-9, 4), r.label % 2 == 1, r.vec_id)
+        )
+    return out
+
+
+def test_lift_deciles_match_python(spark, sf_dir):
+    scores = sorted(_python_scores(spark, sf_dir), key=lambda t: (-t[0], t[2]))
+    n = len(scores)
+    np_tot = sum(1 for _, t, _ in scores if t)
+    dec = defaultdict(lambda: [0, 0])
+    for i, (_, t, _) in enumerate(scores):
+        d = (i * 10) // n
+        dec[d][0] += 1
+        dec[d][1] += 1 if t else 0
+    got = {r.decile: r for r in q_ml_lift(spark, sf_dir).collect()}
+    assert set(got) == set(dec)
+    cum = 0
+    for d in sorted(dec):
+        rows, pos = dec[d]
+        cum += pos
+        r = got[d]
+        assert (r.n_rows, r.n_pos) == (rows, pos)
+        assert abs(r.resp_rate - round(pos / rows + 1e-9, 4)) < 1e-9
+        assert abs(r.lift - round((pos / rows) / (np_tot / n) + 1e-9, 4)) < 1e-9
+        assert abs(r.cum_gain - round(cum / np_tot + 1e-9, 4)) < 1e-9
+    # equal-population deciles: sizes differ by at most 1
+    sizes = [dec[d][0] for d in sorted(dec)]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_mrr_matches_python(spark, sf_dir):
+    by_user = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        by_user[r.user_id].append(
+            (-r.value, r.event_id, r.event_type == "click")
+        )
+    firsts = []
+    for evs in by_user.values():
+        evs.sort()
+        pos = next((i + 1 for i, e in enumerate(evs) if e[2]), None)
+        if pos is not None:
+            firsts.append(pos)
+    got = q_ml_mrr(spark, sf_dir).collect()[0]
+    assert got.n_users == len(firsts)
+    assert got.n_hit_at_1 == sum(1 for p in firsts if p == 1)
+    assert got.n_hit_at_3 == sum(1 for p in firsts if p <= 3)
+    mrr = sum(1.0 / p for p in firsts) / len(firsts)
+    assert abs(got.mrr - round(mrr + 1e-9, 4)) < 1e-9
+
+
+def test_hhi_matches_python(spark, sf_dir):
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in table(spark, sf_dir, "customer").collect()
+    }
+    totals = defaultdict(lambda: defaultdict(float))
+    for r in table(spark, sf_dir, "orders").collect():
+        totals[seg_of[r.o_custkey]][r.o_custkey] += r.o_totalprice
+    got = {r.c_mktsegment: r for r in q_agg_hhi(spark, sf_dir).collect()}
+    assert set(got) == set(totals)
+    for seg, per_cust in totals.items():
+        ts = [round(t, 2) for t in per_cust.values()]
+        tot = sum(ts)
+        hhi = sum((t / tot) ** 2 for t in ts)
+        r = got[seg]
+        assert r.n_custs == len(ts)
+        assert abs(r.hhi - round(hhi + 1e-9, 4)) < 2e-4  # sum-order ulps
+        assert abs(r.top_share - round(max(ts) / tot + 1e-9, 4)) < 2e-4
+        # HHI bounds: [1/n, 1]
+        assert 1.0 / len(ts) - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_mix_kl_matches_python(spark, sf_dir):
+    cells = Counter(
+        (r.lang, r.source) for r in table(spark, sf_dir, "documents").collect()
+    )
+    n = sum(cells.values())
+    k = len(cells)
+    ml = Counter()
+    ms = Counter()
+    for (lang, src), c in cells.items():
+        ml[lang] += c
+        ms[src] += c
+    kl_u = sum((c / n) * math.log((c / n) * k) for c in cells.values())
+    mi = sum(
+        (c / n) * math.log((c * n) / (ml[lang] * ms[src]))
+        for (lang, src), c in cells.items()
+    )
+    got = q_mix_kl(spark, sf_dir).collect()[0]
+    assert got.n_cells == k
+    assert abs(got.kl_vs_uniform - round(kl_u + 1e-9, 4)) < 1e-9
+    assert abs(got.mutual_info - round(mi + 1e-9, 4)) < 1e-9
+    assert got.mutual_info >= -1e-9  # MI is non-negative
+
+
+def test_systematic_sample_matches_python(spark, sf_dir):
+    per_lang = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "documents").collect():
+        a = per_lang[r.lang]
+        a[0] += 1
+        a[1] += 1 if r.doc_id % 20 == 7 else 0
+    got = {r.lang: r for r in q_sample_systematic(spark, sf_dir).collect()}
+    assert set(got) == set(per_lang)
+    for lang, (tot, hit) in per_lang.items():
+        assert (got[lang].n_total, got[lang].n_sampled) == (tot, hit)
+        assert abs(got[lang].rate - round(hit / tot + 1e-9, 4)) < 1e-9
+
+
+def test_geo_grid_matches_python(spark, sf_dir):
+    MIX, MIX2, P = 2_654_435_761, 2_246_822_519, 1_000_000_007
+    cells = Counter()
+    for r in table(spark, sf_dir, "customer").collect():
+        lat = ((r.c_custkey * MIX) % P) % 18000 / 100.0 - 90.0
+        lon = ((r.c_custkey * MIX2) % P) % 36000 / 100.0 - 180.0
+        cells[(math.floor(lat / 10.0), math.floor(lon / 10.0))] += 1
+    want = sorted(
+        ((cnt, la, lo) for (la, lo), cnt in cells.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:25]
+    got = [
+        (r.n, r.cell_lat, r.cell_lon)
+        for r in q_geo_grid(spark, sf_dir).collect()
+    ]
+    assert got == want
