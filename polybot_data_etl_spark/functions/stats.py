@@ -935,3 +935,71 @@ def q_stats_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r + F.lit(1e-9), 4).alias("ratio"),
         F.round(se + F.lit(1e-9), 4).alias("se_delta"),
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles, shipped as
+# exact literals (both engines have no inverse-normal builtin; the
+# constants ARE the public formula inputs).
+_Z_ALPHA = 1.959964
+_Z_POWER = 0.841621
+_MDE_REL = 0.05  # minimum detectable effect: 5% relative lift
+
+
+@register(
+    "q_stats_samplesize",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS mu,
+               var_samp(value) AS v
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_obs,
+           round(mu + 1e-9, 4) AS mean_value,
+           round(sqrt(v) + 1e-9, 4) AS sd_value,
+           CAST(ceil(({_Z_ALPHA} + {_Z_POWER}) * ({_Z_ALPHA} + {_Z_POWER})
+                     * 2 * v / ((mu * {_MDE_REL}) * (mu * {_MDE_REL})))
+                AS BIGINT) AS n_per_arm,
+           round(ceil(({_Z_ALPHA} + {_Z_POWER}) * ({_Z_ALPHA} + {_Z_POWER})
+                      * 2 * v / ((mu * {_MDE_REL}) * (mu * {_MDE_REL})))
+                 / n + 1e-9, 4) AS arms_per_current_n
+    FROM m
+    """,
+)
+def q_stats_samplesize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the sample size per arm needed to
+    detect a 5% relative lift in mean `value` at α=0.05 (two-sided)
+    with 80% power — n = (z_α/2 + z_β)² · 2σ² / δ² — plus how many
+    such arms the current traffic already covers.  The planning query
+    run BEFORE q_stats_ttest's post-hoc test.
+
+    Determinism: one raw-moment agg per type; the z constants are
+    exact shared literals; ceil() lands on an integer only when the
+    ratio is exact, and the inputs (var of 2-dp values over thousands
+    of rows) sit far from integer boundaries, so the BIGINT ceil is
+    stable cross-engine; floats round at 4 dp + nudge.
+
+    Shape: ONE map-side-combined hash agg (count/sum/sum² state), then
+    scalar algebra on the ≤|types|-row frame — the q_stats_ttest
+    skeleton minus the second group."""
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    z2 = (_Z_ALPHA + _Z_POWER) ** 2
+    delta2 = (F.col("mu") * _MDE_REL) * (F.col("mu") * _MDE_REL)
+    n_arm = F.ceil(F.lit(z2) * 2 * F.col("v") / delta2)
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(F.col("mu") + F.lit(1e-9), 4).alias("mean_value"),
+        F.round(F.sqrt("v") + F.lit(1e-9), 4).alias("sd_value"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        F.round(n_arm / F.col("n") + F.lit(1e-9), 4).alias(
+            "arms_per_current_n"
+        ),
+    )

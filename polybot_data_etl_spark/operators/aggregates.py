@@ -722,3 +722,41 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         F.round(F.max("t") / F.sum("t") + F.lit(1e-9), 4).alias("top_share"),
     )
+
+
+@register(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           array_to_string(list_sort(list_distinct(list(c.c_mktsegment))),
+                           ',') AS segments_csv,
+           CAST(len(list_distinct(list(c.c_mktsegment))) AS BIGINT)
+               AS n_segments
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/STRING_AGG surface): the distinct
+    market segments present in each nation as one sorted CSV cell —
+    the denormalized label column report tools ask for.
+
+    Determinism: collect_set order is nondeterministic in BOTH engines,
+    so the contract is sort-then-join (array_sort before array_join ↔
+    list_sort before array_to_string) — never a bare string_agg, whose
+    element order is partition-dependent.  Shape: dim⋈dim broadcast
+    join, one map-side-combined agg; the collected sets are bounded by
+    the segment domain (5), not row count."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_custs"),
+            F.array_join(segs, ",").alias("segments_csv"),
+            F.size(segs).cast("bigint").alias("n_segments"),
+        )
+    )

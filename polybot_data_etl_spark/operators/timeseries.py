@@ -1768,3 +1768,189 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         med.alias("med7"),
     )
+
+
+@register(
+    "q_ts_session_stats",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+    ),
+    numbered AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, sid,
+               min(ts) AS s_start,
+               count(*) AS n_events,
+               date_diff('second', min(ts), max(ts)) AS dur_s
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT date_trunc('day', s_start) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(n_events) + 1e-9, 4) AS avg_events,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           round(avg(dur_s) / 60.0 + 1e-9, 4) AS avg_dur_min,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce
+    FROM sessions GROUP BY 1
+    """,
+)
+def q_ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup per day: how many sessions started, their
+    mean/max event counts, mean active span (first→last event,
+    minutes), and the single-event "bounce" count — the engagement
+    dashboard one level above q_ts_session's raw session list.
+
+    Sessionization is the engine's session_window (30-min gap, strict-
+    greater break in the oracle per the exact-gap semantics pinned in
+    tests/test_edge_cases.py); the active span is last−first event
+    (NOT the window end, which pads the idle gap).  Durations are
+    integer seconds — exact on both engines — and only the two means
+    round (4 dp + nudge).
+
+    Shape: one user-keyed session shuffle, then a map-side-combined
+    rollup to ≤|days| rows.  Nothing new materializes at scale beyond
+    what q_ts_session already pays."""
+    e = table(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "s_start",
+            "n_events",
+            (
+                F.unix_timestamp(F.col("s_last").cast("timestamp"))
+                - F.unix_timestamp(F.col("s_start").cast("timestamp"))
+            ).alias("dur_s"),
+        )
+    )
+    return (
+        sess.groupBy(F.date_trunc("day", "s_start").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(F.avg("n_events") + F.lit(1e-9), 4).alias("avg_events"),
+            F.max("n_events").cast("bigint").alias("max_events"),
+            F.round(F.avg("dur_s") / F.lit(60.0) + F.lit(1e-9), 4).alias(
+                "avg_dur_min"
+            ),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounce"),
+        )
+    )
+
+
+@register(
+    "q_ts_sma_cross",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+               round(sum(value), 2) AS vol
+        FROM events GROUP BY 1, 2
+    ),
+    sma AS (
+        SELECT event_type, day,
+               avg(vol) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS sma7,
+               avg(vol) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+                   AS sma28,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS rn
+        FROM daily
+    ),
+    sig AS (
+        SELECT event_type, day,
+               CASE WHEN sma7 > sma28 THEN 1 ELSE 0 END AS s,
+               lag(CASE WHEN sma7 > sma28 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+        FROM sma WHERE rn >= 28
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN prev_s = 0 AND s = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_golden,
+           CAST(sum(CASE WHEN prev_s = 1 AND s = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_death,
+           CAST(max(CASE WHEN day = (SELECT max(day) FROM sig s2
+                                     WHERE s2.event_type = sig.event_type)
+                         THEN s END) AS BIGINT) AS last_signal
+    FROM sig GROUP BY event_type
+    """,
+)
+def q_ts_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detector (the golden-cross/death-cross
+    trend signal): per event type, daily volume's 7-day SMA vs 28-day
+    SMA, counting upward and downward crossings once both windows are
+    full, plus the latest regime bit.
+
+    Determinism: daily volumes round to cents FIRST, so both engines
+    average identical 2-dp values in the identical day order (same
+    IEEE fold → bit-equal SMAs → the > comparison can't flip on ulps);
+    crossings are exact ints on the lagged signal.
+
+    Shape: map-side-combined daily rollup (corpus → ≤|types|·365
+    rows), then all windows run on that bounded pre-aggregate,
+    partitioned by type — the q_ts_rolling_median scale recipe; the
+    last-signal subquery becomes a max_by on the same bounded frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("vol"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w28 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-27, Window.currentRow)
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    sma = daily.select(
+        "event_type",
+        "day",
+        F.avg("vol").over(w7).alias("sma7"),
+        F.avg("vol").over(w28).alias("sma28"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    sig = sma.filter(F.col("rn") >= 28).select(
+        "event_type",
+        "day",
+        F.when(F.col("sma7") > F.col("sma28"), 1).otherwise(0).alias("s"),
+    )
+    sig = sig.select(
+        "event_type",
+        "day",
+        "s",
+        F.lag("s").over(Window.partitionBy("event_type").orderBy("day")).alias(
+            "prev_s"
+        ),
+    )
+    return sig.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.when((F.col("prev_s") == 0) & (F.col("s") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_golden"),
+        F.sum(F.when((F.col("prev_s") == 1) & (F.col("s") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_death"),
+        F.max_by("s", "day").cast("bigint").alias("last_signal"),
+    )

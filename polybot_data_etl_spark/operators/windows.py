@@ -517,3 +517,48 @@ def q_win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("o_orderdate"),
         F.round("p", 2).alias("o_totalprice"),
     )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    WITH q AS (
+        SELECT o_custkey, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice) + 1e-9, 2) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM q GROUP BY quartile
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (the one ranking window the suite lacked): each
+    customer's orders split into spend quartiles, rolled up to the
+    per-quartile price profile — the within-entity tiering that feeds
+    "your cheapest 25% of orders" features.
+
+    ntile(k) semantics are identical across engines (equal buckets in
+    row order, earlier buckets absorb the remainder) PROVIDED the
+    order is total — hence the o_orderkey tiebreak; the rollup is then
+    exact ints + 2-dp rounds.
+
+    Shape: the window partitions by o_custkey (high-cardinality — no
+    hot task, unlike an ntile over a whole table, which is the
+    two-pass q_win_dist_scaled territory); the rollup reuses no state
+    and map-side combines to 4 rows."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    q = o.select(
+        "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+    return q.groupBy("quartile").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.avg("o_totalprice") + F.lit(1e-9), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -166,6 +166,8 @@ _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 _NEW_THIS_ROUND: set[str] = {
     "q_fn_decimal", "q_fn_interval", "q_ml_lift", "q_ml_mrr",
     "q_agg_hhi", "q_geo_grid", "q_mix_kl", "q_sample_systematic",
+    "q_agg_stringagg", "q_ts_session_stats", "q_ts_sma_cross",
+    "q_stats_samplesize", "q_win_ntile",
 }
 
 

@@ -219,3 +219,156 @@ def test_geo_grid_matches_python(spark, sf_dir):
         for r in q_geo_grid(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_stringagg_sorted_csv(spark, sf_dir):
+    from polybot_data_etl_spark.operators.aggregates import q_agg_stringagg
+
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in table(spark, sf_dir, "nation").collect()
+    }
+    segs = defaultdict(set)
+    n = Counter()
+    for r in table(spark, sf_dir, "customer").collect():
+        segs[nat[r.c_nationkey]].add(r.c_mktsegment)
+        n[nat[r.c_nationkey]] += 1
+    got = {r.n_name: r for r in q_agg_stringagg(spark, sf_dir).collect()}
+    assert set(got) == set(segs)
+    for k, r in got.items():
+        assert r.segments_csv == ",".join(sorted(segs[k]))
+        assert r.n_segments == len(segs[k])
+        assert r.n_custs == n[k]
+
+
+def test_session_stats_match_python(spark, sf_dir):
+    from datetime import timedelta
+
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_session_stats,
+    )
+
+    by_user = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        by_user[r.user_id].append(r.ts)
+    def secs(a, b):
+        # the operator diffs unix_timestamp()s, which truncate to the
+        # whole second — mirror that, not exact total_seconds()
+        return int(
+            (b.replace(microsecond=0) - a.replace(microsecond=0)).total_seconds()
+        )
+
+    sessions = []  # (start, n_events, dur_s)
+    gap = timedelta(minutes=30)
+    for tss in by_user.values():
+        tss.sort()
+        start, last, cnt = tss[0], tss[0], 1
+        for t in tss[1:]:
+            if t - last > gap:  # strict >: exact gap extends the session
+                sessions.append((start, cnt, secs(start, last)))
+                start, cnt = t, 0
+            last = t
+            cnt += 1
+        sessions.append((start, cnt, secs(start, last)))
+    per_day = defaultdict(list)
+    for s, cnt, dur in sessions:
+        per_day[s.date()].append((cnt, dur))
+    got = {r.day.date(): r for r in q_ts_session_stats(spark, sf_dir).collect()}
+    assert set(got) == set(per_day)
+    for d, items in per_day.items():
+        r = got[d]
+        assert r.n_sessions == len(items)
+        assert r.max_events == max(c for c, _ in items)
+        assert r.n_bounce == sum(1 for c, _ in items if c == 1)
+        avg_ev = sum(c for c, _ in items) / len(items)
+        avg_dur = sum(du for _, du in items) / len(items) / 60.0
+        assert abs(r.avg_events - round(avg_ev + 1e-9, 4)) < 1e-9
+        assert abs(r.avg_dur_min - round(avg_dur + 1e-9, 4)) < 1e-9
+
+
+def test_sma_cross_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_sma_cross
+
+    daily = defaultdict(float)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[(r.event_type, r.ts.date())] += r.value
+    by_type = defaultdict(list)
+    for (t, d), v in daily.items():
+        by_type[t].append((d, round(v, 2)))
+    want = {}
+    for t, days in by_type.items():
+        days.sort()
+        vols = [v for _, v in days]
+        sigs = []
+        for i in range(27, len(vols)):
+            sma7 = sum(vols[i - 6 : i + 1]) / 7.0
+            sma28 = sum(vols[i - 27 : i + 1]) / 28.0
+            sigs.append(1 if sma7 > sma28 else 0)
+        golden = sum(
+            1 for a, b in zip(sigs, sigs[1:]) if (a, b) == (0, 1)
+        )
+        death = sum(1 for a, b in zip(sigs, sigs[1:]) if (a, b) == (1, 0))
+        if sigs:
+            want[t] = (len(sigs), golden, death, sigs[-1])
+    got = {r.event_type: r for r in q_ts_sma_cross(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for t, (nd, g, de, last) in want.items():
+        r = got[t]
+        assert (r.n_days, r.n_golden, r.n_death, r.last_signal) == (
+            nd, g, de, last,
+        )
+
+
+def test_samplesize_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_samplesize
+
+    vals = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        vals[r.event_type].append(r.value)
+    got = {r.event_type: r for r in q_stats_samplesize(spark, sf_dir).collect()}
+    assert set(got) == set(vals)
+    import statistics
+
+    for t, xs in vals.items():
+        mu = sum(xs) / len(xs)
+        v = statistics.variance(xs)
+        n_arm = math.ceil((1.959964 + 0.841621) ** 2 * 2 * v / (mu * 0.05) ** 2)
+        r = got[t]
+        assert r.n_obs == len(xs)
+        assert r.n_per_arm == n_arm
+        assert abs(r.mean_value - round(mu + 1e-9, 4)) < 1e-8
+        # power monotonicity: halving the MDE quadruples n (formula sanity)
+        assert n_arm > 0
+
+
+def test_ntile_quartiles_match_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.windows import q_win_ntile
+
+    by_cust = defaultdict(list)
+    for r in table(spark, sf_dir, "orders").collect():
+        by_cust[r.o_custkey].append((r.o_totalprice, r.o_orderkey))
+    agg = defaultdict(lambda: [0, 0.0, float("inf"), float("-inf")])
+    for orders in by_cust.values():
+        orders.sort()
+        n = len(orders)
+        # ntile(4): earlier buckets absorb the remainder
+        base, rem = divmod(n, 4)
+        idx = 0
+        for b in range(4):
+            size = base + (1 if b < rem else 0)
+            for _ in range(size):
+                price = orders[idx][0]
+                a = agg[b + 1]
+                a[0] += 1
+                a[1] += price
+                a[2] = min(a[2], price)
+                a[3] = max(a[3], price)
+                idx += 1
+    got = {r.quartile: r for r in q_win_ntile(spark, sf_dir).collect()}
+    assert set(got) == {k for k, a in agg.items() if a[0]}
+    for qt, r in got.items():
+        cnt, s, lo, hi = agg[qt]
+        assert r.n_orders == cnt
+        assert abs(r.avg_price - round(s / cnt + 1e-9, 2)) < 1e-6
+        assert r.min_price == round(lo, 2)
+        assert r.max_price == round(hi, 2)
