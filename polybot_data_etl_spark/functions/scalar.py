@@ -639,3 +639,48 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_within_month"),
         )
     )
+
+
+@register(
+    "q_fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate::TIMESTAMP, '%Y-%m') AS month_label,
+           strftime(o_orderdate::TIMESTAMP, '%a') AS dow_abbrev,
+           strftime(o_orderdate::TIMESTAMP, '%A') AS dow_name,
+           printf('%.2f', round(o_totalprice, 2)) AS price_str,
+           format('{:,}', CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS cents_grouped
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation-formatting scalar surface: date labels (month
+    bucket, weekday abbrev/name) and number rendering (fixed 2-dp
+    string, thousands-grouped integer) — the report-layer functions
+    whose cross-engine traps are all locale/rounding:
+
+      * pattern syntaxes differ (JDK `yyyy-MM`/`E` vs strftime
+        `%Y-%m`/`%a`) but the RENDERED values agree under the en
+        default locale — asserted by the hash gate, not assumed;
+      * `%.2f` printf rounding is HALF_UP in Java but HALF_EVEN in C —
+        portable ONLY because the input is round()ed to 2 dp first
+        (cents-exact doubles render without a tie to break);
+      * thousands grouping on DOUBLES is unsupported in DuckDB, so the
+        grouped form is an exact BIGINT (cents).
+
+    Narrow pushed-filter projection — zero shuffle, codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(od, "yyyy-MM").alias("month_label"),
+        F.date_format(od, "E").alias("dow_abbrev"),
+        F.date_format(od, "EEEE").alias("dow_name"),
+        F.format_string(
+            "%.2f", F.round("o_totalprice", 2).cast("double")
+        ).alias("price_str"),
+        F.format_number(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint"), 0
+        ).alias("cents_grouped"),
+    )

@@ -1003,3 +1003,112 @@ def q_stats_samplesize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arms_per_current_n"
         ),
     )
+
+
+# Abramowitz & Stegun 7.1.26 erf approximation constants (|ε|<1.5e-7)
+# — shipped as exact shared literals so both engines evaluate the
+# identical polynomial (neither has a builtin normal CDF).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi_sql(z: str) -> str:
+    """Normal CDF Φ(z) as portable SQL over the A&S erf polynomial."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (
+        f"((((({_AS_A[4]} * {t} + ({_AS_A[3]})) * {t} + {_AS_A[2]}) * {t}"
+        f" + ({_AS_A[1]})) * {t} + {_AS_A[0]}) * {t})"
+    )
+    erf = f"(1.0 - {poly} * exp(-({x} * {x})))"
+    return (
+        f"(CASE WHEN {z} >= 0 THEN 0.5 * (1.0 + {erf})"
+        f" ELSE 0.5 * (1.0 - {erf}) END)"
+    )
+
+
+def _phi_col(z):
+    """The same Φ as a Catalyst expression (identical literals)."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    a0, a1, a2, a3, a4 = _AS_A
+    poly = (
+        (((F.lit(a4) * t + F.lit(a3)) * t + F.lit(a2)) * t + F.lit(a1)) * t
+        + F.lit(a0)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    return F.when(z >= 0, F.lit(0.5) * (F.lit(1.0) + erf)).otherwise(
+        F.lit(0.5) * (F.lit(1.0) - erf)
+    )
+
+
+@register(
+    "q_stats_bayes_ab",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN event_type = 'click' THEN n END) AS na,
+            max(CASE WHEN event_type = 'click' THEN mu END) AS mua,
+            max(CASE WHEN event_type = 'click' THEN v END) AS va,
+            max(CASE WHEN event_type = 'purchase' THEN n END) AS nb,
+            max(CASE WHEN event_type = 'purchase' THEN mu END) AS mub,
+            max(CASE WHEN event_type = 'purchase' THEN v END) AS vb
+        FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(mua + 1e-9, 4) AS mean_a,
+           round(mub + 1e-9, 4) AS mean_b,
+           round((mub - mua) / sqrt(va / na + vb / nb) + 1e-9, 4) AS z,
+           round({_phi_sql("((mub - mua) / sqrt(va / na + vb / nb))")}
+                 + 1e-9, 4) AS p_b_beats_a
+    FROM w
+    """,
+)
+def q_stats_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-B-beats-A readout for an A/B comparison (click vs
+    purchase mean `value`): under the normal posterior approximation,
+    P(μ_B > μ_A) = Φ(z) with the Welch z — the "chance to beat
+    control" number product dashboards show instead of a p-value.
+
+    Neither engine has a normal-CDF builtin, so Φ is the Abramowitz &
+    Stegun 7.1.26 erf polynomial with EXACT shared literals — both
+    engines run the identical arithmetic, so the 4-dp round + nudge is
+    deterministic (approximation error 1.5e-7 ≪ rounding).
+
+    Shape: one map-side-combined moment agg over the filtered types,
+    pivoted to a single row; all Φ algebra is scalar on that row."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = m.agg(
+        pick("click", "n").alias("na"),
+        pick("click", "mu").alias("mua"),
+        pick("click", "v").alias("va"),
+        pick("purchase", "n").alias("nb"),
+        pick("purchase", "mu").alias("mub"),
+        pick("purchase", "v").alias("vb"),
+    )
+    z = (F.col("mub") - F.col("mua")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.col("mua") + F.lit(1e-9), 4).alias("mean_a"),
+        F.round(F.col("mub") + F.lit(1e-9), 4).alias("mean_b"),
+        F.round(z + F.lit(1e-9), 4).alias("z"),
+        F.round(_phi_col(z) + F.lit(1e-9), 4).alias("p_b_beats_a"),
+    )

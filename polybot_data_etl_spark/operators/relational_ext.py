@@ -698,3 +698,55 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_sampled"),
         F.round(F.sum(hit) / F.count("*") + F.lit(1e-9), 4).alias("rate"),
     )
+
+
+@register(
+    "q_sql_window_clause",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER w_run / 1e2, 2) AS run_total,
+           cast(rank() OVER w_rank AS BIGINT) AS value_rank,
+           round(avg(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER w_run / 1e2 + 1e-9, 4) AS run_avg
+    FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
+    WHERE user_id < 50
+    WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_rank AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-WINDOW SQL surface (`WINDOW w AS (...)`): two windows
+    declared once and referenced by name — the ANSI feature that keeps
+    multi-window reports readable, and a parser-level surface the
+    DataFrame API can't express (its windows are always inline).  Both
+    engines run the SAME window text, so this doubles as a dialect-
+    compatibility pin for the clause.
+
+    Determinism: both frames use total orders ((ts, event_id) and
+    (value DESC, event_id)) and rank() has no ties; the running sum
+    aggregates EXACT cents (bigint) because windowed-sum internals
+    differ across engines (DuckDB's segment-tree accumulation vs
+    Spark's sequential fold — measured to diverge in last-ulp
+    positions on raw doubles); money rounds at 2, the avg at 4.
+
+    Shape: both windows share the user_id partition key, so Catalyst
+    plans ONE user_id exchange feeding two Window operators (sorted
+    per frame) — high-cardinality partitions, no hot task."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_wc")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER w_run / 1e2, 2) AS run_total,
+               cast(rank() OVER w_rank AS BIGINT) AS value_rank,
+               round(avg(CAST(round(value * 100, 0) AS BIGINT))
+                 OVER w_run / 1e2 + 1e-9, 4) AS run_avg
+        FROM events_wc
+        WHERE user_id < 50
+        WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_rank AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        """
+    )

@@ -1954,3 +1954,94 @@ def q_ts_sma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_death"),
         F.max_by("s", "day").cast("bigint").alias("last_signal"),
     )
+
+
+@register(
+    "q_ts_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+               round(sum(value), 2) AS vol
+        FROM events GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT event_type, day,
+               sum(vol) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM daily
+    ),
+    dd AS (
+        SELECT event_type, day, cum,
+               max(cum) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS peak
+        FROM curve
+    )
+    SELECT event_type,
+           round(max_dd + 1e-9, 6) AS max_drawdown,
+           dd_day,
+           round(peak_at_max, 2) AS peak_cum
+    FROM (
+        SELECT event_type, (peak - cum) / peak AS max_dd, day AS dd_day,
+               peak AS peak_at_max,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY (peak - cum) / peak DESC, day)
+                   AS rn
+        FROM dd WHERE peak > 0
+    ) WHERE rn = 1
+    """,
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type: treat cumulative daily volume
+    as an equity curve and report the deepest relative dip below its
+    running peak — (peak − cum)/peak — with the day it bottomed and
+    the peak it fell from.  The risk-analysis standard, and the
+    monotone-health check for volume pipelines (a pipeline outage
+    shows up as a drawdown spike).
+
+    Determinism: daily volumes round to cents first, the running sums
+    fold in identical day order on both engines (bit-equal curves),
+    and the argmax tiebreak is (drawdown DESC, day) — total.
+
+    Shape: map-side daily rollup, then every window runs on the
+    bounded ≤|types|·365-day frame partitioned by type; the final
+    row_number keeps one row per type.  Corpus is scanned once."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("vol"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.select(
+        "event_type", "day", F.sum("vol").over(w_cum).alias("cum")
+    )
+    dd = curve.select(
+        "event_type",
+        "day",
+        "cum",
+        F.max("cum").over(w_cum).alias("peak"),
+    ).filter(F.col("peak") > 0)
+    mdd = ((F.col("peak") - F.col("cum")) / F.col("peak")).alias("max_dd")
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.desc((F.col("peak") - F.col("cum")) / F.col("peak")), F.asc("day")
+    )
+    return (
+        dd.select(
+            "event_type", mdd, F.col("day").alias("dd_day"),
+            F.col("peak").alias("peak_at_max"),
+            F.row_number().over(w_rk).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.round(F.col("max_dd") + F.lit(1e-9), 6).alias("max_drawdown"),
+            "dd_day",
+            F.round("peak_at_max", 2).alias("peak_cum"),
+        )
+    )

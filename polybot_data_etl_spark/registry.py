@@ -168,6 +168,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_agg_hhi", "q_geo_grid", "q_mix_kl", "q_sample_systematic",
     "q_agg_stringagg", "q_ts_session_stats", "q_ts_sma_cross",
     "q_stats_samplesize", "q_win_ntile",
+    "q_fn_format", "q_ts_drawdown", "q_stats_bayes_ab",
+    "q_sql_window_clause",
 }
 
 

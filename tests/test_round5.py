@@ -372,3 +372,111 @@ def test_ntile_quartiles_match_python(spark, sf_dir):
         assert abs(r.avg_price - round(s / cnt + 1e-9, 2)) < 1e-6
         assert r.min_price == round(lo, 2)
         assert r.max_price == round(hi, 2)
+
+
+def test_format_rendering_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.scalar import q_fn_format
+
+    orders = {
+        r.o_orderkey: r
+        for r in table(spark, sf_dir, "orders").collect()
+        if r.o_orderkey <= 500
+    }
+    got = {r.o_orderkey: r for r in q_fn_format(spark, sf_dir).collect()}
+    assert set(got) == set(orders)
+    for k, r in got.items():
+        od = orders[k].o_orderdate
+        assert r.month_label == od.strftime("%Y-%m")
+        assert r.dow_abbrev == od.strftime("%a")
+        assert r.dow_name == od.strftime("%A")
+        assert r.price_str == f"{round(orders[k].o_totalprice, 2):.2f}"
+        assert r.cents_grouped == f"{round(orders[k].o_totalprice * 100):,}"
+
+
+def test_drawdown_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_drawdown
+
+    daily = defaultdict(float)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[(r.event_type, r.ts.date())] += r.value
+    want = {}
+    by_type = defaultdict(list)
+    for (t, d), v in daily.items():
+        by_type[t].append((d, round(v, 2)))
+    for t, days in by_type.items():
+        days.sort()
+        cum = peak = 0.0
+        best = (-1.0, None, None)  # dd, day, peak
+        for d, v in days:
+            cum += v
+            peak = max(peak, cum)
+            if peak > 0:
+                dd = (peak - cum) / peak
+                if dd > best[0]:
+                    best = (dd, d, peak)
+        want[t] = best
+    got = {r.event_type: r for r in q_ts_drawdown(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for t, (dd, d, peak) in want.items():
+        r = got[t]
+        assert r.dd_day.date() == d
+        assert abs(r.max_drawdown - round(dd + 1e-9, 6)) < 1e-9
+        assert abs(r.peak_cum - round(peak, 2)) < 1e-6
+        assert 0.0 <= r.max_drawdown <= 1.0
+
+
+def test_bayes_ab_matches_python(spark, sf_dir):
+    import statistics
+
+    from polybot_data_etl_spark.functions.stats import q_stats_bayes_ab
+
+    vals = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type in ("click", "purchase"):
+            vals[r.event_type].append(r.value)
+    a, b = vals["click"], vals["purchase"]
+    mua, mub = sum(a) / len(a), sum(b) / len(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    z = (mub - mua) / math.sqrt(va / len(a) + vb / len(b))
+    phi = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    got = q_stats_bayes_ab(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert abs(got.z - round(z + 1e-9, 4)) < 1e-8
+    # the A&S polynomial is accurate to 1.5e-7 vs the true CDF
+    assert abs(got.p_b_beats_a - phi) < 1e-4
+    assert 0.0 <= got.p_b_beats_a <= 1.0
+
+
+def test_window_clause_matches_inline_windows(spark, sf_dir):
+    """The named-WINDOW SQL must agree with the equivalent inline
+    DataFrame windows row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polybot_data_etl_spark.operators.relational_ext import (
+        q_sql_window_clause,
+    )
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    want = {
+        r.event_id: r
+        for r in e.select(
+            "event_id",
+            F.round(F.sum(cents).over(w_run) / F.lit(100.0), 2).alias("rt"),
+            F.rank().over(w_rank).cast("bigint").alias("rk"),
+        ).collect()
+    }
+    got = q_sql_window_clause(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r.run_total == want[r.event_id].rt
+        assert r.value_rank == want[r.event_id].rk
