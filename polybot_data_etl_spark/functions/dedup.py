@@ -1229,3 +1229,61 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    by_cluster AS (
+        SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT cast(sz AS BIGINT) AS cluster_size,
+           cast(count(*) AS BIGINT) AS n_clusters,
+           cast(sz * count(*) AS BIGINT) AS n_docs
+    FROM by_cluster GROUP BY sz ORDER BY sz
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the curation readout layered
+    on q_dedup_clusters: how many clusters of each size exist and how
+    many documents they hold.  This is the number a data card quotes
+    ("92% of docs are singletons; the largest dup cluster has 14
+    copies") and the input to a dedup-rate budget: docs removable by
+    keep-one-per-cluster = Σ over sizes (n_docs − n_clusters).
+
+    Shape: the cluster assignment reuses q_dedup_clusters (which itself
+    reads the memoized shared shingle-pair frame, so in a session that
+    already ran any dedup consumer the pair stage is free) → one agg to
+    cluster sizes (shuffle keyed by cluster_id, O(corpus) rows but
+    map-side combined) → one agg over the ≤max-size distinct sizes.
+    At 100 TB both reduces are bounded: the first by document count,
+    the second by the largest cluster size (tiny).  Oracle: the same
+    recursive-CTE components aggregated twice."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    by_cluster = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        by_cluster.groupBy("sz")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1112,3 +1112,74 @@ def q_stats_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z + F.lit(1e-9), 4).alias("z"),
         F.round(_phi_col(z) + F.lit(1e-9), 4).alias("p_b_beats_a"),
     )
+
+
+@register(
+    "q_stats_anova",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(value) AS sx,
+               sum(value * value) AS sxx
+        FROM events
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT cast(count(*) AS BIGINT) AS k_groups,
+               cast(sum(n) AS BIGINT) AS n_total,
+               sum(sx) AS g,
+               sum(sx * sx / n) AS ssb_raw,
+               sum(sxx - sx * sx / n) AS ssw
+        FROM m
+    )
+    SELECT k_groups, n_total,
+           cast(k_groups - 1 AS BIGINT) AS df_between,
+           cast(n_total - k_groups AS BIGINT) AS df_within,
+           round(((ssb_raw - g * g / n_total) / (k_groups - 1))
+                 / (ssw / (n_total - k_groups)) + 1e-9, 4) AS f_stat,
+           round((ssb_raw - g * g / n_total)
+                 / (ssb_raw - g * g / n_total + ssw) + 1e-9, 4) AS eta_sq
+    FROM s
+    """,
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test: does mean `value` differ across ALL event
+    types at once? — the parametric omnibus companion of
+    q_stats_kruskal (which is its rank-based twin).  F = MSB/MSW with
+    SSB = Σ(Sg²/ng) − G²/N and SSW = Σ(SSg − Sg²/ng), all from one
+    raw-moment pass (n, Σx, Σx²) per group; η² = SSB/SST effect size.
+
+    Determinism: the shared q_stats_* raw-moment policy — both engines
+    derive every term from the same per-group (n, sx, sxx) aggregates,
+    the F/η² algebra runs on the ≤|types|-row frame, 4-dp round with
+    the +1e-9 nudge.  Scale: one map-side-combined agg over events →
+    k rows → a 1-row reduce; nothing downstream of the scan depends on
+    row count."""
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("sx").alias("g"),
+        F.sum(sx * sx / n).alias("ssb_raw"),
+        F.sum(sxx - sx * sx / n).alias("ssw"),
+    )
+    k = F.col("k_groups")
+    nt = F.col("n_total")
+    ssb = F.col("ssb_raw") - F.col("g") * F.col("g") / nt
+    return s.select(
+        "k_groups",
+        "n_total",
+        (k - 1).cast("bigint").alias("df_between"),
+        (nt - k).cast("bigint").alias("df_within"),
+        F.round(
+            (ssb / (k - 1)) / (F.col("ssw") / (nt - k)) + F.lit(1e-9), 4
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + F.col("ssw")) + F.lit(1e-9), 4).alias("eta_sq"),
+    )

@@ -1053,3 +1053,164 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="dim bigint, loading double, eigenvalue double"
     ).orderBy("dim")
+
+
+# --- product quantization (PQ): per-subspace codebooks --------------------
+
+_PQ_SUBS = 4        # subspaces (64-dim embedding -> 4 x 16-dim subvectors)
+_PQ_SUBDIM = 16     # dims per subspace
+_PQ_K = 4           # codes per subspace codebook; seeds = vec_id 0..3
+
+
+def _pq_assign_long(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """One PQ assignment step: exploded subvector components
+    (vec_id, sub, dim, x) × long-form codebooks (sub, code, dim, comp)
+    → per (vec_id, sub) the argmax code of round(x·c − ½|c|², 4) with
+    code tiebreak, carrying the raw dotp/nsq for the reconstruction-
+    error readout.  The dim-keyed equi-join broadcasts the
+    subs×k×subdim codebook frame (tiny at any corpus size); the argmax
+    is a row_number window keyed by (vec_id, sub) — high cardinality,
+    parallel."""
+    nsq = cent.groupBy("sub", "code").agg(
+        F.sum(F.col("comp") * F.col("comp")).alias("nsq")
+    )
+    dots = (
+        ex.join(F.broadcast(cent.select("code", "dim", "comp")), "dim")
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum(F.col("x") * F.col("comp")).alias("dotp"))
+        .join(F.broadcast(nsq), ["sub", "code"])
+        .select(
+            "vec_id",
+            "sub",
+            "code",
+            "dotp",
+            "nsq",
+            F.round(F.col("dotp") - 0.5 * F.col("nsq"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.desc("score"), F.asc("code")
+    )
+    return dots.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+
+def _pq_assign_sql(cent_cte: str) -> str:
+    """Oracle PQ assignment step against a long-form codebook CTE."""
+    return f"""
+        SELECT vec_id, sub, code, dotp, nsq, score FROM (
+            SELECT d.vec_id, d.sub, d.code, d.dotp, n.nsq,
+                   round(d.dotp - 0.5 * n.nsq, 4) AS score
+            FROM (
+                SELECT ex.vec_id, c.sub, c.code, sum(ex.x * c.comp) AS dotp
+                FROM ex JOIN {cent_cte} c ON c.dim = ex.dim
+                GROUP BY ex.vec_id, c.sub, c.code
+            ) d
+            JOIN (
+                SELECT sub, code, sum(comp * comp) AS nsq
+                FROM {cent_cte} GROUP BY sub, code
+            ) n ON n.sub = d.sub AND n.code = d.code
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id, sub ORDER BY score DESC, code
+        ) = 1
+    """
+
+
+@register(
+    "q_embed_pq",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, u.k AS dim, (u.k - 1) // {_PQ_SUBDIM} AS sub,
+               u.v::DOUBLE AS x
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(
+                       embedding, (v, k) -> struct_pack(k := k, v := v)))
+                       AS u
+            FROM embeddings
+        )
+    ),
+    c0 AS (
+        SELECT sub, vec_id AS code, dim, round(x + 1e-11, 6) AS comp
+        FROM ex WHERE vec_id < {_PQ_K}
+    ),
+    a1 AS ({_pq_assign_sql('c0')}),
+    c1 AS (
+        SELECT a1.sub, a1.code, ex.dim, round(avg(ex.x) + 1e-11, 6) AS comp
+        FROM ex JOIN a1 ON a1.vec_id = ex.vec_id AND a1.sub = ex.sub
+        GROUP BY a1.sub, a1.code, ex.dim
+    ),
+    a2 AS ({_pq_assign_sql('c1')}),
+    vsq AS (
+        SELECT vec_id, sub, sum(x * x) AS vsq FROM ex GROUP BY vec_id, sub
+    )
+    SELECT a.sub, a.code,
+           cast(count(*) AS BIGINT) AS n_members,
+           round(avg(round(v.vsq - 2 * a.dotp + a.nsq, 6)) + 1e-9, 4) AS mse
+    FROM a2 a JOIN vsq v ON v.vec_id = a.vec_id AND v.sub = a.sub
+    GROUP BY a.sub, a.code ORDER BY a.sub, a.code
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ compression half FAISS uses at
+    billion-vector scale): the 64-dim embedding splits into 4
+    contiguous 16-dim subvectors, each subspace trains its own k=4
+    codebook (Lloyd's, seeded from vec_id 0-3's subvectors, one
+    recenter), and every vector is stored as 4 code bytes — a 64×
+    compression whose asymmetric-distance tables make ANN scans
+    memory-resident at 100 TB.  Output: per (subspace, code) the
+    membership count and mean squared reconstruction error
+    |v_sub − c|² = |v|² − 2v·c + |c|², the quantization-quality
+    readout that sizes k per subspace in production.
+
+    Engine-portability: the q_embed_kmeans policy — assignment argmax
+    on 4-dp-rounded scores with code tiebreak, codebooks re-rounded to
+    6 dp per iteration, per-row squared errors re-rounded to 6 dp
+    before the 4-dp mean, so both engines run identical decimals.
+
+    Scale posture: codebooks are subs×k×subdim doubles (256 here) —
+    BROADCAST; assignment and recentering are the q_embed_kmeans
+    shapes with (sub) added to the keys, so shuffle volume stays
+    k·dims partial rows per partition, independent of corpus size.
+    The exploded frame feeds 2 assignments + 1 recenter + the |v|²
+    pass → one lazy localCheckpoint shares the scan."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.col("dim0") / _PQ_SUBDIM).cast("int").alias("sub"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    ex = ex.localCheckpoint(eager=False)
+    cent = ex.filter(F.col("vec_id") < _PQ_K).select(
+        "sub",
+        F.col("vec_id").alias("code"),
+        "dim",
+        F.round(F.col("x") + F.lit(1e-11), 6).alias("comp"),
+    )
+    a1 = _pq_assign_long(ex, cent)
+    c1 = (
+        ex.join(a1.select("vec_id", "sub", "code"), ["vec_id", "sub"])
+        .groupBy("sub", "code", "dim")
+        .agg(F.round(F.avg("x") + F.lit(1e-11), 6).alias("comp"))
+    )
+    a2 = _pq_assign_long(ex, c1)
+    vsq = ex.groupBy("vec_id", "sub").agg(
+        F.sum(F.col("x") * F.col("x")).alias("vsq")
+    )
+    sqerr = F.round(
+        F.col("vsq") - 2 * F.col("dotp") + F.col("nsq"), 6
+    )
+    return (
+        a2.join(vsq, ["vec_id", "sub"])
+        .groupBy("sub", "code")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.avg(sqerr) + F.lit(1e-9), 4).alias("mse"),
+        )
+        .orderBy("sub", "code")
+    )

@@ -480,3 +480,131 @@ def test_window_clause_matches_inline_windows(spark, sf_dir):
     for r in got:
         assert r.run_total == want[r.event_id].rt
         assert r.value_rank == want[r.event_id].rk
+
+
+def test_anova_matches_python_recompute(spark, sf_dir):
+    """Recompute one-way ANOVA (F, dfs, eta^2) from the raw event rows
+    with textbook group-mean formulas (not the operator's raw-moment
+    algebra) — the two derivations must agree to the 4-dp round."""
+    from polybot_data_etl_spark.functions.stats import q_stats_anova
+
+    groups = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        groups[r.event_type].append(r.value)
+    k = len(groups)
+    nt = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / nt
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    [row] = q_stats_anova(spark, sf_dir).collect()
+    assert row.k_groups == k
+    assert row.n_total == nt
+    assert row.df_between == k - 1
+    assert row.df_within == nt - k
+    assert abs(row.f_stat - f) < 1e-3
+    assert abs(row.eta_sq - ssb / (ssb + ssw)) < 1e-3
+
+
+def test_cluster_sizes_partition_the_corpus(spark, sf_dir):
+    """The size histogram must (a) partition the corpus exactly —
+    sum(n_docs) == |documents| — and (b) agree with a recount of the
+    q_dedup_clusters assignment it is derived from."""
+    from polybot_data_etl_spark.functions.dedup import (
+        q_dedup_cluster_sizes,
+        q_dedup_clusters,
+    )
+
+    sizes = Counter()
+    for r in q_dedup_clusters(spark, sf_dir).collect():
+        sizes[r.cluster_id] += 1
+    want = Counter(sizes.values())  # size -> n_clusters
+    rows = q_dedup_cluster_sizes(spark, sf_dir).collect()
+    assert {r.cluster_size: r.n_clusters for r in rows} == dict(want)
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    n_docs_total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    # histogram is emitted sorted by size
+    assert [r.cluster_size for r in rows] == sorted(
+        r.cluster_size for r in rows
+    )
+
+
+def test_pq_codes_cover_all_vectors_and_mse_is_sane(spark, sf_dir):
+    """PQ invariants: every (vector, subspace) gets exactly one code →
+    per-subspace memberships sum to |embeddings|; MSE is nonnegative;
+    and a brute-force Python recompute of the final assignment's mean
+    squared reconstruction error matches the operator's."""
+    from polybot_data_etl_spark.functions.vectors import (
+        _PQ_K,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        q_embed_pq,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = q_embed_pq(spark, sf_dir).collect()
+    n_vecs = len(emb)
+    per_sub = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.sub < _PQ_SUBS
+        assert 0 <= r.code < _PQ_K
+        assert r.mse >= 0
+        per_sub[r.sub] += r.n_members
+    assert dict(per_sub) == {s: n_vecs for s in range(_PQ_SUBS)}
+
+    # Python recompute: seed codebooks from vec_id 0..3, one recenter,
+    # reassign, then MSE per (sub, code) with the operator's rounding.
+    def subvec(v, s):
+        return v[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+
+    def assign(cbs):
+        out = {}
+        for vid, v in emb.items():
+            for s in range(_PQ_SUBS):
+                x = subvec(v, s)
+                best = None
+                for code in range(_PQ_K):
+                    c = cbs[(s, code)]
+                    dotp = sum(a * b for a, b in zip(x, c))
+                    nsq = sum(b * b for b in c)
+                    score = round(dotp - 0.5 * nsq, 4)
+                    key = (-score, code)
+                    if best is None or key < best[0]:
+                        best = (key, code, dotp, nsq)
+                out[(vid, s)] = best[1:]
+        return out
+
+    cbs = {
+        (s, code): [round(x + 1e-11, 6) for x in subvec(emb[code], s)]
+        for s in range(_PQ_SUBS)
+        for code in range(_PQ_K)
+    }
+    a1 = assign(cbs)
+    members = defaultdict(list)
+    for (vid, s), (code, _, _) in a1.items():
+        members[(s, code)].append(vid)
+    cbs2 = {}
+    for (s, code), vids in members.items():
+        comps = [
+            round(
+                sum(subvec(emb[v], s)[d] for v in vids) / len(vids) + 1e-11, 6
+            )
+            for d in range(_PQ_SUBDIM)
+        ]
+        cbs2[(s, code)] = comps
+    a2 = assign(cbs2)
+    errs = defaultdict(list)
+    for (vid, s), (code, dotp, nsq) in a2.items():
+        vsq = sum(x * x for x in subvec(emb[vid], s))
+        errs[(s, code)].append(round(vsq - 2 * dotp + nsq, 6))
+    for r in rows:
+        es = errs[(r.sub, r.code)]
+        assert r.n_members == len(es)
+        assert abs(r.mse - round(sum(es) / len(es) + 1e-9, 4)) < 2e-4
