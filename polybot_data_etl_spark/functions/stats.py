@@ -1183,3 +1183,208 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(ssb / (ssb + F.col("ssw")) + F.lit(1e-9), 4).alias("eta_sq"),
     )
+
+
+@register(
+    "q_stats_levene",
+    oracle="""
+    WITH mg AS (
+        SELECT event_type, round(sum(value) / count(*) + 1e-11, 6) AS mu
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type, abs(e.value - mg.mu) AS z
+        FROM events e JOIN mg ON mg.event_type = e.event_type
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n, sum(z) AS sx, sum(z * z) AS sxx
+        FROM z GROUP BY event_type
+    ),
+    s AS (
+        SELECT cast(count(*) AS BIGINT) AS k_groups,
+               cast(sum(n) AS BIGINT) AS n_total,
+               sum(sx) AS g,
+               sum(sx * sx / n) AS ssb_raw,
+               sum(sxx - sx * sx / n) AS ssw
+        FROM m
+    )
+    SELECT k_groups, n_total,
+           cast(k_groups - 1 AS BIGINT) AS df_between,
+           cast(n_total - k_groups AS BIGINT) AS df_within,
+           round(((ssb_raw - g * g / n_total) / (k_groups - 1))
+                 / (ssw / (n_total - k_groups)) + 1e-9, 4) AS w_stat
+    FROM s
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for variance homogeneity across event types — the
+    companion check to q_stats_anova (whose F assumes equal variances):
+    W = the one-way-ANOVA F statistic applied to the absolute
+    deviations z = |x − mean_g|.
+
+    Determinism: the group means are re-rounded to 6 dp before
+    centering (the shared inside-iteration policy), so both engines
+    compute |x − mu| on identical decimals; downstream is the
+    q_stats_anova raw-moment algebra on the k-row frame, 4-dp +1e-9.
+
+    Scale: two passes over events — a k-row group-mean agg (map-side
+    combined) broadcast back onto the scan, then the moment agg on z.
+    Both shuffles carry k rows of partials per partition."""
+    e = table(spark, sf_dir, "events")
+    mg = e.groupBy("event_type").agg(
+        F.round(F.sum("value") / F.count("*") + F.lit(1e-11), 6).alias("mu")
+    )
+    z = e.join(F.broadcast(mg), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("mu")).alias("z")
+    )
+    m = z.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("sx"),
+        F.sum(F.col("z") * F.col("z")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("sx").alias("g"),
+        F.sum(sx * sx / n).alias("ssb_raw"),
+        F.sum(sxx - sx * sx / n).alias("ssw"),
+    )
+    k = F.col("k_groups")
+    nt = F.col("n_total")
+    ssb = F.col("ssb_raw") - F.col("g") * F.col("g") / nt
+    return s.select(
+        "k_groups",
+        "n_total",
+        (k - 1).cast("bigint").alias("df_between"),
+        (nt - k).cast("bigint").alias("df_within"),
+        F.round(
+            (ssb / (k - 1)) / (F.col("ssw") / (nt - k)) + F.lit(1e-9), 4
+        ).alias("w_stat"),
+    )
+
+
+# --- Poisson bootstrap ----------------------------------------------------
+
+_BOOT_REPS = 32
+# P(Poisson(1) <= k) cumulative thresholds for k = 0..4 — shared exact
+# literals (the q_stats_bayes_ab constant policy): both engines bin the
+# same uniform against the same decimals, so replicate weights are
+# bit-identical cross-engine.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.919698602928606",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+
+
+@register(
+    "q_stats_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_id, e.value, g.rep,
+               ((1103515245 * (e.event_id * {_BOOT_REPS} + g.rep) + 12345)
+                % 2147483648) / 2147483648.0 AS u
+        FROM events e
+        CROSS JOIN (SELECT unnest(range(0, {_BOOT_REPS})) AS rep) g
+    ),
+    w AS (
+        SELECT rep, value,
+               CASE WHEN u < {_POIS_CDF[0]} THEN 0
+                    WHEN u < {_POIS_CDF[1]} THEN 1
+                    WHEN u < {_POIS_CDF[2]} THEN 2
+                    WHEN u < {_POIS_CDF[3]} THEN 3
+                    WHEN u < {_POIS_CDF[4]} THEN 4
+                    ELSE 5 END AS w
+        FROM reps
+    ),
+    rm AS (
+        SELECT rep, round(sum(w * value) / sum(w) + 1e-11, 6) AS m
+        FROM w GROUP BY rep
+    ),
+    b AS (
+        SELECT count(*) AS nb, sum(m) AS sm, sum(m * m) AS smm FROM rm
+    ),
+    o AS (SELECT sum(value) / count(*) AS mu FROM events)
+    SELECT cast(b.nb AS BIGINT) AS n_reps,
+           round(o.mu + 1e-9, 4) AS mean_obs,
+           round(b.sm / b.nb + 1e-9, 4) AS boot_mean,
+           round(sqrt((b.smm - b.sm * b.sm / b.nb) / (b.nb - 1))
+                 + 1e-9, 4) AS boot_se,
+           round(o.mu - 1.96 * sqrt((b.smm - b.sm * b.sm / b.nb)
+                 / (b.nb - 1)) + 1e-9, 4) AS ci_lo,
+           round(o.mu + 1.96 * sqrt((b.smm - b.sm * b.sm / b.nb)
+                 / (b.nb - 1)) + 1e-9, 4) AS ci_hi
+    FROM b CROSS JOIN o
+    """,
+)
+def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean of `value` — THE distributed
+    bootstrap: instead of resampling n rows with replacement (which
+    needs global coordination), each row independently draws a
+    Poisson(1) weight per replicate, giving each replicate the same
+    distribution as a classical bootstrap resample as n → ∞.  B = 32
+    replicates in ONE pass: explode each row into (row, rep) pairs,
+    weight from a portable LCG uniform hashed on (event_id, rep)
+    (exact BIGINT arithmetic — reproducible across engines, runs, AND
+    partitionings, unlike rand(seed) which is partition-dependent),
+    then one agg to B weighted means and a 1-row reduce to the
+    bootstrap SE and normal-approximation CI.
+
+    Determinism: the LCG and the Poisson inverse-CDF thresholds are
+    exact shared literals, so weights are bit-identical cross-engine;
+    replicate means re-round to 6 dp before the SE algebra (inside-
+    iteration policy); 4-dp +1e-9 final round.
+
+    Scale: the explode is a B× row amplification of a 2-column frame
+    feeding a map-side-combined agg to B groups — at 100 TB you tune B
+    against the scan width, never shuffle more than B partial rows per
+    partition, and the CI costs one fact pass.  No row ever leaves its
+    partition before aggregation."""
+    e = table(spark, sf_dir, "events")
+    reps = e.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    )
+    u = (
+        (
+            F.lit(1103515245)
+            * (F.col("event_id") * _BOOT_REPS + F.col("rep"))
+            + 12345
+        )
+        % 2147483648
+    ) / F.lit(2147483648.0)
+    w = F.when(u < float(_POIS_CDF[0]), 0)
+    for i, t in enumerate(_POIS_CDF[1:], start=1):
+        w = w.when(u < float(t), i)
+    w = w.otherwise(5)
+    rm = (
+        reps.select("rep", "value", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w")
+                + F.lit(1e-11),
+                6,
+            ).alias("m")
+        )
+    )
+    b = rm.agg(
+        F.count("*").alias("nb"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    o = e.agg((F.sum("value") / F.count("*")).alias("mu"))
+    nb, sm, smm = F.col("nb"), F.col("sm"), F.col("smm")
+    se = F.sqrt((smm - sm * sm / nb) / (nb - 1))
+    return b.crossJoin(F.broadcast(o)).select(
+        nb.cast("bigint").alias("n_reps"),
+        F.round(F.col("mu") + F.lit(1e-9), 4).alias("mean_obs"),
+        F.round(sm / nb + F.lit(1e-9), 4).alias("boot_mean"),
+        F.round(se + F.lit(1e-9), 4).alias("boot_se"),
+        F.round(F.col("mu") - 1.96 * se + F.lit(1e-9), 4).alias("ci_lo"),
+        F.round(F.col("mu") + 1.96 * se + F.lit(1e-9), 4).alias("ci_hi"),
+    )

@@ -825,3 +825,91 @@ def q_attr_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credit")
         )
     )
+
+
+@register(
+    "q_basket_lift",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+    item AS (SELECT p, count(*) AS cnt FROM li GROUP BY p),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b, count(*) AS pair_orders
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT cast(part_a AS BIGINT) AS part_a,
+           cast(part_b AS BIGINT) AS part_b,
+           cast(pair_orders AS BIGINT) AS pair_orders,
+           cast(ia.cnt AS BIGINT) AS orders_a,
+           cast(ib.cnt AS BIGINT) AS orders_b,
+           round(pair_orders * n.n_orders
+                 / (ia.cnt * ib.cnt)::DOUBLE + 1e-9, 4) AS lift
+    FROM pairs
+    JOIN item ia ON ia.p = part_a
+    JOIN item ib ON ib.p = part_b
+    CROSS JOIN n
+    ORDER BY pair_orders DESC, part_a, part_b LIMIT 15
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top co-purchased part pairs by
+    support, with lift = P(a,b) / (P(a)·P(b)) over order baskets — the
+    association-rule read (Apriori's scoring step) a recommender or
+    assortment pipeline runs on an order lake.
+
+    Shape: ONE self-equi-join on the basket key generates candidates —
+    fan-out per order is C(basket,2), bounded by the schema's max
+    basket size (13 here, ~7-line orders in TPC-H), never by table
+    size, so pair volume is O(orders · basket²).  Item supports and the
+    order total join back as broadcasts (bounded by |parts| and 1 row);
+    the a<b canonicalization halves the pair space and makes the pair
+    key deterministic.  Top-15 is (support DESC, part_a, part_b) — a
+    total order → TakeOrderedAndProject, no global sort.  At 100 TB the
+    only large shuffle is the orderkey-hash join, AQE-splittable on
+    skewed mega-baskets."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=False)
+    a = li.select(F.col("o"), F.col("p").alias("part_a"))
+    b = li.select(F.col("o"), F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_orders"))
+    )
+    item = li.groupBy("p").agg(F.count("*").alias("cnt"))
+    n = li.agg(F.countDistinct("o").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(item.withColumnsRenamed({"p": "part_a", "cnt": "ca"})),
+            "part_a",
+        )
+        .join(
+            F.broadcast(item.withColumnsRenamed({"p": "part_b", "cnt": "cb"})),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("part_a").cast("bigint").alias("part_a"),
+            F.col("part_b").cast("bigint").alias("part_b"),
+            F.col("pair_orders").cast("bigint").alias("pair_orders"),
+            F.col("ca").cast("bigint").alias("orders_a"),
+            F.col("cb").cast("bigint").alias("orders_b"),
+            F.round(
+                F.col("pair_orders")
+                * F.col("n_orders")
+                / (F.col("ca") * F.col("cb"))
+                + F.lit(1e-9),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_orders"), "part_a", "part_b")
+        .limit(15)
+    )

@@ -171,6 +171,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_fn_format", "q_ts_drawdown", "q_stats_bayes_ab",
     "q_sql_window_clause",
     "q_stats_anova", "q_dedup_cluster_sizes", "q_embed_pq",
+    "q_stats_levene", "q_stats_bootstrap", "q_basket_lift",
 }
 
 

@@ -172,6 +172,8 @@ _NLJ_ALLOWED = {
     "q_ml_ks",            # 1-row class-total broadcast crossJoin
     "q_ml_lift",          # 1-row (n, np) totals broadcast crossJoin
     "q_mix_kl",           # 1-row (n, k) totals broadcast crossJoin
+    "q_stats_bootstrap",  # 1-row observed-mean broadcast crossJoin
+    "q_basket_lift",      # 1-row order-total broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -608,3 +608,103 @@ def test_pq_codes_cover_all_vectors_and_mse_is_sane(spark, sf_dir):
         es = errs[(r.sub, r.code)]
         assert r.n_members == len(es)
         assert abs(r.mse - round(sum(es) / len(es) + 1e-9, 4)) < 2e-4
+
+
+def test_levene_matches_scipy_style_recompute(spark, sf_dir):
+    """Recompute Levene's W by the textbook route (center each group on
+    its mean, then one-way ANOVA on the absolute deviations) and check
+    the operator agrees to the 4-dp round."""
+    from polybot_data_etl_spark.functions.stats import q_stats_levene
+
+    groups = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        groups[r.event_type].append(r.value)
+    zs = {
+        t: [abs(x - round(sum(v) / len(v) + 1e-11, 6)) for x in v]
+        for t, v in groups.items()
+    }
+    k = len(zs)
+    nt = sum(len(v) for v in zs.values())
+    grand = sum(sum(v) for v in zs.values()) / nt
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in zs.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in zs.values()
+    )
+    w = (ssb / (k - 1)) / (ssw / (nt - k))
+    [row] = q_stats_levene(spark, sf_dir).collect()
+    assert row.k_groups == k
+    assert row.n_total == nt
+    assert abs(row.w_stat - w) < 1e-3
+
+
+def test_bootstrap_matches_python_poisson_recompute(spark, sf_dir):
+    """Replay the exact LCG → Poisson-weight → replicate-mean pipeline
+    in pure Python and check every output number; also sanity: the
+    bootstrap mean must sit near the observed mean and the CI must
+    bracket it."""
+    from polybot_data_etl_spark.functions.stats import (
+        _BOOT_REPS,
+        _POIS_CDF,
+        q_stats_bootstrap,
+    )
+
+    cdf = [float(t) for t in _POIS_CDF]
+    vals = [
+        (r.event_id, r.value)
+        for r in table(spark, sf_dir, "events").collect()
+    ]
+    means = []
+    for rep in range(_BOOT_REPS):
+        sw = swv = 0.0
+        for eid, v in vals:
+            h = (1103515245 * (eid * _BOOT_REPS + rep) + 12345) % 2147483648
+            u = h / 2147483648.0
+            w = next((i for i, t in enumerate(cdf) if u < t), 5)
+            sw += w
+            swv += w * v
+        means.append(round(swv / sw + 1e-11, 6))
+    nb = len(means)
+    mu_b = sum(means) / nb
+    se = math.sqrt(sum((m - mu_b) ** 2 for m in means) / (nb - 1))
+    mu = sum(v for _, v in vals) / len(vals)
+    [row] = q_stats_bootstrap(spark, sf_dir).collect()
+    assert row.n_reps == nb
+    assert abs(row.mean_obs - mu) < 1e-3
+    assert abs(row.boot_mean - mu_b) < 1e-3
+    assert abs(row.boot_se - se) < 1e-3
+    assert abs(row.ci_lo - (mu - 1.96 * se)) < 2e-3
+    assert abs(row.ci_hi - (mu + 1.96 * se)) < 2e-3
+    assert row.ci_lo < row.mean_obs < row.ci_hi
+    assert abs(row.boot_mean - row.mean_obs) < 5 * row.boot_se
+
+
+def test_basket_lift_matches_python_recompute(spark, sf_dir):
+    """Brute-force the co-purchase pairs from the raw lineitem rows and
+    check support, per-item counts, and lift for every emitted row, plus
+    that the emitted 15 are the true top by (support, part_a, part_b)."""
+    from itertools import combinations
+
+    from polybot_data_etl_spark.operators.behavior import q_basket_lift
+
+    baskets = defaultdict(set)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    pair_cnt = Counter()
+    item_cnt = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item_cnt[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair_cnt[(a, b)] += 1
+    n_orders = len(baskets)
+    want_order = sorted(pair_cnt, key=lambda ab: (-pair_cnt[ab], ab))[:15]
+    rows = q_basket_lift(spark, sf_dir).collect()
+    assert [(r.part_a, r.part_b) for r in rows] == want_order
+    for r in rows:
+        assert r.pair_orders == pair_cnt[(r.part_a, r.part_b)]
+        assert r.orders_a == item_cnt[r.part_a]
+        assert r.orders_b == item_cnt[r.part_b]
+        want_lift = round(
+            r.pair_orders * n_orders / (r.orders_a * r.orders_b) + 1e-9, 4
+        )
+        assert abs(r.lift - want_lift) < 1e-9
