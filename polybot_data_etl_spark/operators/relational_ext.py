@@ -750,3 +750,57 @@ def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                w_rank AS (PARTITION BY user_id ORDER BY value DESC, event_id)
         """
     )
+
+
+@register(
+    "q_fn_surrogate_key",
+    oracle="""
+    SELECT rowid, event_id FROM (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id) AS rowid
+        FROM events
+    ) WHERE rowid % 1000 = 1
+    """,
+)
+def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global surrogate-key assignment: dense 1-based row ids
+    over the (ts, event_id) total order — the deterministic
+    zipWithIndex a warehouse load uses to mint keys (unlike
+    monotonically_increasing_id, which is partition-layout-dependent
+    and non-dense).  Emits the every-1000th sample of the assignment
+    so the gate hash-checks id↔row binding at any scale without
+    shipping the whole table.
+
+    Scale shape (the two-pass bucket-offset prefix, same recipe as
+    q_mix_budget): a single unpartitioned row_number would sort the
+    world in one task, so (1) a window per day bucket computes
+    bucket-LOCAL dense ranks in parallel — event time is the natural
+    range-partitioner of an event lake; (2) per-day counts (a bounded
+    frame) prefix-sum into carry-in offsets, the only global window
+    running over that tiny summary.  Global id = offset + local rank,
+    identical to the one-window form because days are contiguous
+    ranges of the (ts, event_id) order."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    staged = e.select(
+        "event_id", "ts", F.date_trunc("day", "ts").alias("__day")
+    )
+    w_local = Window.partitionBy("__day").orderBy("ts", "event_id")
+    local = staged.withColumn(
+        "__rn", F.row_number().over(w_local).cast("long")
+    )
+    counts = staged.groupBy("__day").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__day", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__day")
+        .select(
+            (F.col("__off") + F.col("__rn")).alias("rowid"), "event_id"
+        )
+        .filter(F.col("rowid") % 1000 == 1)
+    )

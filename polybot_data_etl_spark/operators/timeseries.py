@@ -2045,3 +2045,168 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("peak_at_max", 2).alias("peak_cum"),
         )
     )
+
+
+@register(
+    "q_ts_stl",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               sum(cast(round(value * 100) AS BIGINT)) AS vc
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT day, vc,
+               sum(vc) OVER w * 1.0 / count(*) OVER w AS trend_c
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (SELECT day, vc, trend_c, vc - trend_c AS det_c FROM t),
+    s AS (
+        SELECT dayofweek(day) AS dow, avg(det_c) AS seasonal_c
+        FROM d GROUP BY 1
+    )
+    SELECT d.day,
+           round(d.vc / 100.0, 2) AS volume,
+           round(d.trend_c / 100 + 1e-9, 4) AS trend,
+           round(s.seasonal_c / 100 + 1e-9, 4) AS seasonal,
+           round((d.det_c - s.seasonal_c) / 100 + 1e-9, 4) AS residual
+    FROM d JOIN s ON s.dow = dayofweek(d.day)
+    ORDER BY d.day
+    """,
+)
+def q_ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily volume curve:
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per weekday, residual = the rest — the classic
+    trend/seasonal/remainder split an anomaly pipeline runs before
+    thresholding residuals (q_ts_anomaly's principled cousin).
+
+    Determinism: daily volumes are EXACT integer cents (per-row
+    round(value·100) then integer sums — the q_win_moving pattern), so
+    the centered-window sum is exact and trend = one integer-ratio
+    division, bit-identical cross-engine; the per-weekday seasonal
+    mean and the 4-dp +1e-9 rounds absorb the remaining last-ulp
+    summation-order noise.  Weekday keys use the Spark dayofweek−1 ↔
+    DuckDB dayofweek alignment (q_ts_calendar).
+
+    Scale: everything below the first map-side-combined daily agg runs
+    on the bounded day frame (windows, the 7-row seasonal join) — one
+    fact pass at any corpus size."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.withColumn(
+        "trend_c", F.sum("vc").over(w) * 1.0 / F.count("*").over(w)
+    )
+    d = t.withColumn("det_c", F.col("vc") - F.col("trend_c"))
+    s = d.groupBy((F.dayofweek("day") - 1).alias("dow")).agg(
+        F.avg("det_c").alias("seasonal_c")
+    )
+    return (
+        d.join(
+            F.broadcast(s), (F.dayofweek(d["day"]) - 1) == s["dow"]
+        )
+        .select(
+            "day",
+            F.round(F.col("vc") / 100.0, 2).alias("volume"),
+            F.round(F.col("trend_c") / 100 + F.lit(1e-9), 4).alias("trend"),
+            F.round(F.col("seasonal_c") / 100 + F.lit(1e-9), 4).alias(
+                "seasonal"
+            ),
+            F.round(
+                (F.col("det_c") - F.col("seasonal_c")) / 100 + F.lit(1e-9), 4
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_ts_theilsen",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               sum(cast(round(value * 100) AS BIGINT)) AS vc
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, vc FROM daily
+    ),
+    slopes AS (
+        SELECT (b.vc - a.vc) * 1.0 / (b.i - a.i) AS slope
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    sl AS (
+        SELECT count(*) AS n_pairs, quantile_cont(slope, 0.5) AS slope
+        FROM slopes
+    ),
+    ic AS (
+        SELECT count(*) AS n_days,
+               quantile_cont(vc - (SELECT slope FROM sl) * i, 0.5) AS icpt
+        FROM idx
+    )
+    SELECT CAST(ic.n_days AS BIGINT) AS n_days,
+           CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+           round(sl.slope / 100 + 1e-9, 4) AS sen_slope,
+           round(ic.icpt / 100 + 1e-9, 4) AS sen_intercept
+    FROM sl CROSS JOIN ic
+    """,
+)
+def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise day-to-day
+    slopes of the daily volume curve, plus the matching median
+    intercept — the outlier-proof alternative to q_stats_regression's
+    OLS slope (one corrupted day moves OLS, not the pairwise median).
+
+    Determinism: exact integer-cents daily volumes (q_win_moving
+    pattern) make every pairwise slope an exact integer ratio —
+    bit-identical cross-engine; the median is percentile/quantile_cont
+    0.5 (identical linear-interpolation definition both engines) and
+    final values round 4-dp +1e-9.
+
+    Scale: the O(days²) pair join and both medians run on the bounded
+    day frame (the only fact-table work is the daily agg), so the
+    quadratic term is over calendar days, never rows.  The 1-row
+    median-slope frame broadcasts back for the intercept pass."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("i"), "vc"
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("vc").alias("va"))
+    b = idx.select(F.col("i").alias("ib"), F.col("vc").alias("vb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("ib") > F.col("ia"))
+        .select(
+            (
+                (F.col("vb") - F.col("va"))
+                * 1.0
+                / (F.col("ib") - F.col("ia"))
+            ).alias("slope")
+        )
+    )
+    sl = slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+    )
+    ic = idx.crossJoin(F.broadcast(sl)).agg(
+        F.count("*").alias("n_days"),
+        F.expr("percentile(vc - slope * i, 0.5)").alias("icpt"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("slope").alias("msl"),
+    )
+    return ic.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("msl") / 100 + F.lit(1e-9), 4).alias("sen_slope"),
+        F.round(F.col("icpt") / 100 + F.lit(1e-9), 4).alias("sen_intercept"),
+    )

@@ -174,6 +174,7 @@ _NLJ_ALLOWED = {
     "q_mix_kl",           # 1-row (n, k) totals broadcast crossJoin
     "q_stats_bootstrap",  # 1-row observed-mean broadcast crossJoin
     "q_basket_lift",      # 1-row order-total broadcast crossJoin
+    "q_ts_theilsen",      # bounded day-frame pair join + 1-row slope cross
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -708,3 +708,75 @@ def test_basket_lift_matches_python_recompute(spark, sf_dir):
             r.pair_orders * n_orders / (r.orders_a * r.orders_b) + 1e-9, 4
         )
         assert abs(r.lift - want_lift) < 1e-9
+
+
+def test_surrogate_key_is_dense_total_order(spark, sf_dir):
+    """The sampled assignment must match a Python sort of the whole
+    table: rowid r binds to the (r-1)-th event under (ts, event_id)."""
+    from polybot_data_etl_spark.operators.relational_ext import (
+        q_fn_surrogate_key,
+    )
+
+    order = [
+        r.event_id
+        for r in sorted(
+            table(spark, sf_dir, "events").collect(),
+            key=lambda r: (r.ts, r.event_id),
+        )
+    ]
+    rows = q_fn_surrogate_key(spark, sf_dir).collect()
+    assert len(rows) == (len(order) + 999) // 1000
+    for r in rows:
+        assert (r.rowid - 1) % 1000 == 0
+        assert r.event_id == order[r.rowid - 1]
+
+
+def test_stl_components_reassemble_and_match_python(spark, sf_dir):
+    """volume == trend + seasonal + residual on every day (to the
+    rounding), and the trend must equal a Python centered 7-day MA of
+    the exact-cents daily volumes."""
+    from polybot_data_etl_spark.operators.timeseries import q_ts_stl
+
+    daily = defaultdict(int)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.ts.date()] += int(round(r.value * 100))
+    days = sorted(daily)
+    rows = q_ts_stl(spark, sf_dir).collect()
+    assert len(rows) == len(days)
+    for i, r in enumerate(rows):
+        assert r.day.date() == days[i]
+        assert abs(r.volume - daily[days[i]] / 100.0) < 1e-9
+        lo, hi = max(0, i - 3), min(len(days), i + 4)
+        win = [daily[days[j]] for j in range(lo, hi)]
+        assert abs(r.trend - sum(win) / len(win) / 100) < 1e-3
+        assert (
+            abs(r.volume - (r.trend + r.seasonal + r.residual)) < 5e-4
+        )
+
+
+def test_theilsen_matches_python_median_of_slopes(spark, sf_dir):
+    """Recompute the pairwise-slope median (and the intercept median)
+    in pure Python with the statistics module."""
+    import statistics
+
+    from polybot_data_etl_spark.operators.timeseries import q_ts_theilsen
+
+    daily = defaultdict(int)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.ts.date()] += int(round(r.value * 100))
+    vols = [daily[d] for d in sorted(daily)]
+    n = len(vols)
+    slopes = [
+        (vols[j] - vols[i]) / (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    slope = statistics.median(slopes)
+    icpt = statistics.median(
+        [vols[i] - slope * (i + 1) for i in range(n)]
+    )
+    [row] = q_ts_theilsen(spark, sf_dir).collect()
+    assert row.n_days == n
+    assert row.n_pairs == len(slopes)
+    assert abs(row.sen_slope - slope / 100) < 1e-3
+    assert abs(row.sen_intercept - icpt / 100) < 1e-3
