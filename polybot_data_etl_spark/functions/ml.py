@@ -1057,3 +1057,101 @@ def q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hit_at_3"),
     )
+
+
+@register(
+    "q_ml_brier",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    b AS (
+        SELECT least(floor(score * 10), 9) AS bucket,
+               count(*) AS n,
+               round(avg(score) + 1e-11, 6) AS sbar,
+               round(avg(CASE WHEN truth THEN 1e0 ELSE 0e0 END) + 1e-11, 6)
+                   AS ybar
+        FROM s GROUP BY 1
+    ),
+    g AS (
+        SELECT sum(n) AS nt, sum(n * ybar) / sum(n) AS ybar_g FROM b
+    ),
+    raw AS (
+        SELECT avg((score - CASE WHEN truth THEN 1e0 ELSE 0e0 END)
+                   * (score - CASE WHEN truth THEN 1e0 ELSE 0e0 END))
+                   AS brier
+        FROM s
+    )
+    SELECT CAST(g.nt AS BIGINT) AS n,
+           round(raw.brier + 1e-9, 4) AS brier,
+           round(sum(b.n * (b.sbar - b.ybar) * (b.sbar - b.ybar)) / g.nt
+                 + 1e-9, 4) AS reliability,
+           round(sum(b.n * (b.ybar - g.ybar_g) * (b.ybar - g.ybar_g)) / g.nt
+                 + 1e-9, 4) AS resolution,
+           round(g.ybar_g * (1 - g.ybar_g) + 1e-9, 4) AS uncertainty
+    FROM b CROSS JOIN g CROSS JOIN raw
+    GROUP BY g.nt, raw.brier, g.ybar_g
+    """,
+)
+def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition: overall mean squared
+    probability error plus its reliability (calibration gap) /
+    resolution (sharpness) / uncertainty (base-rate variance) split
+    over the q_ml_calibration decile bins — brier ≈ reliability −
+    resolution + uncertainty up to within-bin variance, the standard
+    probabilistic-forecast quality readout.
+
+    Determinism: bucket membership is integer bucketing of the exact
+    4-dp scores (q_ml_calibration); bin means re-round to 6 dp before
+    the squared-gap algebra (inside-iteration policy), which then runs
+    on the ≤10-row bin frame; 4-dp +1e-9 final rounds.
+
+    Shape: the narrow scorer feeds one map-side-combined agg to ≤10
+    bins plus one 1-row raw-Brier agg; everything downstream is on
+    bounded frames.  Two fact passes, no joins on row-count-sized
+    keys."""
+    s = _eval_scores(spark, sf_dir)
+    s = s.localCheckpoint(eager=False)
+    y = F.when(F.col("truth"), F.lit(1.0)).otherwise(F.lit(0.0))
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(9))
+    b = s.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score") + F.lit(1e-11), 6).alias("sbar"),
+        F.round(F.avg(y) + F.lit(1e-11), 6).alias("ybar"),
+    )
+    raw = s.agg(
+        F.avg((F.col("score") - y) * (F.col("score") - y)).alias("brier")
+    )
+    g = b.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("ybar")) / F.sum("n")).alias("ybar_g"),
+        F.sum(
+            F.col("n")
+            * (F.col("sbar") - F.col("ybar"))
+            * (F.col("sbar") - F.col("ybar"))
+        ).alias("rel_num"),
+    )
+    res = (
+        b.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("ybar") - F.col("ybar_g"))
+                * (F.col("ybar") - F.col("ybar_g"))
+            ).alias("res_num"),
+            F.first("nt").alias("nt"),
+            F.first("ybar_g").alias("ybar_g"),
+            F.first("rel_num").alias("rel_num"),
+        )
+    )
+    return res.crossJoin(F.broadcast(raw)).select(
+        F.col("nt").cast("bigint").alias("n"),
+        F.round(F.col("brier") + F.lit(1e-9), 4).alias("brier"),
+        F.round(F.col("rel_num") / F.col("nt") + F.lit(1e-9), 4).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_num") / F.col("nt") + F.lit(1e-9), 4).alias(
+            "resolution"
+        ),
+        F.round(
+            F.col("ybar_g") * (1 - F.col("ybar_g")) + F.lit(1e-9), 4
+        ).alias("uncertainty"),
+    )

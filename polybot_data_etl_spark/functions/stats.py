@@ -1388,3 +1388,100 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mu") - 1.96 * se + F.lit(1e-9), 4).alias("ci_lo"),
         F.round(F.col("mu") + 1.96 * se + F.lit(1e-9), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "q_stats_fdr",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, count(*) AS n, sum(value) AS sx,
+               sum(value * value) AS sxx
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT sum(sx) / sum(n) AS mu, count(*) AS k FROM m),
+    zt AS (
+        SELECT m.event_type, g.k,
+               round((sx / n - g.mu)
+                     / sqrt(((sxx - sx * sx / n) / (n - 1)) / n)
+                     + 1e-11, 6) AS z
+        FROM m CROSS JOIN g
+    ),
+    p AS (
+        SELECT event_type, k, z,
+               2 * (1 - {_phi_sql("abs(z)")}) AS pv,
+               row_number() OVER (ORDER BY 2 * (1 - {_phi_sql("abs(z)")}),
+                                  event_type) AS rnk
+        FROM zt
+    ),
+    adj AS (
+        SELECT event_type, z, pv,
+               least(min(pv * k / rnk) OVER (
+                   ORDER BY rnk
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ), 1.0) AS padj
+        FROM p
+    )
+    SELECT event_type, round(z + 1e-9, 4) AS z,
+           round(pv + 1e-9, 4) AS p_value,
+           round(padj + 1e-9, 4) AS p_adj,
+           CAST(padj < 0.05 AS BOOLEAN) AS reject
+    FROM adj
+    """,
+)
+def q_stats_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over the per-type mean tests:
+    each event type gets a one-sample z vs the global mean, then the
+    k p-values are BH-adjusted (p_adj(i) = min_{j≥i} p(j)·k/j, capped
+    at 1) — the multiple-testing guard an experimentation platform
+    applies before declaring any segment significant.
+
+    Determinism: z re-rounds to 6 dp before Φ (so both engines feed
+    the A&S polynomial identical decimals → identical p-values →
+    identical BH ranks, tie-broken by event_type); the rank and the
+    reversed running min run on the k-row frame only.
+
+    Scale: one raw-moment fact agg → k rows; every window is over the
+    bounded type frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    g = m.agg(
+        (F.sum("sx") / F.sum("n")).alias("mu"), F.count("*").alias("k")
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    zt = m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "k",
+        F.round(
+            (sx / n - F.col("mu"))
+            / F.sqrt(((sxx - sx * sx / n) / (n - 1)) / n)
+            + F.lit(1e-11),
+            6,
+        ).alias("z"),
+    )
+    pv = 2 * (1 - _phi_col(F.abs(F.col("z"))))
+    p = zt.select("event_type", "k", "z", pv.alias("pv")).withColumn(
+        "rnk", F.row_number().over(Window.orderBy("pv", "event_type"))
+    )
+    w_rev = Window.orderBy("rnk").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    adj = p.withColumn(
+        "padj",
+        F.least(
+            F.min(F.col("pv") * F.col("k") / F.col("rnk")).over(w_rev),
+            F.lit(1.0),
+        ),
+    )
+    return adj.select(
+        "event_type",
+        F.round(F.col("z") + F.lit(1e-9), 4).alias("z"),
+        F.round(F.col("pv") + F.lit(1e-9), 4).alias("p_value"),
+        F.round(F.col("padj") + F.lit(1e-9), 4).alias("p_adj"),
+        (F.col("padj") < 0.05).alias("reject"),
+    )

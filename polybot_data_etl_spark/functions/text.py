@@ -1169,3 +1169,110 @@ def q_dedup_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pair_cost"),
     )
+
+
+@register(
+    "q_text_jsd",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    cnt_st AS (
+        SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    ),
+    cnt_t AS (SELECT token, sum(c) AS ct FROM cnt_st GROUP BY token),
+    tot_s AS (SELECT source, sum(c) AS ts FROM cnt_st GROUP BY source),
+    tot AS (SELECT sum(ct) AS t FROM cnt_t),
+    srcs AS (SELECT DISTINCT source FROM cnt_st),
+    grid AS (
+        SELECT s.source, c.token, c.ct, coalesce(st.c, 0) AS cs
+        FROM srcs s
+        CROSS JOIN cnt_t c
+        LEFT JOIN cnt_st st ON st.source = s.source AND st.token = c.token
+    ),
+    terms AS (
+        SELECT g.source,
+               tot_s.ts,
+               0.5 * (CASE WHEN g.cs > 0
+                           THEN (g.cs * 1.0 / tot_s.ts)
+                                * ln((g.cs * 1.0 / tot_s.ts)
+                                     / ((g.cs * 1.0 / tot_s.ts)
+                                        + (g.ct * 1.0 / tot.t)) * 2)
+                           ELSE 0 END)
+               + 0.5 * (g.ct * 1.0 / tot.t)
+                     * ln((g.ct * 1.0 / tot.t)
+                          / ((CASE WHEN g.cs > 0
+                                   THEN g.cs * 1.0 / tot_s.ts
+                                   ELSE 0 END)
+                             + (g.ct * 1.0 / tot.t)) * 2) AS term
+        FROM grid g
+        JOIN tot_s ON tot_s.source = g.source
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(max(ts) AS BIGINT) AS n_tokens,
+           round(sum(term) + 1e-9, 4) AS jsd
+    FROM terms GROUP BY source
+    """,
+)
+def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    vs the whole corpus — the bounded symmetric drift readout (0 =
+    identical mix, ln 2 = disjoint vocabularies) a curation pipeline
+    tracks per ingest source, complementing q_mix_kl's cell-level KL
+    with token-level divergence.
+
+    JSD(P_s ‖ P_corpus) = ½ΣP_s ln(P_s/M) + ½ΣP_corpus ln(P_corpus/M),
+    M = (P_s + P_corpus)/2.  Tokens absent from a source contribute
+    only the corpus half (P_s = 0 ⇒ its term is 0 by the x·ln x → 0
+    limit), so the union-of-vocabularies sum is exactly the corpus
+    vocabulary — materialized as the |sources| × |vocab| grid (source
+    domain is bounded, so the cross is vocab-sized, never corpus-
+    sized).
+
+    Determinism: every probability is a ratio of integer counts —
+    identical doubles cross-engine — so each per-token term is
+    bit-identical; only the final Σ differs in summation order (4-dp
+    +1e-9 absorbs it).  Scale: one token explode (the corpus pass),
+    then everything is keyed on token or source; the hot cnt_t frame
+    shuffles once on token and the grid join is an equi-join on it."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    cnt_st = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    cnt_st = cnt_st.localCheckpoint(eager=False)
+    cnt_t = cnt_st.groupBy("token").agg(F.sum("c").alias("ct"))
+    tot_s = cnt_st.groupBy("source").agg(F.sum("c").alias("ts"))
+    tot = cnt_t.agg(F.sum("ct").alias("t"))
+    srcs = cnt_st.select("source").distinct()
+    grid = (
+        F.broadcast(srcs)
+        .crossJoin(cnt_t)
+        .join(cnt_st, ["source", "token"], "left")
+        .select(
+            "source", "token", "ct", F.coalesce(F.col("c"), F.lit(0)).alias("cs")
+        )
+    )
+    terms = (
+        grid.join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("cs") * 1.0 / F.col("ts")
+    q = F.col("ct") * 1.0 / F.col("t")
+    term = F.lit(0.5) * F.when(
+        F.col("cs") > 0, p * F.log(p / (p + q) * 2)
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * q * F.log(
+        q
+        / (F.when(F.col("cs") > 0, p).otherwise(F.lit(0.0)) + q)
+        * 2
+    )
+    return (
+        terms.select("source", "ts", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("ts").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("term") + F.lit(1e-9), 4).alias("jsd"),
+        )
+    )

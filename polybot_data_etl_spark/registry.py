@@ -173,6 +173,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_anova", "q_dedup_cluster_sizes", "q_embed_pq",
     "q_stats_levene", "q_stats_bootstrap", "q_basket_lift",
     "q_fn_surrogate_key", "q_ts_stl", "q_ts_theilsen",
+    "q_ml_brier", "q_stats_fdr", "q_text_jsd",
 }
 
 

@@ -175,6 +175,9 @@ _NLJ_ALLOWED = {
     "q_stats_bootstrap",  # 1-row observed-mean broadcast crossJoin
     "q_basket_lift",      # 1-row order-total broadcast crossJoin
     "q_ts_theilsen",      # bounded day-frame pair join + 1-row slope cross
+    "q_ml_brier",         # 1-row bin-summary/raw-Brier broadcast crosses
+    "q_stats_fdr",        # 1-row (mu, k) totals broadcast crossJoin
+    "q_text_jsd",         # bounded source-domain × vocab grid cross
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

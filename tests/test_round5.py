@@ -780,3 +780,93 @@ def test_theilsen_matches_python_median_of_slopes(spark, sf_dir):
     assert row.n_pairs == len(slopes)
     assert abs(row.sen_slope - slope / 100) < 1e-3
     assert abs(row.sen_intercept - icpt / 100) < 1e-3
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    """Recompute the raw Brier score in Python from the shared eval
+    scores, and check the Murphy identity: brier ≈ reliability −
+    resolution + uncertainty + within-bin score variance (the binned
+    terms must reconstruct the raw score up to the within-bin term)."""
+    from polybot_data_etl_spark.functions.ml import _eval_scores, q_ml_brier
+
+    sy = [
+        (r.score, 1.0 if r.truth else 0.0)
+        for r in _eval_scores(spark, sf_dir).collect()
+    ]
+    n = len(sy)
+    brier = sum((s - y) ** 2 for s, y in sy) / n
+    [row] = q_ml_brier(spark, sf_dir).collect()
+    assert row.n == n
+    assert abs(row.brier - brier) < 1e-3
+    assert row.uncertainty >= 0 and row.reliability >= 0
+    assert row.resolution >= 0
+    # Murphy: brier = rel - res + unc + E[within-bin var of s]
+    bins = defaultdict(list)
+    for s, y in sy:
+        bins[min(int(s * 10), 9)].append((s, y))
+    within = sum(
+        sum((s - sum(a for a, _ in v) / len(v)) ** 2 for s, _ in v)
+        for v in bins.values()
+    ) / n
+    assert (
+        abs(
+            row.brier
+            - (row.reliability - row.resolution + row.uncertainty + within)
+        )
+        < 5e-3
+    )
+
+
+def test_fdr_is_monotone_and_matches_python_bh(spark, sf_dir):
+    """BH invariants: adjusted p >= raw p, adjusted p is monotone in
+    the raw-p order, and the values match a Python BH recompute from
+    the operator's own raw p-values."""
+    from polybot_data_etl_spark.functions.stats import q_stats_fdr
+
+    rows = q_stats_fdr(spark, sf_dir).collect()
+    k = len(rows)
+    ordered = sorted(rows, key=lambda r: (r.p_value, r.event_type))
+    prev = None
+    for i, r in enumerate(ordered, start=1):
+        assert r.p_adj >= r.p_value - 1e-9
+        assert r.p_adj <= 1.0 + 1e-9
+        if prev is not None:
+            assert r.p_adj >= prev - 1e-9  # monotone along the rank order
+        prev = r.p_adj
+        want = min(
+            min(x.p_value * k / j for j, x in enumerate(ordered, 1) if j >= i),
+            1.0,
+        )
+        assert abs(r.p_adj - want) < 2e-3
+        assert r.reject == (r.p_adj < 0.05)
+
+
+def test_jsd_matches_python_and_is_bounded(spark, sf_dir):
+    """Recompute per-source JSD vs the corpus unigram distribution in
+    pure Python; every value must match to the round and sit in
+    [0, ln 2]."""
+    from polybot_data_etl_spark.functions.text import q_text_jsd
+
+    cnt = defaultdict(Counter)
+    for r in table(spark, sf_dir, "documents").collect():
+        cnt[r.source].update(r.text.lower().split(" "))
+    corpus = Counter()
+    for c in cnt.values():
+        corpus.update(c)
+    tot = sum(corpus.values())
+    rows = q_text_jsd(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(cnt)
+    for r in rows:
+        c = cnt[r.source]
+        ts = sum(c.values())
+        assert r.n_tokens == ts
+        jsd = 0.0
+        for token, ct in corpus.items():
+            p = c.get(token, 0) / ts
+            q = ct / tot
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            jsd += 0.5 * q * math.log(q / m)
+        assert abs(r.jsd - jsd) < 1e-3
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
