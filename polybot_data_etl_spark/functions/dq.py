@@ -710,3 +710,99 @@ def q_dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks",
         )
     )
+
+
+@register(
+    "q_dq_fd",
+    oracle="""
+    WITH fd1 AS (
+        SELECT p_brand AS lhs, count(DISTINCT p_type) AS d
+        FROM part GROUP BY p_brand
+    ),
+    fd2 AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS lhs,
+               count(DISTINCT o_orderpriority) AS d
+        FROM orders GROUP BY o_custkey
+    ),
+    fd3 AS (
+        SELECT CAST(n_nationkey AS VARCHAR) AS lhs,
+               count(DISTINCT n_regionkey) AS d
+        FROM nation GROUP BY n_nationkey
+    ),
+    audits AS (
+        SELECT 'part.p_brand->p_type' AS fd, * FROM fd1
+        UNION ALL
+        SELECT 'orders.o_custkey->o_orderpriority' AS fd, * FROM fd2
+        UNION ALL
+        SELECT 'nation.n_nationkey->n_regionkey' AS fd, * FROM fd3
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST(max(d) AS BIGINT) AS max_rhs,
+           round(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) * 1e0 / count(*)
+                 + 1e-9, 4) AS violation_rate,
+           CAST(max(d) = 1 AS BOOLEAN) AS holds
+    FROM audits GROUP BY fd
+    """,
+)
+def q_dq_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared candidate FD
+    A → B, how many A-values map to more than one B (profiling-style
+    FD discovery restricted to a declared candidate list — the TANE
+    per-candidate check as one distinct-count aggregation each).
+    Three audits spanning hold/violate cases: a true key FD
+    (n_nationkey → n_regionkey), a violated business rule
+    (o_custkey → o_orderpriority), and a violated catalog rule
+    (p_brand → p_type).
+
+    Shape per FD: one groupBy(lhs).agg(countDistinct(rhs)) — a
+    two-stage partial-distinct agg whose shuffle carries (lhs, rhs)
+    pairs, deduplicated map-side — then a k-row reduce; the three
+    audits union into one plan.  At 100 TB each audit is one pass of
+    the column pair, and the candidate list (not the data) bounds the
+    number of passes."""
+    def audit(df: DataFrame, fd: str, lhs: str, rhs: str) -> DataFrame:
+        per = df.groupBy(F.col(lhs).cast("string").alias("lhs")).agg(
+            F.countDistinct(rhs).alias("d")
+        )
+        return per.agg(
+            F.lit(fd).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("d").cast("bigint").alias("max_rhs"),
+            F.round(
+                F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            ).alias("violation_rate"),
+            (F.max("d") == 1).alias("holds"),
+        ).select(
+            "fd", "n_lhs", "n_violating", "max_rhs", "violation_rate",
+            "holds",
+        )
+
+    return (
+        audit(
+            table(spark, sf_dir, "part"),
+            "part.p_brand->p_type", "p_brand", "p_type",
+        )
+        .unionByName(
+            audit(
+                table(spark, sf_dir, "orders"),
+                "orders.o_custkey->o_orderpriority",
+                "o_custkey", "o_orderpriority",
+            )
+        )
+        .unionByName(
+            audit(
+                table(spark, sf_dir, "nation"),
+                "nation.n_nationkey->n_regionkey",
+                "n_nationkey", "n_regionkey",
+            )
+        )
+    )

@@ -760,3 +760,87 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(segs).cast("bigint").alias("n_segments"),
         )
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           bool_and(c.c_acctbal > 0) AS all_positive,
+           bool_or(c.c_acctbal < 0) AS any_negative,
+           CAST(count(*) FILTER (WHERE c.c_acctbal > 5000) AS BIGINT)
+               AS n_high,
+           bool_and(c.c_mktsegment IS NOT NULL) AS segment_complete
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: BOOL_AND / BOOL_OR / COUNT FILTER
+    per nation — the predicate-rollup forms (does EVERY customer have
+    a positive balance? does ANY have a negative one?) that back
+    assertion-style data checks.
+
+    All three are algebraic single-bit accumulators — map-side
+    combined, shuffle carries one partial row per (nation, partition).
+    The dim join broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(
+            F.broadcast(n),
+            c["c_nationkey"] == n["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+            F.count_if(F.col("c_acctbal") > 5000)
+            .cast("bigint")
+            .alias("n_high"),
+            F.bool_and(F.col("c_mktsegment").isNotNull()).alias(
+                "segment_complete"
+            ),
+        )
+    )
+
+
+@register(
+    "q_agg_means",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pos,
+           round(sum(value) / count(*) + 1e-9, 4) AS mean_arith,
+           round(exp(sum(ln(value)) / count(*)) + 1e-9, 4) AS mean_geo,
+           round(count(*) / sum(1.0 / value) + 1e-9, 4) AS mean_harm
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pythagorean-means surface per event type: arithmetic, geometric
+    (exp of the log-mean — the right average for ratios/growth
+    factors), and harmonic (the right average for rates/latencies)
+    over positive values.  mean_harm ≤ mean_geo ≤ mean_arith by AM-GM
+    — asserted in tests.
+
+    One filtered map-side-combined agg: the three means are all
+    algebraic over (n, Σx, Σ ln x, Σ 1/x) partials — one fact pass, a
+    k-row result.  Rounds 4-dp +1e-9 (log/reciprocal sums are the
+    usual order-sensitive doubles)."""
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pos"),
+        F.round(F.sum("value") / F.count("*") + F.lit(1e-9), 4).alias(
+            "mean_arith"
+        ),
+        F.round(
+            F.exp(F.sum(F.log("value")) / F.count("*")) + F.lit(1e-9), 4
+        ).alias("mean_geo"),
+        F.round(
+            F.count("*") / F.sum(F.lit(1.0) / F.col("value")) + F.lit(1e-9),
+            4,
+        ).alias("mean_harm"),
+    )

@@ -2210,3 +2210,126 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("msl") / 100 + F.lit(1e-9), 4).alias("sen_slope"),
         F.round(F.col("icpt") / 100 + F.lit(1e-9), 4).alias("sen_intercept"),
     )
+
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+               sum(cast(round(value * 100) AS BIGINT)) AS vc
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type,
+               round(avg(vc) + 1e-11, 6) AS mu,
+               round(sqrt(avg(vc * vc) - avg(vc) * avg(vc)) + 1e-11, 6)
+                   AS sd
+        FROM daily GROUP BY event_type
+    ),
+    z AS (
+        SELECT d.event_type, d.day,
+               round((d.vc - st.mu) / st.sd + 1e-11, 6) AS z
+        FROM daily d JOIN st ON st.event_type = d.event_type
+    ),
+    p AS (
+        SELECT event_type, day,
+               sum(z - 0.5) OVER w AS pp,
+               sum(z + 0.5) OVER w AS qq
+        FROM z
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, day,
+               pp - least(0, min(pp) OVER w) AS s_hi,
+               greatest(0, max(qq) OVER w) - qq AS s_lo
+        FROM p
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN s_hi > 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_high,
+           CAST(sum(CASE WHEN s_lo > 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_low,
+           round(max(s_hi) + 1e-9, 4) AS max_cusum_high,
+           round(max(s_lo) + 1e-9, 4) AS max_cusum_low
+    FROM s GROUP BY event_type
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart per event type over the daily volume curve
+    (Page's sequential drift detector — catches small sustained mean
+    shifts that q_ts_anomaly's pointwise z-scores miss): upper/lower
+    cumulative sums with slack k = 0.5σ, alarm threshold h = 4σ.
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t-1} + z_t − k) is not a
+    windowed aggregate — it is rewritten by the reflection identity
+    S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    (z − k) (and symmetrically for S⁻ via the running max of z + k),
+    turning the sequential max-recursion into two stock window
+    functions that parallelize per type.
+
+    Determinism: exact integer-cents daily volumes; per-type mean/sd
+    and the z-scores re-round to 6 dp (inside-iteration policy), so
+    the running sums fold identical decimals; 4-dp +1e-9 final round.
+    Scale: one fact agg → all windows on the bounded per-type day
+    frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+    st = daily.groupBy("event_type").agg(
+        F.round(F.avg("vc") + F.lit(1e-11), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.avg(F.col("vc") * F.col("vc"))
+                - F.avg("vc") * F.avg("vc")
+            )
+            + F.lit(1e-11),
+            6,
+        ).alias("sd"),
+    )
+    z = daily.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "day",
+        F.round(
+            (F.col("vc") - F.col("mu")) / F.col("sd") + F.lit(1e-11), 6
+        ).alias("z"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = z.select(
+        "event_type",
+        "day",
+        F.sum(F.col("z") - 0.5).over(w).alias("pp"),
+        F.sum(F.col("z") + 0.5).over(w).alias("qq"),
+    )
+    s = p.select(
+        "event_type",
+        "day",
+        (F.col("pp") - F.least(F.lit(0.0), F.min("pp").over(w))).alias(
+            "s_hi"
+        ),
+        (F.greatest(F.lit(0.0), F.max("qq").over(w)) - F.col("qq")).alias(
+            "s_lo"
+        ),
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("s_hi") > 4, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarm_high"),
+        F.sum(F.when(F.col("s_lo") > 4, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_alarm_low"),
+        F.round(F.max("s_hi") + F.lit(1e-9), 4).alias("max_cusum_high"),
+        F.round(F.max("s_lo") + F.lit(1e-9), 4).alias("max_cusum_low"),
+    )

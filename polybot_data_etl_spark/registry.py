@@ -174,6 +174,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_levene", "q_stats_bootstrap", "q_basket_lift",
     "q_fn_surrogate_key", "q_ts_stl", "q_ts_theilsen",
     "q_ml_brier", "q_stats_fdr", "q_text_jsd",
+    "q_dq_fd", "q_agg_bool", "q_agg_means", "q_ts_cusum",
 }
 
 

@@ -870,3 +870,129 @@ def test_jsd_matches_python_and_is_bounded(spark, sf_dir):
             jsd += 0.5 * q * math.log(q / m)
         assert abs(r.jsd - jsd) < 1e-3
         assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_fd_audit_matches_python(spark, sf_dir):
+    """Recompute every declared FD audit with Python dicts."""
+    from polybot_data_etl_spark.functions.dq import q_dq_fd
+
+    def audit(rows, lhs, rhs):
+        m = defaultdict(set)
+        for r in rows:
+            m[str(r[lhs])].add(r[rhs])
+        viol = sum(1 for v in m.values() if len(v) > 1)
+        return (
+            len(m),
+            viol,
+            max(len(v) for v in m.values()),
+            round(viol / len(m) + 1e-9, 4),
+        )
+
+    want = {
+        "part.p_brand->p_type": audit(
+            table(spark, sf_dir, "part").collect(), "p_brand", "p_type"
+        ),
+        "orders.o_custkey->o_orderpriority": audit(
+            table(spark, sf_dir, "orders").collect(),
+            "o_custkey", "o_orderpriority",
+        ),
+        "nation.n_nationkey->n_regionkey": audit(
+            table(spark, sf_dir, "nation").collect(),
+            "n_nationkey", "n_regionkey",
+        ),
+    }
+    rows = q_dq_fd(spark, sf_dir).collect()
+    assert {r.fd for r in rows} == set(want)
+    for r in rows:
+        n_lhs, viol, mx, rate = want[r.fd]
+        assert (r.n_lhs, r.n_violating, r.max_rhs) == (n_lhs, viol, mx)
+        assert abs(r.violation_rate - rate) < 1e-9
+        assert r.holds == (mx == 1)
+    # the key FD must hold; the business-rule FDs must not (fixtures
+    # have multi-order customers with varying priorities)
+    by = {r.fd: r for r in rows}
+    assert by["nation.n_nationkey->n_regionkey"].holds
+
+
+def test_bool_aggs_match_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.aggregates import q_agg_bool
+
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in table(spark, sf_dir, "nation").collect()
+    }
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "customer").collect():
+        per[nations[r.c_nationkey]].append(r)
+    rows = q_agg_bool(spark, sf_dir).collect()
+    assert {r.n_name for r in rows} == set(per)
+    for r in rows:
+        cs = per[r.n_name]
+        assert r.n_cust == len(cs)
+        assert r.all_positive == all(c.c_acctbal > 0 for c in cs)
+        assert r.any_negative == any(c.c_acctbal < 0 for c in cs)
+        assert r.n_high == sum(1 for c in cs if c.c_acctbal > 5000)
+        assert r.segment_complete
+
+
+def test_pythagorean_means_ordering_and_values(spark, sf_dir):
+    """AM-GM-HM inequality must hold per type, and each mean must
+    match a Python recompute."""
+    from polybot_data_etl_spark.operators.aggregates import q_agg_means
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        if r.value > 0:
+            per[r.event_type].append(r.value)
+    rows = q_agg_means(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(per)
+    for r in rows:
+        v = per[r.event_type]
+        assert r.n_pos == len(v)
+        assert abs(r.mean_arith - sum(v) / len(v)) < 1e-3
+        assert (
+            abs(
+                r.mean_geo
+                - math.exp(sum(math.log(x) for x in v) / len(v))
+            )
+            < 1e-3
+        )
+        assert abs(r.mean_harm - len(v) / sum(1 / x for x in v)) < 1e-3
+        assert r.mean_harm <= r.mean_geo + 1e-9 <= r.mean_arith + 2e-9
+
+
+def test_cusum_reflection_identity_matches_recursion(spark, sf_dir):
+    """The windowed reflection form must equal the textbook recursion
+    S+_t = max(0, S+_{t-1} + z_t - k) replayed in Python."""
+    from polybot_data_etl_spark.operators.timeseries import q_ts_cusum
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()] += int(round(r.value * 100))
+    rows = q_ts_cusum(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(daily)
+    for r in rows:
+        vols = [daily[r.event_type][d] for d in sorted(daily[r.event_type])]
+        n = len(vols)
+        mu = round(sum(vols) / n + 1e-11, 6)
+        sd = round(
+            math.sqrt(sum(v * v for v in vols) / n - (sum(vols) / n) ** 2)
+            + 1e-11,
+            6,
+        )
+        zs = [round((v - mu) / sd + 1e-11, 6) for v in vols]
+        s_hi = s_lo = 0.0
+        hi_alarms = lo_alarms = 0
+        mx_hi = mx_lo = 0.0
+        for z in zs:
+            s_hi = max(0.0, s_hi + z - 0.5)
+            s_lo = max(0.0, s_lo - z - 0.5)
+            hi_alarms += s_hi > 4
+            lo_alarms += s_lo > 4
+            mx_hi = max(mx_hi, s_hi)
+            mx_lo = max(mx_lo, s_lo)
+        assert r.n_days == n
+        assert r.n_alarm_high == hi_alarms
+        assert r.n_alarm_low == lo_alarms
+        assert abs(r.max_cusum_high - mx_hi) < 1e-3
+        assert abs(r.max_cusum_low - mx_lo) < 1e-3
