@@ -545,8 +545,10 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(p.thr, 1) AS threshold,
            CAST(coalesce(p.tp, 0) AS BIGINT) AS tp,
            CAST(coalesce(p.pp, 0) AS BIGINT) AS pred_pos,
-           round(p.tp * 1e0 / nullif(p.pp, 0) + 1e-9, 4) AS precision_,
-           round(p.tp * 1e0 / nullif(tot.ap, 0) + 1e-9, 4) AS recall_
+           round(coalesce(p.tp, 0) * 1e0 / nullif(p.pp, 0) + 1e-9, 4)
+               AS precision_,
+           round(coalesce(p.tp, 0) * 1e0 / nullif(tot.ap, 0) + 1e-9, 4)
+               AS recall_
     FROM pts p, tot
     """,
 )
@@ -584,10 +586,16 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
         F.coalesce(F.col("pp"), F.lit(0)).cast("bigint").alias("pred_pos"),
         F.round(
-            F.col("tp") / F.nullif(F.col("pp"), F.lit(0)) + F.lit(1e-9), 4
+            F.coalesce(F.col("tp"), F.lit(0))
+            / F.nullif(F.col("pp"), F.lit(0))
+            + F.lit(1e-9),
+            4,
         ).alias("precision_"),
         F.round(
-            F.col("tp") / F.nullif(F.col("ap"), F.lit(0)) + F.lit(1e-9), 4
+            F.coalesce(F.col("tp"), F.lit(0))
+            / F.nullif(F.col("ap"), F.lit(0))
+            + F.lit(1e-9),
+            4,
         ).alias("recall_"),
     )
 
@@ -1154,4 +1162,69 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("ybar_g") * (1 - F.col("ybar_g")) + F.lit(1e-9), 4
         ).alias("uncertainty"),
+    )
+
+
+@register(
+    "q_ml_mcc",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    c AS (
+        SELECT sum(CASE WHEN score >= 5e-1 AND truth THEN 1 ELSE 0 END)
+                   AS tp,
+               sum(CASE WHEN score >= 5e-1 AND NOT truth THEN 1 ELSE 0 END)
+                   AS fp,
+               sum(CASE WHEN score < 5e-1 AND truth THEN 1 ELSE 0 END)
+                   AS fn,
+               sum(CASE WHEN score < 5e-1 AND NOT truth THEN 1 ELSE 0 END)
+                   AS tn
+        FROM s
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round((tp * tn - fp * fn)
+                 / sqrt((tp + fp)::DOUBLE * (tp + fn) * (tn + fp)
+                        * (tn + fn)) + 1e-9, 4) AS mcc,
+           round((tp * 1e0 / (tp + fn) + tn * 1e0 / (tn + fp)) / 2
+                 + 1e-9, 4) AS balanced_acc,
+           round(tp * 1e0 / (tp + fn) + tn * 1e0 / (tn + fp) - 1
+                 + 1e-9, 4) AS youden_j
+    FROM c
+    """,
+)
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient + balanced accuracy + Youden's
+    J at the 0.5 threshold — the class-imbalance-robust single-number
+    summaries q_ml_confusion's raw counts feed (MCC is the φ
+    coefficient of the 2×2 table; chance level is 0 even at 99:1
+    imbalance, unlike accuracy).
+
+    All three derive from the same ONE-pass conditional-count agg
+    (integer counts → exact products, one sqrt); 1-row output."""
+    s = _eval_scores(spark, sf_dir)
+    pos = F.col("score") >= 0.5
+    c = s.agg(
+        F.sum(F.when(pos & F.col("truth"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pos & ~F.col("truth"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pos & F.col("truth"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~pos & ~F.col("truth"), 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    tpr = tp * 1.0 / (tp + fn)
+    tnr = tn * 1.0 / (tn + fp)
+    return c.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt(
+                (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("mcc"),
+        F.round((tpr + tnr) / 2 + F.lit(1e-9), 4).alias("balanced_acc"),
+        F.round(tpr + tnr - 1 + F.lit(1e-9), 4).alias("youden_j"),
     )

@@ -684,3 +684,48 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint"), 0
         ).alias("cents_grouped"),
     )
+
+
+@register(
+    "q_fn_rounding",
+    oracle="""
+    SELECT x,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(x + 0.5) AS DOUBLE) AS half_up,
+           CAST(round_even(x, 0) AS DOUBLE) AS bankers,
+           CAST(floor(x) AS DOUBLE) AS floor_x,
+           CAST(ceil(x) AS DOUBLE) AS ceil_x,
+           CAST(trunc(x) AS DOUBLE) AS trunc_x
+    FROM (SELECT (o_orderkey % 1000) / 4.0 AS x FROM orders)
+    GROUP BY x
+    """,
+)
+def q_fn_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode surface: HALF_UP vs banker's HALF_EVEN vs
+    floor/ceil/trunc on an exact quarter-step grid (x = k/4 — .0 .25
+    .5 .75 are exact binary doubles, so every tie is a TRUE tie and
+    the modes genuinely diverge at .5 instead of depending on decimal
+    representation error — the q_fn_format lesson applied to rounding).
+    half_up is spelled floor(2x+0.5)/2-style portably because Spark's
+    round() is HALF_UP on doubles while DuckDB's is half-away-from-zero
+    (equal on the nonneg grid, but the explicit form documents the
+    contract); banker's uses Spark bround ↔ DuckDB round_even.
+
+    Shape: a pure scan-side projection + one map-side-combined agg on
+    the ≤1000-value grid."""
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("o_orderkey") % 1000) / 4.0
+    return (
+        o.select(x.alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "x",
+            "n",
+            F.floor(F.col("x") + 0.5).cast("double").alias("half_up"),
+            F.bround(F.col("x"), 0).cast("double").alias("bankers"),
+            F.floor("x").cast("double").alias("floor_x"),
+            F.ceil("x").cast("double").alias("ceil_x"),
+            F.col("x").cast("bigint").cast("double").alias("trunc_x"),
+        )
+    )

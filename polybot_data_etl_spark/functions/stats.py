@@ -1485,3 +1485,108 @@ def q_stats_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("padj") + F.lit(1e-9), 4).alias("p_adj"),
         (F.col("padj") < 0.05).alias("reject"),
     )
+
+
+@register(
+    "q_stats_tost",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, count(*) AS n, sum(value) AS sx,
+               sum(value * value) AS sxx
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n, sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) AS var
+        FROM m
+    ),
+    w AS (
+        SELECT a.n AS na, b.n AS nb, a.mean AS ma, b.mean AS mb,
+               0.1 * abs((a.mean + b.mean) / 2) AS delta,
+               sqrt(a.var / a.n + b.var / b.n) AS se
+        FROM (SELECT * FROM s WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM s WHERE event_type = 'view') b
+    ),
+    z AS (
+        SELECT na, nb, ma, mb, delta,
+               round((ma - mb + delta) / se + 1e-11, 6) AS z_low,
+               round((ma - mb - delta) / se + 1e-11, 6) AS z_high
+        FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+           round(ma - mb + 1e-9, 4) AS diff,
+           round(delta + 1e-9, 4) AS margin,
+           round(z_low + 1e-9, 4) AS z_low,
+           round(z_high + 1e-9, 4) AS z_high,
+           round(greatest(1 - {_phi_sql("z_low")}, {_phi_sql("z_high")})
+                 + 1e-9, 4) AS p_tost,
+           CAST(greatest(1 - {_phi_sql("z_low")}, {_phi_sql("z_high")})
+                < 0.05 AS BOOLEAN) AS equivalent
+    FROM z
+    """,
+)
+def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests): are click and view
+    mean values equivalent within a ±10%-of-grand-mean margin? — the
+    inverse question of q_stats_ttest (failing to reject H0 is NOT
+    evidence of equivalence; TOST is).  p = max(P(diff ≤ −δ rejected),
+    P(diff ≥ +δ rejected)) via the shared Φ polynomial.
+
+    Determinism: the q_stats_ttest raw-moment route to means/variances,
+    z statistics re-rounded 6-dp before Φ; all algebra on the 1-row
+    cross of the two group summaries."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select(
+        "event_type",
+        n,
+        (sx / n).alias("mean"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var"),
+    ).localCheckpoint(eager=False)
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("na"), F.col("mean").alias("ma"),
+        F.col("var").alias("va"),
+    )
+    b = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("nb"), F.col("mean").alias("mb"),
+        F.col("var").alias("vb"),
+    )
+    w = a.crossJoin(b).select(
+        "na", "nb", "ma", "mb",
+        (F.lit(0.1) * F.abs((F.col("ma") + F.col("mb")) / 2)).alias("delta"),
+        F.sqrt(
+            F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+        ).alias("se"),
+    )
+    z = w.select(
+        "na", "nb", "ma", "mb", "delta",
+        F.round(
+            (F.col("ma") - F.col("mb") + F.col("delta")) / F.col("se")
+            + F.lit(1e-11), 6,
+        ).alias("z_low"),
+        F.round(
+            (F.col("ma") - F.col("mb") - F.col("delta")) / F.col("se")
+            + F.lit(1e-11), 6,
+        ).alias("z_high"),
+    )
+    p_tost = F.greatest(
+        1 - _phi_col(F.col("z_low")), _phi_col(F.col("z_high"))
+    )
+    return z.select(
+        F.col("na").cast("bigint").alias("n_click"),
+        F.col("nb").cast("bigint").alias("n_view"),
+        F.round(F.col("ma") - F.col("mb") + F.lit(1e-9), 4).alias("diff"),
+        F.round(F.col("delta") + F.lit(1e-9), 4).alias("margin"),
+        F.round(F.col("z_low") + F.lit(1e-9), 4).alias("z_low"),
+        F.round(F.col("z_high") + F.lit(1e-9), 4).alias("z_high"),
+        F.round(p_tost + F.lit(1e-9), 4).alias("p_tost"),
+        (p_tost < 0.05).alias("equivalent"),
+    )

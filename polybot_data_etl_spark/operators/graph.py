@@ -308,3 +308,80 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "q_graph_two_hop",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    one AS (SELECT src, count(*) AS n_1hop FROM edges GROUP BY src),
+    two AS (
+        SELECT a.src, count(DISTINCT b.dst) AS n_2hop
+        FROM edges a JOIN edges b ON b.src = a.dst
+        WHERE b.dst <> a.src
+        GROUP BY a.src
+    )
+    SELECT n.n_name,
+           CAST(coalesce(one.n_1hop, 0) AS BIGINT) AS n_1hop,
+           CAST(coalesce(two.n_2hop, 0) AS BIGINT) AS n_2hop
+    FROM nation n
+    LEFT JOIN one ON one.src = n.n_nationkey
+    LEFT JOIN two ON two.src = n.n_nationkey
+    """,
+)
+def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability profile of the nation trade graph: per
+    nation, the count of direct trade partners and of distinct
+    partners-of-partners (excluding self) — the neighborhood-expansion
+    read feeding friend-of-friend recommendations and influence-radius
+    estimates.
+
+    Shape: the edge list is DISTINCT (src, dst) — the four-way
+    relational join collapses to ≤|nations|² rows map-side before any
+    graph work, so the 2-hop self-join and both distinct-count aggs
+    run on a dimension-bounded frame; at 100 TB only the edge
+    extraction touches facts (one pass).  Oracle: identical edge CTE +
+    self-join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)
+    one = edges.groupBy(F.col("src").alias("src1")).agg(
+        F.count("*").alias("n_1hop")
+    )
+    b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    two = (
+        edges.join(b, edges["dst"] == b["mid"])
+        .filter(F.col("dst2") != F.col("src"))
+        .groupBy(F.col("src").alias("src2"))
+        .agg(F.countDistinct("dst2").alias("n_2hop"))
+    )
+    return (
+        n.join(one, n["n_nationkey"] == one["src1"], "left")
+        .join(two, n["n_nationkey"] == two["src2"], "left")
+        .select(
+            "n_name",
+            F.coalesce("n_1hop", F.lit(0)).cast("bigint").alias("n_1hop"),
+            F.coalesce("n_2hop", F.lit(0)).cast("bigint").alias("n_2hop"),
+        )
+    )

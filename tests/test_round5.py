@@ -996,3 +996,106 @@ def test_cusum_reflection_identity_matches_recursion(spark, sf_dir):
         assert r.n_alarm_low == lo_alarms
         assert abs(r.max_cusum_high - mx_hi) < 1e-3
         assert abs(r.max_cusum_low - mx_lo) < 1e-3
+
+
+def test_two_hop_matches_python_bfs(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import q_graph_two_hop
+
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    cust_nat = {
+        r.c_custkey: r.c_nationkey
+        for r in table(spark, sf_dir, "customer").collect()
+    }
+    supp_nat = {
+        r.s_suppkey: r.s_nationkey
+        for r in table(spark, sf_dir, "supplier").collect()
+    }
+    edges = set()
+    for r in table(spark, sf_dir, "lineitem").collect():
+        src = cust_nat[orders[r.l_orderkey]]
+        dst = supp_nat[r.l_suppkey]
+        if src != dst:
+            edges.add((src, dst))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+    names = {
+        r.n_nationkey: r.n_name
+        for r in table(spark, sf_dir, "nation").collect()
+    }
+    rows = {r.n_name: r for r in q_graph_two_hop(spark, sf_dir).collect()}
+    assert set(rows) == set(names.values())
+    for nk, name in names.items():
+        two = {d2 for d in adj[nk] for d2 in adj[d] if d2 != nk}
+        assert rows[name].n_1hop == len(adj[nk])
+        assert rows[name].n_2hop == len(two)
+
+
+def test_mcc_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import _eval_scores, q_ml_mcc
+
+    tp = fp = fn = tn = 0
+    for r in _eval_scores(spark, sf_dir).collect():
+        pos = r.score >= 0.5
+        if pos and r.truth:
+            tp += 1
+        elif pos:
+            fp += 1
+        elif r.truth:
+            fn += 1
+        else:
+            tn += 1
+    [row] = q_ml_mcc(spark, sf_dir).collect()
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    tpr, tnr = tp / (tp + fn), tn / (tn + fp)
+    assert abs(row.mcc - mcc) < 1e-3
+    assert abs(row.balanced_acc - (tpr + tnr) / 2) < 1e-3
+    assert abs(row.youden_j - (tpr + tnr - 1)) < 1e-3
+    assert -1 <= row.mcc <= 1
+
+
+def test_tost_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_tost
+
+    groups = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type in ("click", "view"):
+            groups[r.event_type].append(r.value)
+    a, b = groups["click"], groups["view"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    delta = 0.1 * abs((ma + mb) / 2)
+    se = math.sqrt(va / len(a) + vb / len(b))
+    phi = lambda z: 0.5 * (1 + math.erf(z / math.sqrt(2)))
+    p = max(1 - phi((ma - mb + delta) / se), phi((ma - mb - delta) / se))
+    [row] = q_stats_tost(spark, sf_dir).collect()
+    assert row.n_click == len(a) and row.n_view == len(b)
+    assert abs(row.diff - (ma - mb)) < 1e-3
+    assert abs(row.margin - delta) < 1e-3
+    assert abs(row.p_tost - p) < 1e-3  # A&S poly error << tolerance
+    assert row.equivalent == (row.p_tost < 0.05)
+
+
+def test_rounding_modes_diverge_exactly_at_half(spark, sf_dir):
+    from polybot_data_etl_spark.functions.scalar import q_fn_rounding
+
+    rows = q_fn_rounding(spark, sf_dir).collect()
+    halves = [r for r in rows if r.x % 1 == 0.5]
+    assert halves, "grid must contain true .5 ties"
+    for r in rows:
+        assert r.half_up == math.floor(r.x + 0.5)
+        # banker's: ties to even
+        if r.x % 1 == 0.5:
+            lo = math.floor(r.x)
+            assert r.bankers == (lo if lo % 2 == 0 else lo + 1)
+            assert r.half_up == r.bankers + (1 if lo % 2 == 0 else 0)
+        assert r.floor_x == math.floor(r.x)
+        assert r.ceil_x == math.ceil(r.x)
+        assert r.trunc_x == math.trunc(r.x)
