@@ -1214,3 +1214,72 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub", "code")
     )
+
+
+def _exact_topk_oracle() -> str:
+    return """
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 10
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY round(list_inner_product(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) DESC,
+                 b.vec_id
+    ) <= 5
+    """
+
+
+@register(
+    "q_embed_recall_at_k",
+    oracle=f"""
+    WITH ann AS ({_ann_oracle()}),
+    exact AS ({_exact_topk_oracle()})
+    SELECT e.probe_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) * 1e0 / count(*) + 1e-9, 4)
+               AS recall_at_5
+    FROM exact e
+    LEFT JOIN ann a
+      ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.probe_id
+    """,
+)
+def q_embed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the hyperplane-LSH index
+    (q_sim_topk_lsh) against the exact brute-force top-5 (q_sim_topk),
+    per probe — THE tuning readout for an approximate index (how many
+    true neighbors does each probe's bucketed candidate set recover?).
+    In production this runs on a probe sample after every band/bit
+    re-tune; here the full pipeline — bucket → candidate equi-join →
+    exact re-rank → set intersection — is hash-checked end-to-end.
+
+    Shape: both sides reuse the registered ANN plans (bounded probe
+    sets, bucket equi-joins, no crossJoin on the index side); the
+    intersection is a (probe, neighbor)-keyed left join between two
+    ≤5-rows-per-probe frames, then a per-probe count — all bounded.
+    Determinism: both top-5 memberships rank on (4-dp sim, neighbor
+    id), so the intersection is exact cross-engine."""
+    exact = q_sim_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    ann = (
+        q_sim_topk_lsh(spark, sf_dir)
+        .filter(F.col("probe_id") < 10)
+        .select("probe_id", F.col("neighbor_id").alias("ann_neighbor"))
+    )
+    return (
+        exact.join(
+            ann,
+            (exact["probe_id"] == ann["probe_id"])
+            & (exact["neighbor_id"] == ann["ann_neighbor"]),
+            "left",
+        )
+        .groupBy(exact["probe_id"].alias("probe_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.count("ann_neighbor").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("ann_neighbor") / F.count("*") + F.lit(1e-9), 4
+            ).alias("recall_at_5"),
+        )
+    )

@@ -385,3 +385,103 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_2hop", F.lit(0)).cast("bigint").alias("n_2hop"),
         )
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    sym AS (
+        SELECT a AS src, b AS dst FROM e
+        UNION ALL
+        SELECT b AS src, a AS dst FROM e
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+    j AS (
+        SELECT da.d::DOUBLE AS x, db.d::DOUBLE AS y
+        FROM sym s
+        JOIN deg da ON da.node = s.src
+        JOIN deg db ON db.node = s.dst
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM j
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx)
+                               * (n * syy - sy * sy)), 0)
+                 + 1e-9, 4) AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman's r:
+    the Pearson correlation of endpoint degrees over all edge
+    orientations) — positive means popular parts co-occur with popular
+    parts, negative means hub-and-spoke; the one-number topology
+    summary next to q_graph_degree's distribution.  Runs on the same
+    25%-stratum co-purchase edge set as q_graph_triangles (the nation
+    trade graph is near-regular — degree variance ~0 makes r
+    undefined there, guarded by nullif on both engines).
+
+    Shape: one fact self-join on the basket key (bounded per-order
+    fan-out) → DISTINCT edge set → symmetric orientation union →
+    degree agg → moment reduce, all bounded by the edge count.
+    Integer moments → exact algebra → one 4-dp round."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    j = (
+        sym.join(F.broadcast(deg.withColumnsRenamed({"node": "src", "d": "x"})), "src")
+        .join(F.broadcast(deg.withColumnsRenamed({"node": "dst", "d": "y"})), "dst")
+        .select(
+            F.col("x").cast("double").alias("x"),
+            F.col("y").cast("double").alias("y"),
+        )
+    )
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.nullif(
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                F.lit(0.0),
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("assortativity"),
+    )

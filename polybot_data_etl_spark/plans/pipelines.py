@@ -737,3 +737,90 @@ def q_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kl_vs_uniform",
         "mutual_info",
     )
+
+
+def _dedup_loss_oracle() -> str:
+    from polybot_data_etl_spark.functions.dedup import _NGRAM_ORACLE
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    ),
+    toks AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
+                   AS n_tokens,
+               c.cluster_id
+        FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id = cluster_id THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           round(1 - sum(CASE WHEN doc_id = cluster_id THEN n_tokens
+                              ELSE 0 END) * 1e0 / sum(n_tokens)
+                 + 1e-9, 4) AS token_loss_rate
+    FROM toks GROUP BY lang
+    """
+
+
+@register("q_mix_dedup_loss", oracle=_dedup_loss_oracle())
+def q_mix_dedup_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact on the training mix: per language, how many
+    documents and tokens survive keep-one-per-cluster dedup (keeper =
+    the cluster's min doc_id, i.e. cluster_id == doc_id under the
+    min-label contract) — the data-card number that tells you whether
+    near-dup removal just erased 40% of a low-resource language's
+    token budget before mixture weights are chosen.
+
+    Shape: reuses q_dedup_clusters' assignment (memoized shared pair
+    frame + CC), joins it back onto the narrow (doc_id, lang,
+    token-count) projection — one corpus pass — then a k-language
+    map-side-combined agg.  The keeper predicate is a pure column
+    comparison, no extra shuffle."""
+    from polybot_data_etl_spark.functions.dedup import q_dedup_clusters
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    clusters = q_dedup_clusters(spark, sf_dir)
+    kept = F.col("doc_id") == F.col("cluster_id")
+    return (
+        d.join(clusters, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.round(
+                1
+                - F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+                / F.sum("n_tokens")
+                + F.lit(1e-9),
+                4,
+            ).alias("token_loss_rate"),
+        )
+    )

@@ -176,6 +176,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ml_brier", "q_stats_fdr", "q_text_jsd",
     "q_dq_fd", "q_agg_bool", "q_agg_means", "q_ts_cusum",
     "q_graph_two_hop", "q_ml_mcc", "q_stats_tost", "q_fn_rounding",
+    "q_embed_recall_at_k", "q_mix_dedup_loss", "q_graph_assortativity",
 }
 
 

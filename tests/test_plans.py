@@ -179,6 +179,7 @@ _NLJ_ALLOWED = {
     "q_stats_fdr",        # 1-row (mu, k) totals broadcast crossJoin
     "q_text_jsd",         # bounded source-domain × vocab grid cross
     "q_stats_tost",       # 1-row × 1-row group-summary cross (ttest shape)
+    "q_embed_recall_at_k",  # inherits q_sim_topk's probe-bounded cross
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -1099,3 +1099,96 @@ def test_rounding_modes_diverge_exactly_at_half(spark, sf_dir):
         assert r.floor_x == math.floor(r.x)
         assert r.ceil_x == math.ceil(r.x)
         assert r.trunc_x == math.trunc(r.x)
+
+
+def test_recall_at_k_matches_set_intersection(spark, sf_dir):
+    """recall@5 must equal the Python set intersection of the two
+    registered ANN/exact top-5 results, and be 1.0 whenever the LSH
+    candidate set contains all true neighbors."""
+    from polybot_data_etl_spark.functions.vectors import (
+        q_embed_recall_at_k,
+        q_sim_topk,
+        q_sim_topk_lsh,
+    )
+
+    exact = defaultdict(set)
+    for r in q_sim_topk(spark, sf_dir).collect():
+        exact[r.probe_id].add(r.neighbor_id)
+    ann = defaultdict(set)
+    for r in q_sim_topk_lsh(spark, sf_dir).collect():
+        if r.probe_id < 10:
+            ann[r.probe_id].add(r.neighbor_id)
+    rows = q_embed_recall_at_k(spark, sf_dir).collect()
+    assert {r.probe_id for r in rows} == set(exact)
+    for r in rows:
+        hits = len(exact[r.probe_id] & ann[r.probe_id])
+        assert r.n_exact == len(exact[r.probe_id])
+        assert r.n_hit == hits
+        assert abs(r.recall_at_5 - hits / r.n_exact) < 1e-9
+        assert 0 <= r.recall_at_5 <= 1
+
+
+def test_dedup_loss_conserves_tokens_and_kept_counts(spark, sf_dir):
+    """Per-lang token totals must match the corpus; keepers must be
+    exactly the cluster representatives; loss rate must be consistent."""
+    from polybot_data_etl_spark.functions.dedup import q_dedup_clusters
+    from polybot_data_etl_spark.plans.pipelines import q_mix_dedup_loss
+
+    cluster = {
+        r.doc_id: r.cluster_id
+        for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    tot = defaultdict(int)
+    kept = defaultdict(int)
+    ndocs = Counter()
+    nkept = Counter()
+    for r in table(spark, sf_dir, "documents").collect():
+        ntok = len(r.text.lower().split(" "))
+        tot[r.lang] += ntok
+        ndocs[r.lang] += 1
+        if cluster[r.doc_id] == r.doc_id:
+            kept[r.lang] += ntok
+            nkept[r.lang] += 1
+    rows = q_mix_dedup_loss(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(tot)
+    for r in rows:
+        assert r.n_docs == ndocs[r.lang]
+        assert r.n_kept == nkept[r.lang]
+        assert r.tokens_total == tot[r.lang]
+        assert r.tokens_kept == kept[r.lang]
+        assert (
+            abs(r.token_loss_rate - (1 - kept[r.lang] / tot[r.lang])) < 1e-3
+        )
+
+
+def test_assortativity_matches_python_newman_r(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import q_graph_assortativity
+
+    baskets = defaultdict(set)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_partkey % 4 == 0:
+            baskets[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1 :]:
+                edges.add((x, y))
+    deg = Counter()
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    xs, ys = [], []
+    for x, y in edges:
+        xs += [deg[x], deg[y]]
+        ys += [deg[y], deg[x]]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum(a * b for a, b in zip(xs, ys)) / n - mx * my
+    vx = sum(a * a for a in xs) / n - mx * mx
+    vy = sum(b * b for b in ys) / n - my * my
+    r_want = cov / math.sqrt(vx * vy)
+    [row] = q_graph_assortativity(spark, sf_dir).collect()
+    assert row.n_edges == len(edges)
+    assert abs(row.assortativity - r_want) < 1e-3
+    assert -1 - 1e-9 <= row.assortativity <= 1 + 1e-9
