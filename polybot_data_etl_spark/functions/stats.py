@@ -1590,3 +1590,80 @@ def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_tost + F.lit(1e-9), 4).alias("p_tost"),
         (p_tost < 0.05).alias("equivalent"),
     )
+
+
+@register(
+    "q_stats_jarque_bera",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n,
+               sum(value) AS s1, sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n,
+               s1 / n AS mu,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    ),
+    j AS (
+        SELECT event_type, n,
+               m3 / power(m2, 1.5) AS skew,
+               m4 / (m2 * m2) - 3 AS ex_kurt,
+               n / 6.0 * (power(m3 / power(m2, 1.5), 2)
+                          + power(m4 / (m2 * m2) - 3, 2) / 4) AS jb
+        FROM c
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(skew + 1e-9, 4) AS skewness,
+           round(ex_kurt + 1e-9, 4) AS ex_kurtosis,
+           round(jb + 1e-9, 4) AS jb_stat,
+           round(exp(-jb / 2) + 1e-9, 4) AS p_value,
+           CAST(exp(-jb / 2) >= 0.05 AS BOOLEAN) AS looks_normal
+    FROM j
+    """,
+)
+def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: JB =
+    n/6·(S² + K²/4) from sample skewness S and excess kurtosis K —
+    the gate check before any of the suite's normal-theory tests
+    (t/TOST/CUPED) is trusted.  The χ²(2) survival function is EXACTLY
+    exp(−JB/2) (df=2 chi-square is the exponential distribution), so
+    the p-value needs no incomplete-gamma approximation — identical
+    closed form both engines.
+
+    One raw-moment pass (n, Σx…Σx⁴) per group — map-side combined, the
+    central-moment/JB algebra on the k-row frame, 4-dp +1e-9 rounds."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    a1, a2, a3, a4 = (F.col(f"s{i}") / n for i in range(1, 5))
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1
+    skew = m3 / F.pow(m2, 1.5)
+    ex_kurt = m4 / (m2 * m2) - 3
+    jb = n / 6.0 * (F.pow(skew, 2) + F.pow(ex_kurt, 2) / 4)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(skew + F.lit(1e-9), 4).alias("skewness"),
+        F.round(ex_kurt + F.lit(1e-9), 4).alias("ex_kurtosis"),
+        F.round(jb + F.lit(1e-9), 4).alias("jb_stat"),
+        F.round(F.exp(-jb / 2) + F.lit(1e-9), 4).alias("p_value"),
+        (F.exp(-jb / 2) >= 0.05).alias("looks_normal"),
+    )

@@ -2333,3 +2333,103 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("s_hi") + F.lit(1e-9), 4).alias("max_cusum_high"),
         F.round(F.max("s_lo") + F.lit(1e-9), 4).alias("max_cusum_low"),
     )
+
+
+@register(
+    "q_ts_interval_union",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               floor(epoch(ts::TIMESTAMP))::BIGINT AS s,
+               floor(epoch(ts::TIMESTAMP))::BIGINT
+                   + 60 * (event_id % 7 + 1) AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT user_id, t, sum(delta) AS delta
+        FROM (
+            SELECT user_id, s AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT user_id, e AS t, -1 AS delta FROM iv
+        ) GROUP BY user_id, t
+    ),
+    sweep AS (
+        SELECT user_id, t,
+               sum(delta) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cov,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+        FROM pts
+    )
+    SELECT user_id,
+           CAST((SELECT count(*) FROM iv i WHERE i.user_id = sweep.user_id)
+                AS BIGINT) AS n_intervals,
+           CAST(sum(CASE WHEN cov > 0 THEN nxt - t ELSE 0 END) AS BIGINT)
+               AS covered_seconds,
+           CAST(max(cov) AS BIGINT) AS max_concurrency
+    FROM sweep GROUP BY user_id
+    """,
+)
+def q_ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user (sweep line): total wall-clock seconds
+    covered by the union of each user's activity intervals (event start
+    + a deterministic duration), plus peak overlap — the de-overlapped
+    'actual active time' metric that naive duration sums double-count
+    (billing, utilization, SLA math all need the union, not the sum).
+
+    The sweep line IS the scale algorithm: intervals explode to ±1
+    boundary points, points collapse per (user, timestamp) FIRST (so
+    tie order can never matter), one running sum gives coverage, and
+    covered length = Σ gaps where coverage > 0 via lead().  Everything
+    is keyed by user_id — high-cardinality parallel windows, no
+    interval-pair join (the O(n²) trap), one shuffle.
+
+    All-integer arithmetic (epoch seconds, ±1 deltas) — bit-exact
+    cross-engine."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts") + 60 * (F.col("event_id") % 7 + 1)
+        ).alias("e"),
+    )
+    iv = iv.localCheckpoint(eager=False)
+    pts = (
+        iv.select("user_id", F.col("s").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(
+            iv.select(
+                "user_id", F.col("e").alias("t"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("user_id", "t")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("t")
+    sweep = pts.select(
+        "user_id",
+        "t",
+        F.sum("delta").over(w).alias("cov"),
+        F.lead("t").over(wl).alias("nxt"),
+    )
+    agg = sweep.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("cov") > 0, F.col("nxt") - F.col("t")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("covered_seconds"),
+        F.max("cov").cast("bigint").alias("max_concurrency"),
+    )
+    niv = iv.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals")
+    )
+    return agg.join(niv, "user_id").select(
+        "user_id", "n_intervals", "covered_seconds", "max_concurrency"
+    )

@@ -177,6 +177,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_dq_fd", "q_agg_bool", "q_agg_means", "q_ts_cusum",
     "q_graph_two_hop", "q_ml_mcc", "q_stats_tost", "q_fn_rounding",
     "q_embed_recall_at_k", "q_mix_dedup_loss", "q_graph_assortativity",
+    "q_ts_interval_union", "q_stats_jarque_bera",
 }
 
 

@@ -1192,3 +1192,70 @@ def test_assortativity_matches_python_newman_r(spark, sf_dir):
     assert row.n_edges == len(edges)
     assert abs(row.assortativity - r_want) < 1e-3
     assert -1 - 1e-9 <= row.assortativity <= 1 + 1e-9
+
+
+def test_interval_union_matches_python_sweep(spark, sf_dir):
+    """Recompute the per-user interval union with a direct Python
+    merge-intervals pass (not the sweep formulation) — the two must
+    agree exactly; the union can never exceed the naive duration sum."""
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_interval_union,
+    )
+
+    iv = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        s = int(r.ts.timestamp())
+        iv[r.user_id].append((s, s + 60 * (r.event_id % 7 + 1)))
+    rows = q_ts_interval_union(spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(iv)
+    for r in rows:
+        spans = sorted(iv[r.user_id])
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = sum(e - s for s, e in merged)
+        naive = sum(e - s for s, e in spans)
+        # max concurrency via sweep
+        pts = sorted(
+            [(s, 1) for s, _ in spans] + [(e, -1) for _, e in spans]
+        )
+        cov = mx = 0
+        for _, d in pts:
+            cov += d
+            mx = max(mx, cov)
+        assert r.n_intervals == len(spans)
+        assert r.covered_seconds == covered
+        assert r.covered_seconds <= naive
+        assert r.max_concurrency == mx
+
+
+def test_jarque_bera_matches_python_and_detects_uniform(spark, sf_dir):
+    """Recompute JB from central moments in Python; the uniform-ish
+    `value` column must be flagged non-normal (its kurtosis is far
+    from 3) for every type at any fixture scale."""
+    from polybot_data_etl_spark.functions.stats import q_stats_jarque_bera
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    rows = q_stats_jarque_bera(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(per)
+    for r in rows:
+        v = per[r.event_type]
+        n = len(v)
+        mu = sum(v) / n
+        m2 = sum((x - mu) ** 2 for x in v) / n
+        m3 = sum((x - mu) ** 3 for x in v) / n
+        m4 = sum((x - mu) ** 4 for x in v) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3
+        jb = n / 6 * (skew**2 + kurt**2 / 4)
+        assert r.n == n
+        assert abs(r.skewness - skew) < 1e-3
+        assert abs(r.ex_kurtosis - kurt) < 1e-3
+        assert abs(r.jb_stat - jb) < max(1e-3, abs(jb) * 1e-4)
+        assert abs(r.p_value - math.exp(-jb / 2)) < 1e-3
+        assert r.looks_normal == (r.p_value >= 0.05)
