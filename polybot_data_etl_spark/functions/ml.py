@@ -1228,3 +1228,77 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((tpr + tnr) / 2 + F.lit(1e-9), 4).alias("balanced_acc"),
         F.round(tpr + tnr - 1 + F.lit(1e-9), 4).alias("youden_j"),
     )
+
+
+@register(
+    "q_ml_parity",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.lang,
+               1e0 / (1e0 + exp(-(
+                   {_W_NTOK} * (len(string_split(d.text, ' ')) / 1e2)
+                   + {_W_STOP} * (len(list_filter(string_split(d.text, ' '),
+                                   t -> t IN ('a', 'the')))
+                       / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+                   + {_W_WLEN} * (length(replace(d.text, ' ', ''))
+                       / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+                       / 8e0)
+                   + ({_B})))) >= 5e-1 AS positive
+        FROM documents d
+    ),
+    g AS (
+        SELECT lang, count(*) AS n,
+               sum(CASE WHEN positive THEN 1 ELSE 0 END) AS np
+        FROM s GROUP BY lang
+    ),
+    mx AS (SELECT max(np * 1e0 / n) AS best FROM g)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n,
+           CAST(np AS BIGINT) AS n_positive,
+           round(np * 1e0 / n + 1e-9, 4) AS positive_rate,
+           round((np * 1e0 / n) / mx.best + 1e-9, 4) AS disparate_impact,
+           CAST((np * 1e0 / n) / mx.best >= 0.8 AS BOOLEAN)
+               AS passes_four_fifths
+    FROM g CROSS JOIN mx
+    """,
+)
+def q_ml_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity audit of the q_ml_score classifier across
+    languages: per-language positive rate, disparate impact vs the
+    best-treated group, and the EEOC four-fifths-rule verdict — the
+    fairness gate a scoring pipeline runs before its keep/drop
+    decisions shape the corpus (a quality filter that passes 80% of
+    English but 30% of Swahili is silently rebalancing the mix).
+
+    Shape: the fused scan-side scorer (q_ml_score's Catalyst
+    expression) feeds one k-language conditional-count agg; the max
+    rate is a 1-row broadcast back onto the k-row frame.  Positive
+    rates are exact integer ratios — bit-identical cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin("a", "the")))
+    n_char = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    z = (
+        F.lit(_W_NTOK) * (n_tok / F.lit(100.0))
+        + F.lit(_W_STOP) * (stop_cnt / n_tok.cast("double"))
+        + F.lit(_W_WLEN) * (n_char / n_tok.cast("double") / F.lit(8.0))
+        + F.lit(_B)
+    )
+    positive = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) >= 0.5
+    g = d.select("lang", positive.alias("positive")).groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("positive"), 1).otherwise(0)).alias("np"),
+    )
+    mx = g.agg(F.max(F.col("np") * 1.0 / F.col("n")).alias("best"))
+    rate = F.col("np") * 1.0 / F.col("n")
+    return g.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("np").cast("bigint").alias("n_positive"),
+        F.round(rate + F.lit(1e-9), 4).alias("positive_rate"),
+        F.round(rate / F.col("best") + F.lit(1e-9), 4).alias(
+            "disparate_impact"
+        ),
+        (rate / F.col("best") >= 0.8).alias("passes_four_fifths"),
+    )

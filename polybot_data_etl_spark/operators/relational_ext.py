@@ -804,3 +804,60 @@ def q_fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rowid") % 1000 == 1)
     )
+
+
+@register(
+    "q_sample_balanced",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    k AS (SELECT min(n) AS k FROM counts),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (event_id * 2654435761) % 1000000007, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           round(sum(value), 2) AS value_total
+    FROM ranked CROSS JOIN k
+    WHERE rn <= k.k
+    GROUP BY event_type
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event type keeps exactly
+    min-class-count rows, chosen by a deterministic hash shuffle — the
+    majority-class undersampler that fixes imbalance before training
+    (the downsampling mirror of q_mix_upsample), reproducible across
+    runs/engines/partitionings unlike TABLESAMPLE.
+
+    Shape: a k-row class-count agg → 1-row min broadcast; the per-class
+    rank is a window on the high-cardinality hash order (parallel per
+    class; the two-pass bucket-offset recipe applies if one class owns
+    a task at 100 TB); the verification agg emits k rows with exact
+    cents sums."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    k = counts.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("event_id") * 2654435761) % 1000000007, "event_id"
+    )
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("value_total"),
+        )
+    )

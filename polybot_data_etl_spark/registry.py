@@ -178,6 +178,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_graph_two_hop", "q_ml_mcc", "q_stats_tost", "q_fn_rounding",
     "q_embed_recall_at_k", "q_mix_dedup_loss", "q_graph_assortativity",
     "q_ts_interval_union", "q_stats_jarque_bera",
+    "q_ml_parity", "q_sample_balanced",
 }
 
 

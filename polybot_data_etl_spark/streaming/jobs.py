@@ -490,3 +490,59 @@ def stream_rollup_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_quantile(events: DataFrame, k: int = 32) -> DataFrame:
+    """Per-user running median estimate across micro-batches via
+    applyInPandasWithState: state is a bounded min-hash reservoir (the
+    k rows with smallest portable hash(event_id) seen so far).  The
+    reservoir is MERGEABLE — top-k-by-hash of a union is the top-k of
+    the per-batch top-ks — so the final estimate is independent of how
+    history was chunked into batches, and equals the batch computation
+    over the same deterministic sample (asserted in tests).  This is
+    the bounded-state answer to running quantiles on an unbounded
+    stream, where exact medians would need O(history) state.
+
+    Scale posture: state is k (hash, value) pairs per user in the
+    executor-local StateStore; per-batch work is a concat + partial
+    sort of that user's slice."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            hs, vs = state.get
+            hs, vs = list(hs), list(vs)
+        else:
+            hs, vs = [], []
+        for pdf in pdfs:
+            for eid, x in zip(pdf["event_id"], pdf["value"]):
+                hs.append(int(eid) * 2654435761 % 1000000007)
+                vs.append(float(x))
+        pairs = sorted(zip(hs, vs))[:k]
+        hs = [h for h, _ in pairs]
+        vs = [v for _, v in pairs]
+        state.update((hs, vs))
+        sv = sorted(vs)
+        n = len(sv)
+        med = (
+            sv[n // 2]
+            if n % 2
+            else (sv[n // 2 - 1] + sv[n // 2]) / 2.0
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sampled": [n],
+                "median_est": [round(med, 4)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sampled int, median_est double",
+        stateStructType="hs array<bigint>, vs array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

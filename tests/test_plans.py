@@ -180,6 +180,8 @@ _NLJ_ALLOWED = {
     "q_text_jsd",         # bounded source-domain × vocab grid cross
     "q_stats_tost",       # 1-row × 1-row group-summary cross (ttest shape)
     "q_embed_recall_at_k",  # inherits q_sim_topk's probe-bounded cross
+    "q_ml_parity",        # 1-row max-rate broadcast crossJoin
+    "q_sample_balanced",  # 1-row min-class-count broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

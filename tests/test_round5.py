@@ -1259,3 +1259,50 @@ def test_jarque_bera_matches_python_and_detects_uniform(spark, sf_dir):
         assert abs(r.jb_stat - jb) < max(1e-3, abs(jb) * 1e-4)
         assert abs(r.p_value - math.exp(-jb / 2)) < 1e-3
         assert r.looks_normal == (r.p_value >= 0.05)
+
+
+def test_parity_rates_and_four_fifths(spark, sf_dir):
+    """Recompute per-lang positive rates from q_ml_score joined to
+    documents; disparate impact must be rate/max-rate and the 4/5 rule
+    verdict consistent."""
+    from polybot_data_etl_spark.functions.ml import q_ml_parity, q_ml_score
+
+    scores = {
+        r.doc_id: r.positive for r in q_ml_score(spark, sf_dir).collect()
+    }
+    per = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "documents").collect():
+        per[r.lang][0] += 1
+        per[r.lang][1] += scores[r.doc_id]
+    best = max(np / n for n, np in per.values())
+    rows = q_ml_parity(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(per)
+    for r in rows:
+        n, np = per[r.lang]
+        assert (r.n, r.n_positive) == (n, np)
+        assert abs(r.positive_rate - np / n) < 1e-3
+        assert abs(r.disparate_impact - (np / n) / best) < 1e-3
+        assert r.passes_four_fifths == ((np / n) / best >= 0.8)
+    assert any(abs(r.disparate_impact - 1.0) < 1e-3 for r in rows)
+
+
+def test_balanced_sample_is_exactly_min_class(spark, sf_dir):
+    """Every class must sample exactly min-class-count rows, and the
+    cents totals must match a Python replay of the hash order."""
+    from polybot_data_etl_spark.operators.relational_ext import (
+        q_sample_balanced,
+    )
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(
+            (r.event_id * 2654435761 % 1000000007, r.event_id, r.value)
+        )
+    k = min(len(v) for v in per.values())
+    rows = q_sample_balanced(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(per)
+    for r in rows:
+        assert r.n_sampled == k
+        sample = sorted(per[r.event_type])[:k]
+        want = round(sum(v for _, _, v in sample), 2)
+        assert abs(r.value_total - want) < 0.011

@@ -557,3 +557,41 @@ def test_broker_stream_bounds_micro_batch_sizes(spark, sf_dir, tmp_path):
     # a cap below the chunk granularity is a contract error, not silent
     with pytest.raises(ValueError, match="max_offsets_per_trigger"):
         jobs.events_broker_stream(spark, topic, 100, chunk_rows=200)
+
+
+def test_streaming_stateful_quantile_equals_batch_reservoir(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """Bounded min-hash reservoir quantile: the LAST update-mode
+    emission per user must equal the batch median over the same
+    deterministic k-sample — proving the reservoir merges across
+    micro-batches independent of chunking."""
+    got = _run(
+        spark,
+        jobs.stateful_quantile(jobs.events_file_stream(spark, replay_dir)),
+        tmp_path,
+        mode="update",
+        name="quant",
+    )
+    final = got.groupby("user_id", as_index=False).agg(
+        n_sampled=("n_sampled", "last"), median_est=("median_est", "last")
+    )
+    rows = batch_events.select("user_id", "event_id", "value").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.user_id, []).append(
+            (r.event_id * 2654435761 % 1000000007, r.value)
+        )
+    want = []
+    for u, pairs in per.items():
+        vs = sorted(v for _, v in sorted(pairs)[:32])
+        n = len(vs)
+        med = vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2.0
+        want.append((u, n, round(med, 4)))
+    wdf = (
+        __import__("pandas")
+        .DataFrame(want, columns=["user_id", "n_sampled", "median_est"])
+    )
+    ok, why = frames_match(final, wdf)
+    assert ok, why
+    assert len(final) > 0
