@@ -178,6 +178,31 @@ _SIZED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def clear_pair_cache() -> None:
     """Drop memoized candidate frames (tests / fixture swaps)."""
     _SIZED_PAIRS_CACHE.clear()
+    _CC_LABELS_CACHE.clear()
+
+
+# Memoized CC labels over the n-gram pair graph, keyed like
+# _SIZED_PAIRS_CACHE: FIVE registered queries consume the cluster
+# assignment (q_dedup_clusters, q_dedup_cluster_sizes, q_mix_dedup_loss
+# directly; q_pipeline_curate and q_pipeline_leakage through the label
+# frame), and component_labels is EAGER (limit probe + local union-find
+# per call) — a production curation DAG materializes the assignment
+# once per run, so the engine does too.
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def ngram_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, lbl) for every edge-endpoint doc of the q_dedup_ngram
+    pair graph — memoized per (application, sf_dir); see
+    component_labels for semantics and the eager-execution contract."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
+    labels = component_labels(pairs)
+    _CC_LABELS_CACHE[key] = labels
+    return labels
 
 
 def sized_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,10 +810,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pair graph.
     """
     d = table(spark, sf_dir, "documents")
-    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
-    return connected_components(
-        d.select(F.col("doc_id").alias("node")), pairs
-    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = ngram_component_labels(spark, sf_dir)
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("lbl", "node").alias("cluster_id"),
+        )
+    )
 
 
 def connected_components(

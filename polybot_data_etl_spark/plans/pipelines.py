@@ -60,14 +60,12 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, vs. a full one-row-per-doc cluster table; the quality
     gate is a narrow filter that pushes into the scan."""
     from polybot_data_etl_spark.functions.dedup import (
-        component_labels,
-        q_dedup_ngram,
+        ngram_component_labels,
     )
 
     d = table(spark, sf_dir, "documents")
-    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
     drop = (
-        component_labels(pairs)
+        ngram_component_labels(spark, sf_dir)
         .filter(F.col("lbl") < F.col("node"))
         .select(F.col("node").alias("doc_id"))
     )
