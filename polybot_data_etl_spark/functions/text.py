@@ -1276,3 +1276,122 @@ def q_text_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term") + F.lit(1e-9), 4).alias("jsd"),
         )
     )
+
+
+def _minhash_eval_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(lower(text), ' ')))
+                   AS token
+        FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT ta.doc_id AS a_id, tb.doc_id AS b_id, count(*) AS ni
+        FROM tok ta JOIN tok tb
+          ON tb.token = ta.token AND ta.doc_id < tb.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT a_id, b_id FROM (
+            SELECT a_id, b_id,
+                   round(ni / (sa.n_tok + sb.n_tok - ni)::DOUBLE, 4) AS j
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+        ) WHERE j >= {_JACCARD_THRESHOLD}
+    ),
+    found AS (
+        SELECT a_id, b_id FROM ({_minhash_oracle()})
+        WHERE a_id < 100 AND b_id < 100
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+           CAST((SELECT count(*) FROM truth t
+                 JOIN found f ON f.a_id = t.a_id AND f.b_id = t.b_id)
+                AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM truth t
+                  JOIN found f ON f.a_id = t.a_id AND f.b_id = t.b_id)
+                 * 1e0 / nullif((SELECT count(*) FROM truth), 0)
+                 + 1e-9, 4) AS recall
+    """
+
+
+@register("q_dedup_minhash_eval", oracle=_minhash_eval_oracle())
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall audit (q_embed_recall_at_k's dedup twin):
+    over a bounded probe subcorpus (doc_id < 100), compare the
+    LSH-found near-dup pairs against brute-force exact token-Jaccard
+    ground truth — the banding-parameter tuning readout (b=8, r=4
+    gives ~40% detection at exactly-threshold similarity, rising
+    steeply above; pairs the LSH misses are band-collision misses, the
+    quantity this measures).  Precision is 1 by construction (every
+    candidate is exact-verified), so recall is the whole story.
+
+    Shape: the truth side is an all-pairs token-intersection join on
+    the bounded probe set only (the q_sim_pairs probe-bounding
+    pattern — never on the corpus); the found side reuses the full
+    registered MinHash plan filtered to the probe ids; the comparison
+    is a pair-keyed join between two small frames → one 1-row
+    summary."""
+    d = table(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") < 100)
+    tok = probe.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    ).localCheckpoint(eager=False)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("a_id"), "token")
+    tb = tok.select(F.col("doc_id").alias("b_id"), "token")
+    inter = (
+        ta.join(tb, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("ni"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "a_id", "n_tok": "na"})),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "b_id", "n_tok": "nb"})),
+            "b_id",
+        )
+        .withColumn(
+            "j",
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4
+            ),
+        )
+        .filter(F.col("j") >= _JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    truth = truth.localCheckpoint(eager=False)
+    found = (
+        q_dedup_minhash(spark, sf_dir)
+        .filter((F.col("a_id") < 100) & (F.col("b_id") < 100))
+        .select("a_id", F.col("b_id").alias("fb_id"))
+    )
+    hit = truth.join(
+        found,
+        (truth["a_id"] == found["a_id"]) & (truth["b_id"] == found["fb_id"]),
+        "left_semi",
+    )
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nf = found.agg(F.count("*").alias("n_found"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_true"), F.lit(0))
+                + F.lit(1e-9),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -15,6 +15,8 @@ shuffle once on user_id. With the events lake partitioned by date(ts)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2432,4 +2434,92 @@ def q_ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.join(niv, "user_id").select(
         "user_id", "n_intervals", "covered_seconds", "max_concurrency"
+    )
+
+
+@register(
+    "q_ts_periodogram",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               sum(cast(round(value * 100) AS BIGINT)) AS vc
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY day) - 1 AS t, vc,
+               count(*) OVER () AS n, avg(vc) OVER () AS mu
+        FROM daily
+    ),
+    freqs AS (SELECT unnest([2, 3, 4, 7, 14]) AS period),
+    terms AS (
+        SELECT f.period,
+               (i.vc - i.mu) * cos(2 * pi() * i.t / f.period) AS c,
+               (i.vc - i.mu) * sin(2 * pi() * i.t / f.period) AS s,
+               i.n
+        FROM idx i CROSS JOIN freqs f
+    )
+    SELECT period,
+           round((power(sum(c), 2) + power(sum(s), 2)) / max(n) / 1e4
+                 + 1e-9, 4) AS power
+    FROM terms GROUP BY period ORDER BY period
+    """,
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete periodogram of the daily volume curve at candidate
+    cycle lengths (2/3/4/7/14 days): spectral power
+    |Σ(x−x̄)e^{−2πit/p}|²/n per period — the cycle detector that says
+    WHICH seasonality q_ts_seasonality should profile (a weekly cycle
+    shows as a spike at p=7).
+
+    Determinism: exact integer-cents daily sums; the cos/sin terms are
+    identical doubles cross-engine (same t, same literals); only the
+    Σ over the bounded day frame is order-sensitive — absorbed by the
+    4-dp +1e-9 round (power reported in dollars² via the 1e4 cents
+    scale-down).
+
+    Shape: one fact agg → day frame; the day × 5-frequency cross and
+    the per-period reduce are bounded by calendar × candidate count."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(w) - 1).alias("t"),
+        "vc",
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        F.avg("vc").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("mu"),
+    )
+    freqs = idx.sparkSession.createDataFrame(
+        [(2,), (3,), (4,), (7,), (14,)], "period int"
+    )
+    ang = 2 * math.pi * F.col("t") / F.col("period")
+    terms = idx.crossJoin(F.broadcast(freqs)).select(
+        "period",
+        ((F.col("vc") - F.col("mu")) * F.cos(ang)).alias("c"),
+        ((F.col("vc") - F.col("mu")) * F.sin(ang)).alias("s"),
+        "n",
+    )
+    return (
+        terms.groupBy("period")
+        .agg(
+            F.round(
+                (F.pow(F.sum("c"), 2) + F.pow(F.sum("s"), 2))
+                / F.max("n")
+                / 1e4
+                + F.lit(1e-9),
+                4,
+            ).alias("power")
+        )
+        .orderBy("period")
     )

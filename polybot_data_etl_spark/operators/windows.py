@@ -562,3 +562,77 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "q_win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS is_first
+        FROM events
+    ),
+    running AS (
+        SELECT user_id, event_id,
+               sum(is_first) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS distinct_types_so_far
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(max(distinct_types_so_far) AS BIGINT) AS final_distinct,
+           CAST(min(CASE WHEN distinct_types_so_far >= 3 THEN event_id END)
+                AS BIGINT) AS event_reaching_3
+    FROM running GROUP BY user_id
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — the window SQL
+    forbids (DISTINCT inside a running frame) — via the first-
+    occurrence-flag decomposition: rank each (user, type) by time,
+    flag rank-1 rows, and a plain running SUM of flags IS the running
+    distinct count.  Reported per user: the final distinct-type count
+    and the event at which the user first reached 3 distinct types
+    (the 'breadth milestone' activation metric).
+
+    Shape: two windows sharing the user_id hash partitioning (one
+    exchange) + one map-side-combined agg; the flag trick turns an
+    unimplementable distinct-frame into O(1)-state running arithmetic
+    at any scale."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+    )
+    return running.groupBy("user_id").agg(
+        F.max("distinct_types_so_far")
+        .cast("bigint")
+        .alias("final_distinct"),
+        F.min(
+            F.when(
+                F.col("distinct_types_so_far") >= 3, F.col("event_id")
+            )
+        )
+        .cast("bigint")
+        .alias("event_reaching_3"),
+    )

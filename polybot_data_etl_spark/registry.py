@@ -179,6 +179,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_embed_recall_at_k", "q_mix_dedup_loss", "q_graph_assortativity",
     "q_ts_interval_union", "q_stats_jarque_bera",
     "q_ml_parity", "q_sample_balanced",
+    "q_dedup_minhash_eval", "q_ts_periodogram", "q_win_running_distinct",
 }
 
 

@@ -182,6 +182,8 @@ _NLJ_ALLOWED = {
     "q_embed_recall_at_k",  # inherits q_sim_topk's probe-bounded cross
     "q_ml_parity",        # 1-row max-rate broadcast crossJoin
     "q_sample_balanced",  # 1-row min-class-count broadcast crossJoin
+    "q_dedup_minhash_eval",  # 1-row count-summary broadcast crosses
+    "q_ts_periodogram",   # bounded day-frame × 5-frequency cross
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -1306,3 +1306,85 @@ def test_balanced_sample_is_exactly_min_class(spark, sf_dir):
         sample = sorted(per[r.event_type])[:k]
         want = round(sum(v for _, _, v in sample), 2)
         assert abs(r.value_total - want) < 0.011
+
+
+def test_minhash_eval_recall_matches_python_truth(spark, sf_dir):
+    """Recompute the probe-set ground truth (exact token Jaccard >=
+    threshold) in Python and check n_true / n_hit / recall; every
+    LSH-found probe pair must be a true pair (precision 1)."""
+    from polybot_data_etl_spark.functions.text import (
+        _JACCARD_THRESHOLD,
+        q_dedup_minhash,
+        q_dedup_minhash_eval,
+    )
+
+    toks = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        if r.doc_id < 100:
+            toks[r.doc_id] = set(r.text.lower().split(" "))
+    ids = sorted(toks)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            j = round(inter / (len(toks[a]) + len(toks[b]) - inter), 4)
+            if j >= _JACCARD_THRESHOLD:
+                truth.add((a, b))
+    found = {
+        (r.a_id, r.b_id)
+        for r in q_dedup_minhash(spark, sf_dir).collect()
+        if r.a_id < 100 and r.b_id < 100
+    }
+    [row] = q_dedup_minhash_eval(spark, sf_dir).collect()
+    assert row.n_true == len(truth)
+    assert row.n_found == len(found)
+    assert found <= truth  # exact-verified candidates: no false pairs
+    assert row.n_hit == len(truth & found)
+    if truth:
+        assert abs(row.recall - len(truth & found) / len(truth)) < 1e-3
+
+
+def test_periodogram_matches_python_dft(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_periodogram
+
+    daily = defaultdict(int)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.ts.date()] += int(round(r.value * 100))
+    vols = [daily[d] for d in sorted(daily)]
+    n = len(vols)
+    mu = sum(vols) / n
+    rows = q_ts_periodogram(spark, sf_dir).collect()
+    assert [r.period for r in rows] == [2, 3, 4, 7, 14]
+    for r in rows:
+        c = sum(
+            (v - mu) * math.cos(2 * math.pi * t / r.period)
+            for t, v in enumerate(vols)
+        )
+        s = sum(
+            (v - mu) * math.sin(2 * math.pi * t / r.period)
+            for t, v in enumerate(vols)
+        )
+        want = (c * c + s * s) / n / 1e4
+        assert abs(r.power - want) < max(1e-3, abs(want) * 1e-6)
+        assert r.power >= 0
+
+
+def test_running_distinct_matches_python_replay(spark, sf_dir):
+    from polybot_data_etl_spark.operators.windows import (
+        q_win_running_distinct,
+    )
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.user_id].append((r.ts, r.event_id, r.event_type))
+    rows = q_win_running_distinct(spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(per)
+    for r in rows:
+        seen = set()
+        reach3 = None
+        for ts, eid, et in sorted(per[r.user_id]):
+            seen.add(et)
+            if reach3 is None and len(seen) >= 3:
+                reach3 = eid
+        assert r.final_distinct == len(seen)
+        assert r.event_reaching_3 == reach3
