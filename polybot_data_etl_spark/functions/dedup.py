@@ -1317,3 +1317,61 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH bk AS ({_hyper_buckets_sql()}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT sim FROM (
+            SELECT round(list_inner_product(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[])
+                         + 1e-9, 4) AS sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a_id
+            JOIN embeddings eb ON eb.vec_id = c.b_id
+        ) WHERE sim >= {_EMBED_SIM}
+    ),
+    thr AS (SELECT unnest([0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.8, 0.9])
+                AS threshold)
+    SELECT t.threshold,
+           CAST(count(p.sim) AS BIGINT) AS n_pairs,
+           round(avg(p.sim) + 1e-9, 4) AS mean_sim
+    FROM thr t LEFT JOIN pairs p ON p.sim >= t.threshold
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup threshold sensitivity: cumulative near-dup pair
+    counts at a grid of cosine cutoffs over the verified candidate set
+    — the curve that picks the production threshold (too low merges
+    distinct docs, too high keeps near-copies; the knee is the
+    operating point).  Counts below the LSH design threshold
+    (_EMBED_SIM) are not reported — candidate recall is only
+    guaranteed above it.
+
+    Shape: reuses q_dedup_embed's bucketed candidate + verify plan
+    (never an all-pairs product); the sweep is the verified pair frame
+    × an 8-row threshold grid — bounded both sides."""
+    pairs = q_dedup_embed(spark, sf_dir).select("sim")
+    thr = pairs.sparkSession.createDataFrame(
+        [(t,) for t in (0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.8, 0.9)],
+        "threshold double",
+    )
+    return (
+        F.broadcast(thr)
+        .join(pairs, pairs["sim"] >= thr["threshold"], "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("sim").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("sim") + F.lit(1e-9), 4).alias("mean_sim"),
+        )
+        .orderBy("threshold")
+    )

@@ -516,3 +516,84 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("flesch"),
     )
+
+
+@register(
+    "q_text_code_detect",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               length(text)
+                   - length(regexp_replace(text, '[{}();=<>\\[\\]|&]', '',
+                                           'g')) AS n_sym,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('def', 'return', 'import',
+                                          'function', 'var', 'const',
+                                          'class', 'void', 'int')))
+                   AS n_kw,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               round(n_sym * 1e0 / n_chars + 1e-9, 4) AS sym_ratio,
+               round(n_kw * 1e0 / n_tok + 1e-9, 4) AS kw_ratio,
+               CAST(n_sym * 1e0 / n_chars > 0.03
+                    OR n_kw * 1e0 / n_tok > 0.05 AS BOOLEAN) AS looks_code
+        FROM f
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN looks_code THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_code,
+           round(avg(sym_ratio) + 1e-9, 4) AS mean_sym_ratio,
+           round(avg(kw_ratio) + 1e-9, 4) AS mean_kw_ratio
+    FROM s GROUP BY lang
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection per language: symbol density
+    ({}();=<>[]|&) and programming-keyword hit rate, with a two-rule
+    code verdict — the corpus-composition signal that decides whether
+    a 'text' source is actually scraped source code (which a prose
+    quality gate would wrongly score as garbage, and a code mix
+    actually wants).
+
+    Shape: pure scan-side regex/array projections (whole-stage
+    codegen'd, zero shuffle) → one k-language map-side-combined agg.
+    Ratios are integer-count quotients — identical cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[{}();=<>\[\]|&]", "")
+    )
+    toks = F.split(F.col("text"), " ")
+    kw = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin(
+                "def", "return", "import", "function", "var", "const",
+                "class", "void", "int",
+            ),
+        )
+    )
+    n_tok = F.size(toks)
+    sym_ratio = n_sym * 1.0 / n_chars
+    kw_ratio = kw * 1.0 / n_tok
+    s = d.select(
+        "lang",
+        F.round(sym_ratio + F.lit(1e-9), 4).alias("sym_ratio"),
+        F.round(kw_ratio + F.lit(1e-9), 4).alias("kw_ratio"),
+        ((sym_ratio > 0.03) | (kw_ratio > 0.05)).alias("looks_code"),
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("looks_code"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_code"),
+        F.round(F.avg("sym_ratio") + F.lit(1e-9), 4).alias(
+            "mean_sym_ratio"
+        ),
+        F.round(F.avg("kw_ratio") + F.lit(1e-9), 4).alias("mean_kw_ratio"),
+    )

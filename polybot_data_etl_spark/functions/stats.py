@@ -1667,3 +1667,60 @@ def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-jb / 2) + F.lit(1e-9), 4).alias("p_value"),
         (F.exp(-jb / 2) >= 0.05).alias("looks_normal"),
     )
+
+
+@register(
+    "q_stats_beta_binomial",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment AS segment, count(*) AS n,
+               sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS x
+        FROM customer GROUP BY c_mktsegment
+    ),
+    p AS (
+        SELECT segment, n, x,
+               (x + 2.0) / (n + 4.0) AS pm,
+               sqrt((x + 2.0) * (n - x + 2.0)
+                    / ((n + 4.0) * (n + 4.0) * (n + 5.0))) AS psd
+        FROM g
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           round(x * 1e0 / n + 1e-9, 4) AS mle,
+           round(pm + 1e-9, 4) AS post_mean,
+           round(psd + 1e-9, 4) AS post_sd,
+           round(pm - 1.96 * psd + 1e-9, 4) AS ci_lo,
+           round(pm + 1.96 * psd + 1e-9, 4) AS ci_hi
+    FROM p
+    """,
+)
+def q_stats_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial proportion estimation per market segment
+    (high-balance-customer rate under a Beta(2,2) prior): exact
+    closed-form posterior mean (x+α)/(n+α+β) and variance, with a
+    normal-approximation 95% credible interval — the shrinkage
+    estimator that keeps small segments from reporting 0% or 100%
+    rates (the empirical-Bayes cure for small-sample league tables).
+
+    All algebra is exact integer counts through closed forms — no
+    sampling, no incomplete beta — identical cross-engine; one
+    map-side-combined agg to k segments."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    pm = (x + 2.0) / (n + 4.0)
+    psd = F.sqrt(
+        (x + 2.0) * (n - x + 2.0) / ((n + 4.0) * (n + 4.0) * (n + 5.0))
+    )
+    return g.select(
+        "segment",
+        n.cast("bigint").alias("n"),
+        x.cast("bigint").alias("x"),
+        F.round(x * 1.0 / n + F.lit(1e-9), 4).alias("mle"),
+        F.round(pm + F.lit(1e-9), 4).alias("post_mean"),
+        F.round(psd + F.lit(1e-9), 4).alias("post_sd"),
+        F.round(pm - 1.96 * psd + F.lit(1e-9), 4).alias("ci_lo"),
+        F.round(pm + 1.96 * psd + F.lit(1e-9), 4).alias("ci_hi"),
+    )

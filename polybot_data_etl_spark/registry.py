@@ -180,6 +180,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ts_interval_union", "q_stats_jarque_bera",
     "q_ml_parity", "q_sample_balanced",
     "q_dedup_minhash_eval", "q_ts_periodogram", "q_win_running_distinct",
+    "q_stats_beta_binomial", "q_dedup_threshold_sweep", "q_text_code_detect",
 }
 
 

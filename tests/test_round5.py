@@ -1388,3 +1388,85 @@ def test_running_distinct_matches_python_replay(spark, sf_dir):
                 reach3 = eid
         assert r.final_distinct == len(seen)
         assert r.event_reaching_3 == reach3
+
+
+def test_beta_binomial_shrinks_toward_half(spark, sf_dir):
+    """Posterior must sit between the MLE and the prior mean 0.5, and
+    every number must match the closed-form recompute."""
+    from polybot_data_etl_spark.functions.stats import q_stats_beta_binomial
+
+    per = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "customer").collect():
+        per[r.c_mktsegment][0] += 1
+        per[r.c_mktsegment][1] += r.c_acctbal > 5000
+    rows = q_stats_beta_binomial(spark, sf_dir).collect()
+    assert {r.segment for r in rows} == set(per)
+    for r in rows:
+        n, x = per[r.segment]
+        assert (r.n, r.x) == (n, x)
+        pm = (x + 2) / (n + 4)
+        psd = math.sqrt((x + 2) * (n - x + 2) / ((n + 4) ** 2 * (n + 5)))
+        assert abs(r.post_mean - pm) < 1e-3
+        assert abs(r.post_sd - psd) < 1e-3
+        assert abs(r.ci_lo - (pm - 1.96 * psd)) < 2e-3
+        assert abs(r.ci_hi - (pm + 1.96 * psd)) < 2e-3
+        # shrinkage: posterior between MLE and prior mean 0.5
+        lo, hi = sorted((x / n, 0.5))
+        assert lo - 1e-3 <= r.post_mean <= hi + 1e-3
+
+
+def test_threshold_sweep_is_monotone_cumulative(spark, sf_dir):
+    """Counts must be non-increasing in threshold, match a recount of
+    the registered pair frame, and the base row equals |q_dedup_embed|."""
+    from polybot_data_etl_spark.functions.dedup import (
+        q_dedup_embed,
+        q_dedup_threshold_sweep,
+    )
+
+    sims = [r.sim for r in q_dedup_embed(spark, sf_dir).collect()]
+    rows = q_dedup_threshold_sweep(spark, sf_dir).collect()
+    assert [r.threshold for r in rows] == [
+        0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.8, 0.9,
+    ]
+    prev = None
+    for r in rows:
+        above = [s for s in sims if s >= r.threshold]
+        assert r.n_pairs == len(above)
+        if above:
+            assert abs(r.mean_sim - sum(above) / len(above)) < 1e-3
+        if prev is not None:
+            assert r.n_pairs <= prev
+        prev = r.n_pairs
+    assert rows[0].n_pairs == len(sims)
+
+
+def test_code_detect_flags_symbol_heavy_text(spark, sf_dir):
+    """Recompute ratios in Python; a synthetic check that the rule
+    would flag a code snippet and pass plain prose."""
+    from polybot_data_etl_spark.functions.quality import q_text_code_detect
+
+    per = defaultdict(lambda: [0, 0, 0.0, 0.0])
+    kws = {"def", "return", "import", "function", "var", "const",
+           "class", "void", "int"}
+    import re
+
+    for r in table(spark, sf_dir, "documents").collect():
+        n_chars = len(r.text)
+        n_sym = len(re.findall(r"[{}();=<>\[\]|&]", r.text))
+        toks = r.text.split(" ")
+        kw = sum(1 for t in toks if t in kws)
+        sym_ratio = n_sym / n_chars
+        kw_ratio = kw / len(toks)
+        p = per[r.lang]
+        p[0] += 1
+        p[1] += sym_ratio > 0.03 or kw_ratio > 0.05
+        p[2] += round(sym_ratio + 1e-9, 4)
+        p[3] += round(kw_ratio + 1e-9, 4)
+    rows = q_text_code_detect(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(per)
+    for r in rows:
+        n, ncode, ssum, ksum = per[r.lang]
+        assert r.n_docs == n
+        assert r.n_code == ncode
+        assert abs(r.mean_sym_ratio - ssum / n) < 1e-3
+        assert abs(r.mean_kw_ratio - ksum / n) < 1e-3
