@@ -1302,3 +1302,50 @@ def q_ml_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (rate / F.col("best") >= 0.8).alias("passes_four_fifths"),
     )
+
+
+@register(
+    "q_ml_ece",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    b AS (
+        SELECT least(floor(score * 10), 9) AS bucket,
+               count(*) AS n,
+               round(avg(score) + 1e-11, 6) AS sbar,
+               round(avg(CASE WHEN truth THEN 1e0 ELSE 0e0 END) + 1e-11, 6)
+                   AS ybar
+        FROM s GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(n * abs(sbar - ybar)) / sum(n) + 1e-9, 4) AS ece,
+           round(max(abs(sbar - ybar)) + 1e-9, 4) AS mce
+    FROM b
+    """,
+)
+def q_ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + Maximum Calibration Error over the q_ml_calibration
+    decile bins: ECE = Σ (n_b/N)·|conf_b − acc_b|, MCE = the worst
+    bin — the one-number calibration summaries a model card quotes
+    next to the reliability diagram (#241) and the Brier split (#301).
+
+    Same determinism recipe as q_ml_brier (6-dp bin means, integer
+    bucketing of exact 4-dp scores); one scorer pass → ≤10-bin agg →
+    1-row reduce."""
+    s = _eval_scores(spark, sf_dir)
+    y = F.when(F.col("truth"), F.lit(1.0)).otherwise(F.lit(0.0))
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(9))
+    b = s.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score") + F.lit(1e-11), 6).alias("sbar"),
+        F.round(F.avg(y) + F.lit(1e-11), 6).alias("ybar"),
+    )
+    gap = F.abs(F.col("sbar") - F.col("ybar"))
+    return b.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(F.col("n") * gap) / F.sum("n") + F.lit(1e-9), 4
+        ).alias("ece"),
+        F.round(F.max(gap) + F.lit(1e-9), 4).alias("mce"),
+    )

@@ -1724,3 +1724,81 @@ def q_stats_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pm - 1.96 * psd + F.lit(1e-9), 4).alias("ci_lo"),
         F.round(pm + 1.96 * psd + F.lit(1e-9), 4).alias("ci_hi"),
     )
+
+
+@register(
+    "q_stats_poisson_rate",
+    oracle=f"""
+    WITH es AS (
+        SELECT floor(epoch(ts::TIMESTAMP))::BIGINT AS s
+        FROM events WHERE event_type = 'error'
+    ),
+    halves AS (
+        SELECT CASE WHEN s < (SELECT (min(s) + max(s)) / 2.0 FROM es)
+                    THEN 'first' ELSE 'second' END AS half,
+               count(*) AS x
+        FROM es GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN half = 'first' THEN x END) AS x1,
+               max(CASE WHEN half = 'second' THEN x END) AS x2
+        FROM halves
+    ),
+    z AS (
+        SELECT x1, x2,
+               round(ln(x2 * 1e0 / x1) / sqrt(1e0 / x1 + 1e0 / x2)
+                     + 1e-11, 6) AS zst
+        FROM w
+    )
+    SELECT CAST(x1 AS BIGINT) AS n_first, CAST(x2 AS BIGINT) AS n_second,
+           round(x2 * 1e0 / x1 + 1e-9, 4) AS rate_ratio,
+           round(zst + 1e-9, 4) AS z,
+           round(2 * (1 - {_phi_sql("abs(zst)")}) + 1e-9, 4) AS p_value,
+           CAST(2 * (1 - {_phi_sql("abs(zst)")}) < 0.05 AS BOOLEAN)
+               AS rate_changed
+    FROM z
+    """,
+)
+def q_stats_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-change test on error events (first half vs second
+    half of the observation window): log-rate-ratio z test — the
+    count-data significance test (is the error RATE actually up, or is
+    the count difference noise?) that complements q_ts_burst's
+    pointwise detection with a two-period inference.
+
+    Determinism: equal-length halves by construction (midpoint split),
+    so the rate ratio is a pure count ratio; z re-rounds 6-dp before
+    the shared Φ polynomial.  One conditional-count agg + 1-row
+    algebra."""
+    es = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(F.unix_timestamp("ts").alias("s"))
+    )
+    es = es.localCheckpoint(eager=False)
+    bounds = es.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    half = es.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.col("s") < (F.col("lo") + F.col("hi")) / 2.0, "first"
+        )
+        .otherwise("second")
+        .alias("half")
+    )
+    w = half.agg(
+        F.sum(F.when(F.col("half") == "first", 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("half") == "second", 1).otherwise(0)).alias("x2"),
+    )
+    x1, x2 = F.col("x1"), F.col("x2")
+    zst = F.round(
+        F.log(x2 * 1.0 / x1) / F.sqrt(1.0 / x1 + 1.0 / x2) + F.lit(1e-11),
+        6,
+    )
+    p = 2 * (1 - _phi_col(F.abs(zst)))
+    return w.select(
+        x1.cast("bigint").alias("n_first"),
+        x2.cast("bigint").alias("n_second"),
+        F.round(x2 * 1.0 / x1 + F.lit(1e-9), 4).alias("rate_ratio"),
+        F.round(zst + F.lit(1e-9), 4).alias("z"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.05).alias("rate_changed"),
+    )

@@ -1283,3 +1283,77 @@ def q_embed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "q_embed_centroid_dist",
+    oracle="""
+    WITH ex AS (
+        SELECT label, u.k AS dim, u.v::DOUBLE AS x
+        FROM (
+            SELECT label,
+                   unnest(list_transform(
+                       embedding, (v, k) -> struct_pack(k := k, v := v)))
+                       AS u
+            FROM embeddings
+        )
+    ),
+    cent AS (
+        SELECT label, dim, round(avg(x) + 1e-11, 6) AS c
+        FROM ex GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(sum((a.c - b.c) * (a.c - b.c))) + 1e-9, 4)
+               AS centroid_dist
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY a.label, b.label
+    """,
+)
+def q_embed_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Euclidean distances between per-label embedding
+    centroids — the class-separability readout (labels whose centroids
+    nearly coincide are the confusable ones; the matrix is what a
+    practitioner checks before trusting k-NN or a linear probe on
+    these embeddings).  Complements q_embed_centroid (the centroids
+    themselves) with the between-class geometry.
+
+    Determinism: centroids re-round to 6 dp (the q_embed_kmeans
+    policy) before differencing, so both engines square identical
+    decimals; the pair join is dim-keyed over the labels×dims centroid
+    frame — bounded by the label domain, never the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        F.round(F.avg("x") + F.lit(1e-11), 6).alias("c")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("ca") - F.col("cb"))
+                        * (F.col("ca") - F.col("cb"))
+                    )
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("centroid_dist")
+        )
+        .orderBy("label_a", "label_b")
+    )

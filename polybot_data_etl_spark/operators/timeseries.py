@@ -2523,3 +2523,93 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+@register(
+    "q_ts_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               sum(CASE WHEN event_type = 'click'
+                        THEN cast(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS xc,
+               sum(CASE WHEN event_type = 'view'
+                        THEN cast(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS yc
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT day,
+               count(*) OVER w AS n,
+               sum(xc) OVER w AS sx, sum(yc) OVER w AS sy,
+               sum(xc * xc) OVER w AS sxx, sum(yc * yc) OVER w AS syy,
+               sum(xc * yc) OVER w AS sxy,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx)::DOUBLE
+                               * (n * syy - sy * sy)), 0)
+                 + 1e-9, 4) AS corr_7d
+    FROM r WHERE rn >= 7 ORDER BY day
+    """,
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling correlation between the click and view daily
+    volume curves — the metric-coupling monitor (a correlation break
+    between two normally-coupled metrics is an incident signal even
+    when each metric's own level looks fine).
+
+    Determinism: exact integer-cents daily volumes → ALL six rolling
+    moments are exact integer window sums (the pivot happens inside
+    the day agg, so one pass); the Pearson algebra is a few exact-
+    integer products cast to double once, nullif-guarded for
+    zero-variance windows; 4-dp +1e-9.  Emitted only for full 7-day
+    windows.  All windows on the bounded day frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", cents).otherwise(0)
+        ).alias("xc"),
+        F.sum(
+            F.when(F.col("event_type") == "view", cents).otherwise(0)
+        ).alias("yc"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    wr = Window.orderBy("day")
+    r = daily.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("xc").over(w).alias("sx"),
+        F.sum("yc").over(w).alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).over(w).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).over(w).alias("syy"),
+        F.sum(F.col("xc") * F.col("yc")).over(w).alias("sxy"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        r.filter(F.col("rn") >= 7)
+        .select(
+            "day",
+            F.round(
+                (n * sxy - sx * sy)
+                / F.nullif(
+                    F.sqrt(
+                        (n * sxx - sx * sx).cast("double")
+                        * (n * syy - sy * sy)
+                    ),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-9),
+                4,
+            ).alias("corr_7d"),
+        )
+        .orderBy("day")
+    )

@@ -181,6 +181,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ml_parity", "q_sample_balanced",
     "q_dedup_minhash_eval", "q_ts_periodogram", "q_win_running_distinct",
     "q_stats_beta_binomial", "q_dedup_threshold_sweep", "q_text_code_detect",
+    "q_ts_rolling_corr", "q_stats_poisson_rate", "q_ml_ece",
+    "q_embed_centroid_dist",
 }
 
 

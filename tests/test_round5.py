@@ -1470,3 +1470,124 @@ def test_code_detect_flags_symbol_heavy_text(spark, sf_dir):
         assert r.n_code == ncode
         assert abs(r.mean_sym_ratio - ssum / n) < 1e-3
         assert abs(r.mean_kw_ratio - ksum / n) < 1e-3
+
+
+def test_rolling_corr_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_rolling_corr
+
+    daily = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "events").collect():
+        c = int(round(r.value * 100))
+        if r.event_type == "click":
+            daily[r.ts.date()][0] += c
+        elif r.event_type == "view":
+            daily[r.ts.date()][1] += c
+    days = sorted(daily)
+    rows = q_ts_rolling_corr(spark, sf_dir).collect()
+    assert len(rows) == max(0, len(days) - 6)
+    for i, r in enumerate(rows):
+        win = [daily[d] for d in days[i : i + 7]]
+        xs = [a for a, _ in win]
+        ys = [b for _, b in win]
+        n = 7
+        num = n * sum(a * b for a, b in win) - sum(xs) * sum(ys)
+        den = math.sqrt(
+            (n * sum(a * a for a in xs) - sum(xs) ** 2)
+            * (n * sum(b * b for b in ys) - sum(ys) ** 2)
+        )
+        if den:
+            assert abs(r.corr_7d - num / den) < 1e-3
+            assert -1 - 1e-9 <= r.corr_7d <= 1 + 1e-9
+
+
+def test_poisson_rate_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_poisson_rate
+
+    ss = sorted(
+        int(r.ts.timestamp())
+        for r in table(spark, sf_dir, "events").collect()
+        if r.event_type == "error"
+    )
+    mid = (ss[0] + ss[-1]) / 2.0
+    x1 = sum(1 for s in ss if s < mid)
+    x2 = len(ss) - x1
+    z = math.log(x2 / x1) / math.sqrt(1 / x1 + 1 / x2)
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    p = 2 * (1 - phi(abs(z)))
+    [row] = q_stats_poisson_rate(spark, sf_dir).collect()
+    assert (row.n_first, row.n_second) == (x1, x2)
+    assert abs(row.rate_ratio - x2 / x1) < 1e-3
+    assert abs(row.z - z) < 1e-3
+    assert abs(row.p_value - p) < 1e-3
+    assert row.rate_changed == (row.p_value < 0.05)
+
+
+def test_ece_matches_python_and_brier_bins(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import _eval_scores, q_ml_ece
+
+    bins = defaultdict(list)
+    for r in _eval_scores(spark, sf_dir).collect():
+        bins[min(int(r.score * 10), 9)].append(
+            (r.score, 1.0 if r.truth else 0.0)
+        )
+    n = sum(len(v) for v in bins.values())
+    ece = sum(
+        len(v)
+        * abs(
+            round(sum(s for s, _ in v) / len(v) + 1e-11, 6)
+            - round(sum(y for _, y in v) / len(v) + 1e-11, 6)
+        )
+        for v in bins.values()
+    ) / n
+    mce = max(
+        abs(
+            round(sum(s for s, _ in v) / len(v) + 1e-11, 6)
+            - round(sum(y for _, y in v) / len(v) + 1e-11, 6)
+        )
+        for v in bins.values()
+    )
+    [row] = q_ml_ece(spark, sf_dir).collect()
+    assert row.n == n
+    assert row.n_bins == len(bins)
+    assert abs(row.ece - ece) < 1e-3
+    assert abs(row.mce - mce) < 1e-3
+    assert row.ece <= row.mce + 1e-9
+
+
+def test_centroid_dist_matches_python_and_triangle(spark, sf_dir):
+    from polybot_data_etl_spark.functions.vectors import (
+        q_embed_centroid_dist,
+    )
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "embeddings").collect():
+        per[r.label].append([float(x) for x in r.embedding])
+    cents = {
+        lab: [
+            round(sum(v[d] for v in vs) / len(vs) + 1e-11, 6)
+            for d in range(len(vs[0]))
+        ]
+        for lab, vs in per.items()
+    }
+    rows = q_embed_centroid_dist(spark, sf_dir).collect()
+    labs = sorted(cents)
+    assert len(rows) == len(labs) * (len(labs) - 1) // 2
+    d = {}
+    for r in rows:
+        want = math.sqrt(
+            sum(
+                (a - b) ** 2
+                for a, b in zip(cents[r.label_a], cents[r.label_b])
+            )
+        )
+        assert abs(r.centroid_dist - want) < 1e-3
+        assert r.centroid_dist >= 0
+        d[(r.label_a, r.label_b)] = r.centroid_dist
+
+    def dist(a, b):
+        return d[(min(a, b), max(a, b))] if a != b else 0.0
+
+    # spot-check the triangle inequality on the first three labels
+    if len(labs) >= 3:
+        a, b, c = labs[:3]
+        assert dist(a, c) <= dist(a, b) + dist(b, c) + 1e-6
