@@ -806,3 +806,68 @@ def q_dq_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q_dq_reconcile",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS lc
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    g AS (
+        SELECT cast(round(o.o_totalprice * 100) AS BIGINT) - l.lc AS gap
+        FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(gap) <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           round(sum(CASE WHEN abs(gap) <= 1 THEN 1 ELSE 0 END)
+                 * 1e0 / count(*) + 1e-9, 4) AS match_rate,
+           round(avg(abs(gap)) / 100 + 1e-9, 4) AS mean_abs_gap,
+           round(max(abs(gap)) / 100.0, 2) AS max_abs_gap
+    FROM g
+    """,
+)
+def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: per order, the header total
+    (o_totalprice) vs the sum of its line items — the classic
+    warehouse consistency check (header/detail drift is how silent
+    pipeline bugs and partial loads surface).  Reports match rate at
+    1-cent tolerance plus the gap magnitude profile.
+
+    Determinism: both sides convert to exact integer cents per row
+    (q_win_moving pattern) BEFORE summing, so every gap is an exact
+    integer — bit-identical cross-engine.  Shape: one map-side-
+    combined detail agg keyed by orderkey, one equi-join to headers
+    (both sides hash-partitioned on the same key), one 1-row reduce.
+    At 100 TB this is the canonical co-partitioned fact-fact join —
+    bucketing both tables by orderkey makes it zero-exchange
+    (tests/test_bucketing.py proves that layout)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "lc"
+        )
+    )
+    g = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long") - F.col("lc")
+        ).alias("gap")
+    )
+    agap = F.abs(F.col("gap"))
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(agap <= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.round(
+            F.sum(F.when(agap <= 1, 1).otherwise(0)) / F.count("*")
+            + F.lit(1e-9),
+            4,
+        ).alias("match_rate"),
+        F.round(F.avg(agap) / 100 + F.lit(1e-9), 4).alias("mean_abs_gap"),
+        F.round(F.max(agap) / 100.0, 2).alias("max_abs_gap"),
+    )

@@ -729,3 +729,45 @@ def q_fn_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").cast("bigint").cast("double").alias("trunc_x"),
         )
     )
+
+
+@register(
+    "q_fn_isoweek",
+    oracle="""
+    SELECT isoyear(o_orderdate::DATE) AS iso_year,
+           weekofyear(o_orderdate::DATE) AS iso_week,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_fn_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week calendar surface: orders rolled up by
+    (ISO week-year, ISO week) — the fiscal-reporting bucketing where
+    the naive year() is WRONG at year boundaries (2024-01-01 is ISO
+    week 1 of 2024, but 2023-01-01 is ISO week 52 of 2022): Spark's
+    extract(YEAROFWEEK) ↔ DuckDB isoyear and weekofyear ↔ weekofyear
+    are both ISO — hash-asserted here so the mapping stays honest.
+
+    Exact-cents totals; one map-side-combined agg on the derived
+    calendar key (a pure scan-side expression)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").alias("iso_year"),
+            F.weekofyear("o_orderdate").alias("iso_week"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("total"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )

@@ -822,3 +822,52 @@ def q_mix_dedup_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_loss_rate"),
         )
     )
+
+
+@register(
+    "q_mix_ess",
+    oracle="""
+    WITH w AS (
+        SELECT lang,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ntok
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS tokens,
+           round(sum(ntok) * sum(ntok) * 1e0
+                 / (count(*) * sum(ntok * ntok)) + 1e-9, 4)
+               AS ess_fraction,
+           round(sum(ntok) * sum(ntok) * 1e0 / sum(ntok * ntok)
+                 + 1e-9, 2) AS ess_docs
+    FROM w GROUP BY lang
+    """,
+)
+def q_mix_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of each language's token-weight
+    distribution: ESS = (Σw)²/Σw² (Kish) with w = tokens per doc —
+    the mix diagnostic that says how many EFFECTIVE documents a slice
+    contributes when long documents dominate (ESS fraction near 1 =
+    even contribution; near 1/n = one mega-doc IS the slice, and any
+    per-doc sampling rate reweights the mix more than the weights
+    table suggests).
+
+    Exact integer token counts → ESS is a ratio of integer moments —
+    bit-identical cross-engine; one map-side-combined agg."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("ntok"),
+    )
+    s1 = F.sum("ntok")
+    s2 = F.sum(F.col("ntok") * F.col("ntok"))
+    return w.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        s1.cast("bigint").alias("tokens"),
+        F.round(s1 * s1 * 1.0 / (F.count("*") * s2) + F.lit(1e-9), 4).alias(
+            "ess_fraction"
+        ),
+        F.round(s1 * s1 * 1.0 / s2 + F.lit(1e-9), 2).alias("ess_docs"),
+    )

@@ -183,6 +183,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_beta_binomial", "q_dedup_threshold_sweep", "q_text_code_detect",
     "q_ts_rolling_corr", "q_stats_poisson_rate", "q_ml_ece",
     "q_embed_centroid_dist",
+    "q_dq_reconcile", "q_fn_isoweek", "q_mix_ess",
 }
 
 

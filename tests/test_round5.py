@@ -1591,3 +1591,61 @@ def test_centroid_dist_matches_python_and_triangle(spark, sf_dir):
     if len(labs) >= 3:
         a, b, c = labs[:3]
         assert dist(a, c) <= dist(a, b) + dist(b, c) + 1e-6
+
+
+def test_reconcile_matches_python_cents(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_reconcile
+
+    lsum = defaultdict(int)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        lsum[r.l_orderkey] += int(round(r.l_extendedprice * 100))
+    gaps = []
+    for r in table(spark, sf_dir, "orders").collect():
+        if r.o_orderkey in lsum:
+            gaps.append(
+                abs(int(round(r.o_totalprice * 100)) - lsum[r.o_orderkey])
+            )
+    [row] = q_dq_reconcile(spark, sf_dir).collect()
+    assert row.n_orders == len(gaps)
+    assert row.n_matched == sum(1 for g in gaps if g <= 1)
+    assert abs(row.mean_abs_gap - sum(gaps) / len(gaps) / 100) < 1e-3
+    assert abs(row.max_abs_gap - max(gaps) / 100) < 1e-9
+
+
+def test_isoweek_rollup_matches_python(spark, sf_dir):
+    import datetime
+
+    from polybot_data_etl_spark.functions.scalar import q_fn_isoweek
+
+    per = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "orders").collect():
+        d = r.o_orderdate
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        iy, iw, _ = d.isocalendar()
+        per[(iy, iw)][0] += 1
+        per[(iy, iw)][1] += int(round(r.o_totalprice * 100))
+    rows = q_fn_isoweek(spark, sf_dir).collect()
+    assert {(r.iso_year, r.iso_week) for r in rows} == set(per)
+    for r in rows:
+        n, cents = per[(r.iso_year, r.iso_week)]
+        assert r.n_orders == n
+        assert abs(r.total - cents / 100) < 1e-6
+
+
+def test_ess_bounds_and_python_recompute(spark, sf_dir):
+    """1 <= ESS_docs <= n_docs, and the Kish formula must match."""
+    from polybot_data_etl_spark.plans.pipelines import q_mix_ess
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "documents").collect():
+        per[r.lang].append(len(r.text.lower().split(" ")))
+    rows = q_mix_ess(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(per)
+    for r in rows:
+        w = per[r.lang]
+        s1, s2, n = sum(w), sum(x * x for x in w), len(w)
+        assert r.n_docs == n and r.tokens == s1
+        assert abs(r.ess_docs - s1 * s1 / s2) < 0.02
+        assert abs(r.ess_fraction - s1 * s1 / (n * s2)) < 1e-3
+        assert 1 - 1e-9 <= r.ess_docs <= n + 1e-9
