@@ -871,3 +871,91 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(agap) / 100 + F.lit(1e-9), 4).alias("mean_abs_gap"),
         F.round(F.max(agap) / 100.0, 2).alias("max_abs_gap"),
     )
+
+
+@register(
+    "q_dq_rle",
+    oracle="""
+    WITH ordered AS (
+        SELECT l_returnflag, l_linestatus, l_shipdate,
+               lag(l_returnflag) OVER w AS p_rf,
+               lag(l_linestatus) OVER w AS p_ls,
+               lag(l_shipdate) OVER w AS p_sd
+        FROM lineitem
+        WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+    ),
+    runs AS (
+        SELECT
+            sum(CASE WHEN p_rf IS NULL OR l_returnflag <> p_rf
+                     THEN 1 ELSE 0 END) AS r_rf,
+            sum(CASE WHEN p_ls IS NULL OR l_linestatus <> p_ls
+                     THEN 1 ELSE 0 END) AS r_ls,
+            sum(CASE WHEN p_sd IS NULL OR l_shipdate <> p_sd
+                     THEN 1 ELSE 0 END) AS r_sd,
+            count(*) AS n
+        FROM ordered
+    )
+    SELECT col, CAST(n AS BIGINT) AS n_rows,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           round(n * 1e0 / n_runs + 1e-9, 4) AS avg_run_len
+    FROM (
+        SELECT 'l_returnflag' AS col, n, r_rf AS n_runs FROM runs
+        UNION ALL
+        SELECT 'l_linestatus', n, r_ls FROM runs
+        UNION ALL
+        SELECT 'l_shipdate', n, r_sd FROM runs
+    )
+    """,
+)
+def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile under the physical sort order
+    (l_orderkey, l_linenumber): number of value runs and mean run
+    length per column — the storage-layout diagnostic that predicts
+    RLE/dictionary encoding wins (a column with avg_run_len ≈ 1 under
+    the current order is why you re-cluster; the Z-order machinery in
+    tests/test_layout.py is the fix this measures the need for).
+
+    Shape: one lag window over the write order (single exchange; at
+    100 TB this runs per-file via the two-pass bucket-offset recipe
+    since files ARE the physical order), then a 1-row reduce unioned
+    into the 3-column report."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    ordered = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        F.lag("l_returnflag").over(w).alias("p_rf"),
+        F.lag("l_linestatus").over(w).alias("p_ls"),
+        F.lag("l_shipdate").over(w).alias("p_sd"),
+    )
+    run = lambda c, p: F.sum(
+        F.when(
+            F.col(p).isNull() | (F.col(c) != F.col(p)), 1
+        ).otherwise(0)
+    )
+    runs = ordered.agg(
+        run("l_returnflag", "p_rf").alias("r_rf"),
+        run("l_linestatus", "p_ls").alias("r_ls"),
+        run("l_shipdate", "p_sd").alias("r_sd"),
+        F.count("*").alias("n"),
+    )
+    runs = runs.localCheckpoint(eager=False)
+
+    def row(col: str, r: str) -> DataFrame:
+        return runs.select(
+            F.lit(col).alias("col"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col(r).cast("bigint").alias("n_runs"),
+            F.round(F.col("n") / F.col(r) + F.lit(1e-9), 4).alias(
+                "avg_run_len"
+            ),
+        )
+
+    return (
+        row("l_returnflag", "r_rf")
+        .unionByName(row("l_linestatus", "r_ls"))
+        .unionByName(row("l_shipdate", "r_sd"))
+    )

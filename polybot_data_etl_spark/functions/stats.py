@@ -27,6 +27,8 @@ which AQE collapses to a single post-shuffle task.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1801,4 +1803,152 @@ def q_stats_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zst + F.lit(1e-9), 4).alias("z"),
         F.round(p + F.lit(1e-9), 4).alias("p_value"),
         (p < 0.05).alias("rate_changed"),
+    )
+
+
+_HILL_K = 100
+
+
+@register(
+    "q_stats_hill",
+    oracle=f"""
+    WITH topk AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rk
+        FROM orders
+        QUALIFY row_number() OVER (
+            ORDER BY o_totalprice DESC, o_orderkey) <= {_HILL_K}
+    ),
+    xk AS (SELECT x AS xmin FROM topk WHERE rk = {_HILL_K}),
+    h AS (
+        SELECT count(*) - 1 AS k,
+               sum(CASE WHEN topk.rk < {_HILL_K}
+                        THEN ln(topk.x / xk.xmin) ELSE 0 END) AS s
+        FROM topk CROSS JOIN xk
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           round((SELECT xmin FROM xk), 2) AS x_k,
+           round(k / s + 1e-9, 4) AS hill_alpha,
+           round(k / s / sqrt(k) + 1e-9, 4) AS alpha_se
+    FROM h
+    """,
+)
+def q_stats_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator on order totals: α̂ = k / Σln(x_i/x_k)
+    over the top-k order statistics — the power-law heaviness gauge
+    (α < 2 means infinite variance: percentile SLAs and mean-based
+    capacity planning are lies) that quantifies what q_agg_pareto's
+    80/20 curve shows and q_text_zipf assumes.  SE = α̂/√k.
+
+    Shape: the only corpus-wide work is the top-k selection
+    (TakeOrderedAndProject — no global sort); the log-ratio fold runs
+    on the k-row frame.  Determinism: identical top-k membership via
+    the (value, key) total order; log ratios of identical doubles."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    topk = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(_HILL_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+            ),
+        )
+    )
+    xk = topk.filter(F.col("rk") == _HILL_K).select(
+        F.col("o_totalprice").alias("xmin")
+    )
+    h = topk.crossJoin(F.broadcast(xk)).agg(
+        (F.count("*") - 1).alias("k"),
+        F.sum(
+            F.when(
+                F.col("rk") < _HILL_K,
+                F.log(F.col("o_totalprice") / F.col("xmin")),
+            ).otherwise(0.0)
+        ).alias("s"),
+        F.first("xmin").alias("xmin"),
+    )
+    k, s = F.col("k"), F.col("s")
+    return h.select(
+        k.cast("bigint").alias("k"),
+        F.round(F.col("xmin"), 2).alias("x_k"),
+        F.round(k / s + F.lit(1e-9), 4).alias("hill_alpha"),
+        F.round(k / s / F.sqrt(k) + F.lit(1e-9), 4).alias("alpha_se"),
+    )
+
+
+# Euler-Mascheroni constant as a shared exact literal (Gumbel MoM).
+_EULER_GAMMA = "0.5772156649015329"
+
+
+@register(
+    "q_stats_gumbel",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               max(cast(round(value * 100) AS BIGINT)) AS mx
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT count(*) AS n, avg(mx) AS mu_m,
+               sqrt((sum(mx * mx) - sum(mx) * sum(mx) * 1.0 / count(*))
+                    / (count(*) - 1)) AS sd
+        FROM daily
+    ),
+    fit AS (
+        SELECT n,
+               sd * sqrt(6.0) / pi() AS beta,
+               mu_m - {_EULER_GAMMA} * sd * sqrt(6.0) / pi() AS mu
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(mu / 100 + 1e-9, 4) AS gumbel_mu,
+           round(beta / 100 + 1e-9, 4) AS gumbel_beta,
+           round((mu - beta * ln(-ln(1 - 1.0 / 30))) / 100 + 1e-9, 4)
+               AS return_level_30d,
+           round((mu - beta * ln(-ln(1 - 1.0 / 365))) / 100 + 1e-9, 4)
+               AS return_level_365d
+    FROM fit
+    """,
+)
+def q_stats_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value return levels via a Gumbel method-of-moments fit
+    on daily block maxima of `value`: β = s·√6/π, μ = x̄ − γβ (Euler-
+    Mascheroni as a shared exact literal), then the T-day return level
+    μ − β·ln(−ln(1−1/T)) — the 'what's the worst single event we
+    should expect in a month / a year' capacity question that
+    percentiles of the full distribution systematically understate.
+
+    Shape: one map-side max per day → moments on the bounded day frame
+    → closed-form algebra.  Exact-cents maxima; sample sd via raw
+    moments (the shared q_stats_* policy)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("mx")
+    )
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.avg("mx").alias("mu_m"),
+        F.sqrt(
+            (
+                F.sum(F.col("mx") * F.col("mx"))
+                - F.sum("mx") * F.sum("mx") * 1.0 / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("sd"),
+    )
+    beta = F.col("sd") * math.sqrt(6.0) / math.pi
+    mu = F.col("mu_m") - F.lit(float(_EULER_GAMMA)) * beta
+    rl = lambda t: (mu - beta * math.log(-math.log(1 - 1.0 / t))) / 100
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(mu / 100 + F.lit(1e-9), 4).alias("gumbel_mu"),
+        F.round(beta / 100 + F.lit(1e-9), 4).alias("gumbel_beta"),
+        F.round(rl(30) + F.lit(1e-9), 4).alias("return_level_30d"),
+        F.round(rl(365) + F.lit(1e-9), 4).alias("return_level_365d"),
     )

@@ -184,6 +184,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ts_rolling_corr", "q_stats_poisson_rate", "q_ml_ece",
     "q_embed_centroid_dist",
     "q_dq_reconcile", "q_fn_isoweek", "q_mix_ess",
+    "q_stats_hill", "q_stats_gumbel", "q_dq_rle",
 }
 
 

@@ -1649,3 +1649,71 @@ def test_ess_bounds_and_python_recompute(spark, sf_dir):
         assert abs(r.ess_docs - s1 * s1 / s2) < 0.02
         assert abs(r.ess_fraction - s1 * s1 / (n * s2)) < 1e-3
         assert 1 - 1e-9 <= r.ess_docs <= n + 1e-9
+
+
+def test_hill_matches_python_order_stats(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import _HILL_K, q_stats_hill
+
+    vals = sorted(
+        (
+            (r.o_totalprice, r.o_orderkey)
+            for r in table(spark, sf_dir, "orders").collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:_HILL_K]
+    xk = vals[-1][0]
+    s = sum(math.log(x / xk) for x, _ in vals[:-1])
+    k = _HILL_K - 1
+    [row] = q_stats_hill(spark, sf_dir).collect()
+    assert row.k == k
+    assert abs(row.x_k - round(xk, 2)) < 1e-9
+    assert abs(row.hill_alpha - k / s) < 1e-3
+    assert abs(row.alpha_se - k / s / math.sqrt(k)) < 1e-3
+    assert row.hill_alpha > 0
+
+
+def test_gumbel_fit_and_return_levels(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_gumbel
+
+    daily = defaultdict(int)
+    for r in table(spark, sf_dir, "events").collect():
+        c = int(round(r.value * 100))
+        daily[r.ts.date()] = max(daily[r.ts.date()], c)
+    mx = list(daily.values())
+    n = len(mx)
+    mean = sum(mx) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in mx) / (n - 1))
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    rl = lambda t: (mu - beta * math.log(-math.log(1 - 1 / t))) / 100
+    [row] = q_stats_gumbel(spark, sf_dir).collect()
+    assert row.n_days == n
+    assert abs(row.gumbel_mu - mu / 100) < 1e-3
+    assert abs(row.gumbel_beta - beta / 100) < 1e-3
+    assert abs(row.return_level_30d - rl(30)) < 1e-2
+    assert abs(row.return_level_365d - rl(365)) < 1e-2
+    # longer horizon => higher return level; both above the location
+    assert row.return_level_365d > row.return_level_30d > row.gumbel_mu
+
+
+def test_rle_matches_python_scan(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_rle
+
+    rows = sorted(
+        table(spark, sf_dir, "lineitem").collect(),
+        key=lambda r: (r.l_orderkey, r.l_linenumber),
+    )
+    cols = {
+        "l_returnflag": [r.l_returnflag for r in rows],
+        "l_linestatus": [r.l_linestatus for r in rows],
+        "l_shipdate": [r.l_shipdate for r in rows],
+    }
+    got = {r.col: r for r in q_dq_rle(spark, sf_dir).collect()}
+    assert set(got) == set(cols)
+    for col, vals in cols.items():
+        runs = 1 + sum(
+            1 for a, b in zip(vals, vals[1:]) if a != b
+        )
+        assert got[col].n_rows == len(vals)
+        assert got[col].n_runs == runs
+        assert abs(got[col].avg_run_len - len(vals) / runs) < 1e-3
