@@ -771,3 +771,47 @@ def q_fn_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_year", "iso_week")
     )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+    SELECT e.event_id,
+           try_cast(json_extract_string(e.props, '$.k') AS INTEGER)
+               AS k_parsed,
+           try_cast(e.event_type AS INTEGER) AS type_as_int,
+           e.value / nullif(cast(e.event_id % 5 AS DOUBLE), 0) AS safe_div,
+           cast(try_cast(concat('2024-',
+                               cast(e.event_id % 15 AS VARCHAR), '-01')
+                         AS DATE) AS VARCHAR) AS maybe_date
+    FROM events e WHERE e.event_id < 2000
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY_* surface: under ANSI SQL mode (this engine's
+    default, like the modern Spark default) a bad cast or division by
+    zero is a runtime ERROR, so dirty-input expressions must opt into
+    NULL-on-failure explicitly — try_cast for unparseable ints/dates,
+    try_divide ↔ the portable x/nullif(y,0) for zero denominators.
+    This query exercises each form on genuinely dirty derivations
+    (non-numeric strings, invalid month-less dates, zero divisors) —
+    the scan-side hygiene layer every ingestion projection needs.
+
+    Zero shuffle: pure codegen'd projections."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_parsed"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 5).cast("double")
+        ).alias("safe_div"),
+        F.concat(
+            F.lit("2024-"),
+            (F.col("event_id") % 15).cast("string"),
+            F.lit("-01"),
+        )
+        .try_cast("date")
+        .cast("string")
+        .alias("maybe_date"),
+    )

@@ -1952,3 +1952,91 @@ def q_stats_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rl(30) + F.lit(1e-9), 4).alias("return_level_30d"),
         F.round(rl(365) + F.lit(1e-9), 4).alias("return_level_365d"),
     )
+
+
+@register(
+    "q_stats_median_ci",
+    oracle="""
+    WITH vals AS (
+        SELECT value AS v, count(*) AS c FROM events GROUP BY value
+    ),
+    cum AS (
+        SELECT v, c,
+               sum(c) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cm,
+               sum(c) OVER () AS n
+        FROM vals
+    ),
+    ranks AS (
+        SELECT n,
+               CAST(floor((n + 1) / 2.0) AS BIGINT) AS r_med,
+               CAST(floor(n / 2.0 - 1.96 * sqrt(n) / 2) AS BIGINT) AS r_lo,
+               CAST(ceil(1 + n / 2.0 + 1.96 * sqrt(n) / 2) AS BIGINT) AS r_hi
+        FROM (SELECT max(n) AS n FROM cum)
+    )
+    SELECT CAST(r.n AS BIGINT) AS n,
+           round(min(CASE WHEN cm >= r_med THEN v END) + 1e-9, 4)
+               AS median,
+           round(min(CASE WHEN cm >= r_lo THEN v END) + 1e-9, 4) AS ci_lo,
+           round(min(CASE WHEN cm >= r_hi THEN v END) + 1e-9, 4) AS ci_hi
+    FROM cum CROSS JOIN ranks r
+    GROUP BY r.n
+    """,
+)
+def q_stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free confidence interval for the median via order
+    statistics (the binomial/normal-approximation rank bracket
+    n/2 ± 1.96·√n/2): unlike a bootstrap, the CI is exact order-stat
+    selection — the robust-location companion to q_stats_bootstrap's
+    mean CI.
+
+    Scale shape: order statistics come from the DISTINCT-VALUE
+    cumulative-count frame (the q_stats_mannwhitney machinery), never
+    a global row sort — the rank→value lookup is min(value where
+    cum ≥ r) on the bounded distinct frame; the two-pass bucket-offset
+    recipe applies if the value domain outgrows a task."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    vals = e.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "v",
+        F.sum("c").over(w).alias("cm"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    n = F.col("n")
+    ranks = (
+        cum.agg(F.max("n").alias("nn"))
+        .select(
+            "nn",
+            F.floor((F.col("nn") + 1) / 2.0).cast("long").alias("r_med"),
+            F.floor(F.col("nn") / 2.0 - 1.96 * F.sqrt(F.col("nn")) / 2)
+            .cast("long")
+            .alias("r_lo"),
+            F.ceil(1 + F.col("nn") / 2.0 + 1.96 * F.sqrt(F.col("nn")) / 2)
+            .cast("long")
+            .alias("r_hi"),
+        )
+    )
+    pick = lambda r: F.min(
+        F.when(F.col("cm") >= F.col(r), F.col("v"))
+    )
+    return (
+        cum.drop("n")
+        .crossJoin(F.broadcast(ranks))
+        .groupBy(F.col("nn").cast("bigint").alias("n"))
+        .agg(
+            F.round(pick("r_med") + F.lit(1e-9), 4).alias("median"),
+            F.round(pick("r_lo") + F.lit(1e-9), 4).alias("ci_lo"),
+            F.round(pick("r_hi") + F.lit(1e-9), 4).alias("ci_hi"),
+        )
+    )

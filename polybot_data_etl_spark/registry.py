@@ -185,6 +185,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_embed_centroid_dist",
     "q_dq_reconcile", "q_fn_isoweek", "q_mix_ess",
     "q_stats_hill", "q_stats_gumbel", "q_dq_rle",
+    "q_stats_median_ci", "q_fn_try",
 }
 
 

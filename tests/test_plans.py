@@ -187,6 +187,7 @@ _NLJ_ALLOWED = {
     "q_dedup_threshold_sweep",  # verified pair frame × 8-row grid join
     "q_stats_poisson_rate",  # 1-row (min, max) bounds broadcast crossJoin
     "q_stats_hill",       # 1-row x_k order-stat broadcast crossJoin
+    "q_stats_median_ci",  # 1-row rank-bracket broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -1717,3 +1717,48 @@ def test_rle_matches_python_scan(spark, sf_dir):
         assert got[col].n_rows == len(vals)
         assert got[col].n_runs == runs
         assert abs(got[col].avg_run_len - len(vals) / runs) < 1e-3
+
+
+def test_median_ci_order_stats_match_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_median_ci
+
+    vals = sorted(
+        r.value for r in table(spark, sf_dir, "events").collect()
+    )
+    n = len(vals)
+    r_med = math.floor((n + 1) / 2)
+    r_lo = math.floor(n / 2 - 1.96 * math.sqrt(n) / 2)
+    r_hi = math.ceil(1 + n / 2 + 1.96 * math.sqrt(n) / 2)
+    [row] = q_stats_median_ci(spark, sf_dir).collect()
+    assert row.n == n
+    assert abs(row.median - vals[r_med - 1]) < 1e-3
+    assert abs(row.ci_lo - vals[r_lo - 1]) < 1e-3
+    assert abs(row.ci_hi - vals[r_hi - 1]) < 1e-3
+    assert row.ci_lo <= row.median <= row.ci_hi
+
+
+def test_try_surface_nulls_exactly_where_dirty(spark, sf_dir):
+    from polybot_data_etl_spark.functions.scalar import q_fn_try
+
+    rows = q_fn_try(spark, sf_dir).collect()
+    assert rows
+    import json as _json
+
+    ev = {
+        r.event_id: r
+        for r in table(spark, sf_dir, "events").collect()
+        if r.event_id < 2000
+    }
+    for r in rows:
+        src = ev[r.event_id]
+        assert r.k_parsed == _json.loads(src.props)["k"]
+        assert r.type_as_int is None  # event_type is never numeric
+        if src.event_id % 5 == 0:
+            assert r.safe_div is None
+        else:
+            assert abs(r.safe_div - src.value / (src.event_id % 5)) < 1e-6
+        m = src.event_id % 15
+        if 1 <= m <= 12:
+            assert r.maybe_date == f"2024-{m:02d}-01"
+        else:
+            assert r.maybe_date is None
