@@ -959,3 +959,63 @@ def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("l_linestatus", "r_ls"))
         .unionByName(row("l_shipdate", "r_sd"))
     )
+
+
+@register(
+    "q_dq_id_gaps",
+    oracle="""
+    WITH d AS (
+        SELECT event_id,
+               lead(event_id) OVER (ORDER BY event_id) AS nxt
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_id AS gap_after, nxt - event_id - 1 AS missing
+        FROM d WHERE nxt - event_id > 1
+    )
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+           CAST((SELECT max(event_id) - min(event_id) + 1 FROM events)
+                AS BIGINT) AS id_span,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(missing), 0) AS BIGINT) AS n_missing,
+           CAST(coalesce(max(missing), 0) AS BIGINT) AS max_gap
+    FROM gaps
+    """,
+)
+def q_dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: holes in the event_id sequence
+    (count of gaps, total missing ids, largest hole) — the load-
+    completeness check that catches dropped batches and partial loads
+    the row count alone hides (10k rows with a 5k-wide hole means a
+    range didn't land).
+
+    Shape: one lead() over the id order (at 100 TB: the two-pass
+    bucket-offset recipe on id ranges — ids are the natural range
+    partitioner) → gap rows → a 1-row reduce; the span/count
+    cross-checks come from a plain min/max agg."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "event_id",
+        F.lead("event_id").over(Window.orderBy("event_id")).alias("nxt"),
+    )
+    gaps = d.filter(F.col("nxt") - F.col("event_id") > 1).select(
+        (F.col("nxt") - F.col("event_id") - 1).alias("missing")
+    )
+    tot = e.agg(
+        F.count("*").alias("n_rows"),
+        (F.max("event_id") - F.min("event_id") + 1).alias("id_span"),
+    )
+    g = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.coalesce(F.sum("missing"), F.lit(0)).alias("n_missing"),
+        F.coalesce(F.max("missing"), F.lit(0)).alias("max_gap"),
+    )
+    return tot.crossJoin(F.broadcast(g)).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("id_span").cast("bigint").alias("id_span"),
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.col("n_missing").cast("bigint").alias("n_missing"),
+        F.col("max_gap").cast("bigint").alias("max_gap"),
+    )

@@ -1349,3 +1349,105 @@ def q_ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece"),
         F.round(F.max(gap) + F.lit(1e-9), 4).alias("mce"),
     )
+
+
+@register(
+    "q_ml_auc_ci",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    v AS (
+        SELECT score, count(*) AS cnt,
+               sum(CASE WHEN truth THEN 1 ELSE 0 END) AS cnt_p
+        FROM s GROUP BY score
+    ),
+    r AS (
+        SELECT score, cnt, cnt_p,
+               sum(cnt) OVER (ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM v
+    ),
+    agg AS (
+        SELECT sum(cnt_p) AS np, sum(cnt) - sum(cnt_p) AS nn,
+               sum((cum - (cnt - 1) / 2.0) * cnt_p) AS rp
+        FROM r
+    ),
+    a AS (
+        SELECT np, nn,
+               round((rp - np * (np + 1) / 2.0) / (np * nn) + 1e-11, 6)
+                   AS auc
+        FROM agg
+    ),
+    se AS (
+        SELECT np, nn, auc,
+               sqrt((auc * (1 - auc)
+                     + (np - 1) * (auc / (2 - auc) - auc * auc)
+                     + (nn - 1) * (2 * auc * auc / (1 + auc)
+                                   - auc * auc))
+                    / (np * nn)) AS s
+        FROM a
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round(auc + 1e-9, 4) AS auc,
+           round(s + 1e-9, 4) AS auc_se,
+           round(greatest(auc - 1.96 * s, 0) + 1e-9, 4) AS ci_lo,
+           round(least(auc + 1.96 * s, 1) + 1e-9, 4) AS ci_hi
+    FROM se
+    """,
+)
+def q_ml_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with a Hanley-McNeil standard error and 95% CI: the closed-
+    form SE(AUC) from (AUC, n_pos, n_neg) via Q1 = A/(2−A),
+    Q2 = 2A²/(1+A) — what q_ml_auc's point estimate needs before two
+    models can be compared honestly (overlapping CIs at small n = no
+    call).  CI clipped to [0, 1].
+
+    Same rank-sum machinery as q_ml_auc (distinct-score frame, tied-
+    rank midpoints), AUC re-rounded 6-dp before the SE algebra; 1-row
+    output."""
+    s = _eval_scores(spark, sf_dir)
+    v = s.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).alias("cnt_p"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = v.select(
+        "cnt", "cnt_p", F.sum("cnt").over(w).alias("cum")
+    )
+    agg = r.agg(
+        F.sum("cnt_p").alias("np"),
+        (F.sum("cnt") - F.sum("cnt_p")).alias("nn"),
+        F.sum((F.col("cum") - (F.col("cnt") - 1) / 2.0) * F.col("cnt_p"))
+        .alias("rp"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    a = agg.select(
+        np_,
+        nn_,
+        F.round(
+            (F.col("rp") - np_ * (np_ + 1) / 2.0) / (np_ * nn_)
+            + F.lit(1e-11),
+            6,
+        ).alias("auc"),
+    )
+    auc = F.col("auc")
+    se = F.sqrt(
+        (
+            auc * (1 - auc)
+            + (np_ - 1) * (auc / (2 - auc) - auc * auc)
+            + (nn_ - 1) * (2 * auc * auc / (1 + auc) - auc * auc)
+        )
+        / (np_ * nn_)
+    )
+    return a.select(
+        np_.cast("bigint").alias("n_pos"),
+        nn_.cast("bigint").alias("n_neg"),
+        F.round(auc + F.lit(1e-9), 4).alias("auc"),
+        F.round(se + F.lit(1e-9), 4).alias("auc_se"),
+        F.round(F.greatest(auc - 1.96 * se, F.lit(0.0)) + F.lit(1e-9), 4)
+        .alias("ci_lo"),
+        F.round(F.least(auc + 1.96 * se, F.lit(1.0)) + F.lit(1e-9), 4)
+        .alias("ci_hi"),
+    )

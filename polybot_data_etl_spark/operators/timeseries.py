@@ -2613,3 +2613,47 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_ts_load_factor",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)
+                   AS h,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(n) AS BIGINT) AS peak_hour,
+           round(avg(n) + 1e-9, 4) AS mean_hour,
+           round(max(n) / avg(n) + 1e-9, 4) AS peak_to_mean,
+           round(avg(n) / max(n) + 1e-9, 4) AS load_factor
+    FROM hourly GROUP BY event_type
+    """,
+)
+def q_ts_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load factor per event type: peak-hour rate vs mean rate over
+    observed hours — the capacity-planning number (provisioning for
+    the mean melts at peak; load_factor = mean/peak says how bursty
+    the workload is, 1.0 = perfectly flat).
+
+    One map-side-combined hourly agg (epoch-aligned buckets, matching
+    DuckDB time_bucket) → a k-type reduce over the bounded hour frame.
+    Integer counts → exact ratios."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("w")
+    ).agg(F.count("*").alias("n"))
+    return hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.max("n").cast("bigint").alias("peak_hour"),
+        F.round(F.avg("n") + F.lit(1e-9), 4).alias("mean_hour"),
+        F.round(F.max("n") / F.avg("n") + F.lit(1e-9), 4).alias(
+            "peak_to_mean"
+        ),
+        F.round(F.avg("n") / F.max("n") + F.lit(1e-9), 4).alias(
+            "load_factor"
+        ),
+    )

@@ -186,6 +186,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_dq_reconcile", "q_fn_isoweek", "q_mix_ess",
     "q_stats_hill", "q_stats_gumbel", "q_dq_rle",
     "q_stats_median_ci", "q_fn_try",
+    "q_ml_auc_ci", "q_ts_load_factor", "q_dq_id_gaps",
 }
 
 

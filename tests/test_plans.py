@@ -188,6 +188,7 @@ _NLJ_ALLOWED = {
     "q_stats_poisson_rate",  # 1-row (min, max) bounds broadcast crossJoin
     "q_stats_hill",       # 1-row x_k order-stat broadcast crossJoin
     "q_stats_median_ci",  # 1-row rank-bracket broadcast crossJoin
+    "q_dq_id_gaps",       # 1-row gap-summary broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

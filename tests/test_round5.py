@@ -1762,3 +1762,73 @@ def test_try_surface_nulls_exactly_where_dirty(spark, sf_dir):
             assert r.maybe_date == f"2024-{m:02d}-01"
         else:
             assert r.maybe_date is None
+
+
+def test_auc_ci_hanley_mcneil_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import _eval_scores, q_ml_auc_ci
+
+    sy = [(r.score, r.truth) for r in _eval_scores(spark, sf_dir).collect()]
+    pos = sorted(s for s, t in sy if t)
+    neg = sorted(s for s, t in sy if not t)
+    # exact Mann-Whitney AUC with tie credit
+    import bisect
+
+    wins = 0.0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        wins += lo + (hi - lo) / 2
+    a = round(wins / (len(pos) * len(neg)) + 1e-11, 6)
+    q1 = a / (2 - a)
+    q2 = 2 * a * a / (1 + a)
+    se = math.sqrt(
+        (
+            a * (1 - a)
+            + (len(pos) - 1) * (q1 - a * a)
+            + (len(neg) - 1) * (q2 - a * a)
+        )
+        / (len(pos) * len(neg))
+    )
+    [row] = q_ml_auc_ci(spark, sf_dir).collect()
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert abs(row.auc - a) < 1e-3
+    assert abs(row.auc_se - se) < 1e-3
+    assert row.ci_lo <= row.auc <= row.ci_hi
+    assert 0 <= row.ci_lo and row.ci_hi <= 1
+
+
+def test_load_factor_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_load_factor
+
+    per = defaultdict(Counter)
+    for r in table(spark, sf_dir, "events").collect():
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        per[r.event_type][h] += 1
+    rows = q_ts_load_factor(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(per)
+    for r in rows:
+        counts = list(per[r.event_type].values())
+        assert r.n_hours == len(counts)
+        assert r.peak_hour == max(counts)
+        assert abs(r.mean_hour - sum(counts) / len(counts)) < 1e-3
+        assert abs(r.load_factor - (sum(counts) / len(counts)) / max(counts)) < 1e-3
+        assert 0 < r.load_factor <= 1
+
+
+def test_id_gaps_on_contiguous_fixture_and_synthetic_holes(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_id_gaps
+
+    ids = sorted(
+        r.event_id for r in table(spark, sf_dir, "events").collect()
+    )
+    missing = (ids[-1] - ids[0] + 1) - len(ids)
+    gaps = sum(1 for a, b in zip(ids, ids[1:]) if b - a > 1)
+    mx = max((b - a - 1 for a, b in zip(ids, ids[1:])), default=0)
+    [row] = q_dq_id_gaps(spark, sf_dir).collect()
+    assert row.n_rows == len(ids)
+    assert row.id_span == ids[-1] - ids[0] + 1
+    assert row.n_gaps == gaps
+    assert row.n_missing == missing
+    assert row.max_gap == mx
+    # invariant: span == rows + missing
+    assert row.id_span == row.n_rows + row.n_missing
