@@ -2040,3 +2040,109 @@ def q_stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pick("r_hi") + F.lit(1e-9), 4).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "q_stats_runs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+               sum(cast(round(value * 100) AS BIGINT)) AS vc
+        FROM events GROUP BY 1
+    ),
+    moves AS (
+        SELECT day,
+               CASE WHEN vc > lag(vc) OVER (ORDER BY day) THEN 1
+                    ELSE 0 END AS up,
+               lag(vc) OVER (ORDER BY day) AS prev
+        FROM daily
+    ),
+    seq AS (
+        SELECT up,
+               lag(up) OVER (ORDER BY day) AS p_up
+        FROM (SELECT day, up FROM moves WHERE prev IS NOT NULL)
+    ),
+    c AS (
+        SELECT count(*) AS n,
+               sum(up) AS n1,
+               count(*) - sum(up) AS n2,
+               sum(CASE WHEN p_up IS NULL OR up <> p_up
+                        THEN 1 ELSE 0 END) AS runs
+        FROM seq
+    ),
+    z AS (
+        SELECT n, n1, n2, runs,
+               2.0 * n1 * n2 / n + 1 AS mu,
+               sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                    / (n * n * (n - 1.0))) AS sd
+        FROM c
+    ),
+    zz AS (
+        SELECT n, n1, n2, runs,
+               round((runs - mu) / sd + 1e-11, 6) AS zst
+        FROM z
+    )
+    SELECT CAST(n AS BIGINT) AS n_moves,
+           CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+           CAST(runs AS BIGINT) AS n_runs,
+           round(zst + 1e-9, 4) AS z,
+           round(2 * (1 - {_phi_sql("abs(zst)")}) + 1e-9, 4) AS p_value,
+           CAST(2 * (1 - {_phi_sql("abs(zst)")}) < 0.05 AS BOOLEAN)
+               AS non_random
+    FROM zz
+    """,
+)
+def q_stats_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily volume's up/down move
+    sequence: too FEW runs = trending (momentum), too MANY =
+    mean-reverting oscillation — the randomness check that validates
+    whether q_ts_trend / q_ts_sma_cross signals are even meaningful on
+    this series.  z = (R − μ_R)/σ_R with the exact run-count moments.
+
+    Determinism: moves derive from exact-cents daily sums (ties count
+    as down — a fixed convention both engines share); run counting is
+    a lag-compare flag sum; z re-rounds 6-dp before the shared Φ.
+    All windows on the bounded day frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+    )
+    w = Window.orderBy("day")
+    moves = daily.select(
+        "day",
+        F.when(F.col("vc") > F.lag("vc").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.lag("vc").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    seq = moves.select(
+        "up", F.lag("up").over(Window.orderBy("day")).alias("p_up")
+    )
+    c = seq.agg(
+        F.count("*").alias("n"),
+        F.sum("up").alias("n1"),
+        (F.count("*") - F.sum("up")).alias("n2"),
+        F.sum(
+            F.when(
+                F.col("p_up").isNull() | (F.col("up") != F.col("p_up")), 1
+            ).otherwise(0)
+        ).alias("runs"),
+    )
+    n, n1, n2, runs = (F.col(x) for x in ("n", "n1", "n2", "runs"))
+    mu = 2.0 * n1 * n2 / n + 1
+    sd = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    zst = F.round((runs - mu) / sd + F.lit(1e-11), 6)
+    p = 2 * (1 - _phi_col(F.abs(zst)))
+    return c.select(
+        n.cast("bigint").alias("n_moves"),
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        runs.cast("bigint").alias("n_runs"),
+        F.round(zst + F.lit(1e-9), 4).alias("z"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.05).alias("non_random"),
+    )

@@ -1357,3 +1357,94 @@ def q_embed_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+_PREFIX_DIMS = 16
+
+
+@register(
+    "q_embed_prefix_agreement",
+    oracle=f"""
+    WITH full_nn AS (
+        SELECT a.vec_id AS probe_id, b.vec_id AS nn_full
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY round(list_inner_product(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 4)
+                     DESC, b.vec_id) = 1
+    ),
+    pfx_nn AS (
+        SELECT a.vec_id AS probe_id, b.vec_id AS nn_prefix
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY round(list_inner_product(
+                         a.embedding[1:{_PREFIX_DIMS}]::DOUBLE[],
+                         b.embedding[1:{_PREFIX_DIMS}]::DOUBLE[]), 4)
+                     DESC, b.vec_id) = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN f.nn_full = p.nn_prefix THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(sum(CASE WHEN f.nn_full = p.nn_prefix THEN 1 ELSE 0 END)
+                 * 1e0 / count(*) + 1e-9, 4) AS agreement
+    FROM full_nn f JOIN pfx_nn p ON p.probe_id = f.probe_id
+    """,
+)
+def q_embed_prefix_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension quality check: does the top-1
+    nearest neighbor found with only the FIRST 16 of 64 dimensions
+    agree with the full-dimension top-1? — the eval behind
+    prefix-truncation embedding compression (4× cheaper storage and
+    distance math IF agreement holds; this measures whether these
+    embeddings were trained to front-load information).
+
+    Shape: two bounded-probe brute-force top-1 passes (the q_sim_topk
+    probe-bounding pattern; slice() takes the prefix JVM-side) joined
+    on probe — one summary row.  Both rankings use the (4-dp sim, id)
+    total order."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def top1(emb_expr_a, emb_expr_b, out: str) -> DataFrame:
+        probes = e.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("probe_id"),
+            emb_expr_a.alias("emb_p"),
+        )
+        cands = e.select(
+            F.col("vec_id").alias("cand_id"), emb_expr_b.alias("emb_n")
+        )
+        scored = (
+            F.broadcast(probes)
+            .crossJoin(cands)
+            .filter(F.col("probe_id") != F.col("cand_id"))
+            .withColumn(
+                "sim", F.round(dot(F.col("emb_p"), F.col("emb_n")), 4)
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("sim"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("probe_id", F.col("cand_id").alias(out))
+        )
+
+    full = top1(F.col("embedding"), F.col("embedding"), "nn_full")
+    pfx = top1(
+        F.slice(F.col("embedding"), 1, _PREFIX_DIMS),
+        F.slice(F.col("embedding"), 1, _PREFIX_DIMS),
+        "nn_prefix",
+    )
+    j = full.join(pfx, "probe_id")
+    agree = F.sum(
+        F.when(F.col("nn_full") == F.col("nn_prefix"), 1).otherwise(0)
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        agree.cast("bigint").alias("n_agree"),
+        F.round(agree / F.count("*") + F.lit(1e-9), 4).alias("agreement"),
+    )

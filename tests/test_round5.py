@@ -1832,3 +1832,63 @@ def test_id_gaps_on_contiguous_fixture_and_synthetic_holes(spark, sf_dir):
     assert row.max_gap == mx
     # invariant: span == rows + missing
     assert row.id_span == row.n_rows + row.n_missing
+
+
+def test_prefix_agreement_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.vectors import (
+        _PREFIX_DIMS,
+        q_embed_prefix_agreement,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def top1(probe, dims):
+        best = None
+        for cid, v in emb.items():
+            if cid == probe:
+                continue
+            sim = round(
+                sum(a * b for a, b in zip(emb[probe][:dims], v[:dims])), 4
+            )
+            key = (-sim, cid)
+            if best is None or key < best[0]:
+                best = (key, cid)
+        return best[1]
+
+    agree = 0
+    probes = [p for p in emb if p < 20]
+    for p in probes:
+        if top1(p, len(emb[p])) == top1(p, _PREFIX_DIMS):
+            agree += 1
+    [row] = q_embed_prefix_agreement(spark, sf_dir).collect()
+    assert row.n_probes == len(probes)
+    assert row.n_agree == agree
+    assert abs(row.agreement - agree / len(probes)) < 1e-9
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_runs
+
+    daily = defaultdict(int)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.ts.date()] += int(round(r.value * 100))
+    vols = [daily[d] for d in sorted(daily)]
+    ups = [1 if b > a else 0 for a, b in zip(vols, vols[1:])]
+    n = len(ups)
+    n1 = sum(ups)
+    n2 = n - n1
+    runs = 1 + sum(1 for a, b in zip(ups, ups[1:]) if a != b)
+    mu = 2 * n1 * n2 / n + 1
+    sd = math.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1)))
+    z = (runs - mu) / sd
+    [row] = q_stats_runs(spark, sf_dir).collect()
+    assert (row.n_moves, row.n_up, row.n_down, row.n_runs) == (
+        n, n1, n2, runs,
+    )
+    assert abs(row.z - z) < 1e-3
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    assert abs(row.p_value - 2 * (1 - phi(abs(z)))) < 1e-3
+    assert row.non_random == (row.p_value < 0.05)
