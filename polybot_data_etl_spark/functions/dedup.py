@@ -1375,3 +1375,198 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --- winnowing (MOSS local fingerprinting) --------------------------------
+
+_WIN_W = 4          # winnowing window (consecutive k-gram hashes)
+_WIN_SHARED = 2     # min shared fingerprints to report a pair
+_WIN_FP_DF_CAP = 100
+
+
+@register(
+    "q_dedup_winnowing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               list_reduce(list_transform(
+                   string_split(array_to_string(ws[i:i+2], ' '), ''),
+                   c -> ascii(c)::BIGINT),
+                   (a, x) -> (a * 31 + x) % {_P}) AS h
+        FROM toks, unnest(range(1, greatest(len(ws) - 1, 2))) AS t(i)
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS fp
+        FROM grams
+    ),
+    capped AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) <= {_WIN_FP_DF_CAP}
+    ),
+    rare AS (SELECT fps.doc_id, fps.fp FROM fps JOIN capped USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               count(*) AS shared_fp
+        FROM rare a JOIN rare b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, CAST(shared_fp AS BIGINT) AS shared_fp
+    FROM pairs WHERE shared_fp >= {_WIN_SHARED}
+    """,
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting
+    algorithm): per document, take the POSITIONAL sequence of 3-gram
+    hashes, slide a w=4 window, keep each window's minimum — the
+    guarantee is that any shared substring of ≥ w+k−1 tokens yields at
+    least one shared fingerprint, making this the partial-overlap
+    detector (plagiarism / quote / template reuse) that whole-document
+    MinHash misses.  Pairs sharing ≥ 2 df-capped fingerprints are
+    reported with their shared count.  (Tail-inclusive variant:
+    windows at every position including partial tails — identical
+    frame semantics on both engines.)
+
+    Shape: fingerprints come from an Arrow ``mapInPandas`` kernel
+    (the minhash_signatures pattern — shuffle-free scan-side map:
+    positional gram hashes with the shared portable char-fold hash,
+    memoized per unique gram; the w-window min as one vectorized
+    sliding-window reduction; per-doc distinct) — the interpreted
+    per-char HOF fold was measured 25× slower.  Candidategeneration is the same df-capped inverted-index equi-join as
+    q_dedup_ngram — never an all-pairs product.  At 100 TB fingerprint
+    density is |tokens|/w per doc (w tunes index size)."""
+    import numpy as np
+    import pandas as pd
+
+    memo: dict = {}
+
+    def gram_hash(s: str) -> int:
+        h = memo.get(s)
+        if h is None:
+            h = 0
+            for c in s:
+                h = (h * 31 + ord(c)) % _P
+            memo[s] = h
+        return h
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_doc, out_fp = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.lower().split(" ")
+                m = max(len(words) - 2, 1)
+                hs = np.fromiter(
+                    (
+                        gram_hash(" ".join(words[i : i + 3]))
+                        for i in range(m)
+                    ),
+                    dtype=np.int64,
+                    count=m,
+                )
+                # tail-inclusive w-window min: pad with +inf so the
+                # last w-1 windows shrink, matching the SQL frame
+                pad = np.full(_WIN_W - 1, np.iinfo(np.int64).max)
+                sw = np.lib.stride_tricks.sliding_window_view(
+                    np.concatenate([hs, pad]), _WIN_W
+                )
+                fps = np.unique(sw.min(axis=1))
+                out_doc.extend([doc_id] * len(fps))
+                out_fp.extend(fps.tolist())
+            yield pd.DataFrame({"doc_id": out_doc, "fp": out_fp})
+
+    d = table(spark, sf_dir, "documents")
+    fps = d.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, fp long"
+    )
+    fps = fps.localCheckpoint(eager=False)
+    capped = fps.groupBy("fp").agg(F.count("*").alias("dfreq")).filter(
+        F.col("dfreq") <= _WIN_FP_DF_CAP
+    )
+    rare = fps.join(capped.select("fp"), "fp")
+    a = rare.select(F.col("doc_id").alias("a_id"), "fp")
+    b = rare.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= _WIN_SHARED)
+    )
+
+
+def _capture_recapture_oracle() -> str:
+    from polybot_data_etl_spark.functions.text import _minhash_oracle
+
+    return f"""
+    WITH mh AS (
+        SELECT a_id, b_id FROM ({_minhash_oracle()})
+    ),
+    ng AS (
+        SELECT a_id, b_id FROM ({_NGRAM_ORACLE})
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM mh) AS n1,
+               (SELECT count(*) FROM ng) AS n2,
+               (SELECT count(*) FROM mh
+                JOIN ng ON ng.a_id = mh.a_id AND ng.b_id = mh.b_id) AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_minhash,
+           CAST(n2 AS BIGINT) AS n_ngram,
+           CAST(m AS BIGINT) AS n_both,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1 + 1e-9, 2)
+               AS chapman_total,
+           round(n1 / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1)
+                 + 1e-9, 4) AS coverage_minhash,
+           round(n2 / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1)
+                 + 1e-9, 4) AS coverage_ngram
+    FROM counts
+    """
+
+
+@register("q_dedup_capture_recapture", oracle=_capture_recapture_oracle())
+def q_dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the TRUE near-duplicate pair
+    count: treat the MinHash-LSH pairs and the shingle-index n-gram
+    pairs as two independent 'captures' of the same underlying
+    duplicate population and apply the Chapman estimator
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 — the ecology trick that tells you how
+    many near-dup pairs BOTH methods miss (each method's coverage =
+    its count / N̂), turning two imperfect dedup passes into a
+    defensible completeness number for the data card.
+
+    Shape: reuses both registered pair plans (bucketed candidate
+    generation on each side), one pair-keyed join for the overlap,
+    three 1-row counts → closed-form algebra."""
+    from polybot_data_etl_spark.functions.text import q_dedup_minhash
+
+    mh = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
+    ng = q_dedup_ngram(spark, sf_dir).select(
+        F.col("a_id").alias("na"), F.col("b_id").alias("nb")
+    )
+    mh = mh.localCheckpoint(eager=False)
+    ng = ng.localCheckpoint(eager=False)
+    both = mh.join(
+        ng, (mh["a_id"] == ng["na"]) & (mh["b_id"] == ng["nb"]), "left_semi"
+    )
+    n1f = mh.agg(F.count("*").alias("n1"))
+    n2f = ng.agg(F.count("*").alias("n2"))
+    mf = both.agg(F.count("*").alias("m"))
+    c = n1f.crossJoin(F.broadcast(n2f)).crossJoin(F.broadcast(mf))
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+    return c.select(
+        n1.cast("bigint").alias("n_minhash"),
+        n2.cast("bigint").alias("n_ngram"),
+        m.cast("bigint").alias("n_both"),
+        F.round(nhat + F.lit(1e-9), 2).alias("chapman_total"),
+        F.round(n1 / nhat + F.lit(1e-9), 4).alias("coverage_minhash"),
+        F.round(n2 / nhat + F.lit(1e-9), 4).alias("coverage_ngram"),
+    )

@@ -188,6 +188,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_median_ci", "q_fn_try",
     "q_ml_auc_ci", "q_ts_load_factor", "q_dq_id_gaps",
     "q_embed_prefix_agreement", "q_stats_runs",
+    "q_dedup_winnowing", "q_dedup_capture_recapture",
 }
 
 

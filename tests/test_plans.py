@@ -190,6 +190,7 @@ _NLJ_ALLOWED = {
     "q_stats_median_ci",  # 1-row rank-bracket broadcast crossJoin
     "q_dq_id_gaps",       # 1-row gap-summary broadcast crossJoin
     "q_embed_prefix_agreement",  # probe-bounded brute-force top-1 pair
+    "q_dedup_capture_recapture",  # 1-row count-summary broadcast crosses
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

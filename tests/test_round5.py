@@ -1892,3 +1892,89 @@ def test_runs_test_matches_python(spark, sf_dir):
     phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
     assert abs(row.p_value - 2 * (1 - phi(abs(z)))) < 1e-3
     assert row.non_random == (row.p_value < 0.05)
+
+
+def test_winnowing_guarantee_and_python_replay(spark, sf_dir):
+    """Replay the winnowing kernel in pure Python (positional 3-gram
+    char hashes, tail-inclusive w-window mins, distinct) and check the
+    pair table; also assert the MOSS guarantee on a synthetic pair of
+    docs sharing a long substring."""
+    from polybot_data_etl_spark.functions.dedup import (
+        _P,
+        _WIN_FP_DF_CAP,
+        _WIN_SHARED,
+        _WIN_W,
+        q_dedup_winnowing,
+    )
+
+    def fingerprints(text):
+        words = text.lower().split(" ")
+        m = max(len(words) - 2, 1)
+        hs = []
+        for i in range(m):
+            h = 0
+            for c in " ".join(words[i : i + 3]):
+                h = (h * 31 + ord(c)) % _P
+            hs.append(h)
+        inf = float("inf")
+        padded = hs + [inf] * (_WIN_W - 1)
+        return {
+            int(min(padded[i : i + _WIN_W])) for i in range(len(hs))
+        }
+
+    fps = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        fps[r.doc_id] = fingerprints(r.text)
+    dfreq = Counter(f for s in fps.values() for f in s)
+    keep = {f for f, c in dfreq.items() if c <= _WIN_FP_DF_CAP}
+    want = {}
+    ids = sorted(fps)
+    inv = defaultdict(set)
+    for d, s in fps.items():
+        for f in s & keep:
+            inv[f].add(d)
+    pair_cnt = Counter()
+    for f, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                pair_cnt[(a, b)] += 1
+    want = {p: c for p, c in pair_cnt.items() if c >= _WIN_SHARED}
+    got = {
+        (r.a_id, r.b_id): r.shared_fp
+        for r in q_dedup_winnowing(spark, sf_dir).collect()
+    }
+    assert got == want
+    # MOSS guarantee: docs sharing >= w+k-1 consecutive tokens share
+    # at least one fingerprint
+    shared_run = "alpha beta gamma delta epsilon zeta eta"
+    f1 = fingerprints("start " + shared_run + " end one")
+    f2 = fingerprints("other prefix " + shared_run + " different tail")
+    assert f1 & f2
+
+
+def test_capture_recapture_chapman_algebra(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dedup import (
+        q_dedup_capture_recapture,
+        q_dedup_ngram,
+    )
+    from polybot_data_etl_spark.functions.text import q_dedup_minhash
+
+    mh = {
+        (r.a_id, r.b_id)
+        for r in q_dedup_minhash(spark, sf_dir).collect()
+    }
+    ng = {
+        (r.a_id, r.b_id) for r in q_dedup_ngram(spark, sf_dir).collect()
+    }
+    m = len(mh & ng)
+    nhat = (len(mh) + 1) * (len(ng) + 1) / (m + 1) - 1
+    [row] = q_dedup_capture_recapture(spark, sf_dir).collect()
+    assert (row.n_minhash, row.n_ngram, row.n_both) == (
+        len(mh), len(ng), m,
+    )
+    assert abs(row.chapman_total - nhat) < 0.02
+    assert abs(row.coverage_minhash - len(mh) / nhat) < 1e-3
+    assert abs(row.coverage_ngram - len(ng) / nhat) < 1e-3
+    # the estimated total can never be below either observed count
+    assert row.chapman_total >= max(len(mh), len(ng)) - 1e-9
