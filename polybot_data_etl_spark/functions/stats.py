@@ -2146,3 +2146,174 @@ def q_stats_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p + F.lit(1e-9), 4).alias("p_value"),
         (p < 0.05).alias("non_random"),
     )
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle=f"""
+    WITH s AS (
+        SELECT (label % 2 = 1) AS truth,
+               round(1e0 / (1e0 + exp(-(
+                   2e0 * embedding[1]::DOUBLE
+                   + 15e-1 * embedding[2]::DOUBLE
+                   + embedding[3]::DOUBLE - 1e-1))) + 1e-9, 4) >= 5e-1
+                   AS pred_a,
+               round(1e0 / (1e0 + exp(-(
+                   2e0 * embedding[1]::DOUBLE - 1e-1))) + 1e-9, 4)
+                   >= 5e-1 AS pred_b
+        FROM embeddings
+    ),
+    d AS (
+        SELECT sum(CASE WHEN (pred_a = truth) AND (pred_b <> truth)
+                        THEN 1 ELSE 0 END) AS b,
+               sum(CASE WHEN (pred_a <> truth) AND (pred_b = truth)
+                        THEN 1 ELSE 0 END) AS c,
+               count(*) AS n
+        FROM s
+    ),
+    z AS (
+        SELECT n, b, c,
+               round((b - c) / sqrt(b + c + 0.0) + 1e-11, 6) AS zst
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(b AS BIGINT) AS only_a_right,
+           CAST(c AS BIGINT) AS only_b_right,
+           round(zst * zst + 1e-9, 4) AS chi2,
+           round(2 * (1 - {_phi_sql("abs(zst)")}) + 1e-9, 4) AS p_value,
+           CAST(2 * (1 - {_phi_sql("abs(zst)")}) < 0.05 AS BOOLEAN)
+               AS models_differ
+    FROM z
+    """,
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two classifiers on the SAME
+    items: the full 3-feature logistic scorer (the q_ml_* eval model)
+    vs a 1-feature ablation — only the DISCORDANT pairs matter (items
+    exactly one model gets right), χ² = (b−c)²/(b+c).  This is the
+    correct test for 'is model A actually better?' on a shared eval
+    set, where the two-sample tests (q_stats_ttest/q_stats_proportion)
+    are wrong because the samples aren't independent.
+
+    One scan computes truth + both predictions (fused scan-side
+    sigmoids, exact 4-dp scores), one conditional-count agg, 1-row
+    algebra with z 6-dp before the shared Φ."""
+    emb = table(spark, sf_dir, "embeddings")
+    za = (
+        F.lit(2.0) * F.col("embedding")[0].cast("double")
+        + F.lit(1.5) * F.col("embedding")[1].cast("double")
+        + F.col("embedding")[2].cast("double")
+        - F.lit(0.1)
+    )
+    zb = F.lit(2.0) * F.col("embedding")[0].cast("double") - F.lit(0.1)
+    sig = lambda z: F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 4
+    )
+    s = emb.select(
+        (F.col("label") % 2 == 1).alias("truth"),
+        (sig(za) >= 0.5).alias("pred_a"),
+        (sig(zb) >= 0.5).alias("pred_b"),
+    )
+    d = s.agg(
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("c"),
+        F.count("*").alias("n"),
+    )
+    b, c = F.col("b"), F.col("c")
+    zst = F.round((b - c) / F.sqrt((b + c).cast("double")) + F.lit(1e-11), 6)
+    p = 2 * (1 - _phi_col(F.abs(zst)))
+    return d.select(
+        F.col("n").cast("bigint").alias("n"),
+        b.cast("bigint").alias("only_a_right"),
+        c.cast("bigint").alias("only_b_right"),
+        F.round(zst * zst + F.lit(1e-9), 4).alias("chi2"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.05).alias("models_differ"),
+    )
+
+
+@register(
+    "q_stats_bimodality",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n,
+               sum(value) AS s1, sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3 * (s1 / n) * (s2 / n)
+                   + 2 * pow(s1 / n, 3) AS m3,
+               s4 / n - 4 * (s1 / n) * (s3 / n)
+                   + 6 * pow(s1 / n, 2) * (s2 / n)
+                   - 3 * pow(s1 / n, 4) AS m4
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(m3 / pow(m2, 1.5) + 1e-9, 4) AS skewness,
+           round(m4 / (m2 * m2) + 1e-9, 4) AS kurtosis,
+           round((pow(m3 / pow(m2, 1.5), 2) + 1)
+                 / (m4 / (m2 * m2)
+                    + 3.0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3)))
+                 + 1e-9, 4) AS bimodality_coef,
+           CAST((pow(m3 / pow(m2, 1.5), 2) + 1)
+                / (m4 / (m2 * m2)
+                   + 3.0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3)))
+                > 0.555 AS BOOLEAN) AS likely_bimodal
+    FROM c
+    """,
+)
+def q_stats_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sarle's bimodality coefficient per event type:
+    BC = (γ² + 1) / (κ + 3(n−1)²/((n−2)(n−3))) — above the uniform-
+    distribution benchmark 5/9 ≈ 0.555 suggests two modes (a mixed
+    population behind one metric: two user cohorts, two price
+    regimes), the cheap moment-based screen before anyone fits a
+    mixture model.  Uniform data sits AT 5/9; heavy right skew with
+    high kurtosis (the fixture's value column) drives BC down.
+
+    One raw-moment pass (Σx…Σx⁴, map-side combined) → k-row algebra;
+    the q_stats_jarque_bera machinery with the kurtosis used raw
+    (not excess)."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    a1, a2, a3, a4 = (F.col(f"s{i}") / n for i in range(1, 5))
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * F.pow(a1, 3)
+    m4 = a4 - 4 * a1 * a3 + 6 * F.pow(a1, 2) * a2 - 3 * F.pow(a1, 4)
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2)
+    bc = (F.pow(skew, 2) + 1) / (
+        kurt + 3.0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    )
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(skew + F.lit(1e-9), 4).alias("skewness"),
+        F.round(kurt + F.lit(1e-9), 4).alias("kurtosis"),
+        F.round(bc + F.lit(1e-9), 4).alias("bimodality_coef"),
+        (bc > 0.555).alias("likely_bimodal"),
+    )

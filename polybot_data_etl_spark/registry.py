@@ -189,6 +189,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ml_auc_ci", "q_ts_load_factor", "q_dq_id_gaps",
     "q_embed_prefix_agreement", "q_stats_runs",
     "q_dedup_winnowing", "q_dedup_capture_recapture",
+    "q_stats_mcnemar", "q_stats_bimodality",
 }
 
 

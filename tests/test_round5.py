@@ -1978,3 +1978,56 @@ def test_capture_recapture_chapman_algebra(spark, sf_dir):
     assert abs(row.coverage_ngram - len(ng) / nhat) < 1e-3
     # the estimated total can never be below either observed count
     assert row.chapman_total >= max(len(mh), len(ng)) - 1e-9
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_mcnemar
+
+    b = c = n = 0
+    for r in table(spark, sf_dir, "embeddings").collect():
+        truth = r.label % 2 == 1
+        emb = [float(x) for x in r.embedding]
+        za = 2.0 * emb[0] + 1.5 * emb[1] + emb[2] - 0.1
+        zb = 2.0 * emb[0] - 0.1
+        pa = round(1 / (1 + math.exp(-za)) + 1e-9, 4) >= 0.5
+        pb = round(1 / (1 + math.exp(-zb)) + 1e-9, 4) >= 0.5
+        n += 1
+        if pa == truth and pb != truth:
+            b += 1
+        elif pa != truth and pb == truth:
+            c += 1
+    z = (b - c) / math.sqrt(b + c)
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    [row] = q_stats_mcnemar(spark, sf_dir).collect()
+    assert (row.n, row.only_a_right, row.only_b_right) == (n, b, c)
+    assert abs(row.chi2 - z * z) < 1e-3
+    assert abs(row.p_value - 2 * (1 - phi(abs(z)))) < 1e-3
+    assert row.models_differ == (row.p_value < 0.05)
+
+
+def test_bimodality_uniform_sits_near_five_ninths(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_bimodality
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    rows = q_stats_bimodality(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(per)
+    for r in rows:
+        v = per[r.event_type]
+        n = len(v)
+        mu = sum(v) / n
+        m2 = sum((x - mu) ** 2 for x in v) / n
+        m3 = sum((x - mu) ** 3 for x in v) / n
+        m4 = sum((x - mu) ** 4 for x in v) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2
+        bc = (skew**2 + 1) / (
+            kurt + 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+        )
+        assert r.n == n
+        assert abs(r.skewness - skew) < 1e-3
+        assert abs(r.kurtosis - kurt) < 1e-3
+        assert abs(r.bimodality_coef - bc) < 1e-3
+        assert r.likely_bimodal == (r.bimodality_coef > 0.555)
+        assert 0 < r.bimodality_coef <= 1 + 1e-9
