@@ -1451,3 +1451,117 @@ def q_ml_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(auc + 1.96 * se, F.lit(1.0)) + F.lit(1e-9), 4)
         .alias("ci_hi"),
     )
+
+
+@register(
+    "q_ml_kappa",
+    oracle=f"""
+    WITH s AS (
+        SELECT round(1e0 / (1e0 + exp(-(
+                   2e0 * embedding[1]::DOUBLE
+                   + 15e-1 * embedding[2]::DOUBLE
+                   + embedding[3]::DOUBLE - 1e-1))) + 1e-9, 4) >= 5e-1
+                   AS pred_a,
+               round(1e0 / (1e0 + exp(-(
+                   2e0 * embedding[1]::DOUBLE - 1e-1))) + 1e-9, 4)
+                   >= 5e-1 AS pred_b
+        FROM embeddings
+    ),
+    t AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN pred_a AND pred_b THEN 1 ELSE 0 END) AS pp,
+               sum(CASE WHEN NOT pred_a AND NOT pred_b
+                        THEN 1 ELSE 0 END) AS nn,
+               sum(CASE WHEN pred_a THEN 1 ELSE 0 END) AS a_pos,
+               sum(CASE WHEN pred_b THEN 1 ELSE 0 END) AS b_pos
+        FROM s
+    ),
+    k AS (
+        SELECT n, pp, nn, a_pos, b_pos,
+               (pp + nn) / CAST(n AS DOUBLE) AS po,
+               (a_pos * b_pos
+                + (n - a_pos) * (n - b_pos))
+                   / (CAST(n AS DOUBLE) * n) AS pe
+        FROM t
+    ),
+    f AS (
+        SELECT n, pp, nn, a_pos, b_pos, po, pe,
+               round((po - pe) / (1 - pe) + 1e-9, 4) AS kappa
+        FROM k
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(pp AS BIGINT) AS both_pos,
+           CAST(nn AS BIGINT) AS both_neg,
+           round(po + 1e-9, 4) AS observed_agreement,
+           round(pe + 1e-9, 4) AS chance_agreement,
+           kappa,
+           CASE WHEN kappa < 2e-1 THEN 'slight'
+                WHEN kappa < 4e-1 THEN 'fair'
+                WHEN kappa < 6e-1 THEN 'moderate'
+                WHEN kappa < 8e-1 THEN 'substantial'
+                ELSE 'near_perfect' END AS agreement_band
+    FROM f
+    """,
+)
+def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the full 3-feature logistic scorer and
+    its 1-feature ablation (the q_stats_mcnemar pair) — chance-
+    corrected inter-model agreement κ = (p_o − p_e)/(1 − p_e), the
+    standard 'do these two labelers actually agree?' readout
+    (Landis-Koch bands).  McNemar asks whether the models DIFFER in
+    accuracy; kappa asks how interchangeable their labels are — both
+    from the same one-scan discordance geometry.
+
+    Shape: one fused scan computes both predictions, ONE conditional-
+    count agg to a 1-row contingency summary; κ and the band come from
+    that row's integer counts via identical algebra both engines (band
+    thresholds compared against the 4-dp-rounded κ so the label can
+    never straddle an ulp)."""
+    emb = table(spark, sf_dir, "embeddings")
+    za = (
+        F.lit(2.0) * F.col("embedding")[0].cast("double")
+        + F.lit(1.5) * F.col("embedding")[1].cast("double")
+        + F.col("embedding")[2].cast("double")
+        - F.lit(0.1)
+    )
+    zb = F.lit(2.0) * F.col("embedding")[0].cast("double") - F.lit(0.1)
+    sig = lambda z: F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) + F.lit(1e-9), 4
+    )
+    s = emb.select(
+        (sig(za) >= 0.5).alias("pred_a"), (sig(zb) >= 0.5).alias("pred_b")
+    )
+    t = s.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("pred_a") & F.col("pred_b"), 1).otherwise(0)
+        ).alias("pp"),
+        F.sum(
+            F.when(~F.col("pred_a") & ~F.col("pred_b"), 1).otherwise(0)
+        ).alias("nn"),
+        F.sum(F.when(F.col("pred_a"), 1).otherwise(0)).alias("a_pos"),
+        F.sum(F.when(F.col("pred_b"), 1).otherwise(0)).alias("b_pos"),
+    )
+    n = F.col("n")
+    po = (F.col("pp") + F.col("nn")) / n.cast("double")
+    pe = (
+        F.col("a_pos") * F.col("b_pos")
+        + (n - F.col("a_pos")) * (n - F.col("b_pos"))
+    ) / (n.cast("double") * n)
+    kappa = F.round((po - pe) / (1 - pe) + F.lit(1e-9), 4)
+    band = (
+        F.when(kappa < 0.2, "slight")
+        .when(kappa < 0.4, "fair")
+        .when(kappa < 0.6, "moderate")
+        .when(kappa < 0.8, "substantial")
+        .otherwise("near_perfect")
+    )
+    return t.select(
+        n.cast("bigint").alias("n"),
+        F.col("pp").cast("bigint").alias("both_pos"),
+        F.col("nn").cast("bigint").alias("both_neg"),
+        F.round(po + F.lit(1e-9), 4).alias("observed_agreement"),
+        F.round(pe + F.lit(1e-9), 4).alias("chance_agreement"),
+        kappa.alias("kappa"),
+        band.alias("agreement_band"),
+    )

@@ -2317,3 +2317,110 @@ def q_stats_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bc + F.lit(1e-9), 4).alias("bimodality_coef"),
         (bc > 0.555).alias("likely_bimodal"),
     )
+
+
+@register(
+    "q_stats_cohens_d",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n,
+               sum(value) AS sx, sum(value * value) AS sxx
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n, sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) AS var
+        FROM m
+    ),
+    d AS (
+        SELECT a.n AS na, b.n AS nb, a.mean AS ma, b.mean AS mb,
+               round((a.mean - b.mean)
+                     / sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+                            / (a.n + b.n - 2)) + 1e-11, 6) AS d6
+        FROM (SELECT * FROM s WHERE event_type = 'click') a
+        CROSS JOIN (SELECT * FROM s WHERE event_type = 'view') b
+    ),
+    f AS (
+        SELECT na, nb, d6,
+               d6 * (1 - 3e0 / (4 * (na + nb) - 9)) AS g,
+               sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)
+                    + d6 * d6 / (2e0 * (na + nb))) AS se
+        FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+           round(d6 + 1e-9, 4) AS cohens_d,
+           round(g + 1e-9, 4) AS hedges_g,
+           round(d6 - 196e-2 * se + 1e-9, 4) AS ci_lo,
+           round(d6 + 196e-2 * se + 1e-9, 4) AS ci_hi,
+           CASE WHEN abs(round(d6 + 1e-9, 4)) < 2e-1 THEN 'negligible'
+                WHEN abs(round(d6 + 1e-9, 4)) < 5e-1 THEN 'small'
+                WHEN abs(round(d6 + 1e-9, 4)) < 8e-1 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM f
+    """,
+)
+def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size for the click-vs-view lift
+    (pooled-SD scale), with the Hedges g small-sample correction and a
+    normal-approximation 95% CI — the 'is it BIG?' companion to
+    q_stats_ttest's 'is it real?' (at 100 TB every difference is
+    statistically significant; only effect size still means
+    anything).  Cohen's benchmark bands on the rounded |d|.
+
+    Shape: the identical one-agg → 1-row-cross recipe as q_stats_ttest
+    (same raw moments, shared algebra); d is 6-dp-rounded before the
+    g/SE/CI derivations so both engines branch on the same value."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select(
+        "event_type",
+        n,
+        (sx / n).alias("mean"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var"),
+    ).localCheckpoint(eager=False)
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("na"),
+        F.col("mean").alias("ma"),
+        F.col("var").alias("va"),
+    )
+    b = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("nb"),
+        F.col("mean").alias("mb"),
+        F.col("var").alias("vb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sp = F.sqrt(
+        ((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2)
+    )
+    d6 = F.round(
+        (F.col("ma") - F.col("mb")) / sp + F.lit(1e-11), 6
+    )
+    g = d6 * (1 - F.lit(3.0) / (4 * (na + nb) - 9))
+    se = F.sqrt(
+        (na + nb) / (na.cast("double") * nb) + d6 * d6 / (2 * (na + nb))
+    )
+    d4 = F.round(d6 + F.lit(1e-9), 4)
+    band = (
+        F.when(F.abs(d4) < 0.2, "negligible")
+        .when(F.abs(d4) < 0.5, "small")
+        .when(F.abs(d4) < 0.8, "medium")
+        .otherwise("large")
+    )
+    return a.crossJoin(b).select(
+        na.cast("bigint").alias("n_click"),
+        nb.cast("bigint").alias("n_view"),
+        d4.alias("cohens_d"),
+        F.round(g + F.lit(1e-9), 4).alias("hedges_g"),
+        F.round(d6 - 1.96 * se + F.lit(1e-9), 4).alias("ci_lo"),
+        F.round(d6 + 1.96 * se + F.lit(1e-9), 4).alias("ci_hi"),
+        band.alias("magnitude"),
+    )

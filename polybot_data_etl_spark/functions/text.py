@@ -1395,3 +1395,76 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "q_text_hapax",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    a AS (
+        SELECT count(*) AS v,
+               sum(tf) AS n,
+               sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS v1,
+               sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS v2,
+               sum(tf * (tf - 1)) AS rep
+        FROM freq
+    )
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v1 AS BIGINT) AS hapax,
+           CAST(v2 AS BIGINT) AS dis_legomena,
+           round(v1 / CAST(v AS DOUBLE) + 1e-9, 4) AS hapax_ratio,
+           round(ln(v) / ln(n) + 1e-9, 4) AS herdan_c,
+           round(rep / (CAST(n AS DOUBLE) * (n - 1)) + 1e-9, 6)
+               AS simpson_d
+    FROM a
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth diagnostics for the corpus: hapax legomena
+    count/ratio (tokens seen exactly once — a high ratio means the
+    vocabulary is still growing and a tokenizer trained on this corpus
+    will underfit the tail), Herdan's C = ln V/ln N (lexical richness
+    that, unlike raw V/N, is roughly corpus-size invariant under
+    Heaps' law), and Simpson's lexical concentration D = Σ tf(tf−1) /
+    (N(N−1)) (probability two random tokens coincide — the repetition
+    mass q_text_zipf's top-k head can't summarize).
+
+    Shape: explode → ONE map-side-combined token-frequency agg → a
+    1-row frequency-of-frequencies reduce; every statistic is integer-
+    exact until the final ratios.  The frequency frame is the same
+    shape q_text_vocab builds — vocabulary-bounded, never row-bounded."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    tf = F.col("tf")
+    a = freq.agg(
+        F.count("*").alias("v"),
+        F.sum(tf).alias("n"),
+        F.sum(F.when(tf == 1, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(tf == 2, 1).otherwise(0)).alias("v2"),
+        F.sum(tf * (tf - 1)).alias("rep"),
+    )
+    v, n = F.col("v"), F.col("n")
+    return a.select(
+        v.cast("bigint").alias("vocab_size"),
+        n.cast("bigint").alias("n_tokens"),
+        F.col("v1").cast("bigint").alias("hapax"),
+        F.col("v2").cast("bigint").alias("dis_legomena"),
+        F.round(F.col("v1") / v.cast("double") + F.lit(1e-9), 4).alias(
+            "hapax_ratio"
+        ),
+        F.round(F.log(v.cast("double")) / F.log(n.cast("double")) + F.lit(1e-9), 4).alias(
+            "herdan_c"
+        ),
+        F.round(
+            F.col("rep") / (n.cast("double") * (n - 1)) + F.lit(1e-9), 6
+        ).alias("simpson_d"),
+    )

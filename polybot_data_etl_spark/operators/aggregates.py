@@ -844,3 +844,95 @@ def q_agg_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_harm"),
     )
+
+
+@register(
+    "q_agg_theil",
+    oracle="""
+    WITH x AS (
+        SELECT c_nationkey, o_totalprice AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (
+        SELECT c_nationkey, count(*) AS ng,
+               sum(x) AS sg, sum(x * ln(x)) AS slg
+        FROM x GROUP BY c_nationkey
+    ),
+    w AS (
+        SELECT g.*, sum(sg) OVER () AS stot, sum(ng) OVER () AS ntot
+        FROM g
+    ),
+    t AS (
+        SELECT sum(ng) AS n, sum(sg) AS s, sum(slg) AS sl,
+               count(*) AS k,
+               sum((slg - ln(sg / ng) * sg) / stot) AS within_,
+               sum(sg / stot * ln((sg / ng) / (stot / ntot)))
+                   AS between_
+        FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           CAST(k AS BIGINT) AS n_nations,
+           round((sl - ln(s / n) * s) / s + 1e-9, 4) AS theil_total,
+           round(between_ + 1e-9, 4) AS theil_between,
+           round(within_ + 1e-9, 4) AS theil_within,
+           round(between_ / ((sl - ln(s / n) * s) / s) + 1e-9, 4)
+               AS between_share
+    FROM t
+    """,
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of order values, decomposed across
+    customer nations: T = Σ wg·Tg (within) + Σ wg·ln(μg/μ) (between),
+    wg = nation revenue share — the question Gini can't answer: how
+    much of the revenue concentration is BETWEEN markets vs inside
+    them (q_agg_gini gives per-nation levels; Theil's decomposition is
+    exactly additive, between + within = total).
+
+    The group identity Tg·wg = (Σg x·ln x − ln μg·Σg x)/S means the
+    whole decomposition needs only THREE per-group moments (n, Σx,
+    Σx·ln x) — one map-side-combined hash agg over 25 groups, window
+    marginals over that 25-row frame, a 1-row reduce.  No sort, no
+    per-row second pass (contrast Gini's rank window)."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", F.col("o_totalprice").alias("x")
+    )
+    g = x.groupBy("c_nationkey").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.log(F.col("x"))).alias("slg"),
+    )
+    w = W.partitionBy()
+    stot = F.sum("sg").over(w)
+    ntot = F.sum("ng").over(w)
+    withg = (F.col("slg") - F.log(F.col("sg") / F.col("ng")) * F.col("sg")) / stot
+    betwg = (
+        F.col("sg")
+        / stot
+        * F.log((F.col("sg") / F.col("ng")) / (stot / ntot))
+    )
+    t = g.select(
+        "ng", "sg", "slg", withg.alias("wg"), betwg.alias("bg")
+    ).agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("slg").alias("sl"),
+        F.count("*").alias("k"),
+        F.sum("wg").alias("within_"),
+        F.sum("bg").alias("between_"),
+    )
+    n, s, sl = F.col("n"), F.col("s"), F.col("sl")
+    total = (sl - F.log(s / n) * s) / s
+    return t.select(
+        n.cast("bigint").alias("n_orders"),
+        F.col("k").cast("bigint").alias("n_nations"),
+        F.round(total + F.lit(1e-9), 4).alias("theil_total"),
+        F.round(F.col("between_") + F.lit(1e-9), 4).alias("theil_between"),
+        F.round(F.col("within_") + F.lit(1e-9), 4).alias("theil_within"),
+        F.round(F.col("between_") / total + F.lit(1e-9), 4).alias(
+            "between_share"
+        ),
+    )

@@ -2657,3 +2657,271 @@ def q_ts_load_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "load_factor"
         ),
     )
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+               lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+               lag(x, 3) OVER (PARTITION BY event_type ORDER BY day) AS l3,
+               lag(x, 4) OVER (PARTITION BY event_type ORDER BY day) AS l4
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * l1) AS BIGINT) AS p1,
+               CAST(sum(CASE WHEN l1 IS NOT NULL THEN x + l1 END)
+                    AS BIGINT) AS e1,
+               CAST(sum(x * l2) AS BIGINT) AS p2,
+               CAST(sum(CASE WHEN l2 IS NOT NULL THEN x + l2 END)
+                    AS BIGINT) AS e2,
+               CAST(sum(x * l3) AS BIGINT) AS p3,
+               CAST(sum(CASE WHEN l3 IS NOT NULL THEN x + l3 END)
+                    AS BIGINT) AS e3,
+               CAST(sum(x * l4) AS BIGINT) AS p4,
+               CAST(sum(CASE WHEN l4 IS NOT NULL THEN x + l4 END)
+                    AS BIGINT) AS e4
+        FROM lagged GROUP BY event_type HAVING count(*) >= 8
+    ),
+    r AS (
+        SELECT event_type, n,
+               round((p1 - (sx / CAST(n AS DOUBLE)) * e1
+                      + (n - 1) * pow(sx / CAST(n AS DOUBLE), 2))
+                     / (sxx - sx * (sx / CAST(n AS DOUBLE)))
+                     + 1e-11, 6) AS r1,
+               round((p2 - (sx / CAST(n AS DOUBLE)) * e2
+                      + (n - 2) * pow(sx / CAST(n AS DOUBLE), 2))
+                     / (sxx - sx * (sx / CAST(n AS DOUBLE)))
+                     + 1e-11, 6) AS r2,
+               round((p3 - (sx / CAST(n AS DOUBLE)) * e3
+                      + (n - 3) * pow(sx / CAST(n AS DOUBLE), 2))
+                     / (sxx - sx * (sx / CAST(n AS DOUBLE)))
+                     + 1e-11, 6) AS r3,
+               round((p4 - (sx / CAST(n AS DOUBLE)) * e4
+                      + (n - 4) * pow(sx / CAST(n AS DOUBLE), 2))
+                     / (sxx - sx * (sx / CAST(n AS DOUBLE)))
+                     + 1e-11, 6) AS r4
+        FROM m
+    ),
+    q AS (
+        SELECT event_type, n, r1, r2, r3, r4,
+               round(n * (n + 2e0)
+                     * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                        + r3 * r3 / (n - 3) + r4 * r4 / (n - 4))
+                     + 1e-11, 6) AS qs
+        FROM r
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(r1 + 1e-9, 4) AS ac1,
+           round(r2 + 1e-9, 4) AS ac2,
+           round(r3 + 1e-9, 4) AS ac3,
+           round(r4 + 1e-9, 4) AS ac4,
+           round(qs + 1e-9, 4) AS q_stat,
+           round(exp(-qs / 2) * (1 + qs / 2) + 1e-9, 4) AS p_value,
+           CAST(exp(-qs / 2) * (1 + qs / 2) < 5e-2 AS BOOLEAN)
+               AS autocorrelated
+    FROM q
+    """,
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on each type's daily volume: are the
+    first 4 autocorrelations JOINTLY zero?  Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k) —
+    the one-number answer to 'is this series white noise?' that
+    q_ts_autocorr's single lag can miss (weekly patterns live at lags
+    2-4).  With m=4 the χ²₄ survival function is EXACTLY
+    e^(−Q/2)·(1+Q/2) (Erlang-2), so the p-value is a closed form both
+    engines compute identically — no incomplete-gamma approximation
+    (the q_stats_jarque_bera df=2 trick, one df-doubling up).
+
+    Determinism: daily counts are integers, so every per-lag moment
+    (Σxₜxₜ₋ₖ, Σ over the aligned window, Σx, Σx²) is exact; ρ̂ₖ uses the
+    textbook global-mean centering rewritten in raw sums, 6-dp rounded
+    before squaring, Q 6-dp before the exponential.  Shape: one hash
+    agg to day grain → 4 lag columns from ONE window pass over the
+    tiny per-type daily frame → one agg per type; series shorter than
+    8 days are excluded (both engines)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    x = F.col("x")
+    lagged = daily.select(
+        "event_type",
+        x,
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in (1, 2, 3, 4)],
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    ]
+    for k in (1, 2, 3, 4):
+        lk = F.col(f"l{k}")
+        aggs.append(F.sum(x * lk).alias(f"p{k}"))
+        aggs.append(
+            F.sum(F.when(lk.isNotNull(), x + lk)).alias(f"e{k}")
+        )
+    m = (
+        lagged.groupBy("event_type")
+        .agg(*aggs)
+        .filter(F.col("n") >= 8)
+    )
+    n = F.col("n")
+    mean = F.col("sx") / n.cast("double")
+    den = F.col("sxx") - F.col("sx") * mean
+    rho = {
+        k: F.round(
+            (F.col(f"p{k}") - mean * F.col(f"e{k}") + (n - k) * mean * mean)
+            / den
+            + F.lit(1e-11),
+            6,
+        )
+        for k in (1, 2, 3, 4)
+    }
+    r = m.select("event_type", n.alias("n"), *[rho[k].alias(f"r{k}") for k in (1, 2, 3, 4)])
+    qs = F.round(
+        F.col("n")
+        * (F.col("n") + F.lit(2.0))
+        * sum(
+            F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - k)
+            for k in (1, 2, 3, 4)
+        )
+        + F.lit(1e-11),
+        6,
+    )
+    q = r.withColumn("qs", qs)
+    p = F.exp(-F.col("qs") / 2) * (1 + F.col("qs") / 2)
+    return q.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        *[
+            F.round(F.col(f"r{k}") + F.lit(1e-9), 4).alias(f"ac{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        F.round(F.col("qs") + F.lit(1e-9), 4).alias("q_stat"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.05).alias("autocorrelated"),
+    )
+
+
+@register(
+    "q_ts_hurst",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    z AS (
+        SELECT event_type,
+               sum(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)
+                 - row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day)
+                   * (sum(x) OVER (PARTITION BY event_type)
+                      / CAST(count(*) OVER (PARTITION BY event_type)
+                             AS DOUBLE)) AS zt,
+               x,
+               sum(x) OVER (PARTITION BY event_type) AS tot,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, max(n) AS n,
+               max(zt) - min(zt) AS r,
+               sqrt(sum(x * x) / CAST(max(n) AS DOUBLE)
+                    - pow(max(tot) / CAST(max(n) AS DOUBLE), 2)) AS s
+        FROM z GROUP BY event_type HAVING max(n) >= 8
+    ),
+    f AS (
+        SELECT event_type, n, r, s,
+               round(r / s + 1e-11, 6) AS rs
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(r + 1e-9, 4) AS r_range,
+           round(s + 1e-9, 4) AS s_dev,
+           round(rs + 1e-9, 4) AS rescaled_range,
+           round(ln(rs) / ln(n) + 1e-9, 4) AS hurst,
+           CAST(ln(rs) / ln(n) > 55e-2 AS BOOLEAN) AS persistent
+    FROM f
+    """,
+)
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (single-window R/S estimate) of each type's
+    daily volume: H = ln(R/S)/ln(n), where R is the range of the
+    mean-adjusted cumulative deviations and S the population std —
+    H ≈ 0.5 random walk, > 0.5 persistent/trending (shocks compound:
+    capacity must be provisioned for runs, not averages), < 0.5
+    mean-reverting.  The long-memory readout that q_ts_autocorr's
+    lag-1 and q_ts_ljung_box's short lags can't see.
+
+    Determinism: Zₜ = cumsum(x) − t·x̄ where cumsum and t are exact
+    integers and x̄ = Σx/n the same double both engines, so every Zₜ is
+    bit-identical and max/min pick the same rows; R/S is 6-dp rounded
+    before the log ratio.  Shape: one hash agg to day grain → one
+    ordered window pass per type over the tiny daily frame (cumsum,
+    rank, and the per-type totals share the single partition spec) →
+    per-type agg; series under 8 days excluded (both engines)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("x"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    zt = (
+        F.sum("x").over(wcum)
+        - F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        * (F.sum("x").over(wall) / F.count("*").over(wall).cast("double"))
+    )
+    z = daily.select(
+        "event_type",
+        zt.alias("zt"),
+        "x",
+        F.sum("x").over(wall).alias("tot"),
+        F.count("*").over(wall).alias("n"),
+    )
+    m = (
+        z.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            (F.max("zt") - F.min("zt")).alias("r"),
+            F.sqrt(
+                F.sum(F.col("x") * F.col("x")) / F.max("n").cast("double")
+                - F.pow(F.max("tot") / F.max("n").cast("double"), 2)
+            ).alias("s"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    rs = F.round(F.col("r") / F.col("s") + F.lit(1e-11), 6)
+    f = m.withColumn("rs", rs)
+    h = F.log(F.col("rs")) / F.log(F.col("n").cast("double"))
+    return f.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("r") + F.lit(1e-9), 4).alias("r_range"),
+        F.round(F.col("s") + F.lit(1e-9), 4).alias("s_dev"),
+        F.round(F.col("rs") + F.lit(1e-9), 4).alias("rescaled_range"),
+        F.round(h + F.lit(1e-9), 4).alias("hurst"),
+        (h > 0.55).alias("persistent"),
+    )

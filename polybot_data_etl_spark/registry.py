@@ -190,6 +190,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_embed_prefix_agreement", "q_stats_runs",
     "q_dedup_winnowing", "q_dedup_capture_recapture",
     "q_stats_mcnemar", "q_stats_bimodality",
+    "q_ml_kappa", "q_stats_cohens_d", "q_ts_ljung_box",
+    "q_agg_theil", "q_ts_hurst", "q_text_hapax",
 }
 
 

@@ -191,6 +191,7 @@ _NLJ_ALLOWED = {
     "q_dq_id_gaps",       # 1-row gap-summary broadcast crossJoin
     "q_embed_prefix_agreement",  # probe-bounded brute-force top-1 pair
     "q_dedup_capture_recapture",  # 1-row count-summary broadcast crosses
+    "q_stats_cohens_d",   # 1-row × 1-row group-summary cross (ttest shape)
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -787,3 +788,23 @@ def test_ml_lift_fact_window_is_score_partitioned(spark, sf_dir):
             )
         else:  # bounded frames only
             assert "c#" in inp or "n_pos#" in inp, inp
+
+
+def test_theil_window_input_is_nation_aggregate(spark, sf_dir):
+    """q_agg_theil plans an unpartitioned window (WARN WindowExec)
+    that is safe ONLY because its input is the 25-row per-nation
+    moment aggregate — pin that the Window never sees the orders fact
+    (same contract as the ml-eval distinct-score pins)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_agg_theil")
+    wins = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert wins, "expected a Window over the nation aggregate"
+    for inp in wins:
+        assert "sg" in inp and "ng" in inp, (
+            f"window input {inp!r} lacks the nation-moment agg cols"
+        )
+        for col in ("o_totalprice#", "o_custkey#", "x#"):
+            assert col not in inp, (
+                f"window input {inp!r} references fact column {col}"
+            )

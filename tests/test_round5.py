@@ -2031,3 +2031,189 @@ def test_bimodality_uniform_sits_near_five_ninths(spark, sf_dir):
         assert abs(r.bimodality_coef - bc) < 1e-3
         assert r.likely_bimodal == (r.bimodality_coef > 0.555)
         assert 0 < r.bimodality_coef <= 1 + 1e-9
+
+
+def test_kappa_contingency_algebra(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import q_ml_kappa
+
+    n = pp = nn = ap = bp = 0
+    for r in table(spark, sf_dir, "embeddings").collect():
+        emb = [float(x) for x in r.embedding]
+        za = 2.0 * emb[0] + 1.5 * emb[1] + emb[2] - 0.1
+        zb = 2.0 * emb[0] - 0.1
+        pa = round(1 / (1 + math.exp(-za)) + 1e-9, 4) >= 0.5
+        pb = round(1 / (1 + math.exp(-zb)) + 1e-9, 4) >= 0.5
+        n += 1
+        pp += pa and pb
+        nn += (not pa) and (not pb)
+        ap += pa
+        bp += pb
+    po = (pp + nn) / n
+    pe = (ap * bp + (n - ap) * (n - bp)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    [row] = q_ml_kappa(spark, sf_dir).collect()
+    assert (row.n, row.both_pos, row.both_neg) == (n, pp, nn)
+    assert abs(row.observed_agreement - po) < 1e-3
+    assert abs(row.chance_agreement - pe) < 1e-3
+    assert abs(row.kappa - kappa) < 1e-3
+    # kappa never exceeds observed agreement and is ≤ 1
+    assert row.kappa <= 1 + 1e-9
+    bands = ["slight", "fair", "moderate", "substantial", "near_perfect"]
+    cuts = [0.2, 0.4, 0.6, 0.8, float("inf")]
+    want = next(b for b, c in zip(bands, cuts) if row.kappa < c)
+    assert row.agreement_band == want
+
+
+def test_cohens_d_pooled_sd_algebra(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_cohens_d
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type in ("click", "view"):
+            per[r.event_type].append(r.value)
+    a, b = per["click"], per["view"]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    sp = math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = round((ma - mb) / sp + 1e-11, 6)
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    se = math.sqrt((na + nb) / (na * nb) + d * d / (2 * (na + nb)))
+    [row] = q_stats_cohens_d(spark, sf_dir).collect()
+    assert (row.n_click, row.n_view) == (na, nb)
+    assert abs(row.cohens_d - d) < 1e-3
+    assert abs(row.hedges_g - g) < 1e-3
+    assert abs(row.ci_lo - (d - 1.96 * se)) < 1e-3
+    assert abs(row.ci_hi - (d + 1.96 * se)) < 1e-3
+    # Hedges g shrinks toward zero, never past d
+    assert abs(row.hedges_g) <= abs(row.cohens_d) + 1e-9
+    assert row.ci_lo < row.cohens_d < row.ci_hi
+
+
+def test_ljung_box_white_noise_math(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_ljung_box
+
+    daily = defaultdict(Counter)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in q_ts_ljung_box(spark, sf_dir).collect()}
+    for et, cnt in daily.items():
+        xs = [c for _, c in sorted(cnt.items())]
+        n = len(xs)
+        if n < 8:
+            assert et not in rows
+            continue
+        mean = sum(xs) / n
+        den = sum(x * x for x in xs) - sum(xs) * mean
+        rho = [
+            round(
+                (
+                    sum(xs[t] * xs[t - k] for t in range(k, n))
+                    - mean * sum(xs[t] + xs[t - k] for t in range(k, n))
+                    + (n - k) * mean * mean
+                )
+                / den
+                + 1e-11,
+                6,
+            )
+            for k in (1, 2, 3, 4)
+        ]
+        q = round(
+            n * (n + 2) * sum(r * r / (n - k) for k, r in zip((1, 2, 3, 4), rho))
+            + 1e-11,
+            6,
+        )
+        p = math.exp(-q / 2) * (1 + q / 2)
+        row = rows[et]
+        assert row.n_days == n
+        for k, r_k in zip((1, 2, 3, 4), rho):
+            assert abs(getattr(row, f"ac{k}") - r_k) < 1e-3
+        assert abs(row.q_stat - q) < 1e-3
+        assert abs(row.p_value - p) < 1e-3
+        assert row.autocorrelated == (p < 0.05)
+        assert row.q_stat >= -1e-9  # Q is a sum of squares
+
+
+def test_theil_decomposition_is_additive(spark, sf_dir):
+    from polybot_data_etl_spark.operators.aggregates import q_agg_theil
+
+    nat = {
+        r.c_custkey: r.c_nationkey
+        for r in table(spark, sf_dir, "customer").collect()
+    }
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "orders").collect():
+        per[nat[r.o_custkey]].append(r.o_totalprice)
+    allx = [x for xs in per.values() for x in xs]
+    n, s = len(allx), sum(allx)
+    mu = s / n
+    total = sum((x / mu) * math.log(x / mu) for x in allx) / n
+    within = between = 0.0
+    for xs in per.values():
+        ng, sg = len(xs), sum(xs)
+        mug = sg / ng
+        wg = sg / s
+        within += wg * sum((x / mug) * math.log(x / mug) for x in xs) / ng
+        between += wg * math.log(mug / mu)
+    [row] = q_agg_theil(spark, sf_dir).collect()
+    assert (row.n_orders, row.n_nations) == (n, len(per))
+    assert abs(row.theil_total - total) < 1e-3
+    assert abs(row.theil_between - between) < 1e-3
+    assert abs(row.theil_within - within) < 1e-3
+    # the decomposition is exactly additive
+    assert abs(row.theil_between + row.theil_within - row.theil_total) < 2e-4
+    assert row.theil_total >= -1e-9
+
+
+def test_hurst_rescaled_range_math(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_hurst
+
+    daily = defaultdict(Counter)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in q_ts_hurst(spark, sf_dir).collect()}
+    for et, cnt in daily.items():
+        xs = [c for _, c in sorted(cnt.items())]
+        n = len(xs)
+        if n < 8:
+            assert et not in rows
+            continue
+        mean = sum(xs) / n
+        zs, cum = [], 0
+        for t, x in enumerate(xs, start=1):
+            cum += x
+            zs.append(cum - t * mean)
+        r_ = max(zs) - min(zs)
+        s_ = math.sqrt(sum(x * x for x in xs) / n - mean * mean)
+        rs = round(r_ / s_ + 1e-11, 6)
+        h = math.log(rs) / math.log(n)
+        row = rows[et]
+        assert row.n_days == n
+        assert abs(row.r_range - r_) < 1e-3
+        assert abs(row.s_dev - s_) < 1e-3
+        assert abs(row.hurst - h) < 1e-3
+        assert row.persistent == (h > 0.55)
+        # R/S of any real series is at least 1/2 max deviation over std
+        assert row.rescaled_range > 0
+
+
+def test_hapax_frequency_of_frequencies(spark, sf_dir):
+    from polybot_data_etl_spark.functions.text import q_text_hapax
+
+    tf = Counter()
+    for r in table(spark, sf_dir, "documents").collect():
+        for t in r.text.lower().split(" "):
+            if t:
+                tf[t] += 1
+    v, n = len(tf), sum(tf.values())
+    v1 = sum(1 for c in tf.values() if c == 1)
+    v2 = sum(1 for c in tf.values() if c == 2)
+    rep = sum(c * (c - 1) for c in tf.values())
+    [row] = q_text_hapax(spark, sf_dir).collect()
+    assert (row.vocab_size, row.n_tokens) == (v, n)
+    assert (row.hapax, row.dis_legomena) == (v1, v2)
+    assert abs(row.hapax_ratio - v1 / v) < 1e-3
+    assert abs(row.herdan_c - math.log(v) / math.log(n)) < 1e-3
+    assert abs(row.simpson_d - rep / (n * (n - 1))) < 1e-5
+    assert 0 < row.herdan_c < 1  # vocab grows sublinearly in tokens
