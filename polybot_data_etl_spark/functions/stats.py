@@ -2424,3 +2424,100 @@ def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d6 + 1.96 * se + F.lit(1e-9), 4).alias("ci_hi"),
         band.alias("magnitude"),
     )
+
+
+@register(
+    "q_stats_sign_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               sum(CASE WHEN event_type = 'click' THEN value END)
+                   / count(CASE WHEN event_type = 'click' THEN 1 END)
+                   AS m_click,
+               sum(CASE WHEN event_type = 'view' THEN value END)
+                   / count(CASE WHEN event_type = 'view' THEN 1 END)
+                   AS m_view
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        WHERE event_type IN ('click', 'view')
+        GROUP BY date_trunc('day', ts)
+        HAVING count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+           AND count(CASE WHEN event_type = 'view' THEN 1 END) > 0
+    ),
+    c AS (
+        SELECT count(*) AS n_days,
+               sum(CASE WHEN m_click > m_view THEN 1 ELSE 0 END) AS w,
+               sum(CASE WHEN m_click < m_view THEN 1 ELSE 0 END) AS l
+        FROM daily
+    ),
+    z AS (
+        SELECT n_days, w, l,
+               round((2e0 * w - (w + l)) / sqrt(w + l + 0e0)
+                     + 1e-11, 6) AS zst
+        FROM c
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(w AS BIGINT) AS wins_click,
+           CAST(l AS BIGINT) AS wins_view,
+           round(zst + 1e-9, 4) AS z,
+           round(2 * (1 - {_phi_sql("abs(zst)")}) + 1e-9, 4) AS p_value,
+           CAST(2 * (1 - {_phi_sql("abs(zst)")}) < 0.05 AS BOOLEAN)
+               AS significant
+    FROM z
+    """,
+)
+def q_stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on DAILY means: on how many days does click
+    out-earn view?  Pairing by day removes the day-level common shocks
+    (campaigns, weekends) that inflate the pooled two-sample tests'
+    variance, and the sign statistic needs no distributional
+    assumption at all — the nonparametric sanity check on
+    q_stats_ttest's parametric verdict.  B(m, ½) normal approximation
+    z = (2w − m)/√m on the w + l untied days.
+
+    Determinism: each day's means are int-count-divided sums computed
+    from identical scans, so the > comparison branches the same way
+    both engines; ties drop from m on both.  Shape: one conditional
+    hash agg to day grain (the fused-pivot pattern), a 1-row count
+    reduce, z 6-dp before the shared Φ."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is_c = F.col("event_type") == "click"
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.when(is_c, F.col("value"))).alias("sc"),
+            F.count(F.when(is_c, F.lit(1))).alias("nc"),
+            F.sum(F.when(~is_c, F.col("value"))).alias("sv"),
+            F.count(F.when(~is_c, F.lit(1))).alias("nv"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("nv") > 0))
+        .select(
+            (F.col("sc") / F.col("nc")).alias("m_click"),
+            (F.col("sv") / F.col("nv")).alias("m_view"),
+        )
+    )
+    c = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum(
+            F.when(F.col("m_click") > F.col("m_view"), 1).otherwise(0)
+        ).alias("w"),
+        F.sum(
+            F.when(F.col("m_click") < F.col("m_view"), 1).otherwise(0)
+        ).alias("l"),
+    )
+    w, l = F.col("w"), F.col("l")
+    zst = F.round(
+        (2.0 * w - (w + l)) / F.sqrt((w + l).cast("double")) + F.lit(1e-11),
+        6,
+    )
+    z = c.withColumn("zst", zst)
+    p = 2 * (1 - _phi_col(F.abs(F.col("zst"))))
+    return z.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        w.cast("bigint").alias("wins_click"),
+        l.cast("bigint").alias("wins_view"),
+        F.round(F.col("zst") + F.lit(1e-9), 4).alias("z"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.05).alias("significant"),
+    )

@@ -1448,3 +1448,82 @@ def q_embed_prefix_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree.cast("bigint").alias("n_agree"),
         F.round(agree / F.count("*") + F.lit(1e-9), 4).alias("agreement"),
     )
+
+
+@register(
+    "q_embed_anisotropy",
+    oracle="""
+    WITH nrm AS (
+        SELECT embedding::DOUBLE[] AS emb,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                            x -> x * x))) AS l2
+        FROM embeddings
+    ),
+    u AS (
+        SELECT unnest(list_transform(
+                   emb, (v, k) -> struct_pack(k := k, v := v / l2))) AS s
+        FROM nrm
+    ),
+    dims AS (
+        SELECT s.k AS dim, sum(s.v) AS sv, count(*) AS c
+        FROM u GROUP BY s.k
+    ),
+    a AS (
+        SELECT max(c) AS n, count(*) AS d,
+               sum(sv * sv) AS ssq
+        FROM dims
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(d AS BIGINT) AS n_dims,
+           round((ssq - n) / (CAST(n AS DOUBLE) * (n - 1)) + 1e-9, 6)
+               AS avg_pairwise_cos,
+           round(sqrt(ssq) / n + 1e-9, 4) AS resultant_length,
+           CAST((ssq - n) / (CAST(n AS DOUBLE) * (n - 1)) > 1e-1
+                AS BOOLEAN) AS anisotropic
+    FROM a
+    """,
+)
+def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space: the mean pairwise cosine
+    over ALL n(n−1) vector pairs, computed WITHOUT any pair join via
+    the resultant-vector identity Σᵢⱼ ûᵢ·ûⱼ = ‖Σû‖² (diagonal
+    contributes exactly n) — contextual embedding spaces are
+    notoriously cone-shaped (avg cos ≫ 0), which silently inflates
+    every cosine-threshold dedup/ANN operator in this suite; this is
+    the one-number health check.  Also reports the directional-
+    statistics resultant length R̄ = ‖Σû‖/n (0 = perfectly spread,
+    1 = all vectors identical).
+
+    Shape: per-row normalize (narrow) → posexplode → ONE map-side-
+    combined per-dimension sum (d rows regardless of corpus size) →
+    1-row reduce.  The O(n²) pair sum costs O(n·d) — the same
+    vector-sum-as-scalar-rows shape as q_embed_centroid, shuffle
+    width d, independent of row count."""
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        F.col("embedding"), l2_norm(F.col("embedding")).alias("l2")
+    )
+    ex = nrm.select(
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+        F.col("l2"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        (F.col("x").cast("double") / F.col("l2")).alias("u"),
+    )
+    dims = ex.groupBy("dim").agg(
+        F.sum("u").alias("sv"), F.count("*").alias("c")
+    )
+    a = dims.agg(
+        F.max("c").alias("n"),
+        F.count("*").alias("d"),
+        F.sum(F.col("sv") * F.col("sv")).alias("ssq"),
+    )
+    n, ssq = F.col("n"), F.col("ssq")
+    avg_cos = (ssq - n) / (n.cast("double") * (n - 1))
+    return a.select(
+        n.cast("bigint").alias("n_vectors"),
+        F.col("d").cast("bigint").alias("n_dims"),
+        F.round(avg_cos + F.lit(1e-9), 6).alias("avg_pairwise_cos"),
+        F.round(F.sqrt(ssq) / n + F.lit(1e-9), 4).alias("resultant_length"),
+        (avg_cos > 0.1).alias("anisotropic"),
+    )

@@ -485,3 +485,116 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q_graph_kcore",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    k1 AS (
+        SELECT node FROM (SELECT a AS node FROM e0
+                          UNION ALL SELECT b FROM e0)
+        GROUP BY node HAVING count(*) >= 2
+    ),
+    e1 AS (
+        SELECT e0.a, e0.b FROM e0
+        JOIN k1 x ON x.node = e0.a JOIN k1 y ON y.node = e0.b
+    ),
+    k2 AS (
+        SELECT node FROM (SELECT a AS node FROM e1
+                          UNION ALL SELECT b FROM e1)
+        GROUP BY node HAVING count(*) >= 2
+    ),
+    e2 AS (
+        SELECT e1.a, e1.b FROM e1
+        JOIN k2 x ON x.node = e1.a JOIN k2 y ON y.node = e1.b
+    ),
+    k3 AS (
+        SELECT node FROM (SELECT a AS node FROM e2
+                          UNION ALL SELECT b FROM e2)
+        GROUP BY node HAVING count(*) >= 2
+    ),
+    e3 AS (
+        SELECT e2.a, e2.b FROM e2
+        JOIN k3 x ON x.node = e2.a JOIN k3 y ON y.node = e2.b
+    )
+    SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_nodes,
+           (SELECT count(*) FROM e1) AS n_edges
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+    ORDER BY round
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling of the part co-purchase graph, 3 unrolled
+    rounds: repeatedly drop degree-<2 nodes (and their edges) and
+    report survivors per round — the standard densest-region filter
+    before any community/triangle analysis (leaf chains contribute
+    nothing but wedge noise), converging toward the graph's 2-core.
+    Fixed-round unrolling keeps the operator deterministic and oracle-
+    expressible (the q_graph_pagerank treatment of an iterative
+    algorithm); the per-round survivor counts show the convergence
+    trajectory.
+
+    Shape: the (checkpointed) distinct edge set is computed ONCE; each
+    round is a degree agg (map-side combined) + two equi-joins of the
+    shrinking edge frame against the broadcast-size keep list, with a
+    lineage cut per round so round r's plan doesn't replay rounds
+    1..r−1.  Per-round outputs are 1-row count aggregates — the only
+    cross is 1-row × 1-row."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = edges
+    per_round = []
+    for r in (1, 2, 3):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = (
+            deg.filter(F.col("d") >= 2)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a")
+            .join(keep.withColumnRenamed("node", "b"), "b")
+            .localCheckpoint(eager=False)
+        )
+        per_round.append(
+            keep.agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                cur.agg(F.count("*").cast("bigint").alias("n_edges"))
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    return per_round[0].union(per_round[1]).union(per_round[2]).orderBy(
+        "round"
+    )

@@ -192,6 +192,7 @@ _NLJ_ALLOWED = {
     "q_embed_prefix_agreement",  # probe-bounded brute-force top-1 pair
     "q_dedup_capture_recapture",  # 1-row count-summary broadcast crosses
     "q_stats_cohens_d",   # 1-row × 1-row group-summary cross (ttest shape)
+    "q_graph_kcore",      # 1-row node-count × 1-row edge-count crosses
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

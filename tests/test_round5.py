@@ -2217,3 +2217,95 @@ def test_hapax_frequency_of_frequencies(spark, sf_dir):
     assert abs(row.herdan_c - math.log(v) / math.log(n)) < 1e-3
     assert abs(row.simpson_d - rep / (n * (n - 1))) < 1e-5
     assert 0 < row.herdan_c < 1  # vocab grows sublinearly in tokens
+
+
+def test_anisotropy_resultant_identity(spark, sf_dir):
+    from polybot_data_etl_spark.functions.vectors import q_embed_anisotropy
+
+    vecs = []
+    for r in table(spark, sf_dir, "embeddings").collect():
+        v = [float(x) for x in r.embedding]
+        nrm = math.sqrt(sum(x * x for x in v))
+        vecs.append([x / nrm for x in v])
+    n, d = len(vecs), len(vecs[0])
+    sums = [sum(v[k] for v in vecs) for k in range(d)]
+    ssq = sum(s * s for s in sums)
+    avg_cos = (ssq - n) / (n * (n - 1))
+    # brute-force check on a small prefix that the identity is the
+    # pairwise mean it claims to be
+    m = min(n, 40)
+    pair = [
+        sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        for i in range(m)
+        for j in range(m)
+        if i != j
+    ]
+    sub_sums = [sum(v[k] for v in vecs[:m]) for k in range(d)]
+    sub_ssq = sum(s * s for s in sub_sums)
+    assert abs(sum(pair) - (sub_ssq - m)) < 1e-6
+    [row] = q_embed_anisotropy(spark, sf_dir).collect()
+    assert (row.n_vectors, row.n_dims) == (n, d)
+    assert abs(row.avg_pairwise_cos - avg_cos) < 1e-4
+    assert abs(row.resultant_length - math.sqrt(ssq) / n) < 1e-3
+    assert -1.0 / (n - 1) - 1e-9 <= row.avg_pairwise_cos <= 1 + 1e-9
+    assert row.anisotropic == (row.avg_pairwise_cos > 0.1)
+
+
+def test_sign_test_daily_pairing(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_sign_test
+
+    per = defaultdict(lambda: defaultdict(list))
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type in ("click", "view"):
+            per[r.ts.date()][r.event_type].append(r.value)
+    w = l = m = 0
+    for day, d in per.items():
+        if d["click"] and d["view"]:
+            m += 1
+            mc = sum(d["click"]) / len(d["click"])
+            mv = sum(d["view"]) / len(d["view"])
+            if mc > mv:
+                w += 1
+            elif mc < mv:
+                l += 1
+    z = (2 * w - (w + l)) / math.sqrt(w + l)
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    [row] = q_stats_sign_test(spark, sf_dir).collect()
+    assert (row.n_days, row.wins_click, row.wins_view) == (m, w, l)
+    assert abs(row.z - z) < 1e-3
+    assert abs(row.p_value - 2 * (1 - phi(abs(z)))) < 1e-3
+    assert row.significant == (row.p_value < 0.05)
+
+
+def test_kcore_peel_matches_python(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import q_graph_kcore
+
+    by_order = defaultdict(set)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_partkey % 4 == 0:
+            by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    rows = sorted(q_graph_kcore(spark, sf_dir).collect(),
+                  key=lambda r: r.round)
+    prev_nodes = prev_edges = None
+    for rnd in (1, 2, 3):
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= 2}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        row = rows[rnd - 1]
+        assert row.round == rnd
+        assert row.n_nodes == len(keep)
+        assert row.n_edges == len(edges)
+        # peeling is monotone: survivors never grow
+        if prev_nodes is not None:
+            assert row.n_nodes <= prev_nodes
+            assert row.n_edges <= prev_edges
+        prev_nodes, prev_edges = row.n_nodes, row.n_edges
