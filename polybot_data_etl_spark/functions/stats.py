@@ -2521,3 +2521,101 @@ def q_stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p + F.lit(1e-9), 4).alias("p_value"),
         (p < 0.05).alias("significant"),
     )
+
+
+@register(
+    "q_stats_simpson",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(o_custkey % 2 AS INTEGER) AS cohort,
+               count(*) AS n, sum(o_totalprice) AS s
+        FROM orders GROUP BY o_orderpriority, o_custkey % 2
+    ),
+    w AS (
+        SELECT g.*,
+               sum(CASE WHEN cohort = 0 THEN n END) OVER () AS na_tot,
+               sum(CASE WHEN cohort = 0 THEN s END) OVER () AS sa_tot,
+               sum(CASE WHEN cohort = 1 THEN n END) OVER () AS nb_tot,
+               sum(CASE WHEN cohort = 1 THEN s END) OVER () AS sb_tot
+        FROM g
+    ),
+    p AS (
+        SELECT stratum,
+               sum(CASE WHEN cohort = 0 THEN n END) AS n_a,
+               sum(CASE WHEN cohort = 1 THEN n END) AS n_b,
+               sum(CASE WHEN cohort = 0 THEN s END)
+                   / sum(CASE WHEN cohort = 0 THEN n END) AS mean_a,
+               sum(CASE WHEN cohort = 1 THEN s END)
+                   / sum(CASE WHEN cohort = 1 THEN n END) AS mean_b,
+               max(sa_tot / na_tot) AS pooled_a,
+               max(sb_tot / nb_tot) AS pooled_b
+        FROM w GROUP BY stratum
+    )
+    SELECT stratum,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a + 1e-9, 4) AS mean_a,
+           round(mean_b + 1e-9, 4) AS mean_b,
+           CAST(mean_a > mean_b AS BOOLEAN) AS a_wins_stratum,
+           CAST(pooled_a > pooled_b AS BOOLEAN) AS a_wins_pooled,
+           CAST((mean_a > mean_b) <> (pooled_a > pooled_b)
+                AS BOOLEAN) AS reversed
+    FROM p ORDER BY stratum
+    """,
+)
+def q_stats_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: even-vs-odd customer cohorts compared
+    on mean order value, pooled AND within every order-priority
+    stratum — a stratum whose direction disagrees with the pooled
+    comparison (`reversed`) is the classic aggregation trap
+    (confounded mix shares), the single most common way an A/B readout
+    lies.  Run before trusting any pooled q_stats_ttest verdict on
+    heterogeneous traffic.
+
+    Shape: ONE map-side-combined hash agg to the (stratum × cohort)
+    ≤10-row frame; pooled means come from windows over that tiny frame
+    (the q_stats_chisq marginal recipe), never a second fact scan.
+    Directions compare int-count-divided sums, identical both
+    engines."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("o_custkey") % 2).cast("int").alias("cohort"),
+    ).agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+    wa = W.partitionBy()
+    is_a = F.col("cohort") == 0
+    w = g.select(
+        "*",
+        F.sum(F.when(is_a, F.col("n"))).over(wa).alias("na_tot"),
+        F.sum(F.when(is_a, F.col("s"))).over(wa).alias("sa_tot"),
+        F.sum(F.when(~is_a, F.col("n"))).over(wa).alias("nb_tot"),
+        F.sum(F.when(~is_a, F.col("s"))).over(wa).alias("sb_tot"),
+    )
+    p = w.groupBy("stratum").agg(
+        F.sum(F.when(is_a, F.col("n"))).alias("n_a"),
+        F.sum(F.when(~is_a, F.col("n"))).alias("n_b"),
+        (
+            F.sum(F.when(is_a, F.col("s")))
+            / F.sum(F.when(is_a, F.col("n")))
+        ).alias("mean_a"),
+        (
+            F.sum(F.when(~is_a, F.col("s")))
+            / F.sum(F.when(~is_a, F.col("n")))
+        ).alias("mean_b"),
+        F.max(F.col("sa_tot") / F.col("na_tot")).alias("pooled_a"),
+        F.max(F.col("sb_tot") / F.col("nb_tot")).alias("pooled_b"),
+    )
+    strat_dir = F.col("mean_a") > F.col("mean_b")
+    pool_dir = F.col("pooled_a") > F.col("pooled_b")
+    return p.select(
+        "stratum",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("mean_a") + F.lit(1e-9), 4).alias("mean_a"),
+        F.round(F.col("mean_b") + F.lit(1e-9), 4).alias("mean_b"),
+        strat_dir.alias("a_wins_stratum"),
+        pool_dir.alias("a_wins_pooled"),
+        (strat_dir != pool_dir).alias("reversed"),
+    ).orderBy("stratum")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.functions.stats import _phi_sql
 from polybot_data_etl_spark.registry import register
 
 
@@ -2925,3 +2926,128 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h + F.lit(1e-9), 4).alias("hurst"),
         (h > 0.55).alias("persistent"),
     )
+
+
+@register(
+    "q_ts_mannkendall",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    s AS (
+        SELECT a.event_type,
+               sum(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type
+    ),
+    t AS (
+        SELECT event_type, sum(tc) AS n,
+               sum(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+        FROM (
+            SELECT event_type, x, count(*) AS tc
+            FROM daily GROUP BY event_type, x
+        ) GROUP BY event_type
+    ),
+    z AS (
+        SELECT s.event_type, t.n, s.s_stat,
+               (t.n * (t.n - 1e0) * (2 * t.n + 5) - t.tie_term) / 18e0
+                   AS var_s,
+               round(CASE
+                   WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                       / sqrt((t.n * (t.n - 1e0) * (2 * t.n + 5)
+                               - t.tie_term) / 18e0)
+                   WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                       / sqrt((t.n * (t.n - 1e0) * (2 * t.n + 5)
+                               - t.tie_term) / 18e0)
+                   ELSE 0e0 END + 1e-11, 6) AS zst
+        FROM s JOIN t USING (event_type)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           round(var_s + 1e-9, 4) AS var_s,
+           round(zst + 1e-9, 4) AS z,
+           round(2 * (1 - {_phi_sql("abs(zst)")}) + 1e-9, 4) AS p_value,
+           CASE WHEN 2 * (1 - {_phi_sql("abs(zst)")}) >= 5e-2 THEN 'none'
+                WHEN s_stat > 0 THEN 'increasing'
+                ELSE 'decreasing' END AS trend
+    FROM z ORDER BY event_type
+    """,
+)
+def q_ts_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on each type's daily volume: S =
+    Σᵢ<ⱼ sign(xⱼ − xᵢ) over all day pairs, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, continuity-corrected
+    z — the distribution-free 'is there a monotone trend?' verdict
+    that complements q_ts_theilsen's slope ESTIMATE with a significance
+    CALL (and, unlike OLS-on-time, is immune to outlier days).
+
+    Determinism: S is a pure integer (sign comparisons of integer
+    daily counts), tie groups are integer counts, so z is the same
+    algebra both engines (6-dp before Φ).  Shape: day-grain hash agg →
+    pair join ON event_type over the bounded per-type day frame
+    (≤ n² pairs of a ~100-row frame — the q_ts_theilsen shape; at any
+    corpus scale the day frame stays calendar-bounded) → per-type
+    count aggs; the tie term is a second tiny agg on (type, x)."""
+    from polybot_data_etl_spark.functions.stats import _phi_col
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    t = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("tc").alias("n"),
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    j = s.join(t, "event_type")
+    n, ss = F.col("n"), F.col("s_stat")
+    var_s = (n * (n - F.lit(1.0)) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    zst = F.round(
+        F.when(ss > 0, (ss - 1) / F.sqrt(var_s))
+        .when(ss < 0, (ss + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+        + F.lit(1e-11),
+        6,
+    )
+    z = j.withColumn("var_s", var_s).withColumn("zst", zst)
+    p = 2 * (1 - _phi_col(F.abs(F.col("zst"))))
+    trend = (
+        F.when(p >= 0.05, "none")
+        .when(F.col("s_stat") > 0, "increasing")
+        .otherwise("decreasing")
+    )
+    return z.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        ss.cast("bigint").alias("s_stat"),
+        F.round(F.col("var_s") + F.lit(1e-9), 4).alias("var_s"),
+        F.round(F.col("zst") + F.lit(1e-9), 4).alias("z"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        trend.alias("trend"),
+    ).orderBy("event_type")

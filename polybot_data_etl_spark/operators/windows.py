@@ -636,3 +636,84 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("event_reaching_3"),
     )
+
+
+@register(
+    "q_win_share_of_total",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey, o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, o_custkey
+    ),
+    r AS (
+        SELECT c_nationkey, o_custkey, cents,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents DESC, o_custkey) AS rnk,
+               sum(cents) OVER (PARTITION BY c_nationkey) AS nat_cents
+        FROM cust
+    ),
+    tot AS (SELECT sum(cents) AS tot_cents FROM cust)
+    SELECT c_nationkey, rnk AS rank, o_custkey,
+           round(cents / 100.0, 2) AS revenue,
+           round(cents / CAST(nat_cents AS DOUBLE) + 1e-9, 4)
+               AS share_of_nation,
+           round(cents / CAST(tot_cents AS DOUBLE) + 1e-9, 6)
+               AS share_of_total
+    FROM r CROSS JOIN tot WHERE rnk <= 3
+    ORDER BY c_nationkey, rank
+    """,
+)
+def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT at two report levels: each nation's top-3
+    customers by revenue, with their share of the nation's revenue AND
+    of the grand total — the classic OLAP 'contribution' readout
+    (whale concentration per market) that q_agg_gini summarizes into
+    one number and this query itemizes.
+
+    Determinism: revenue is summed as exact integer CENTS (per-row
+    round(x·100), the q_win_moving pattern), so ranking ties and both
+    shares derive from identical integers; o_custkey breaks rank ties.
+    Shape: one hash agg to (nation, customer) grain; the rank and
+    nation-total windows share ONE nation-hash exchange; the grand
+    total is a separate 1-row aggregate broadcast onto the ≤75
+    surviving rows (the q_text_vocab totals pattern) — NO unpartitioned
+    window ever touches the customer-grain frame."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    wn = Window.partitionBy("c_nationkey")
+    r = cust.select(
+        "c_nationkey",
+        "o_custkey",
+        "cents",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("cents").over(wn).alias("nat_cents"),
+    ).filter(F.col("rank") <= 3)
+    tot = cust.agg(F.sum("cents").alias("tot_cents"))
+    return r.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "rank",
+        "o_custkey",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents") / F.col("nat_cents").cast("double") + F.lit(1e-9),
+            4,
+        ).alias("share_of_nation"),
+        F.round(
+            F.col("cents") / F.col("tot_cents").cast("double") + F.lit(1e-9),
+            6,
+        ).alias("share_of_total"),
+    ).orderBy("c_nationkey", "rank")

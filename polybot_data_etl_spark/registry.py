@@ -193,6 +193,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ml_kappa", "q_stats_cohens_d", "q_ts_ljung_box",
     "q_agg_theil", "q_ts_hurst", "q_text_hapax",
     "q_embed_anisotropy", "q_stats_sign_test", "q_graph_kcore",
+    "q_stats_simpson", "q_ts_mannkendall", "q_win_share_of_total",
 }
 
 

@@ -193,6 +193,7 @@ _NLJ_ALLOWED = {
     "q_dedup_capture_recapture",  # 1-row count-summary broadcast crosses
     "q_stats_cohens_d",   # 1-row × 1-row group-summary cross (ttest shape)
     "q_graph_kcore",      # 1-row node-count × 1-row edge-count crosses
+    "q_win_share_of_total",  # 1-row grand-total broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

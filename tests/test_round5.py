@@ -2309,3 +2309,98 @@ def test_kcore_peel_matches_python(spark, sf_dir):
             assert row.n_nodes <= prev_nodes
             assert row.n_edges <= prev_edges
         prev_nodes, prev_edges = row.n_nodes, row.n_edges
+
+
+def test_simpson_stratum_vs_pooled_directions(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_simpson
+
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0.0]))
+    pooled = defaultdict(lambda: [0, 0.0])
+    for r in table(spark, sf_dir, "orders").collect():
+        coh = r.o_custkey % 2
+        cell = per[r.o_orderpriority][coh]
+        cell[0] += 1
+        cell[1] += r.o_totalprice
+        pooled[coh][0] += 1
+        pooled[coh][1] += r.o_totalprice
+    pa = pooled[0][1] / pooled[0][0]
+    pb = pooled[1][1] / pooled[1][0]
+    rows = {r.stratum: r for r in q_stats_simpson(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for st, d in per.items():
+        row = rows[st]
+        ma = d[0][1] / d[0][0]
+        mb = d[1][1] / d[1][0]
+        assert (row.n_a, row.n_b) == (d[0][0], d[1][0])
+        assert abs(row.mean_a - ma) < 1e-2
+        assert abs(row.mean_b - mb) < 1e-2
+        assert row.a_wins_stratum == (ma > mb)
+        assert row.a_wins_pooled == (pa > pb)
+        assert row.reversed == ((ma > mb) != (pa > pb))
+
+
+def test_mannkendall_pairwise_signs(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_mannkendall
+
+    daily = defaultdict(Counter)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in q_ts_mannkendall(spark, sf_dir).collect()}
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    for et, cnt in daily.items():
+        xs = [c for _, c in sorted(cnt.items())]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18
+        z = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0) / math.sqrt(var_s)
+        if s == 0:
+            z = 0.0
+        p = 2 * (1 - phi(abs(z)))
+        row = rows[et]
+        assert (row.n_days, row.s_stat) == (n, s)
+        assert abs(row.var_s - var_s) < 1e-2
+        assert abs(row.z - z) < 1e-3
+        assert abs(row.p_value - p) < 1e-3
+        want = "none" if p >= 0.05 else ("increasing" if s > 0 else "decreasing")
+        assert row.trend == want
+
+
+def test_share_of_total_cents_exact(spark, sf_dir):
+    from polybot_data_etl_spark.operators.windows import q_win_share_of_total
+
+    nat = {
+        r.c_custkey: r.c_nationkey
+        for r in table(spark, sf_dir, "customer").collect()
+    }
+    cents = defaultdict(int)
+    for r in table(spark, sf_dir, "orders").collect():
+        cents[r.o_custkey] += round(r.o_totalprice * 100)
+    nat_tot = defaultdict(int)
+    for ck, c in cents.items():
+        nat_tot[nat[ck]] += c
+    grand = sum(cents.values())
+    rows = q_win_share_of_total(spark, sf_dir).collect()
+    by_nat = defaultdict(list)
+    for r in rows:
+        by_nat[r.c_nationkey].append(r)
+    for nk, rs in by_nat.items():
+        want = sorted(
+            ((c, ck) for ck, c in cents.items() if nat[ck] == nk),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert [r.o_custkey for r in sorted(rs, key=lambda r: r.rank)] == [
+            ck for _, ck in want
+        ]
+        for r in rs:
+            c = cents[r.o_custkey]
+            assert abs(r.revenue - c / 100.0) < 1e-9
+            assert abs(r.share_of_nation - c / nat_tot[nk]) < 1e-3
+            assert abs(r.share_of_total - c / grand) < 1e-5
+    # every nation with at least one order appears
+    assert set(by_nat) == set(nat_tot)
