@@ -2619,3 +2619,255 @@ def q_stats_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool_dir.alias("a_wins_pooled"),
         (strat_dir != pool_dir).alias("reversed"),
     ).orderBy("stratum")
+
+
+@register(
+    "q_stats_breusch_pagan",
+    oracle=f"""
+    WITH f AS (
+        SELECT event_type, CAST(hour(ts::TIMESTAMP) AS DOUBLE) AS x,
+               value AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM f GROUP BY event_type
+    ),
+    ab AS (
+        SELECT event_type,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     + 1e-11, 6) AS b,
+               round(sy / n - round((n * sxy - sx * sy)
+                                    / (n * sxx - sx * sx)
+                                    + 1e-11, 6) * sx / n
+                     + 1e-11, 6) AS a
+        FROM m
+    ),
+    r AS (
+        SELECT f.event_type, f.x,
+               (f.y - ab.a - ab.b * f.x)
+                   * (f.y - ab.a - ab.b * f.x) AS z
+        FROM f JOIN ab USING (event_type)
+    ),
+    aux AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+               sum(z) AS sz, sum(x * z) AS sxz, sum(z * z) AS szz
+        FROM r GROUP BY event_type
+    ),
+    lm AS (
+        SELECT event_type, n,
+               round(n * pow(n * sxz - sx * sz, 2)
+                     / ((n * sxx - sx * sx) * (n * szz - sz * sz))
+                     + 1e-11, 6) AS lm_stat
+        FROM aux
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(lm_stat + 1e-9, 4) AS lm,
+           round(2 * (1 - {_phi_sql("sqrt(lm_stat)")}) + 1e-9, 4)
+               AS p_value,
+           CAST(2 * (1 - {_phi_sql("sqrt(lm_stat)")}) < 5e-2 AS BOOLEAN)
+               AS heteroskedastic
+    FROM lm ORDER BY event_type
+    """,
+)
+def q_stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test on q_stats_regression's
+    value ~ hour-of-day fit, per event type: regress the SQUARED
+    residuals back on x and take LM = n·R²_aux (χ²₁; survival is the
+    closed form 2(1−Φ(√LM))) — if the error variance moves with the
+    regressor, the OLS t-stats and every equal-variance test upstream
+    are quietly wrong.  The diagnostic that tells you when to stop
+    trusting q_stats_regression's r².
+
+    Shape: TWO map-side-combined moment passes (fit moments → 6-dp
+    (a,b) per type, then residual-square moments with the tiny
+    coefficient frame broadcast onto the second scan) — no windows, no
+    sorts; every statistic is shared-algebra over plain sums."""
+    e = table(spark, sf_dir, "events")
+    f = e.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = f.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    b6 = F.round(
+        (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+        + F.lit(1e-11),
+        6,
+    )
+    ab = m.select(
+        "event_type",
+        b6.alias("b"),
+        F.round(sy / n - b6 * sx / n + F.lit(1e-11), 6).alias("a"),
+    )
+    res = (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+    r = f.join(F.broadcast(ab), "event_type").select(
+        "event_type", "x", (res * res).alias("z")
+    )
+    aux = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    n, sx, sz = F.col("n"), F.col("sx"), F.col("sz")
+    lm6 = F.round(
+        n
+        * F.pow(n * F.col("sxz") - sx * sz, 2)
+        / ((n * F.col("sxx") - sx * sx) * (n * F.col("szz") - sz * sz))
+        + F.lit(1e-11),
+        6,
+    )
+    lm = aux.withColumn("lm_stat", lm6)
+    p = 2 * (1 - _phi_col(F.sqrt(F.col("lm_stat"))))
+    return lm.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(F.col("lm_stat") + F.lit(1e-9), 4).alias("lm"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.05).alias("heteroskedastic"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               sum(value) / count(*) AS ym
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    idx AS (
+        SELECT event_type, ym,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS DOUBLE) AS t
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n, sum(t) AS st, sum(ym) AS sy,
+               sum(t * ym) AS sty, sum(t * t) AS stt
+        FROM idx GROUP BY event_type
+    ),
+    ab AS (
+        SELECT event_type,
+               round((n * sty - st * sy) / (n * stt - st * st)
+                     + 1e-11, 6) AS b,
+               round(sy / n - round((n * sty - st * sy)
+                                    / (n * stt - st * st)
+                                    + 1e-11, 6) * st / n
+                     + 1e-11, 6) AS a
+        FROM m
+    ),
+    res AS (
+        SELECT idx.event_type,
+               idx.ym - ab.a - ab.b * idx.t AS e,
+               lag(idx.ym - ab.a - ab.b * idx.t)
+                   OVER (PARTITION BY idx.event_type ORDER BY idx.t)
+                   AS e_prev
+        FROM idx JOIN ab USING (event_type)
+    ),
+    d AS (
+        SELECT event_type, count(*) AS n_days,
+               round(sum(CASE WHEN e_prev IS NOT NULL
+                              THEN (e - e_prev) * (e - e_prev)
+                              ELSE 0 END) / sum(e * e) + 1e-11, 6) AS dw
+        FROM res GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(dw + 1e-9, 4) AS dw,
+           CASE WHEN dw < 15e-1 THEN 'positive'
+                WHEN dw > 25e-1 THEN 'negative'
+                ELSE 'none' END AS residual_autocorr
+    FROM d ORDER BY event_type
+    """,
+)
+def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of a daily-mean-value
+    ~ day-index OLS trend fit, per event type: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ²
+    (≈2 independent, →0 positive serial correlation, →4 negative) —
+    the other half of the regression-diagnostics pair with
+    q_stats_breusch_pagan: BP catches variance structure, DW catches
+    the serial correlation that makes trend-fit confidence intervals
+    fictional.  The conventional 1.5/2.5 decision bands.
+
+    Shape: one hash agg to day grain → the whole fit-and-residual
+    pipeline runs on the bounded per-type day frame (moments → 6-dp
+    (a,b) joined back → one lag window) — nothing after the first agg
+    ever touches the fact table."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg((F.sum("value") / F.count("*")).alias("ym"))
+    idx = daily.select(
+        "event_type",
+        "ym",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("double")
+        .alias("t"),
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("t") * F.col("ym")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    b6 = F.round(
+        (n * F.col("sty") - st * sy) / (n * F.col("stt") - st * st)
+        + F.lit(1e-11),
+        6,
+    )
+    ab = m.select(
+        "event_type",
+        b6.alias("b"),
+        F.round(sy / n - b6 * st / n + F.lit(1e-11), 6).alias("a"),
+    )
+    resid = F.col("ym") - F.col("a") - F.col("b") * F.col("t")
+    res = idx.join(F.broadcast(ab), "event_type").select(
+        "event_type",
+        resid.alias("e"),
+        F.lag(resid)
+        .over(Window.partitionBy("event_type").orderBy("t"))
+        .alias("e_prev"),
+    )
+    d = res.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("e_prev").isNotNull(),
+                    (F.col("e") - F.col("e_prev"))
+                    * (F.col("e") - F.col("e_prev")),
+                ).otherwise(0.0)
+            )
+            / F.sum(F.col("e") * F.col("e"))
+            + F.lit(1e-11),
+            6,
+        ).alias("dw"),
+    )
+    verdict = (
+        F.when(F.col("dw") < 1.5, "positive")
+        .when(F.col("dw") > 2.5, "negative")
+        .otherwise("none")
+    )
+    return d.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("dw") + F.lit(1e-9), 4).alias("dw"),
+        verdict.alias("residual_autocorr"),
+    ).orderBy("event_type")

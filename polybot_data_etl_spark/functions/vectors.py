@@ -1527,3 +1527,102 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(ssq) / n + F.lit(1e-9), 4).alias("resultant_length"),
         (avg_cos > 0.1).alias("anisotropic"),
     )
+
+
+@register(
+    "q_embed_quantize_eval",
+    oracle="""
+    WITH q AS (
+        SELECT label, emb,
+               list_transform(emb,
+                   x -> CASE WHEN x >= 0
+                        THEN floor(x * s + 0.5) / s
+                        ELSE -floor(-x * s + 0.5) / s END) AS dq
+        FROM (
+            SELECT label, embedding::DOUBLE[] AS emb,
+                   127.0 / list_max(list_transform(embedding::DOUBLE[],
+                                                   y -> abs(y))) AS s
+            FROM embeddings
+        )
+    ),
+    p AS (
+        SELECT label,
+               list_sum(list_transform(range(1, len(emb) + 1),
+                   i -> emb[i] * dq[i]))
+                   / (sqrt(list_sum(list_transform(emb, x -> x * x)))
+                      * sqrt(list_sum(list_transform(dq, x -> x * x))))
+                   AS cosv,
+               sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+                   i -> (emb[i] - dq[i]) * (emb[i] - dq[i])))) AS l2e
+        FROM q
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(cosv) + 1e-9, 6) AS avg_cos,
+           round(min(cosv) + 1e-9, 6) AS min_cos,
+           round(avg(l2e) + 1e-9, 6) AS avg_l2_err
+    FROM p GROUP BY label ORDER BY label
+    """,
+)
+def q_embed_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-quality audit of q_embed_quantize's symmetric
+    int8 scheme, per label: cosine between each original vector and
+    its dequantized round-trip (mean + worst case) and the mean L2
+    reconstruction error — the number that decides whether the 4×
+    storage saving is free for the cosine-threshold dedup/ANN
+    operators downstream (avg_cos ≈ 0.9999 ⇒ yes; a label whose
+    min_cos dips ⇒ outlier-dominated scale, consider per-block
+    quantization).
+
+    Shape: entirely per-row array expressions inside whole-stage
+    codegen (quantize → dequantize → cosine/L2, the exact
+    round-half-away-from-zero kernel q_embed_quantize ships) followed
+    by ONE map-side-combined per-label agg — zero shuffles before the
+    k-row aggregate, no Python, no pair joins."""
+    emb = table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "label",
+        arr.alias("emb"),
+        (
+            F.lit(127.0)
+            / F.array_max(F.transform(arr, lambda x: F.abs(x)))
+        ).alias("s"),
+    )
+    s = F.col("s")
+    dq = F.transform(
+        F.col("emb"),
+        lambda x: F.when(x >= 0, F.floor(x * s + 0.5) / s).otherwise(
+            -F.floor(-x * s + 0.5) / s
+        ),
+    )
+    q = base.select("label", "emb", dq.alias("dq"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cosv = dot(F.col("emb"), F.col("dq")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(dot(F.col("dq"), F.col("dq")))
+    )
+    l2e = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("emb"), F.col("dq"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    p = q.select("label", cosv.alias("cosv"), l2e.alias("l2e"))
+    return (
+        p.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("cosv") + F.lit(1e-9), 6).alias("avg_cos"),
+            F.round(F.min("cosv") + F.lit(1e-9), 6).alias("min_cos"),
+            F.round(F.avg("l2e") + F.lit(1e-9), 6).alias("avg_l2_err"),
+        )
+        .orderBy("label")
+    )

@@ -194,6 +194,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_agg_theil", "q_ts_hurst", "q_text_hapax",
     "q_embed_anisotropy", "q_stats_sign_test", "q_graph_kcore",
     "q_stats_simpson", "q_ts_mannkendall", "q_win_share_of_total",
+    "q_stats_breusch_pagan", "q_stats_durbin_watson",
+    "q_embed_quantize_eval",
 }
 
 

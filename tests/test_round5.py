@@ -2404,3 +2404,99 @@ def test_share_of_total_cents_exact(spark, sf_dir):
             assert abs(r.share_of_total - c / grand) < 1e-5
     # every nation with at least one order appears
     assert set(by_nat) == set(nat_tot)
+
+
+def test_breusch_pagan_two_pass_moments(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_breusch_pagan
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append((float(r.ts.hour), r.value))
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    rows = {r.event_type: r for r in q_stats_breusch_pagan(spark, sf_dir).collect()}
+    for et, pts in per.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        b = round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-11, 6)
+        a = round(sy / n - b * sx / n + 1e-11, 6)
+        zs = [(x, (y - a - b * x) ** 2) for x, y in pts]
+        sz = sum(z for _, z in zs)
+        sxz = sum(x * z for x, z in zs)
+        szz = sum(z * z for _, z in zs)
+        lm = round(
+            n * (n * sxz - sx * sz) ** 2
+            / ((n * sxx - sx * sx) * (n * szz - sz * sz))
+            + 1e-11,
+            6,
+        )
+        p = 2 * (1 - phi(math.sqrt(lm)))
+        row = rows[et]
+        assert row.n == n
+        assert abs(row.lm - lm) < 1e-2
+        assert abs(row.p_value - p) < 1e-3
+        assert row.heteroskedastic == (row.p_value < 0.05)
+        assert row.lm >= -1e-9  # LM = n·R² is nonnegative
+
+
+def test_durbin_watson_residual_lags(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_durbin_watson
+
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0.0]))
+    for r in table(spark, sf_dir, "events").collect():
+        c = per[r.event_type][r.ts.date()]
+        c[0] += 1
+        c[1] += r.value
+    rows = {r.event_type: r for r in q_stats_durbin_watson(spark, sf_dir).collect()}
+    for et, days in per.items():
+        ys = [s / c for _, (c, s) in sorted(days.items())]
+        n = len(ys)
+        ts = list(range(1, n + 1))
+        st, sy = sum(ts), sum(ys)
+        sty = sum(t * y for t, y in zip(ts, ys))
+        stt = sum(t * t for t in ts)
+        b = round((n * sty - st * sy) / (n * stt - st * st) + 1e-11, 6)
+        a = round(sy / n - b * st / n + 1e-11, 6)
+        es = [y - a - b * t for t, y in zip(ts, ys)]
+        dw = sum((es[i] - es[i - 1]) ** 2 for i in range(1, n)) / sum(
+            e * e for e in es
+        )
+        row = rows[et]
+        assert row.n_days == n
+        assert abs(row.dw - dw) < 1e-3
+        assert 0 <= row.dw <= 4 + 1e-9
+        want = "positive" if dw < 1.5 else "negative" if dw > 2.5 else "none"
+        assert row.residual_autocorr == want
+
+
+def test_quantize_eval_roundtrip_math(spark, sf_dir):
+    from polybot_data_etl_spark.functions.vectors import q_embed_quantize_eval
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "embeddings").collect():
+        v = [float(x) for x in r.embedding]
+        s = 127.0 / max(abs(x) for x in v)
+        dq = [
+            (math.floor(x * s + 0.5) if x >= 0 else -math.floor(-x * s + 0.5))
+            / s
+            for x in v
+        ]
+        dot = sum(a * b for a, b in zip(v, dq))
+        cosv = dot / (
+            math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in dq))
+        )
+        l2e = math.sqrt(sum((a - b) ** 2 for a, b in zip(v, dq)))
+        per[r.label].append((cosv, l2e))
+    rows = {r.label: r for r in q_embed_quantize_eval(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for lb, vals in per.items():
+        row = rows[lb]
+        assert row.n_vectors == len(vals)
+        assert abs(row.avg_cos - sum(c for c, _ in vals) / len(vals)) < 1e-4
+        assert abs(row.min_cos - min(c for c, _ in vals)) < 1e-4
+        assert abs(row.avg_l2_err - sum(e for _, e in vals) / len(vals)) < 1e-4
+        # int8 round-trip keeps cosine extremely close to 1
+        assert row.avg_cos > 0.999
+        assert row.min_cos <= row.avg_cos + 1e-9
