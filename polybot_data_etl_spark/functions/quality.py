@@ -597,3 +597,58 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("kw_ratio") + F.lit(1e-9), 4).alias("mean_kw_ratio"),
     )
+
+
+@register(
+    "q_text_langid_eval",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang, {_ARGMAX_SQL} AS pred_lang
+        FROM (
+            SELECT lang,
+                   {", ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in _LANGS)}
+            FROM documents
+        )
+    ),
+    cells AS (
+        SELECT lang, pred_lang, count(*) AS n
+        FROM pred GROUP BY lang, pred_lang
+    ),
+    tot AS (
+        SELECT cells.*, sum(n) OVER (PARTITION BY lang) AS lang_total
+        FROM cells
+    )
+    SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+           round(n / CAST(lang_total AS DOUBLE) + 1e-9, 4) AS share_of_lang,
+           CAST(lang = pred_lang AS BOOLEAN) AS correct
+    FROM tot ORDER BY lang, pred_lang
+    """,
+)
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the q_text_langid heuristic against the
+    corpus's labeled `lang` column: per (truth, prediction) cell count
+    and its share of the truth language — the eval that tells you the
+    classifier's per-language recall (the diagonal) and exactly WHICH
+    languages it confuses before anyone filters a corpus with it.  The
+    multiclass counterpart of q_ml_confusion's binary table.
+
+    Shape: the scorer is the same zero-shuffle narrow projection as
+    q_text_langid; the evaluation is ONE map-side-combined hash agg to
+    the ≤|langs|² cell frame, with the truth-language marginal from a
+    window over that tiny frame.  Counts are exact integers."""
+    pred = q_text_langid(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    tot = cells.withColumn(
+        "lang_total", F.sum("n").over(Window.partitionBy("lang"))
+    )
+    return tot.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n") / F.col("lang_total").cast("double") + F.lit(1e-9), 4
+        ).alias("share_of_lang"),
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    ).orderBy("lang", "pred_lang")

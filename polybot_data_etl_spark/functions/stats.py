@@ -2871,3 +2871,58 @@ def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dw") + F.lit(1e-9), 4).alias("dw"),
         verdict.alias("residual_autocorr"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_gamma_mom",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n, sum(value) AS sx,
+               sum(value * value) AS sxx
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n, sx / n AS mu,
+               sxx / n - (sx / n) * (sx / n) AS v
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(mu + 1e-9, 4) AS mean,
+           round(mu * mu / v + 1e-9, 4) AS shape_k,
+           round(v / mu + 1e-9, 4) AS scale_theta,
+           round(sqrt(v) / mu + 1e-9, 4) AS cv,
+           CAST(mu * mu / v < 1 AS BOOLEAN) AS overdispersed
+    FROM c ORDER BY event_type
+    """,
+)
+def q_stats_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Gamma fit of `value` per event type:
+    k = μ²/σ², θ = σ²/μ (population moments) — the two parameters a
+    capacity planner or anomaly threshold actually consumes for a
+    positive right-skewed metric (latency, spend), plus the coefficient
+    of variation and the k<1 overdispersion flag (CV>1 ⇒ heavier than
+    exponential ⇒ percentile-based alerting, not μ+3σ).  The
+    parametric summary beside q_stats_hill's tail index and
+    q_agg_moments' shape readouts.
+
+    Shape: ONE map-side-combined raw-moment agg (n, Σx, Σx²) per group
+    → k-row algebra; the cheapest distributed shape there is."""
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    n = F.col("n")
+    mu = F.col("sx") / n
+    var = F.col("sxx") / n - mu * mu
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(mu + F.lit(1e-9), 4).alias("mean"),
+        F.round(mu * mu / var + F.lit(1e-9), 4).alias("shape_k"),
+        F.round(var / mu + F.lit(1e-9), 4).alias("scale_theta"),
+        F.round(F.sqrt(var) / mu + F.lit(1e-9), 4).alias("cv"),
+        (mu * mu / var < 1).alias("overdispersed"),
+    ).orderBy("event_type")

@@ -3051,3 +3051,123 @@ def q_ts_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p + F.lit(1e-9), 4).alias("p_value"),
         trend.alias("trend"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_ts_growth_accounting",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', ts) AS week
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+    ),
+    s AS (
+        SELECT user_id, week,
+               min(week) OVER (PARTITION BY user_id) AS first_week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week
+        FROM uw
+    ),
+    lab AS (
+        SELECT week,
+               CASE WHEN week = first_week THEN 'new'
+                    WHEN prev_week = week - INTERVAL 7 DAY THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM s
+    ),
+    wk AS (
+        SELECT week,
+               count(*) AS active,
+               sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS new_users,
+               sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                   AS retained,
+               sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                   AS resurrected
+        FROM lab GROUP BY week
+    ),
+    ch AS (
+        SELECT wk.*,
+               lag(active) OVER (ORDER BY week) AS prev_active
+        FROM wk
+    )
+    SELECT week, CAST(active AS BIGINT) AS active,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(retained AS BIGINT) AS retained,
+           CAST(resurrected AS BIGINT) AS resurrected,
+           CAST(coalesce(prev_active - retained, 0) AS BIGINT) AS churned,
+           round((new_users + resurrected)
+                 / CAST(nullif(prev_active - retained, 0) AS DOUBLE)
+                 + 1e-9, 4) AS quick_ratio
+    FROM ch ORDER BY week
+    """,
+)
+def q_ts_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital framework): every
+    active user is exactly one of new / retained / resurrected, and
+    churned(w) = active(w−1) − retained(w) — the decomposition that
+    separates 'we grew because acquisition' from 'we grew because
+    people came back', with the quick ratio (new+resurrected)/churned
+    as the one-number health summary.  The lifecycle ledger behind
+    q_ts_dau_wau's levels and q_ts_retention's cohort curves.
+
+    Shape: fact → distinct (user, week) grain (ONE user-hash shuffle);
+    first-week and previous-week both ride a single user-partitioned
+    window pass; the weekly rollup is a map-side-combined agg and the
+    churn lag runs over the calendar-bounded week frame.  Week
+    equality uses exact Monday-truncated timestamps both engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("week")
+    s = uw.select(
+        "week",
+        F.min("week").over(wu).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_week"),
+    )
+    status = (
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(
+            F.col("prev_week")
+            == F.col("week") - F.expr("INTERVAL 7 DAYS"),
+            "retained",
+        )
+        .otherwise("resurrected")
+    )
+    wk = (
+        s.select("week", status.alias("status"))
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("active"),
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(
+                F.when(F.col("status") == "retained", 1).otherwise(0)
+            ).alias("retained"),
+            F.sum(
+                F.when(F.col("status") == "resurrected", 1).otherwise(0)
+            ).alias("resurrected"),
+        )
+    )
+    ch = wk.withColumn(
+        "prev_active", F.lag("active").over(Window.orderBy("week"))
+    )
+    churn = F.col("prev_active") - F.col("retained")
+    return ch.select(
+        "week",
+        F.col("active").cast("bigint").alias("active"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.col("retained").cast("bigint").alias("retained"),
+        F.col("resurrected").cast("bigint").alias("resurrected"),
+        F.coalesce(churn, F.lit(0)).cast("bigint").alias("churned"),
+        F.round(
+            (F.col("new_users") + F.col("resurrected"))
+            / F.nullif(churn, F.lit(0)).cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("quick_ratio"),
+    ).orderBy("week")

@@ -2500,3 +2500,81 @@ def test_quantize_eval_roundtrip_math(spark, sf_dir):
         # int8 round-trip keeps cosine extremely close to 1
         assert row.avg_cos > 0.999
         assert row.min_cos <= row.avg_cos + 1e-9
+
+
+def test_langid_eval_confusion_cells(spark, sf_dir):
+    from polybot_data_etl_spark.functions.quality import (
+        q_text_langid,
+        q_text_langid_eval,
+    )
+
+    pred = [(r.lang, r.pred_lang) for r in q_text_langid(spark, sf_dir).collect()]
+    cells = Counter(pred)
+    lang_tot = Counter(lang for lang, _ in pred)
+    rows = q_text_langid_eval(spark, sf_dir).collect()
+    assert {(r.lang, r.pred_lang) for r in rows} == set(cells)
+    for r in rows:
+        assert r.n == cells[(r.lang, r.pred_lang)]
+        assert abs(r.share_of_lang - r.n / lang_tot[r.lang]) < 1e-3
+        assert r.correct == (r.lang == r.pred_lang)
+    # shares within each truth language sum to 1
+    for lang in lang_tot:
+        tot = sum(r.share_of_lang for r in rows if r.lang == lang)
+        assert abs(tot - 1.0) < 1e-2
+
+
+def test_growth_accounting_ledger_identities(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_growth_accounting,
+    )
+
+    weeks = defaultdict(set)
+    for r in table(spark, sf_dir, "events").collect():
+        d = r.ts.date()
+        monday = d - __import__("datetime").timedelta(days=d.weekday())
+        weeks[monday].add(r.user_id)
+    ordered = sorted(weeks)
+    first_seen = {}
+    for wk in ordered:
+        for u in weeks[wk]:
+            first_seen.setdefault(u, wk)
+    rows = sorted(q_ts_growth_accounting(spark, sf_dir).collect(),
+                  key=lambda r: r.week)
+    assert [r.week.date() for r in rows] == ordered
+    import datetime as _dt
+
+    for wk, row in zip(ordered, rows):
+        users = weeks[wk]
+        new = {u for u in users if first_seen[u] == wk}
+        prev_users = weeks.get(wk - _dt.timedelta(days=7), set())
+        retained = users & prev_users
+        resurrected = users - new - retained
+        assert row.active == len(users)
+        assert row.new_users == len(new)
+        assert row.retained == len(retained)
+        assert row.resurrected == len(resurrected)
+        # ledger identity: every active user has exactly one status
+        assert row.active == row.new_users + row.retained + row.resurrected
+        assert row.churned == len(prev_users) - len(retained)
+
+
+def test_gamma_mom_parameter_algebra(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_gamma_mom
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    rows = {r.event_type: r for r in q_stats_gamma_mom(spark, sf_dir).collect()}
+    for et, xs in per.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        v = sum(x * x for x in xs) / n - mu * mu
+        row = rows[et]
+        assert row.n == n
+        assert abs(row.mean - mu) < 1e-2
+        assert abs(row.shape_k - mu * mu / v) < 1e-2
+        assert abs(row.scale_theta - v / mu) < 1e-2
+        assert abs(row.cv - math.sqrt(v) / mu) < 1e-3
+        # MoM identity: k·θ reconstructs the mean
+        assert abs(row.shape_k * row.scale_theta - mu) < 0.05 * mu
+        assert row.overdispersed == (row.shape_k < 1)
