@@ -652,3 +652,171 @@ def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_of_lang"),
         (F.col("lang") == F.col("pred_lang")).alias("correct"),
     ).orderBy("lang", "pred_lang")
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_LONGNUM = "[0-9]{6,}"
+
+
+@register(
+    "q_text_pii",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(text, '{_PII_URL}')) AS n_url,
+               len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_num
+        FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_url) AS BIGINT) AS urls,
+           CAST(sum(n_num) AS BIGINT) AS long_numbers,
+           round(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS doc_rate_email,
+           round(sum(CASE WHEN n_url > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS doc_rate_url,
+           round(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS doc_rate_number,
+           CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) > 1e-2 AS BOOLEAN)
+               AS needs_scrub
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-prevalence audit per source: email / URL / long-number hit
+    counts and document rates — the MEASUREMENT half of the privacy
+    pipeline (q_text_scrub is the redaction half): which ingest
+    sources leak contact info, at what density, and which cross the
+    must-scrub threshold before the corpus ships.  Patterns are the
+    exact ones q_text_scrub redacts, so rate-here ⇒ rewritten-there.
+
+    Shape: pure narrow per-document regexp_extract_all counts (ASCII
+    character classes — identical RE2/Java semantics) inside
+    whole-stage codegen, then ONE map-side-combined per-source agg;
+    zero shuffles before the k-row frame."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = d.select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0)).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_URL), 0)).alias("n_url"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_LONGNUM), 0)).alias(
+            "n_num"
+        ),
+    )
+    n = F.count("*")
+    rate = lambda c: F.round(
+        F.sum(F.when(F.col(c) > 0, 1).otherwise(0)) / n.cast("double")
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("emails"),
+            F.sum("n_url").cast("bigint").alias("urls"),
+            F.sum("n_num").cast("bigint").alias("long_numbers"),
+            rate("n_email").alias("doc_rate_email"),
+            rate("n_url").alias("doc_rate_url"),
+            rate("n_num").alias("doc_rate_number"),
+            (
+                F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0))
+                / n.cast("double")
+                > 0.01
+            ).alias("needs_scrub"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_text_source_diversity",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*) AS docs,
+               sum(len(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> ''))) AS toks
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT s.*, sum(docs) OVER () AS all_docs,
+               sum(toks) OVER () AS all_toks
+        FROM s
+    ),
+    a AS (
+        SELECT count(*) AS k,
+               max(all_docs) AS n,
+               -sum((docs / CAST(all_docs AS DOUBLE))
+                    * ln(docs / CAST(all_docs AS DOUBLE))) AS h_docs,
+               sum(pow(toks / CAST(all_toks AS DOUBLE), 2)) AS hhi_toks,
+               max(toks) / CAST(max(all_toks) AS DOUBLE) AS top_tok_share
+        FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS n_sources,
+           CAST(n AS BIGINT) AS n_docs,
+           round(h_docs + 1e-9, 4) AS doc_entropy,
+           round(exp(h_docs) + 1e-9, 4) AS effective_sources,
+           round(hhi_toks + 1e-9, 4) AS token_hhi,
+           round(top_tok_share + 1e-9, 4) AS top_source_token_share,
+           CAST(exp(h_docs) < k * 5e-1 AS BOOLEAN) AS concentrated
+    FROM a
+    """,
+)
+def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity card over ingest sources: Shannon entropy of
+    the document mix (and its exponential — the EFFECTIVE number of
+    sources), token-mass HHI, and the largest source's token share —
+    the one-glance answer to 'is this corpus really N sources, or one
+    crawl wearing N hats?' that every data card and mixing plan
+    (q_mix_budget et al.) should lead with.
+
+    Shape: ONE map-side-combined per-source agg (docs + token counts
+    from the split-length expression, no explode needed), marginals
+    via windows over the k-row source frame, a 1-row reduce.  Token
+    counts are exact integers; entropy/HHI identical algebra."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+        )
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum(toks).alias("toks")
+    )
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy()
+    t = s.select(
+        "*",
+        F.sum("docs").over(wa).alias("all_docs"),
+        F.sum("toks").over(wa).alias("all_toks"),
+    )
+    pd_ = F.col("docs") / F.col("all_docs").cast("double")
+    pt = F.col("toks") / F.col("all_toks").cast("double")
+    a = t.agg(
+        F.count("*").alias("k"),
+        F.max("all_docs").alias("n"),
+        (-F.sum(pd_ * F.log(pd_))).alias("h_docs"),
+        F.sum(F.pow(pt, 2)).alias("hhi_toks"),
+        (F.max("toks") / F.max("all_toks").cast("double")).alias(
+            "top_tok_share"
+        ),
+    )
+    h = F.col("h_docs")
+    return a.select(
+        F.col("k").cast("bigint").alias("n_sources"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(h + F.lit(1e-9), 4).alias("doc_entropy"),
+        F.round(F.exp(h) + F.lit(1e-9), 4).alias("effective_sources"),
+        F.round(F.col("hhi_toks") + F.lit(1e-9), 4).alias("token_hhi"),
+        F.round(F.col("top_tok_share") + F.lit(1e-9), 4).alias(
+            "top_source_token_share"
+        ),
+        (F.exp(h) < F.col("k") * 0.5).alias("concentrated"),
+    )

@@ -2926,3 +2926,71 @@ def q_stats_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var) / mu + F.lit(1e-9), 4).alias("cv"),
         (mu * mu / var < 1).alias("overdispersed"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_negbin_mom",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mu,
+               sxx / CAST(n AS DOUBLE)
+                   - pow(sx / CAST(n AS DOUBLE), 2) AS v
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(mu + 1e-9, 4) AS mean,
+           round(v + 1e-9, 4) AS variance,
+           round(v / mu + 1e-9, 4) AS dispersion_index,
+           round(CASE WHEN v > mu THEN mu * mu / (v - mu) END
+                 + 1e-9, 4) AS nb_r,
+           round(CASE WHEN v > mu THEN mu / v END + 1e-9, 4) AS nb_p,
+           CAST(v / mu <= 12e-1 AS BOOLEAN) AS poisson_ok
+    FROM c ORDER BY event_type
+    """,
+)
+def q_stats_negbin_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of DAILY EVENT COUNTS
+    per type: dispersion index σ²/μ (Poisson = 1), and when
+    overdispersed the NB parameters r = μ²/(σ²−μ), p = μ/σ² — the
+    count-data twin of q_stats_gamma_mom (counts, not amounts): a
+    Poisson alerting threshold on traffic that is actually NB fires
+    constantly, and this is the 30-second check.  nb_r/nb_p are NULL
+    when the data is at-or-under-dispersed (MoM has no NB solution).
+
+    Shape: day-grain hash agg → exact integer moments (daily counts)
+    → k-row algebra; identical integer sums both engines."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    mu = F.col("sx") / n.cast("double")
+    v = F.col("sxx") / n.cast("double") - mu * mu
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(mu + F.lit(1e-9), 4).alias("mean"),
+        F.round(v + F.lit(1e-9), 4).alias("variance"),
+        F.round(v / mu + F.lit(1e-9), 4).alias("dispersion_index"),
+        F.round(
+            F.when(v > mu, mu * mu / (v - mu)) + F.lit(1e-9), 4
+        ).alias("nb_r"),
+        F.round(F.when(v > mu, mu / v) + F.lit(1e-9), 4).alias("nb_p"),
+        (v / mu <= 1.2).alias("poisson_ok"),
+    ).orderBy("event_type")

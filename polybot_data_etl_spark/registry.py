@@ -197,6 +197,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_stats_breusch_pagan", "q_stats_durbin_watson",
     "q_embed_quantize_eval",
     "q_text_langid_eval", "q_ts_growth_accounting", "q_stats_gamma_mom",
+    "q_text_pii", "q_text_source_diversity", "q_stats_negbin_mom",
 }
 
 

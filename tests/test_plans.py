@@ -810,3 +810,21 @@ def test_theil_window_input_is_nation_aggregate(spark, sf_dir):
             assert col not in inp, (
                 f"window input {inp!r} references fact column {col}"
             )
+
+
+def test_source_diversity_window_input_is_source_aggregate(spark, sf_dir):
+    """q_text_source_diversity's unpartitioned windows are safe ONLY
+    over the k-row per-source aggregate — pin that no Window input
+    references the raw documents text column (theil-pin contract)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_text_source_diversity")
+    wins = re.findall(r"\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert wins, "expected a Window over the source aggregate"
+    for inp in wins:
+        assert "docs" in inp and "toks" in inp, (
+            f"window input {inp!r} lacks the per-source agg cols"
+        )
+        assert "text#" not in inp and "doc_id#" not in inp, (
+            f"window input {inp!r} references the raw documents table"
+        )

@@ -2578,3 +2578,93 @@ def test_gamma_mom_parameter_algebra(spark, sf_dir):
         # MoM identity: k·θ reconstructs the mean
         assert abs(row.shape_k * row.scale_theta - mu) < 0.05 * mu
         assert row.overdispersed == (row.shape_k < 1)
+
+
+def test_pii_rates_match_regex(spark, sf_dir):
+    import re as _re
+
+    from polybot_data_etl_spark.functions.quality import q_text_pii
+
+    em = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ur = _re.compile(r"https?://[^ ]+")
+    nm = _re.compile(r"[0-9]{6,}")
+    per = defaultdict(lambda: [0, 0, 0, 0, 0, 0, 0])
+    for r in table(spark, sf_dir, "documents").collect():
+        c = per[r.source]
+        e, u, n = len(em.findall(r.text)), len(ur.findall(r.text)), len(
+            nm.findall(r.text)
+        )
+        c[0] += 1
+        c[1] += e
+        c[2] += u
+        c[3] += n
+        c[4] += e > 0
+        c[5] += u > 0
+        c[6] += n > 0
+    rows = {r.source: r for r in q_text_pii(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for src, c in per.items():
+        row = rows[src]
+        assert (row.n_docs, row.emails, row.urls, row.long_numbers) == (
+            c[0],
+            c[1],
+            c[2],
+            c[3],
+        )
+        assert abs(row.doc_rate_email - c[4] / c[0]) < 1e-3
+        assert abs(row.doc_rate_url - c[5] / c[0]) < 1e-3
+        assert abs(row.doc_rate_number - c[6] / c[0]) < 1e-3
+        assert row.needs_scrub == (c[4] / c[0] > 0.01)
+
+
+def test_source_diversity_entropy_identities(spark, sf_dir):
+    from polybot_data_etl_spark.functions.quality import (
+        q_text_source_diversity,
+    )
+
+    docs = Counter()
+    toks = Counter()
+    for r in table(spark, sf_dir, "documents").collect():
+        docs[r.source] += 1
+        toks[r.source] += sum(1 for t in r.text.lower().split(" ") if t)
+    n = sum(docs.values())
+    tt = sum(toks.values())
+    h = -sum((c / n) * math.log(c / n) for c in docs.values())
+    hhi = sum((c / tt) ** 2 for c in toks.values())
+    [row] = q_text_source_diversity(spark, sf_dir).collect()
+    assert (row.n_sources, row.n_docs) == (len(docs), n)
+    assert abs(row.doc_entropy - h) < 1e-3
+    assert abs(row.effective_sources - math.exp(h)) < 1e-2
+    assert abs(row.token_hhi - hhi) < 1e-3
+    assert abs(row.top_source_token_share - max(toks.values()) / tt) < 1e-3
+    # effective sources can never exceed the actual count, and HHI is
+    # bounded below by perfect equality
+    assert row.effective_sources <= len(docs) + 1e-6
+    assert row.token_hhi >= 1.0 / len(docs) - 1e-6
+
+
+def test_negbin_mom_dispersion(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_negbin_mom
+
+    daily = defaultdict(Counter)
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()] += 1
+    rows = {r.event_type: r for r in q_stats_negbin_mom(spark, sf_dir).collect()}
+    for et, cnt in daily.items():
+        xs = list(cnt.values())
+        n = len(xs)
+        mu = sum(xs) / n
+        v = sum(x * x for x in xs) / n - mu * mu
+        row = rows[et]
+        assert row.n_days == n
+        assert abs(row.mean - mu) < 1e-2
+        assert abs(row.variance - v) < 1e-1
+        assert abs(row.dispersion_index - v / mu) < 1e-3
+        if v > mu:
+            assert abs(row.nb_r - mu * mu / (v - mu)) < 1e-1
+            assert abs(row.nb_p - mu / v) < 1e-3
+            # NB mean identity: r(1-p)/p = mu
+            assert abs(row.nb_r * (1 - row.nb_p) / row.nb_p - mu) < 0.05 * mu
+        else:
+            assert row.nb_r is None and row.nb_p is None
+        assert row.poisson_ok == (row.dispersion_index <= 1.2)
