@@ -1019,3 +1019,76 @@ def q_dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_missing").cast("bigint").alias("n_missing"),
         F.col("max_gap").cast("bigint").alias("max_gap"),
     )
+
+
+@register(
+    "q_dq_cardinality_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS du
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    w AS (
+        SELECT event_type, day, du,
+               CAST(median(du) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS med7
+        FROM daily
+    )
+    SELECT event_type, day, CAST(du AS BIGINT) AS distinct_users,
+           round(med7 + 1e-9, 4) AS med7,
+           round((du - med7) / med7 + 1e-9, 4) AS deviation,
+           CAST(abs((du - med7) / med7) > 3e-1 AS BOOLEAN) AS anomalous
+    FROM w ORDER BY event_type, day
+    """,
+)
+def q_dq_cardinality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user cardinality monitor per event type: each
+    day's exact user count against its own 7-day rolling MEDIAN
+    baseline, flagging >30% swings — the data-quality tripwire for
+    silent upstream breakage (a dropped ingest partition or a bot
+    flood shifts CARDINALITY long before value distributions move;
+    q_dq_freshness catches late data, this catches thin or fat data).
+
+    Shape: exact per-(type, day) COUNT(DISTINCT user_id) — one
+    two-phase distinct agg on the fact table (at 100 TB the same plan
+    swaps to approx_count_distinct without touching the monitor
+    algebra); everything downstream (the collect_list median over the
+    ≤7-element frame, q_ts_rolling_median's construction) runs on the
+    calendar-bounded day frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.countDistinct("user_id").alias("du"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("du").over(w))
+    k = F.size(arr)
+    med = F.when(
+        k % 2 == 1,
+        F.element_at(arr, ((k + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at(arr, (k / 2).cast("int"))
+            + F.element_at(arr, (k / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    ww = daily.withColumn("med7", med)
+    dev = (F.col("du") - F.col("med7")) / F.col("med7")
+    return ww.select(
+        "event_type",
+        "day",
+        F.col("du").cast("bigint").alias("distinct_users"),
+        F.round(F.col("med7") + F.lit(1e-9), 4).alias("med7"),
+        F.round(dev + F.lit(1e-9), 4).alias("deviation"),
+        (F.abs(dev) > 0.3).alias("anomalous"),
+    ).orderBy("event_type", "day")

@@ -2994,3 +2994,76 @@ def q_stats_negbin_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(v > mu, mu / v) + F.lit(1e-9), 4).alias("nb_p"),
         (v / mu <= 1.2).alias("poisson_ok"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_circular",
+    oracle="""
+    WITH a AS (
+        SELECT event_type,
+               2 * pi() * ((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+                            % 86400) / 86400e0) AS theta
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               sum(sin(theta)) AS s, sum(cos(theta)) AS c
+        FROM a GROUP BY event_type
+    ),
+    r AS (
+        SELECT event_type, n,
+               sqrt(s * s + c * c) / n AS rbar,
+               atan2(s, c) AS ang
+        FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(((CASE WHEN ang < 0 THEN ang + 2 * pi() ELSE ang END)
+                  / (2 * pi())) * 24 + 1e-9, 4) AS mean_hour,
+           round(rbar + 1e-9, 4) AS resultant,
+           round(1 - rbar + 1e-9, 4) AS circ_variance,
+           CAST(rbar > 5e-1 AS BOOLEAN) AS concentrated
+    FROM r ORDER BY event_type
+    """,
+)
+def q_stats_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event time-of-day per type: mean
+    DIRECTION on the 24 h clock (the right way to average 23:00 and
+    01:00 to midnight, where the arithmetic mean says noon) and the
+    resultant length R̄ (1 = all events at the same instant, 0 =
+    uniform around the clock; 1−R̄ is the circular variance) — the
+    peak-hour summary q_ts_seasonality's 168-cell grid compresses to
+    two numbers per type.
+
+    Shape: per-row unit-circle projection (sin/cos of the
+    second-of-day angle, integer-exact seconds both engines:
+    floor(epoch) ≡ unix_timestamp) → ONE map-side-combined (Σsin,
+    Σcos) agg → k-row atan2 algebra."""
+    e = table(spark, sf_dir, "events")
+    theta = (
+        2
+        * math.pi
+        * (
+            (F.unix_timestamp(F.col("ts")) % 86400)
+            / F.lit(86400.0)
+        )
+    )
+    a = e.select("event_type", theta.alias("theta"))
+    m = a.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.sin("theta")).alias("s"),
+        F.sum(F.cos("theta")).alias("c"),
+    )
+    n, s, c = F.col("n"), F.col("s"), F.col("c")
+    rbar = F.sqrt(s * s + c * c) / n
+    ang = F.atan2(s, c)
+    ang_pos = F.when(ang < 0, ang + 2 * math.pi).otherwise(ang)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(ang_pos / (2 * math.pi) * 24 + F.lit(1e-9), 4).alias(
+            "mean_hour"
+        ),
+        F.round(rbar + F.lit(1e-9), 4).alias("resultant"),
+        F.round(1 - rbar + F.lit(1e-9), 4).alias("circ_variance"),
+        (rbar > 0.5).alias("concentrated"),
+    ).orderBy("event_type")

@@ -3171,3 +3171,90 @@ def q_ts_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("quick_ratio"),
     ).orderBy("week")
+
+
+@register(
+    "q_ts_burn_rate",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               count(*) AS events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS errors
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY date_trunc('hour', ts)
+    ),
+    w AS (
+        SELECT hour, events, errors,
+               errors / CAST(events AS DOUBLE) AS rate_1h,
+               sum(errors) OVER (ORDER BY hour
+                                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                   / CAST(sum(events) OVER (ORDER BY hour
+                                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+                          AS DOUBLE) AS rate_6h,
+               sum(errors) OVER () / CAST(sum(events) OVER () AS DOUBLE)
+                   AS slo_rate
+        FROM hourly
+    )
+    SELECT hour, CAST(events AS BIGINT) AS events,
+           CAST(errors AS BIGINT) AS errors,
+           round(rate_1h + 1e-9, 4) AS rate_1h,
+           round(rate_6h + 1e-9, 4) AS rate_6h,
+           round(rate_1h / slo_rate + 1e-9, 4) AS burn_1h,
+           round(rate_6h / slo_rate + 1e-9, 4) AS burn_6h,
+           CAST(rate_1h / slo_rate > 12e-1
+                AND rate_6h / slo_rate > 11e-1 AS BOOLEAN) AS page_alert
+    FROM w ORDER BY hour
+    """,
+)
+def q_ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate evaluation (the SRE-workbook alert):
+    per hour, the error-event share over the 1 h and trailing 6 h
+    windows expressed as multiples of the corpus-wide baseline rate,
+    paging only when BOTH windows burn hot (1.2×/1.1×) — the two-window
+    AND is what kills flappy single-window alerts while still catching
+    sustained regressions.  The alert-evaluation layer over
+    q_ts_burst's raw spike detector.
+
+    Shape: one hash agg to hour grain, then every window (rolling 6 h
+    sums + the baseline total) runs over the calendar-bounded hourly
+    frame — the fact table is touched exactly once.  Integer
+    error/event counts make every rate int-over-int, identical both
+    engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count("*").alias("events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errors"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, Window.currentRow)
+    wa = Window.partitionBy()
+    w = hourly.select(
+        "hour",
+        "events",
+        "errors",
+        (F.col("errors") / F.col("events").cast("double")).alias("rate_1h"),
+        (
+            F.sum("errors").over(w6)
+            / F.sum("events").over(w6).cast("double")
+        ).alias("rate_6h"),
+        (
+            F.sum("errors").over(wa)
+            / F.sum("events").over(wa).cast("double")
+        ).alias("slo_rate"),
+    )
+    b1 = F.col("rate_1h") / F.col("slo_rate")
+    b6 = F.col("rate_6h") / F.col("slo_rate")
+    return w.select(
+        "hour",
+        F.col("events").cast("bigint").alias("events"),
+        F.col("errors").cast("bigint").alias("errors"),
+        F.round(F.col("rate_1h") + F.lit(1e-9), 4).alias("rate_1h"),
+        F.round(F.col("rate_6h") + F.lit(1e-9), 4).alias("rate_6h"),
+        F.round(b1 + F.lit(1e-9), 4).alias("burn_1h"),
+        F.round(b6 + F.lit(1e-9), 4).alias("burn_6h"),
+        ((b1 > 1.2) & (b6 > 1.1)).alias("page_alert"),
+    ).orderBy("hour")

@@ -2668,3 +2668,93 @@ def test_negbin_mom_dispersion(spark, sf_dir):
         else:
             assert row.nb_r is None and row.nb_p is None
         assert row.poisson_ok == (row.dispersion_index <= 1.2)
+
+
+def test_burn_rate_two_window_alert(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_burn_rate
+
+    hourly = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "events").collect():
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[h][0] += 1
+        hourly[h][1] += r.event_type == "error"
+    hours = sorted(hourly)
+    tot_e = sum(v[0] for v in hourly.values())
+    tot_r = sum(v[1] for v in hourly.values())
+    slo = tot_r / tot_e
+    rows = sorted(q_ts_burn_rate(spark, sf_dir).collect(), key=lambda r: r.hour)
+    assert [r.hour for r in rows] == hours
+    for i, (h, row) in enumerate(zip(hours, rows)):
+        ev, er = hourly[h]
+        lo = max(0, i - 5)
+        w_ev = sum(hourly[hours[j]][0] for j in range(lo, i + 1))
+        w_er = sum(hourly[hours[j]][1] for j in range(lo, i + 1))
+        r1, r6 = er / ev, w_er / w_ev
+        assert (row.events, row.errors) == (ev, er)
+        assert abs(row.rate_1h - r1) < 1e-3
+        assert abs(row.rate_6h - r6) < 1e-3
+        assert abs(row.burn_1h - r1 / slo) < 1e-2
+        assert row.page_alert == (r1 / slo > 1.2 and r6 / slo > 1.1)
+        # the 6h window smooths: its burn can never exceed the max
+        # hourly burn inside the window
+        mx = max(
+            hourly[hours[j]][1] / hourly[hours[j]][0] for j in range(lo, i + 1)
+        )
+        assert row.rate_6h <= mx + 1e-9
+
+
+def test_circular_mean_resultant(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_circular
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        sec = (
+            r.ts.hour * 3600 + r.ts.minute * 60 + r.ts.second
+        )
+        per[r.event_type].append(2 * math.pi * sec / 86400)
+    rows = {r.event_type: r for r in q_stats_circular(spark, sf_dir).collect()}
+    for et, thetas in per.items():
+        n = len(thetas)
+        s = sum(math.sin(t) for t in thetas)
+        c = sum(math.cos(t) for t in thetas)
+        rbar = math.sqrt(s * s + c * c) / n
+        ang = math.atan2(s, c)
+        if ang < 0:
+            ang += 2 * math.pi
+        row = rows[et]
+        assert row.n == n
+        assert abs(row.mean_hour - ang / (2 * math.pi) * 24) < 1e-3
+        assert abs(row.resultant - rbar) < 1e-3
+        assert abs(row.circ_variance - (1 - rbar)) < 1e-3
+        assert 0 <= row.resultant <= 1 + 1e-9
+        assert 0 <= row.mean_hour < 24 + 1e-9
+
+
+def test_cardinality_shift_rolling_median(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_cardinality_shift
+
+    daily = defaultdict(lambda: defaultdict(set))
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.event_type][r.ts.date()].add(r.user_id)
+    rows = defaultdict(dict)
+    for r in q_dq_cardinality_shift(spark, sf_dir).collect():
+        rows[r.event_type][r.day.date()] = r
+    for et, days in daily.items():
+        ordered = sorted(days)
+        assert set(rows[et]) == set(ordered)
+        for i, d in enumerate(ordered):
+            du = len(days[d])
+            window = sorted(
+                len(days[ordered[j]]) for j in range(max(0, i - 6), i + 1)
+            )
+            k = len(window)
+            med = (
+                float(window[k // 2])
+                if k % 2 == 1
+                else (window[k // 2 - 1] + window[k // 2]) / 2.0
+            )
+            row = rows[et][d]
+            assert row.distinct_users == du
+            assert abs(row.med7 - med) < 1e-6
+            assert abs(row.deviation - (du - med) / med) < 1e-3
+            assert row.anomalous == (abs(row.deviation) > 0.3)
