@@ -598,3 +598,94 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_round[0].union(per_round[1]).union(per_round[2]).orderBy(
         "round"
     )
+
+
+@register(
+    "q_graph_clustering",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    wdg AS (
+        SELECT count(*) AS n_nodes,
+               CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges
+        FROM deg
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e ab JOIN e bc ON bc.a = ab.b
+                  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    )
+    SELECT CAST(wdg.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           wdg.wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           round(3e0 * tri.n_triangles / wdg.wedges + 1e-9, 6)
+               AS global_clustering
+    FROM wdg CROSS JOIN tri
+    """,
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-purchase graph: C = 3·triangles / wedges — the one number that
+    says whether co-purchases CLUSTER into product communities (high
+    C ⇒ basket-completion recommendations work) or form hub-and-spoke
+    stars (C → 0).  Composes the q_graph_triangles count with the
+    q_graph_degree wedge mass.
+
+    Shape: the triangle count rides q_graph_triangles' degree-ordered
+    oriented wedge join (each triangle counted once, wedge fan-out
+    bounded by out-degree ≤ √(2|E|)); the wedge denominator is one
+    map-side-combined degree agg; final assembly is 1-row × 1-row
+    crosses.  The oracle replays the naive three-way join, which must
+    agree on every count."""
+    tri = q_graph_triangles(spark, sf_dir)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wdg = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("wedges"),
+    )
+    return (
+        wdg.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            "wedges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("wedges") + F.lit(1e-9), 6
+            ).alias("global_clustering"),
+        )
+    )

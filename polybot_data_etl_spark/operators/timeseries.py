@@ -3258,3 +3258,177 @@ def q_ts_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b6 + F.lit(1e-9), 4).alias("burn_6h"),
         ((b1 > 1.2) & (b6 > 1.1)).alias("page_alert"),
     ).orderBy("hour")
+
+
+@register(
+    "q_ts_interarrival",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_s
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(gap_s) AS BIGINT) AS sg,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+        FROM seq WHERE gap_s IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           round(sg / CAST(n AS DOUBLE) + 1e-9, 4) AS mean_gap_s,
+           round(sqrt(sgg / CAST(n AS DOUBLE)
+                      - pow(sg / CAST(n AS DOUBLE), 2))
+                 / (sg / CAST(n AS DOUBLE)) + 1e-9, 4) AS cv,
+           CAST(abs(sqrt(sgg / CAST(n AS DOUBLE)
+                         - pow(sg / CAST(n AS DOUBLE), 2))
+                    / (sg / CAST(n AS DOUBLE)) - 1) < 2e-1
+                AS BOOLEAN) AS poisson_like
+    FROM m ORDER BY event_type
+    """,
+)
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: mean gap between a
+    user's consecutive events (attributed to the LATER event's type)
+    and its coefficient of variation — CV ≈ 1 is the memoryless
+    Poisson signature, CV ≫ 1 means bursty sessions (q_ts_burst's
+    per-user cause), CV ≪ 1 means scheduled/bot-like regularity.  The
+    arrival-process characterization behind q_ts_session's gap
+    threshold choice.
+
+    Determinism: gaps are exact integer seconds (unix_timestamp ≡
+    floor(epoch), the SKILL.md gotcha), moments are integer sums.
+    Shape: ONE user-partitioned lag window (high-cardinality key, the
+    q_ts_session shuffle) → map-side-combined moment agg per type."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("gap_s").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+    )
+    n = F.col("n")
+    mu = F.col("sg") / n.cast("double")
+    cv = F.sqrt(F.col("sgg") / n.cast("double") - mu * mu) / mu
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_gaps"),
+        F.round(mu + F.lit(1e-9), 4).alias("mean_gap_s"),
+        F.round(cv + F.lit(1e-9), 4).alias("cv"),
+        (F.abs(cv - 1) < 0.2).alias("poisson_like"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_ts_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    w AS (
+        SELECT t.*, sum(n) OVER (PARTITION BY prev_type) AS out_s,
+               sum(n) OVER () AS total
+        FROM t
+    ),
+    a AS (
+        SELECT max(total) AS total,
+               count(DISTINCT prev_type) AS k,
+               -sum((n / CAST(total AS DOUBLE))
+                    * ln(n / CAST(out_s AS DOUBLE))) AS h_rate
+        FROM w
+    ),
+    s AS (
+        SELECT prev_type, max(out_s) AS out_s, max(total) AS total
+        FROM w GROUP BY prev_type
+    ),
+    h0 AS (
+        SELECT -sum((out_s / CAST(total AS DOUBLE))
+                    * ln(out_s / CAST(total AS DOUBLE))) AS h_state
+        FROM s
+    )
+    SELECT CAST(a.total AS BIGINT) AS n_transitions,
+           CAST(a.k AS BIGINT) AS n_states,
+           round(a.h_rate + 1e-9, 4) AS entropy_rate,
+           round(h0.h_state + 1e-9, 4) AS state_entropy,
+           round(1 - a.h_rate / h0.h_state + 1e-9, 4) AS predictability
+    FROM a CROSS JOIN h0
+    """,
+)
+def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the q_ts_markov behavior chain: H = −Σₛ π(s)
+    Σₜ P(t|s)·ln P(t|s) with the empirical out-flow as π — bits of
+    genuine novelty per step once the previous action is known —
+    reported against the zeroth-order state entropy H₀, with
+    predictability = 1 − H/H₀ (0 = the previous event tells you
+    nothing, 1 = fully scripted journeys).  The one-number answer to
+    'is modeling sequences worth it on this stream?'.
+
+    Shape: q_ts_markov's transition-count pipeline (user-partitioned
+    lag window → k²-cell hash agg) and then pure algebra over the
+    bounded transition frame (windows + two 1-row reduces + a 1-row ×
+    1-row cross).  π(s)·P(t|s) simplifies to n/total, so H is a single
+    Σ over cells."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    wa = Window.partitionBy()
+    ww = t.select(
+        "*",
+        F.sum("n").over(wp).alias("out_s"),
+        F.sum("n").over(wa).alias("total"),
+    )
+    a = ww.agg(
+        F.max("total").alias("total"),
+        F.countDistinct("prev_type").alias("k"),
+        (
+            -F.sum(
+                (F.col("n") / F.col("total").cast("double"))
+                * F.log(F.col("n") / F.col("out_s").cast("double"))
+            )
+        ).alias("h_rate"),
+    )
+    s = ww.groupBy("prev_type").agg(
+        F.max("out_s").alias("out_s"), F.max("total").alias("total")
+    )
+    h0 = s.agg(
+        (
+            -F.sum(
+                (F.col("out_s") / F.col("total").cast("double"))
+                * F.log(F.col("out_s") / F.col("total").cast("double"))
+            )
+        ).alias("h_state")
+    )
+    return a.crossJoin(F.broadcast(h0)).select(
+        F.col("total").cast("bigint").alias("n_transitions"),
+        F.col("k").cast("bigint").alias("n_states"),
+        F.round(F.col("h_rate") + F.lit(1e-9), 4).alias("entropy_rate"),
+        F.round(F.col("h_state") + F.lit(1e-9), 4).alias("state_entropy"),
+        F.round(
+            1 - F.col("h_rate") / F.col("h_state") + F.lit(1e-9), 4
+        ).alias("predictability"),
+    )

@@ -199,6 +199,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_text_langid_eval", "q_ts_growth_accounting", "q_stats_gamma_mom",
     "q_text_pii", "q_text_source_diversity", "q_stats_negbin_mom",
     "q_ts_burn_rate", "q_stats_circular", "q_dq_cardinality_shift",
+    "q_ts_interarrival", "q_ts_entropy_rate", "q_graph_clustering",
 }
 
 

@@ -194,6 +194,8 @@ _NLJ_ALLOWED = {
     "q_stats_cohens_d",   # 1-row × 1-row group-summary cross (ttest shape)
     "q_graph_kcore",      # 1-row node-count × 1-row edge-count crosses
     "q_win_share_of_total",  # 1-row grand-total broadcast crossJoin
+    "q_ts_entropy_rate",  # 1-row H × 1-row H0 broadcast cross
+    "q_graph_clustering",  # 1-row wedge × 1-row triangle crosses
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

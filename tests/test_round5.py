@@ -2758,3 +2758,92 @@ def test_cardinality_shift_rolling_median(spark, sf_dir):
             assert abs(row.med7 - med) < 1e-6
             assert abs(row.deviation - (du - med) / med) < 1e-3
             assert row.anomalous == (abs(row.deviation) > 0.3)
+
+
+def test_interarrival_gap_moments(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_interarrival
+
+    per_user = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    gaps = defaultdict(list)
+    for evs in per_user.values():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        for (a, _, _), (b, _, et) in zip(evs, evs[1:]):
+            gaps[et].append(
+                int(b.timestamp()) - int(a.timestamp())
+            )
+    rows = {r.event_type: r for r in q_ts_interarrival(spark, sf_dir).collect()}
+    assert set(rows) == set(gaps)
+    for et, gs in gaps.items():
+        n = len(gs)
+        mu = sum(gs) / n
+        cv = math.sqrt(sum(g * g for g in gs) / n - mu * mu) / mu
+        row = rows[et]
+        assert row.n_gaps == n
+        assert abs(row.mean_gap_s - mu) < 1e-2
+        assert abs(row.cv - cv) < 1e-3
+        assert row.poisson_like == (abs(row.cv - 1) < 0.2)
+        assert row.mean_gap_s > 0
+
+
+def test_entropy_rate_bounds_and_math(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_entropy_rate
+
+    per_user = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = Counter()
+    for evs in per_user.values():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    total = sum(trans.values())
+    out = Counter()
+    for (a, _), n in trans.items():
+        out[a] += n
+    h_rate = -sum(
+        (n / total) * math.log(n / out[a]) for (a, _), n in trans.items()
+    )
+    h0 = -sum((o / total) * math.log(o / total) for o in out.values())
+    [row] = q_ts_entropy_rate(spark, sf_dir).collect()
+    assert row.n_transitions == total
+    assert row.n_states == len(out)
+    assert abs(row.entropy_rate - h_rate) < 1e-3
+    assert abs(row.state_entropy - h0) < 1e-3
+    assert abs(row.predictability - (1 - h_rate / h0)) < 1e-3
+    # conditioning can only reduce entropy: H(next|prev) <= H(state)
+    assert row.entropy_rate <= row.state_entropy + 1e-9
+    assert row.entropy_rate >= -1e-9
+
+
+def test_clustering_coefficient_identity(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import q_graph_clustering
+
+    by_order = defaultdict(set)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_partkey % 4 == 0:
+            by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tris = 0
+    for a, b in edges:
+        tris += len(adj[a] & adj[b])
+    # each triangle counted 3 times (once per edge)
+    tris //= 3
+    [row] = q_graph_clustering(spark, sf_dir).collect()
+    assert row.n_nodes == len(adj)
+    assert row.n_edges == len(edges)
+    assert row.wedges == wedges
+    assert row.n_triangles == tris
+    assert abs(row.global_clustering - 3 * tris / wedges) < 1e-5
+    assert 0 <= row.global_clustering <= 1 + 1e-9
