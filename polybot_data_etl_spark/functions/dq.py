@@ -1092,3 +1092,66 @@ def q_dq_cardinality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dev + F.lit(1e-9), 4).alias("deviation"),
         (F.abs(dev) > 0.3).alias("anomalous"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_dq_clock_skew",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY event_id) AS dt
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(dt) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inversions,
+           round(sum(CASE WHEN dt < 0 THEN 1 ELSE 0 END)
+                 / CAST(count(dt) AS DOUBLE) + 1e-9, 6) AS inversion_rate,
+           CAST(coalesce(max(CASE WHEN dt < 0 THEN -dt END), 0) AS BIGINT)
+               AS max_backwards_s,
+           CAST(sum(CASE WHEN dt < 0 THEN 1 ELSE 0 END) > 0 AS BOOLEAN)
+               AS skew_detected
+    FROM seq GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_dq_clock_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clock-skew / out-of-order-ingest detector: walking each user's
+    stream in EVENT-ID order (the producer's sequence), how often does
+    the timestamp go backwards, and by how much?  Inversions mean the
+    assigned timestamps disagree with the append order — the silent
+    killer of every asof join, session cut, and watermark in this
+    suite (a 0-row answer here is the precondition q_join_asof's
+    correctness quietly assumes; this makes it checkable).
+
+    Shape: ONE user-partitioned lag window in event_id order
+    (high-cardinality key) → conditional-count agg per type; gaps are
+    exact integer seconds (floor(epoch) ≡ unix_timestamp)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("dt")
+    )
+    neg = F.when(F.col("dt") < 0, 1).otherwise(0)
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("dt").cast("bigint").alias("n_pairs"),
+            F.sum(neg).cast("bigint").alias("n_inversions"),
+            F.round(
+                F.sum(neg) / F.count("dt").cast("double") + F.lit(1e-9), 6
+            ).alias("inversion_rate"),
+            F.coalesce(
+                F.max(F.when(F.col("dt") < 0, -F.col("dt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("max_backwards_s"),
+            (F.sum(neg) > 0).alias("skew_detected"),
+        )
+        .orderBy("event_type")
+    )

@@ -3067,3 +3067,87 @@ def q_stats_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - rbar + F.lit(1e-9), 4).alias("circ_variance"),
         (rbar > 0.5).alias("concentrated"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_gpd_pot",
+    oracle="""
+    WITH thr AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.95) + 1e-11, 6) AS u
+        FROM events GROUP BY event_type
+    ),
+    ex AS (
+        SELECT e.event_type, e.value - thr.u AS x, thr.u
+        FROM events e JOIN thr USING (event_type)
+        WHERE e.value > thr.u
+    ),
+    m AS (
+        SELECT event_type, max(u) AS u, count(*) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx
+        FROM ex GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, u, n, sx / n AS mu,
+               sxx / n - (sx / n) * (sx / n) AS v
+        FROM m
+    )
+    SELECT event_type, round(u + 1e-9, 4) AS threshold,
+           CAST(n AS BIGINT) AS n_exceed,
+           round(mu + 1e-9, 4) AS mean_excess,
+           round(5e-1 * (1 - mu * mu / v) + 1e-9, 4) AS gpd_xi,
+           round(5e-1 * mu * (mu * mu / v + 1) + 1e-9, 4) AS gpd_beta,
+           CAST(5e-1 * (1 - mu * mu / v) > 0 AS BOOLEAN) AS heavy_tail
+    FROM c ORDER BY event_type
+    """,
+)
+def q_stats_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit per event type: exact
+    p95 threshold, exceedance count, mean excess, and method-of-
+    moments Generalized Pareto parameters ξ = ½(1 − μ²/σ²),
+    β = ½μ(μ²/σ² + 1) over the excesses — THE standard tail model for
+    'how bad can value get?' capacity questions (ξ > 0 ⇒ power-law
+    tail, finite-sample maxima keep growing; ξ < 0 ⇒ bounded tail).
+    Completes the EVT family: q_stats_hill (tail index), q_stats_gumbel
+    (block maxima), this (threshold excesses).
+
+    Determinism: the threshold is the exact interpolated p95 (the
+    q_agg_percentile construction, parity-proven), 6-dp rounded before
+    the comparison so both engines cut the identical exceedance set;
+    excess moments are plain sums.  Shape: one percentile agg → k-row
+    broadcast join back → one moment agg (the q_stats_breusch_pagan
+    two-pass recipe); the documented 100 TB swap is
+    approx_percentile for the cutpoint."""
+    e = table(spark, sf_dir, "events")
+    thr = e.groupBy("event_type").agg(
+        F.round(
+            F.percentile("value", F.lit(0.95)) + F.lit(1e-11), 6
+        ).alias("u")
+    )
+    ex = (
+        e.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value") > F.col("u"))
+        .select(
+            "event_type", (F.col("value") - F.col("u")).alias("x"), "u"
+        )
+    )
+    m = ex.groupBy("event_type").agg(
+        F.max("u").alias("u"),
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    mu = F.col("sx") / n
+    v = F.col("sxx") / n - mu * mu
+    xi = 0.5 * (1 - mu * mu / v)
+    beta = 0.5 * mu * (mu * mu / v + 1)
+    return m.select(
+        "event_type",
+        F.round(F.col("u") + F.lit(1e-9), 4).alias("threshold"),
+        n.cast("bigint").alias("n_exceed"),
+        F.round(mu + F.lit(1e-9), 4).alias("mean_excess"),
+        F.round(xi + F.lit(1e-9), 4).alias("gpd_xi"),
+        F.round(beta + F.lit(1e-9), 4).alias("gpd_beta"),
+        (xi > 0).alias("heavy_tail"),
+    ).orderBy("event_type")

@@ -1468,3 +1468,136 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rep") / (n.cast("double") * (n - 1)) + F.lit(1e-9), 6
         ).alias("simpson_d"),
     )
+
+
+_LOGODDS_MIN_TF = 5      # corpus-frequency floor for candidate terms
+_LOGODDS_TOPK = 3        # terms reported per source
+_LOGODDS_ALPHA = 0.5     # symmetric Dirichlet pseudo-count
+
+
+@register(
+    "q_text_logodds",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, count(*) AS y FROM tok GROUP BY source, token
+    ),
+    keep AS (
+        SELECT token, sum(y) AS tf FROM st GROUP BY token
+        HAVING sum(y) >= {_LOGODDS_MIN_TF}
+    ),
+    ns AS (
+        SELECT st.source, sum(st.y) AS n_s
+        FROM st JOIN keep USING (token) GROUP BY st.source
+    ),
+    nt AS (SELECT ns.*, sum(n_s) OVER () AS n_all FROM ns),
+    base AS (
+        SELECT st.source, st.token, st.y,
+               keep.tf - st.y AS y_out, nt.n_s, nt.n_all
+        FROM st JOIN keep USING (token) JOIN nt USING (source)
+    ),
+    z AS (
+        SELECT source, token, y, y_out,
+               ln((y + {_LOGODDS_ALPHA}) / (n_s - y + {_LOGODDS_ALPHA}))
+                 - ln((y_out + {_LOGODDS_ALPHA})
+                      / (n_all - n_s - y_out + {_LOGODDS_ALPHA}))
+                   AS delta,
+               sqrt(1.0 / (y + {_LOGODDS_ALPHA})
+                    + 1.0 / (y_out + {_LOGODDS_ALPHA})) AS sd
+        FROM base
+    ),
+    r AS (
+        SELECT source, token, y, y_out,
+               round(delta + 1e-9, 4) AS log_odds,
+               round(delta / sd + 1e-11, 6) AS zs,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY round(delta / sd + 1e-11, 6)
+                                           DESC, token) AS rnk
+        FROM z
+    )
+    SELECT source, CAST(rnk AS INTEGER) AS rank, token,
+           CAST(y AS BIGINT) AS count_in,
+           CAST(y_out AS BIGINT) AS count_out,
+           log_odds, round(zs + 1e-9, 4) AS z
+    FROM r WHERE rnk <= {_LOGODDS_TOPK}
+    ORDER BY source, rank
+    """,
+)
+def q_text_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinguishing vocabulary per source via log-odds with a
+    Dirichlet prior (Monroe-Colaresi-Quinn "Fightin' Words"): for each
+    source, the top terms whose usage odds most exceed the REST of the
+    corpus, ranked by the prior-regularized z-score — the principled
+    replacement for raw TF-IDF source profiling (which over-ranks rare
+    noise; the prior's variance term kills that).  The corpus-drift /
+    source-characterization readout a mixing plan reads before
+    reweighting.
+
+    Shape: explode → (source, token) hash agg; a corpus-frequency
+    floor bounds the candidate frame (vocabulary-bounded, never
+    row-bounded); the per-source totals are a k-row aggregate
+    broadcast back (never a source-partitioned window — 5 sources
+    would mean 5 tasks), and the top-k window partitions by source
+    over the z-scored frame with deterministic (z, token) tiebreaks.
+    z is 6-dp rounded BEFORE ranking so both engines order
+    identically."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("y"))
+    keep = (
+        st.groupBy("token")
+        .agg(F.sum("y").alias("tf"))
+        .filter(F.col("tf") >= _LOGODDS_MIN_TF)
+    )
+    cand = st.join(keep, "token")
+    ns = cand.groupBy("source").agg(F.sum("y").alias("n_s"))
+    nt = ns.withColumn(
+        "n_all", F.sum("n_s").over(Window.partitionBy())
+    )
+    base = cand.join(F.broadcast(nt), "source").select(
+        "source",
+        "token",
+        "y",
+        (F.col("tf") - F.col("y")).alias("y_out"),
+        "n_s",
+        "n_all",
+    )
+    a = F.lit(_LOGODDS_ALPHA)
+    delta = F.log(
+        (F.col("y") + a) / (F.col("n_s") - F.col("y") + a)
+    ) - F.log(
+        (F.col("y_out") + a)
+        / (F.col("n_all") - F.col("n_s") - F.col("y_out") + a)
+    )
+    sd = F.sqrt(1.0 / (F.col("y") + a) + 1.0 / (F.col("y_out") + a))
+    z = base.select(
+        "source",
+        "token",
+        "y",
+        "y_out",
+        F.round(delta + F.lit(1e-9), 4).alias("log_odds"),
+        F.round(delta / sd + F.lit(1e-11), 6).alias("zs"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("zs"), F.asc("token"))
+    r = z.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _LOGODDS_TOPK
+    )
+    return r.select(
+        "source",
+        F.col("rnk").cast("int").alias("rank"),
+        "token",
+        F.col("y").cast("bigint").alias("count_in"),
+        F.col("y_out").cast("bigint").alias("count_out"),
+        "log_odds",
+        F.round(F.col("zs") + F.lit(1e-9), 4).alias("z"),
+    ).orderBy("source", "rank")

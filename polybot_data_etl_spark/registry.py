@@ -200,6 +200,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_text_pii", "q_text_source_diversity", "q_stats_negbin_mom",
     "q_ts_burn_rate", "q_stats_circular", "q_dq_cardinality_shift",
     "q_ts_interarrival", "q_ts_entropy_rate", "q_graph_clustering",
+    "q_text_logodds", "q_stats_gpd_pot", "q_dq_clock_skew",
 }
 
 

@@ -2847,3 +2847,114 @@ def test_clustering_coefficient_identity(spark, sf_dir):
     assert row.n_triangles == tris
     assert abs(row.global_clustering - 3 * tris / wedges) < 1e-5
     assert 0 <= row.global_clustering <= 1 + 1e-9
+
+
+def test_logodds_dirichlet_prior_math(spark, sf_dir):
+    from polybot_data_etl_spark.functions.text import (
+        _LOGODDS_ALPHA,
+        _LOGODDS_MIN_TF,
+        _LOGODDS_TOPK,
+        q_text_logodds,
+    )
+
+    st = defaultdict(Counter)
+    for r in table(spark, sf_dir, "documents").collect():
+        for t in r.text.lower().split(" "):
+            if t:
+                st[r.source][t] += 1
+    tf = Counter()
+    for cnt in st.values():
+        tf.update(cnt)
+    keep = {t for t, c in tf.items() if c >= _LOGODDS_MIN_TF}
+    ns = {s: sum(c for t, c in cnt.items() if t in keep) for s, cnt in st.items()}
+    n_all = sum(ns.values())
+    a = _LOGODDS_ALPHA
+    want = {}
+    for s, cnt in st.items():
+        scored = []
+        for t in keep:
+            y = cnt.get(t, 0)
+            if y == 0:
+                continue  # only observed (source, token) cells exist
+            y_out = tf[t] - y
+            delta = math.log((y + a) / (ns[s] - y + a)) - math.log(
+                (y_out + a) / (n_all - ns[s] - y_out + a)
+            )
+            sd = math.sqrt(1 / (y + a) + 1 / (y_out + a))
+            scored.append((round(delta / sd + 1e-11, 6), t, y, y_out, delta))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        want[s] = scored[:_LOGODDS_TOPK]
+    rows = defaultdict(list)
+    for r in q_text_logodds(spark, sf_dir).collect():
+        rows[r.source].append(r)
+    assert set(rows) == set(want)
+    for s, exp in want.items():
+        got = sorted(rows[s], key=lambda r: r.rank)
+        assert [r.token for r in got] == [t for _, t, *_ in exp]
+        for r, (zs, t, y, y_out, delta) in zip(got, exp):
+            assert (r.count_in, r.count_out) == (y, y_out)
+            assert abs(r.z - zs) < 1e-3
+            assert abs(r.log_odds - delta) < 1e-3
+            # a top distinguishing term must actually be overused
+            assert r.log_odds > 0 or r.rank > 1
+
+
+def test_gpd_pot_excess_moments(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_gpd_pot
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    rows = {r.event_type: r for r in q_stats_gpd_pot(spark, sf_dir).collect()}
+    for et, xs in per.items():
+        xs.sort()
+        n = len(xs)
+        # quantile_cont 0.95: linear interpolation at rank 0.95*(n-1)
+        pos = 0.95 * (n - 1)
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        q = xs[lo] + frac * (xs[lo + 1] - xs[lo]) if lo + 1 < n else xs[lo]
+        u = round(q + 1e-11, 6)
+        exc = [x - u for x in xs if x > u]
+        m = len(exc)
+        mu = sum(exc) / m
+        v = sum(e * e for e in exc) / m - mu * mu
+        xi = 0.5 * (1 - mu * mu / v)
+        beta = 0.5 * mu * (mu * mu / v + 1)
+        row = rows[et]
+        assert row.n_exceed == m
+        assert abs(row.threshold - u) < 1e-3
+        assert abs(row.mean_excess - mu) < 1e-3
+        assert abs(row.gpd_xi - xi) < 1e-3
+        assert abs(row.gpd_beta - beta) < 1e-3
+        assert row.heavy_tail == (xi > 0)
+        # roughly 5% of rows exceed the p95 threshold
+        assert abs(m / n - 0.05) < 0.01
+
+
+def test_clock_skew_inversion_counts(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_clock_skew
+
+    per_user = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per_user[r.user_id].append((r.event_id, int(r.ts.timestamp()), r.event_type))
+    stats = defaultdict(lambda: [0, 0, 0])
+    for evs in per_user.values():
+        evs.sort()
+        for (_, a, _), (_, b, et) in zip(evs, evs[1:]):
+            c = stats[et]
+            c[0] += 1
+            if b < a:
+                c[1] += 1
+                c[2] = max(c[2], a - b)
+    rows = {r.event_type: r for r in q_dq_clock_skew(spark, sf_dir).collect()}
+    assert set(rows) == set(stats)
+    for et, (np_, ni, mb) in stats.items():
+        row = rows[et]
+        assert (row.n_pairs, row.n_inversions, row.max_backwards_s) == (
+            np_,
+            ni,
+            mb,
+        )
+        assert abs(row.inversion_rate - ni / np_) < 1e-5
+        assert row.skew_detected == (ni > 0)
