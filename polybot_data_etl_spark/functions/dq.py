@@ -1155,3 +1155,93 @@ def q_dq_clock_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_dq_drift_chi2",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS sec
+        FROM events
+    ),
+    split AS (
+        SELECT event_type,
+               CASE WHEN 2 * sec < (SELECT min(sec) FROM ev)
+                                   + (SELECT max(sec) FROM ev)
+                    THEN 0 ELSE 1 END AS half
+        FROM ev
+    ),
+    o AS (
+        SELECT event_type, half, count(*) AS obs
+        FROM split GROUP BY event_type, half
+    ),
+    t AS (
+        SELECT event_type, half, obs,
+               sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+               sum(obs) OVER (PARTITION BY half) AS col_tot,
+               sum(obs) OVER () AS grand
+        FROM o
+    ),
+    c AS (
+        SELECT sum(pow(obs - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
+                   / (row_tot * col_tot / CAST(grand AS DOUBLE))) AS chi2,
+               count(DISTINCT event_type) AS k
+        FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS k_categories,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(chi2 + 1e-9, 4) AS chi2,
+           round(chi2 / (k - 1) + 1e-9, 4) AS chi2_per_dof,
+           CAST(chi2 / (k - 1) > 2 AS BOOLEAN) AS drifted
+    FROM c
+    """,
+)
+def q_dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-drift check: chi-square independence of the
+    event-type distribution between the first and second half of the
+    observation window — the CATEGORICAL companion to q_dq_psi /
+    q_dq_drift_ks (which watch numeric columns): a silently changed
+    client or dropped producer shifts the type MIX before any value
+    distribution moves.  Reported per-dof (χ²/(k−1) > 2 ≈ drift) so
+    the verdict doesn't need a chi-square table.
+
+    Shape: the time midpoint is a 1-row min/max aggregate broadcast
+    onto the scan (exact integer epoch seconds both engines, so the
+    2·sec < lo+hi split never touches floats); then ONE hash agg to
+    the k×2 contingency table and the q_stats_chisq marginal windows
+    over that tiny frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp(F.col("ts")).alias("sec")
+    )
+    mm = e.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    split = e.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.when(2 * F.col("sec") < F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    o = split.groupBy("event_type", "half").agg(F.count("*").alias("obs"))
+    t = o.select(
+        "*",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("half")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("grand"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double")
+    c = t.agg(
+        F.sum(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    k = F.col("k")
+    return c.select(
+        k.cast("bigint").alias("k_categories"),
+        (k - 1).cast("bigint").alias("dof"),
+        F.round(F.col("chi2") + F.lit(1e-9), 4).alias("chi2"),
+        F.round(F.col("chi2") / (k - 1) + F.lit(1e-9), 4).alias(
+            "chi2_per_dof"
+        ),
+        (F.col("chi2") / (k - 1) > 2).alias("drifted"),
+    )

@@ -1601,3 +1601,89 @@ def q_text_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_odds",
         F.round(F.col("zs") + F.lit(1e-9), 4).alias("z"),
     ).orderBy("source", "rank")
+
+
+_OOV_VOCAB_K = 1000   # corpus-head "tokenizer vocabulary" size
+
+
+@register(
+    "q_text_oov",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    vocab AS (
+        SELECT token FROM freq
+        ORDER BY tf DESC, token LIMIT {_OOV_VOCAB_K}
+    ),
+    marked AS (
+        SELECT tok.source, tok.token,
+               CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok LEFT JOIN vocab ON vocab.token = tok.token
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+               AS oov_rate,
+           round(sum(CASE WHEN oov = 1 THEN length(token) ELSE 0 END)
+                 / CAST(nullif(sum(oov), 0) AS DOUBLE) + 1e-9, 4)
+               AS avg_oov_len,
+           CAST(sum(oov) / CAST(count(*) AS DOUBLE) > 15e-2 AS BOOLEAN)
+               AS vocab_mismatch
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def q_text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit per source against a corpus-head
+    "tokenizer vocabulary" (the top-1k tokens by frequency, the
+    stand-in for a trained subword vocab): OOV token share and the
+    mean length of OOV tokens — the source whose OOV rate spikes is
+    the one your tokenizer will shred into character fallbacks
+    (inflating sequence length and cost), the per-source drill-down
+    under q_text_hapax's corpus-level tail.
+
+    Shape: token-frequency agg → distributed top-k head (TakeOrdered,
+    never a global sort) → broadcast vocab semi-probe back onto the
+    token stream → per-source conditional agg.  The vocab is a fixed-k
+    broadcast at any corpus size; ties broken by token so both engines
+    cut the identical head."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    vocab = freq.orderBy(F.desc("tf"), F.asc("token")).limit(
+        _OOV_VOCAB_K
+    ).select("token", F.lit(1).alias("in_vocab"))
+    marked = tok.join(F.broadcast(vocab), "token", "left").select(
+        "source",
+        "token",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    n = F.count("*")
+    oov_sum = F.sum("oov")
+    return (
+        marked.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_tokens"),
+            oov_sum.cast("bigint").alias("n_oov"),
+            F.round(
+                oov_sum / n.cast("double") + F.lit(1e-9), 4
+            ).alias("oov_rate"),
+            F.round(
+                F.sum(
+                    F.when(F.col("oov") == 1, F.length("token")).otherwise(0)
+                )
+                / F.nullif(oov_sum, F.lit(0)).cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("avg_oov_len"),
+            (oov_sum / n.cast("double") > 0.15).alias("vocab_mismatch"),
+        )
+        .orderBy("source")
+    )

@@ -3432,3 +3432,164 @@ def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("h_rate") / F.col("h_state") + F.lit(1e-9), 4
         ).alias("predictability"),
     )
+
+
+_RET_MAX_OFFSET = 14   # fitted retention horizon (days)
+
+
+@register(
+    "q_ts_retention_halflife",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+    ),
+    maxd AS (SELECT max(day) AS max_day FROM ev),
+    active AS (
+        SELECT CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT)
+                   AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM ev e JOIN first_seen f USING (user_id)
+        GROUP BY 1
+    ),
+    elig AS (
+        SELECT o.day_offset,
+               (SELECT count(*) FROM first_seen f, maxd
+                WHERE date_diff('day', f.cohort_day, maxd.max_day)
+                      >= o.day_offset) AS n_eligible
+        FROM (SELECT DISTINCT day_offset FROM active
+              WHERE day_offset BETWEEN 1 AND {_RET_MAX_OFFSET}) o
+    ),
+    curve AS (
+        SELECT a.day_offset, e.n_eligible, a.n_active,
+               round(a.n_active / CAST(e.n_eligible AS DOUBLE)
+                     + 1e-11, 6) AS r
+        FROM active a JOIN elig e USING (day_offset)
+        WHERE a.n_active > 0
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(day_offset) AS sx, sum(ln(r)) AS sy,
+               sum(day_offset * ln(r)) AS sxy,
+               sum(day_offset * day_offset) AS sxx,
+               sum(ln(r) * ln(r)) AS syy
+        FROM curve
+    ),
+    fit AS (
+        SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     + 1e-11, 6) AS slope,
+               pow(n * sxy - sx * sy, 2)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        FROM m
+    )
+    SELECT curve.day_offset, CAST(curve.n_eligible AS BIGINT) AS n_eligible,
+           CAST(curve.n_active AS BIGINT) AS n_active,
+           round(curve.r + 1e-9, 4) AS retention,
+           round(fit.slope + 1e-9, 4) AS decay_per_day,
+           round(-ln(2) / fit.slope + 1e-9, 4) AS half_life_days,
+           round(fit.r2 + 1e-9, 4) AS fit_r2
+    FROM curve CROSS JOIN fit ORDER BY curve.day_offset
+    """,
+)
+def q_ts_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled retention curve with an exponential-decay fit: for each
+    day offset 1..14, the share of ELIGIBLE users (cohorts old enough
+    to be observable at that offset — no right-censoring bias) still
+    active, plus the OLS fit of ln r(d) ~ d giving the per-day decay
+    rate and the retention HALF-LIFE in days — the single number a
+    growth team quotes from q_ts_retention's full cohort triangle, and
+    the fit r² says whether exponential decay even describes this
+    product (r² ≪ 1 ⇒ look for the habituated-core + tourist mixture).
+
+    Shape: day-grain distinct activity → cohort assignment (one
+    user-hash shuffle shared with q_ts_retention's pipeline) → offset
+    aggregate; eligibility counts and the log-linear fit all run on
+    the ≤14-row curve frame (cohort-size frame × offset grid is
+    calendar-bounded).  The fit slope is 6-dp rounded before the
+    half-life division."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    maxd = ev.agg(F.max("day").alias("max_day"))
+    active = (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .filter(
+            (F.col("day_offset") >= 1) & (F.col("day_offset") <= _RET_MAX_OFFSET)
+        )
+    )
+    cohort_age = first_seen.crossJoin(F.broadcast(maxd)).select(
+        F.datediff(F.col("max_day"), F.col("cohort_day"))
+        .cast("bigint")
+        .alias("age")
+    )
+    ages = cohort_age.groupBy("age").agg(F.count("*").alias("n_users"))
+    offs = active.select("day_offset").distinct()
+    elig = (
+        offs.join(ages, ages["age"] >= offs["day_offset"])
+        .groupBy("day_offset")
+        .agg(F.sum("n_users").alias("n_eligible"))
+    )
+    curve = (
+        active.join(elig, "day_offset")
+        .filter(F.col("n_active") > 0)
+        .select(
+            "day_offset",
+            "n_eligible",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("n_eligible").cast("double")
+                + F.lit(1e-11),
+                6,
+            ).alias("r"),
+        )
+    )
+    lnr = F.log(F.col("r"))
+    m = curve.agg(
+        F.count("*").alias("n"),
+        F.sum("day_offset").alias("sx"),
+        F.sum(lnr).alias("sy"),
+        F.sum(F.col("day_offset") * lnr).alias("sxy"),
+        F.sum(F.col("day_offset") * F.col("day_offset")).alias("sxx"),
+        F.sum(lnr * lnr).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope6 = F.round(
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) + F.lit(1e-11), 6
+    )
+    fit = m.select(
+        slope6.alias("slope"),
+        (
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            "day_offset",
+            F.col("n_eligible").cast("bigint").alias("n_eligible"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.round(F.col("r") + F.lit(1e-9), 4).alias("retention"),
+            F.round(F.col("slope") + F.lit(1e-9), 4).alias("decay_per_day"),
+            F.round(
+                -F.log(F.lit(2.0)) / F.col("slope") + F.lit(1e-9), 4
+            ).alias("half_life_days"),
+            F.round(F.col("r2") + F.lit(1e-9), 4).alias("fit_r2"),
+        )
+        .orderBy("day_offset")
+    )

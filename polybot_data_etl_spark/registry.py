@@ -201,6 +201,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ts_burn_rate", "q_stats_circular", "q_dq_cardinality_shift",
     "q_ts_interarrival", "q_ts_entropy_rate", "q_graph_clustering",
     "q_text_logodds", "q_stats_gpd_pot", "q_dq_clock_skew",
+    "q_dq_drift_chi2", "q_text_oov", "q_ts_retention_halflife",
 }
 
 

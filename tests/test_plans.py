@@ -196,6 +196,8 @@ _NLJ_ALLOWED = {
     "q_win_share_of_total",  # 1-row grand-total broadcast crossJoin
     "q_ts_entropy_rate",  # 1-row H × 1-row H0 broadcast cross
     "q_graph_clustering",  # 1-row wedge × 1-row triangle crosses
+    "q_dq_drift_chi2",    # 1-row (min,max)-epoch broadcast crossJoin
+    "q_ts_retention_halflife",  # bounded age×offset grid + 1-row fit cross
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -2958,3 +2958,113 @@ def test_clock_skew_inversion_counts(spark, sf_dir):
         )
         assert abs(row.inversion_rate - ni / np_) < 1e-5
         assert row.skew_detected == (ni > 0)
+
+
+def test_drift_chi2_contingency(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_drift_chi2
+
+    evs = [
+        (r.event_type, int(r.ts.timestamp()))
+        for r in table(spark, sf_dir, "events").collect()
+    ]
+    lo = min(s for _, s in evs)
+    hi = max(s for _, s in evs)
+    cells = Counter((et, 0 if 2 * s < lo + hi else 1) for et, s in evs)
+    rows_tot = Counter()
+    cols_tot = Counter()
+    for (et, h), n in cells.items():
+        rows_tot[et] += n
+        cols_tot[h] += n
+    grand = sum(cells.values())
+    chi2 = sum(
+        (n - rows_tot[et] * cols_tot[h] / grand) ** 2
+        / (rows_tot[et] * cols_tot[h] / grand)
+        for (et, h), n in cells.items()
+    )
+    k = len(rows_tot)
+    [row] = q_dq_drift_chi2(spark, sf_dir).collect()
+    assert (row.k_categories, row.dof) == (k, k - 1)
+    assert abs(row.chi2 - chi2) < 1e-2
+    assert abs(row.chi2_per_dof - chi2 / (k - 1)) < 1e-2
+    assert row.drifted == (row.chi2_per_dof > 2)
+    assert row.chi2 >= -1e-9
+
+
+def test_oov_head_vocab(spark, sf_dir):
+    from polybot_data_etl_spark.functions.text import (
+        _OOV_VOCAB_K,
+        q_text_oov,
+    )
+
+    tf = Counter()
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "documents").collect():
+        for t in r.text.lower().split(" "):
+            if t:
+                tf[t] += 1
+                per[r.source].append(t)
+    vocab = {
+        t
+        for t, _ in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_OOV_VOCAB_K
+        ]
+    }
+    rows = {r.source: r for r in q_text_oov(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for src, toks in per.items():
+        oov = [t for t in toks if t not in vocab]
+        row = rows[src]
+        assert (row.n_tokens, row.n_oov) == (len(toks), len(oov))
+        assert abs(row.oov_rate - len(oov) / len(toks)) < 1e-3
+        if oov:
+            assert abs(
+                row.avg_oov_len - sum(len(t) for t in oov) / len(oov)
+            ) < 1e-3
+        else:
+            assert row.avg_oov_len is None
+        assert row.vocab_mismatch == (row.oov_rate > 0.15)
+
+
+def test_retention_halflife_eligibility_and_fit(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import (
+        _RET_MAX_OFFSET,
+        q_ts_retention_halflife,
+    )
+
+    user_days = defaultdict(set)
+    for r in table(spark, sf_dir, "events").collect():
+        user_days[r.user_id].add(r.ts.date())
+    cohort = {u: min(ds) for u, ds in user_days.items()}
+    max_day = max(d for ds in user_days.values() for d in ds)
+    active = Counter()
+    for u, ds in user_days.items():
+        for d in ds:
+            off = (d - cohort[u]).days
+            if 1 <= off <= _RET_MAX_OFFSET:
+                active[off] += 1
+    curve = {}
+    for off, na in active.items():
+        if na == 0:
+            continue
+        elig = sum(1 for u, c in cohort.items() if (max_day - c).days >= off)
+        curve[off] = (elig, na, round(na / elig + 1e-11, 6))
+    xs = sorted(curve)
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(math.log(curve[x][2]) for x in xs)
+    sxy = sum(x * math.log(curve[x][2]) for x in xs)
+    sxx = sum(x * x for x in xs)
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-11, 6)
+    rows = {r.day_offset: r for r in q_ts_retention_halflife(spark, sf_dir).collect()}
+    assert set(rows) == set(curve)
+    for off, (elig, na, r_) in curve.items():
+        row = rows[off]
+        assert (row.n_eligible, row.n_active) == (elig, na)
+        assert abs(row.retention - r_) < 1e-3
+        assert abs(row.decay_per_day - slope) < 1e-3
+        assert abs(row.half_life_days - (-math.log(2) / slope)) < 0.05
+        assert 0 <= row.fit_r2 <= 1 + 1e-9
+        # retention is a probability; the synthetic fixture's curve is
+        # near-flat so the slope's SIGN is data-dependent — only the
+        # ln2/slope identity is asserted, not direction
+        assert 0 < row.retention <= 1
