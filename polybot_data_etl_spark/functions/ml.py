@@ -1565,3 +1565,107 @@ def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         kappa.alias("kappa"),
         band.alias("agreement_band"),
     )
+
+
+_CV_FOLDS = 5
+
+
+@register(
+    "q_ml_fold_stability",
+    oracle=f"""
+    WITH s AS ({_EVAL_SCORE_SQL}),
+    f AS (
+        SELECT truth, score,
+               CAST(vec_id * 2654435761 % 1000000007 % {_CV_FOLDS}
+                    AS INTEGER) AS fold
+        FROM s
+    ),
+    per AS (
+        SELECT fold, count(*) AS n,
+               round(sum(CASE WHEN (score >= 5e-1) = truth
+                              THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) + 1e-11, 6) AS acc,
+               round(sum(pow(score - CASE WHEN truth THEN 1e0 ELSE 0e0 END,
+                             2)) / count(*) + 1e-11, 6) AS brier
+        FROM f GROUP BY fold
+    ),
+    agg AS (
+        SELECT sqrt(sum(acc * acc) / count(*)
+                    - pow(sum(acc) / count(*), 2)) AS acc_sd,
+               max(acc) - min(acc) AS acc_spread
+        FROM per
+    )
+    SELECT per.fold, CAST(per.n AS BIGINT) AS n,
+           round(per.acc + 1e-9, 4) AS accuracy,
+           round(per.brier + 1e-9, 4) AS brier,
+           round(agg.acc_sd + 1e-9, 4) AS acc_sd,
+           round(agg.acc_spread + 1e-9, 4) AS acc_spread,
+           CAST(agg.acc_spread > 5e-2 AS BOOLEAN) AS unstable
+    FROM per CROSS JOIN agg ORDER BY per.fold
+    """,
+)
+def q_ml_fold_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold stability of the fused scorer: accuracy and Brier score
+    on 5 deterministic hash-folds of the eval set, with the cross-fold
+    accuracy SD and max-min spread — a single pooled metric
+    (q_ml_confusion) can hide a model that's great on four folds and
+    broken on one data slice; spread > 5 pts says the pooled number
+    isn't trustworthy.  Hash-assigned folds (the q_split_assign
+    multiplicative recipe), never random(): re-runs land every row in
+    the same fold.
+
+    Shape: the zero-shuffle scorer projection + ONE k-row hash agg per
+    fold; the stability summary is algebra over the 5-row frame
+    broadcast back onto it."""
+    s = _eval_scores(spark, sf_dir)
+    fold = (
+        (F.col("vec_id") * F.lit(2654435761)) % F.lit(1000000007) % _CV_FOLDS
+    ).cast("int")
+    f = s.select("truth", "score", fold.alias("fold"))
+    per = f.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(
+                F.when((F.col("score") >= 0.5) == F.col("truth"), 1).otherwise(
+                    0
+                )
+            )
+            / F.count("*").cast("double")
+            + F.lit(1e-11),
+            6,
+        ).alias("acc"),
+        F.round(
+            F.sum(
+                F.pow(
+                    F.col("score")
+                    - F.when(F.col("truth"), 1.0).otherwise(0.0),
+                    2,
+                )
+            )
+            / F.count("*")
+            + F.lit(1e-11),
+            6,
+        ).alias("brier"),
+    )
+    agg = per.agg(
+        F.sqrt(
+            F.sum(F.col("acc") * F.col("acc")) / F.count("*")
+            - F.pow(F.sum("acc") / F.count("*"), 2)
+        ).alias("acc_sd"),
+        (F.max("acc") - F.min("acc")).alias("acc_spread"),
+    )
+    return (
+        per.crossJoin(F.broadcast(agg))
+        .select(
+            "fold",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("acc") + F.lit(1e-9), 4).alias("accuracy"),
+            F.round(F.col("brier") + F.lit(1e-9), 4).alias("brier"),
+            F.round(F.col("acc_sd") + F.lit(1e-9), 4).alias("acc_sd"),
+            F.round(F.col("acc_spread") + F.lit(1e-9), 4).alias(
+                "acc_spread"
+            ),
+            (F.col("acc_spread") > 0.05).alias("unstable"),
+        )
+        .orderBy("fold")
+    )

@@ -3151,3 +3151,73 @@ def q_stats_gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta + F.lit(1e-9), 4).alias("gpd_beta"),
         (xi > 0).alias("heavy_tail"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_srm",
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events
+    ),
+    c AS (
+        SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb,
+               count(*) AS n
+        FROM u
+    ),
+    z AS (
+        SELECT na, nb, n,
+               round(pow(na - n / 2e0, 2) / (n / 2e0)
+                     + pow(nb - n / 2e0, 2) / (n / 2e0) + 1e-11, 6)
+                   AS chi2
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_units,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(na / CAST(n AS DOUBLE) + 1e-9, 4) AS ratio_a,
+           round(chi2 + 1e-9, 4) AS chi2,
+           round(2 * (1 - {_phi_sql("sqrt(chi2)")}) + 1e-9, 4) AS p_value,
+           CAST(2 * (1 - {_phi_sql("sqrt(chi2)")}) < 1e-3 AS BOOLEAN)
+               AS srm_detected
+    FROM z
+    """,
+)
+def q_stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the user_id-parity experiment
+    split: χ²(1) goodness-of-fit of the DISTINCT-UNIT counts against
+    the designed 50/50 (survival again the exact 2(1−Φ(√χ²)) form) —
+    the mandatory pre-test for every A/B readout in this suite
+    (q_stats_ttest/cuped/bayes_ab): a p < 0.001 here means the
+    assignment itself is broken (bot filtering, logging loss) and any
+    downstream metric comparison is garbage regardless of its own
+    p-value.  Units, not events: per-user weighting is exactly the
+    mistake SRM tests exist to catch.
+
+    Shape: one distinct-user agg (two-phase, map-side combined) → a
+    1-row parity count → closed-form algebra."""
+    e = table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    c = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("nb"),
+        F.count("*").alias("n"),
+    )
+    n, na, nb = F.col("n"), F.col("na"), F.col("nb")
+    half = n / F.lit(2.0)
+    chi2 = F.round(
+        F.pow(na - half, 2) / half + F.pow(nb - half, 2) / half
+        + F.lit(1e-11),
+        6,
+    )
+    z = c.withColumn("chi2", chi2)
+    p = 2 * (1 - _phi_col(F.sqrt(F.col("chi2"))))
+    return z.select(
+        n.cast("bigint").alias("n_units"),
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(na / n.cast("double") + F.lit(1e-9), 4).alias("ratio_a"),
+        F.round(F.col("chi2") + F.lit(1e-9), 4).alias("chi2"),
+        F.round(p + F.lit(1e-9), 4).alias("p_value"),
+        (p < 0.001).alias("srm_detected"),
+    )

@@ -936,3 +936,84 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             "between_share"
         ),
     )
+
+
+@register(
+    "q_agg_boxplot",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25) + 1e-11, 6) AS q1,
+               round(quantile_cont(value, 0.5) + 1e-11, 6) AS med,
+               round(quantile_cont(value, 0.75) + 1e-11, 6) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(q.q1) + 1e-9, 4) AS q1,
+           round(min(q.med) + 1e-9, 4) AS median,
+           round(min(q.q3) + 1e-9, 4) AS q3,
+           round(min(q.q3) - min(q.q1) + 1e-9, 4) AS iqr,
+           round(min(CASE WHEN e.value >= q.q1 - 15e-1 * (q.q3 - q.q1)
+                          THEN e.value END) + 1e-9, 4) AS whisker_lo,
+           round(max(CASE WHEN e.value <= q.q3 + 15e-1 * (q.q3 - q.q1)
+                          THEN e.value END) + 1e-9, 4) AS whisker_hi,
+           CAST(sum(CASE WHEN e.value < q.q1 - 15e-1 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 15e-1 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q_agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot summary of `value` per event type: exact
+    quartiles, IQR, the 1.5·IQR whiskers (the most extreme DATA points
+    inside the fences, per Tukey — not the fences themselves), and the
+    fence-outlier count — the robust five-number distribution card
+    (q_dq_outliers' 3σ rule breaks on skewed data; IQR fences don't),
+    and exactly what a BI layer needs to draw the box.
+
+    Shape: one exact-percentile agg (single-array sort per group, the
+    q_agg_percentile construction) → k-row broadcast join back → one
+    conditional min/max/count pass.  Quartiles are 6-dp rounded before
+    the fence comparisons so both engines cut identical outlier
+    sets."""
+    e = table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.round(
+            F.percentile("value", F.lit(0.25)) + F.lit(1e-11), 6
+        ).alias("q1"),
+        F.round(
+            F.percentile("value", F.lit(0.5)) + F.lit(1e-11), 6
+        ).alias("med"),
+        F.round(
+            F.percentile("value", F.lit(0.75)) + F.lit(1e-11), 6
+        ).alias("q3"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    lo_fence = F.col("q1") - 1.5 * iqr
+    hi_fence = F.col("q3") + 1.5 * iqr
+    v = F.col("value")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("q1") + F.lit(1e-9), 4).alias("q1"),
+            F.round(F.min("med") + F.lit(1e-9), 4).alias("median"),
+            F.round(F.min("q3") + F.lit(1e-9), 4).alias("q3"),
+            F.round(F.min(iqr) + F.lit(1e-9), 4).alias("iqr"),
+            F.round(
+                F.min(F.when(v >= lo_fence, v)) + F.lit(1e-9), 4
+            ).alias("whisker_lo"),
+            F.round(
+                F.max(F.when(v <= hi_fence, v)) + F.lit(1e-9), 4
+            ).alias("whisker_hi"),
+            F.sum(
+                F.when((v < lo_fence) | (v > hi_fence), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

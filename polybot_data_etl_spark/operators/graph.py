@@ -689,3 +689,122 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+_LP_DEG_CAP = 64    # wedge-center degree cap (fan-out bound)
+_LP_TOPK = 10
+
+
+@register(
+    "q_graph_link_predict",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    und AS (
+        SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM und GROUP BY v
+    ),
+    centers AS (
+        SELECT und.v, und.w, deg.d
+        FROM und JOIN deg USING (v) WHERE deg.d <= {_LP_DEG_CAP}
+    ),
+    wedge AS (
+        SELECT x.w AS a, y.w AS b,
+               count(*) AS cn,
+               round(sum(1e0 / ln(x.d)) + 1e-11, 6) AS aa
+        FROM centers x JOIN centers y
+          ON x.v = y.v AND x.w < y.w
+        GROUP BY x.w, y.w
+    ),
+    cand AS (
+        SELECT wedge.* FROM wedge
+        LEFT JOIN e ON e.a = wedge.a AND e.b = wedge.b
+        WHERE e.a IS NULL
+    ),
+    ranked AS (
+        SELECT cand.*,
+               row_number() OVER (ORDER BY aa DESC, a, b) AS rnk
+        FROM cand
+    )
+    SELECT CAST(rnk AS INTEGER) AS rank, a, b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           round(aa + 1e-9, 4) AS adamic_adar
+    FROM ranked WHERE rnk <= {_LP_TOPK}
+    ORDER BY rank
+    """,
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the top NON-edges by
+    Adamic-Adar score Σ_v 1/ln(deg v) over shared neighbors v (common
+    neighbors weighted down when the shared hub is promiscuous) — the
+    classic 'products frequently co-purchased with the same third
+    products but never together yet' recommendation candidate list,
+    with the raw common-neighbor count alongside.
+
+    Scale posture: wedges are generated only at degree-capped centers
+    (deg ≤ 64 — the q_dedup_ngram df-cap treatment of hub fan-out:
+    a 10⁵-degree hub contributes no wedges instead of 10¹⁰), existing
+    edges are removed by an anti-join on the edge key, and the top-k
+    is a TakeOrdered over 6-dp-rounded scores with (a, b) tiebreaks.
+    All joins are equi-joins on node keys."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).union(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = und.groupBy("v").agg(F.count("*").alias("d"))
+    centers = und.join(deg, "v").filter(F.col("d") <= _LP_DEG_CAP)
+    cx, cy = centers.alias("cx"), centers.alias("cy")
+    wedge = (
+        cx.join(
+            cy,
+            (F.col("cx.v") == F.col("cy.v"))
+            & (F.col("cx.w") < F.col("cy.w")),
+        )
+        .groupBy(F.col("cx.w").alias("a"), F.col("cy.w").alias("b"))
+        .agg(
+            F.count("*").alias("cn"),
+            F.round(
+                F.sum(1.0 / F.log(F.col("cx.d").cast("double")))
+                + F.lit(1e-11),
+                6,
+            ).alias("aa"),
+        )
+    )
+    cand = wedge.join(edges, ["a", "b"], "left_anti")
+    top = cand.orderBy(F.desc("aa"), F.asc("a"), F.asc("b")).limit(_LP_TOPK)
+    from pyspark.sql import Window
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("aa"), F.asc("a"), F.asc("b"))),
+    )
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"),
+        "a",
+        "b",
+        F.col("cn").cast("bigint").alias("common_neighbors"),
+        F.round(F.col("aa") + F.lit(1e-9), 4).alias("adamic_adar"),
+    ).orderBy("rank")

@@ -3593,3 +3593,89 @@ def q_ts_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_offset")
     )
+
+
+_FANO_WINDOWS_H = (1, 4, 24)   # aggregation scales (hours)
+
+
+@register(
+    "q_ts_fano",
+    oracle=f"""
+    WITH sec AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS s
+        FROM events
+    ),
+    scales AS (
+        SELECT unnest(ARRAY{list(_FANO_WINDOWS_H)}) AS w_hours
+    ),
+    bucketed AS (
+        SELECT sec.event_type, scales.w_hours,
+               CAST(floor(sec.s / (scales.w_hours * 36e2)) AS BIGINT)
+                   AS bucket,
+               count(*) AS x
+        FROM sec CROSS JOIN scales
+        GROUP BY 1, 2, 3
+    ),
+    m AS (
+        SELECT event_type, w_hours, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM bucketed GROUP BY event_type, w_hours
+    )
+    SELECT event_type, CAST(w_hours AS INTEGER) AS w_hours,
+           CAST(n AS BIGINT) AS n_windows,
+           round(sx / CAST(n AS DOUBLE) + 1e-9, 4) AS mean_count,
+           round((sxx / CAST(n AS DOUBLE)
+                  - pow(sx / CAST(n AS DOUBLE), 2))
+                 / (sx / CAST(n AS DOUBLE)) + 1e-9, 4) AS fano
+    FROM m ORDER BY event_type, w_hours
+    """,
+)
+def q_ts_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-time diagnostic: the Fano factor (window-count
+    variance / mean) of each type's arrivals at 1 h / 4 h / 24 h
+    aggregation scales — for Poisson traffic F ≈ 1 at EVERY scale;
+    F growing with the window is the long-range-dependence signature
+    (self-similar load) that q_ts_hurst estimates with one number and
+    this shows scale-by-scale — the plot that decides whether capacity
+    planning can use √t confidence bands at all.
+
+    Determinism: buckets are integer-division epoch seconds (identical
+    both engines), so every window count and moment is an exact
+    integer.  Shape: the 3-scale explode is a constant-width cross on
+    the scan (3× rows, still narrow) → ONE map-side-combined hash agg
+    per (type, scale, bucket) → k×3-row moment algebra."""
+    e = table(spark, sf_dir, "events")
+    sec = e.select(
+        "event_type", F.unix_timestamp(F.col("ts")).alias("s")
+    )
+    scales = spark.createDataFrame(
+        [(w,) for w in _FANO_WINDOWS_H], "w_hours int"
+    )
+    bucketed = (
+        sec.crossJoin(F.broadcast(scales))
+        .groupBy(
+            "event_type",
+            "w_hours",
+            (F.col("s") / (F.col("w_hours") * 3600))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    m = bucketed.groupBy("event_type", "w_hours").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    mu = F.col("sx") / n.cast("double")
+    v = F.col("sxx") / n.cast("double") - mu * mu
+    return m.select(
+        "event_type",
+        F.col("w_hours").cast("int").alias("w_hours"),
+        n.cast("bigint").alias("n_windows"),
+        F.round(mu + F.lit(1e-9), 4).alias("mean_count"),
+        F.round(v / mu + F.lit(1e-9), 4).alias("fano"),
+    ).orderBy("event_type", "w_hours")

@@ -202,6 +202,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_ts_interarrival", "q_ts_entropy_rate", "q_graph_clustering",
     "q_text_logodds", "q_stats_gpd_pot", "q_dq_clock_skew",
     "q_dq_drift_chi2", "q_text_oov", "q_ts_retention_halflife",
+    "q_stats_srm", "q_ts_fano", "q_agg_boxplot",
+    "q_ml_fold_stability", "q_graph_link_predict",
 }
 
 

@@ -546,3 +546,36 @@ def stateful_quantile(events: DataFrame, k: int = 32) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_error_share(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming multi-window burn-rate input: sliding 6-hour windows
+    stepping hourly, each emitting (events, errors, error share) once
+    finalized — the streaming twin of the batch q_ts_burn_rate's 6 h
+    trailing rate (the baseline multiple is applied by the consumer,
+    which knows the SLO constant).  Sliding windows cost one state
+    entry per open window (6 per event here); the watermark bounds
+    exactly how many stay open.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errors"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "events",
+            "errors",
+            F.round(
+                F.col("errors") / F.col("events").cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("error_share"),
+        )
+    )

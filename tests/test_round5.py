@@ -3068,3 +3068,173 @@ def test_retention_halflife_eligibility_and_fit(spark, sf_dir):
         # near-flat so the slope's SIGN is data-dependent — only the
         # ln2/slope identity is asserted, not direction
         assert 0 < row.retention <= 1
+
+
+def test_srm_parity_chi2(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_srm
+
+    users = {r.user_id for r in table(spark, sf_dir, "events").collect()}
+    na = sum(1 for u in users if u % 2 == 0)
+    nb = len(users) - na
+    n = len(users)
+    chi2 = (na - n / 2) ** 2 / (n / 2) + (nb - n / 2) ** 2 / (n / 2)
+    phi = lambda v: 0.5 * (1 + math.erf(v / math.sqrt(2)))
+    p = 2 * (1 - phi(math.sqrt(chi2)))
+    [row] = q_stats_srm(spark, sf_dir).collect()
+    assert (row.n_units, row.n_a, row.n_b) == (n, na, nb)
+    assert abs(row.ratio_a - na / n) < 1e-3
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.p_value - p) < 1e-3
+    assert row.srm_detected == (row.p_value < 0.001)
+
+
+def test_fano_scales_with_window(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import (
+        _FANO_WINDOWS_H,
+        q_ts_fano,
+    )
+
+    secs = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        secs[r.event_type].append(int(r.ts.timestamp()))
+    rows = {
+        (r.event_type, r.w_hours): r
+        for r in q_ts_fano(spark, sf_dir).collect()
+    }
+    for et, ss in secs.items():
+        for w in _FANO_WINDOWS_H:
+            cnt = Counter(s // (w * 3600) for s in ss)
+            xs = list(cnt.values())
+            n = len(xs)
+            mu = sum(xs) / n
+            v = sum(x * x for x in xs) / n - mu * mu
+            row = rows[(et, w)]
+            assert row.n_windows == n
+            assert abs(row.mean_count - mu) < 1e-2
+            assert abs(row.fano - v / mu) < 1e-2
+            assert row.fano >= -1e-9
+        # mean per window grows linearly with the window size
+        assert (
+            rows[(et, 24)].mean_count > rows[(et, 1)].mean_count
+        )
+
+
+def test_boxplot_tukey_fences(spark, sf_dir):
+    from polybot_data_etl_spark.operators.aggregates import q_agg_boxplot
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    def qc(xs, p):
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        return xs[lo] + frac * (xs[lo + 1] - xs[lo]) if lo + 1 < len(xs) else xs[lo]
+    rows = {r.event_type: r for r in q_agg_boxplot(spark, sf_dir).collect()}
+    for et, xs in per.items():
+        q1 = round(qc(xs, 0.25) + 1e-11, 6)
+        med = round(qc(xs, 0.5) + 1e-11, 6)
+        q3 = round(qc(xs, 0.75) + 1e-11, 6)
+        iqr = q3 - q1
+        lo_f, hi_f = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        inside = [x for x in xs if lo_f <= x <= hi_f]
+        n_out = sum(1 for x in xs if x < lo_f or x > hi_f)
+        row = rows[et]
+        assert row.n == len(xs)
+        assert abs(row.q1 - q1) < 1e-3
+        assert abs(row.median - med) < 1e-3
+        assert abs(row.q3 - q3) < 1e-3
+        assert abs(row.whisker_lo - min(inside)) < 1e-3
+        assert abs(row.whisker_hi - max(inside)) < 1e-3
+        assert row.n_outliers == n_out
+        # box ordering invariants
+        assert row.whisker_lo <= row.q1 <= row.median <= row.q3 <= row.whisker_hi
+
+
+def test_fold_stability_hash_folds(spark, sf_dir):
+    from polybot_data_etl_spark.functions.ml import (
+        _CV_FOLDS,
+        q_ml_fold_stability,
+    )
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "embeddings").collect():
+        emb = [float(x) for x in r.embedding]
+        z = 2.0 * emb[0] + 1.5 * emb[1] + emb[2] - 0.1
+        score = round(1 / (1 + math.exp(-z)) + 1e-9, 4)
+        truth = r.label % 2 == 1
+        fold = r.vec_id * 2654435761 % 1000000007 % _CV_FOLDS
+        per[fold].append((score, truth))
+    accs = {}
+    for fold, rows_ in per.items():
+        n = len(rows_)
+        acc = sum(1 for s, t in rows_ if (s >= 0.5) == t) / n
+        accs[fold] = round(acc + 1e-11, 6)
+    k = len(accs)
+    mean = sum(accs.values()) / k
+    sd = math.sqrt(sum(a * a for a in accs.values()) / k - mean * mean)
+    spread = max(accs.values()) - min(accs.values())
+    rows = {r.fold: r for r in q_ml_fold_stability(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for fold, rows_ in per.items():
+        row = rows[fold]
+        n = len(rows_)
+        brier = sum((s - (1.0 if t else 0.0)) ** 2 for s, t in rows_) / n
+        assert row.n == n
+        assert abs(row.accuracy - accs[fold]) < 1e-3
+        assert abs(row.brier - brier) < 1e-3
+        assert abs(row.acc_sd - sd) < 1e-3
+        assert abs(row.acc_spread - spread) < 1e-3
+        assert row.unstable == (spread > 0.05)
+        # folds are near-equal sized under the multiplicative hash
+        assert abs(n - len(per[0])) < 0.5 * len(per[0]) + 5
+
+
+def test_link_predict_adamic_adar(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import (
+        _LP_DEG_CAP,
+        _LP_TOPK,
+        q_graph_link_predict,
+    )
+
+    by_order = defaultdict(set)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_partkey % 4 == 0:
+            by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = defaultdict(lambda: [0, 0.0])
+    for v, nbrs in adj.items():
+        if len(nbrs) > _LP_DEG_CAP:
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                scores[key][0] += 1
+                scores[key][1] += 1 / math.log(len(nbrs))
+    cand = [
+        (round(aa + 1e-11, 6), a, b, cn)
+        for (a, b), (cn, aa) in scores.items()
+        if (a, b) not in edges
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = cand[:_LP_TOPK]
+    rows = sorted(q_graph_link_predict(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert [(r.a, r.b) for r in rows] == [(a, b) for _, a, b, _ in want]
+    for r, (aa, a, b, cn) in zip(rows, want):
+        assert r.common_neighbors == cn
+        assert abs(r.adamic_adar - aa) < 1e-3
+        # a predicted link is never an existing edge
+        assert (r.a, r.b) not in edges
+        assert r.a < r.b

@@ -595,3 +595,49 @@ def test_streaming_stateful_quantile_equals_batch_reservoir(
     ok, why = frames_match(final, wdf)
     assert ok, why
     assert len(final) > 0
+
+
+def test_streaming_sliding_error_share_equals_batch(
+    spark, replay_dir, batch_events, tmp_path
+):
+    """Streaming multi-window burn-rate (sliding 6h/1h error-share
+    windows, the q_ts_burn_rate streaming twin): append-mode output on
+    finalized windows must equal the batch sliding-window aggregation
+    on the same rows."""
+    got = _run(
+        spark,
+        jobs.sliding_error_share(jobs.events_file_stream(spark, replay_dir)),
+        tmp_path,
+        name="sliding_share",
+    )
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        batch_events.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errors"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "events",
+            "errors",
+            F.round(
+                F.col("errors") / F.col("events").cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("error_share"),
+            F.col("w.end").alias("end"),
+        )
+        .toPandas()
+    )
+    import pandas as pd
+
+    watermark = max_ts - pd.Timedelta(minutes=10)
+    finalized = batch[batch["end"] <= watermark].drop(columns=["end"])
+    ok, why = frames_match(got, finalized)
+    assert ok, why
+    # every event lands in exactly 6 sliding windows, so window-event
+    # mass is 6x the row count over the fully-covered interior
+    assert len(got) > 0
