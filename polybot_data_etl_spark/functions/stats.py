@@ -3221,3 +3221,53 @@ def q_stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p + F.lit(1e-9), 4).alias("p_value"),
         (p < 0.001).alias("srm_detected"),
     )
+
+
+@register(
+    "q_stats_tail_ratio",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+           round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+           round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99,
+           round(quantile_cont(value, 0.99)
+                 / quantile_cont(value, 0.5) + 1e-9, 4) AS p99_over_p50,
+           round(quantile_cont(value, 0.9)
+                 / quantile_cont(value, 0.5) + 1e-9, 4) AS p90_over_p50,
+           CAST(quantile_cont(value, 0.99)
+                / quantile_cont(value, 0.5) > 10 AS BOOLEAN)
+               AS long_tailed
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stats_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-ratio latency/spend card per event type: exact p50/p90/p99
+    and the p99/p50, p90/p50 ratios — the scale-free tail-heaviness
+    numbers an SLO review quotes (means lie, absolute percentiles
+    don't compare across types; RATIOS do), with the p99/p50 > 10×
+    long-tail flag that says percentile-based alerting is mandatory.
+    The quick-read companion to q_stats_gpd_pot's full tail model.
+
+    Shape: ONE exact-percentile aggregate per group with all three
+    percentages in a single array (one sort buffer per group, the
+    q_agg_percentile construction); t-digest approx_percentile is the
+    documented 100 TB swap."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("ps"),
+    )
+    p50, p90, p99 = F.col("ps")[0], F.col("ps")[1], F.col("ps")[2]
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(p50 + F.lit(1e-9), 4).alias("p50"),
+        F.round(p90 + F.lit(1e-9), 4).alias("p90"),
+        F.round(p99 + F.lit(1e-9), 4).alias("p99"),
+        F.round(p99 / p50 + F.lit(1e-9), 4).alias("p99_over_p50"),
+        F.round(p90 / p50 + F.lit(1e-9), 4).alias("p90_over_p50"),
+        (p99 / p50 > 10).alias("long_tailed"),
+    ).orderBy("event_type")

@@ -1626,3 +1626,141 @@ def q_embed_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_embed_separation",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label, u.k AS dim, u.v::DOUBLE AS x
+        FROM (
+            SELECT vec_id, label,
+                   unnest(list_transform(
+                       embedding, (v, k) -> struct_pack(k := k, v := v)))
+                       AS u
+            FROM embeddings
+        )
+    ),
+    cent AS (
+        SELECT label AS clabel, dim, round(avg(x) + 1e-11, 6) AS c
+        FROM ex GROUP BY label, dim
+    ),
+    cnorm AS (
+        SELECT clabel, sqrt(sum(c * c)) AS cn FROM cent GROUP BY clabel
+    ),
+    vnorm AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS vn FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT ex.vec_id, ex.label, cent.clabel,
+               sum(ex.x * cent.c) AS dp
+        FROM ex JOIN cent USING (dim)
+        GROUP BY ex.vec_id, ex.label, cent.clabel
+    ),
+    cosv AS (
+        SELECT d.vec_id, d.label, d.clabel,
+               round(d.dp / (v.vn * n.cn) + 1e-11, 6) AS cs
+        FROM dots d JOIN vnorm v USING (vec_id)
+                    JOIN cnorm n USING (clabel)
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN cs END) AS own,
+               max(CASE WHEN clabel <> label THEN cs END) AS best_other
+        FROM cosv GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(own) + 1e-9, 4) AS mean_cos_own,
+           round(avg(own - best_other) + 1e-9, 4) AS mean_margin,
+           round(sum(CASE WHEN own > best_other THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS frac_separated,
+           CAST(sum(CASE WHEN own > best_other THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) > 5e-1 AS BOOLEAN)
+               AS classes_separable
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit of the embedding space: per label, each
+    vector's cosine to its OWN class centroid vs its best OTHER
+    centroid — mean margin and the fraction of vectors on the right
+    side (nearest-class-mean accuracy) — the 30-second answer to 'do
+    these labels exist as geometry?' before anyone trains a probe;
+    q_embed_centroid_dist says how far apart the PROTOTYPES are, this
+    says how well the POINTS honor them (tight far-apart centroids can
+    still have hopelessly overlapped clouds).
+
+    Shape: the exploded-long centroid machinery of q_embed_centroid /
+    q_embed_kmeans — per-dim centroid agg (k×d rows), one dim-keyed
+    equi-join with the broadcast centroid frame, per-(vector,
+    centroid) dot products via map-side-combined agg, then k-row
+    algebra; centroid components and cosines are 6-dp rounded so both
+    engines rank own-vs-other identically."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.round(F.avg("x") + F.lit(1e-11), 6).alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dp"))
+    )
+    cosv = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                F.col("dp") / (F.col("vn") * F.col("cn")) + F.lit(1e-11), 6
+            ).alias("cs"),
+        )
+    )
+    per_vec = cosv.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("cs"))
+        ).alias("own"),
+        F.max(
+            F.when(F.col("clabel") != F.col("label"), F.col("cs"))
+        ).alias("best_other"),
+    )
+    sep = F.col("own") > F.col("best_other")
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("own") + F.lit(1e-9), 4).alias("mean_cos_own"),
+            F.round(
+                F.avg(F.col("own") - F.col("best_other")) + F.lit(1e-9), 4
+            ).alias("mean_margin"),
+            F.round(
+                F.sum(F.when(sep, 1).otherwise(0))
+                / F.count("*").cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("frac_separated"),
+            (
+                F.sum(F.when(sep, 1).otherwise(0))
+                / F.count("*").cast("double")
+                > 0.5
+            ).alias("classes_separable"),
+        )
+        .orderBy("label")
+    )

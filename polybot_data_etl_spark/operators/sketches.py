@@ -260,3 +260,103 @@ def q_agg_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("bucket_users").cast("bigint").alias("rolling_users"))
     )
     return rolled.select(F.col("wday").alias("day"), "rolling_users")
+
+
+@register(
+    "q_agg_cms_eval",
+    oracle=f"""
+    WITH params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_PARAMS)}),
+    counters AS (
+        SELECT p.i,
+               ((l.l_partkey * p.a + p.b) % {_CMS_P}) % {_CMS_W} AS bk,
+               count(*) AS c
+        FROM lineitem l CROSS JOIN params p
+        GROUP BY p.i, bk
+    ),
+    keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+    est AS (
+        SELECT k.l_partkey, min(c.c) AS est_count
+        FROM keys k
+        CROSS JOIN params p
+        JOIN counters c
+          ON c.i = p.i
+         AND c.bk = ((k.l_partkey * p.a + p.b) % {_CMS_P}) % {_CMS_W}
+        GROUP BY k.l_partkey
+    ),
+    exact AS (
+        SELECT l_partkey, count(*) AS true_count
+        FROM lineitem GROUP BY l_partkey
+    ),
+    top AS (
+        SELECT est.l_partkey, est.est_count, exact.true_count
+        FROM est JOIN exact USING (l_partkey)
+        ORDER BY est.est_count DESC, est.l_partkey LIMIT 20
+    )
+    SELECT l_partkey, CAST(est_count AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(est_count - true_count AS BIGINT) AS overestimate,
+           round((est_count - true_count)
+                 / CAST(true_count AS DOUBLE) + 1e-9, 6) AS rel_err
+    FROM top ORDER BY est_count DESC, l_partkey
+    """,
+)
+def q_agg_cms_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for q_agg_cms_topk: the CMS estimate vs
+    the EXACT count for each reported heavy hitter, with the
+    (guaranteed non-negative) overestimate and relative error — the
+    eval that turns 'we use a sketch' into 'our d=4×w=256 sketch is
+    within X% on the keys we actually report', the number a capacity
+    dashboard owner needs before trusting the sketch at 100 TB (where
+    the exact side of THIS audit runs on a sampled day, not the full
+    stream).  One-sided error ≥ 0 is the CMS invariant and is
+    hash-checked here, not just asserted in a docstring.
+
+    Shape: the identical fixed-width counter build (1024-row shuffle
+    regardless of input) + one exact per-key count agg joined on the
+    20 reported keys."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def buckets(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (
+                        ((key * F.lit(a) + F.lit(b)) % F.lit(_CMS_P))
+                        % F.lit(_CMS_W)
+                    ).alias("bk"),
+                )
+                for i, a, b in _CMS_PARAMS
+            ]
+        )
+
+    counters = (
+        li.select(F.explode(buckets(F.col("l_partkey"))).alias("x"))
+        .groupBy(F.col("x.i").alias("i"), F.col("x.bk").alias("bk"))
+        .agg(F.count("*").alias("c"))
+    )
+    keys = li.distinct()
+    probed = keys.select(
+        "l_partkey", F.explode(buckets(F.col("l_partkey"))).alias("x")
+    ).select("l_partkey", F.col("x.i").alias("i"), F.col("x.bk").alias("bk"))
+    est = (
+        probed.join(F.broadcast(counters), ["i", "bk"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("true_count"))
+    top = (
+        est.join(exact, "l_partkey")
+        .orderBy(F.desc("est_count"), F.asc("l_partkey"))
+        .limit(20)
+    )
+    over = F.col("est_count") - F.col("true_count")
+    return top.select(
+        "l_partkey",
+        F.col("est_count").cast("bigint").alias("est_count"),
+        F.col("true_count").cast("bigint").alias("true_count"),
+        over.cast("bigint").alias("overestimate"),
+        F.round(
+            over / F.col("true_count").cast("double") + F.lit(1e-9), 6
+        ).alias("rel_err"),
+    ).orderBy(F.desc("est_count"), F.asc("l_partkey"))

@@ -3679,3 +3679,139 @@ def q_ts_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu + F.lit(1e-9), 4).alias("mean_count"),
         F.round(v / mu + F.lit(1e-9), 4).alias("fano"),
     ).orderBy("event_type", "w_hours")
+
+
+@register(
+    "q_ts_profile_drift",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS sec,
+               extract(hour FROM ts::TIMESTAMP) AS hr
+        FROM events
+    ),
+    split AS (
+        SELECT hr,
+               CASE WHEN 2 * sec < (SELECT min(sec) FROM ev)
+                                   + (SELECT max(sec) FROM ev)
+                    THEN 0 ELSE 1 END AS half
+        FROM ev
+    ),
+    c AS (
+        SELECT hr, half, count(*) AS n FROM split GROUP BY hr, half
+    ),
+    t AS (
+        SELECT c.*, sum(n) OVER (PARTITION BY half) AS tot
+        FROM c
+    ),
+    p AS (
+        SELECT hr,
+               round(coalesce(sum(CASE WHEN half = 0
+                                       THEN n / CAST(tot AS DOUBLE)
+                                  END), 0) + 1e-11, 6) AS p1,
+               round(coalesce(sum(CASE WHEN half = 1
+                                       THEN n / CAST(tot AS DOUBLE)
+                                  END), 0) + 1e-11, 6) AS p2
+        FROM t GROUP BY hr
+    ),
+    a AS (
+        SELECT sum(p1 * p2) AS dot, sum(p1 * p1) AS n1,
+               sum(p2 * p2) AS n2, sum(abs(p1 - p2)) AS l1,
+               min(CASE WHEN p1 = (SELECT max(p1) FROM p)
+                        THEN hr END) AS peak1,
+               min(CASE WHEN p2 = (SELECT max(p2) FROM p)
+                        THEN hr END) AS peak2
+        FROM p
+    )
+    SELECT round(dot / sqrt(n1 * n2) + 1e-9, 6) AS profile_cosine,
+           round(l1 / 2 + 1e-9, 4) AS tv_distance,
+           CAST(peak1 AS INTEGER) AS peak_hour_first,
+           CAST(peak2 AS INTEGER) AS peak_hour_second,
+           CAST(dot / sqrt(n1 * n2) < 999e-3 AS BOOLEAN) AS shape_shift
+    FROM a
+    """,
+)
+def q_ts_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workload-SHAPE drift: the 24-bin hour-of-day profile of the
+    first vs second half of the observation window, compared by cosine
+    similarity and total-variation distance, with each half's peak
+    hour — volume monitors (q_dq_cardinality_shift) catch MORE or
+    FEWER events; this catches the same volume arriving at DIFFERENT
+    hours (a timezone bug, a shifted batch job, a new geo), which is
+    what breaks capacity schedules.  TV distance is the 'share of
+    traffic that moved' number.
+
+    Shape: exact integer-epoch midpoint split (the q_dq_drift_chi2
+    recipe) → ONE hash agg to the 24×2 frame → all comparison algebra
+    on that bounded frame; profiles are 6-dp rounded before the
+    cosine/TV so both engines compare identical vectors."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.col("ts")).alias("sec"),
+        F.hour(F.col("ts")).alias("hr"),
+    )
+    mm = e.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    split = e.crossJoin(F.broadcast(mm)).select(
+        "hr",
+        F.when(2 * F.col("sec") < F.col("lo") + F.col("hi"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    c = split.groupBy("hr", "half").agg(F.count("*").alias("n"))
+    t = c.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("half"))
+    )
+    p = t.groupBy("hr").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("half") == 0,
+                        F.col("n") / F.col("tot").cast("double"),
+                    )
+                ),
+                F.lit(0.0),
+            )
+            + F.lit(1e-11),
+            6,
+        ).alias("p1"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("half") == 1,
+                        F.col("n") / F.col("tot").cast("double"),
+                    )
+                ),
+                F.lit(0.0),
+            )
+            + F.lit(1e-11),
+            6,
+        ).alias("p2"),
+    )
+    wmax = Window.partitionBy()
+    pp = p.select(
+        "*",
+        F.max("p1").over(wmax).alias("m1"),
+        F.max("p2").over(wmax).alias("m2"),
+    )
+    a = pp.agg(
+        F.sum(F.col("p1") * F.col("p2")).alias("dot"),
+        F.sum(F.col("p1") * F.col("p1")).alias("n1"),
+        F.sum(F.col("p2") * F.col("p2")).alias("n2"),
+        F.sum(F.abs(F.col("p1") - F.col("p2"))).alias("l1"),
+        F.min(F.when(F.col("p1") == F.col("m1"), F.col("hr"))).alias(
+            "peak1"
+        ),
+        F.min(F.when(F.col("p2") == F.col("m2"), F.col("hr"))).alias(
+            "peak2"
+        ),
+    )
+    cosv = F.col("dot") / F.sqrt(F.col("n1") * F.col("n2"))
+    return a.select(
+        F.round(cosv + F.lit(1e-9), 6).alias("profile_cosine"),
+        F.round(F.col("l1") / 2 + F.lit(1e-9), 4).alias("tv_distance"),
+        F.col("peak1").cast("int").alias("peak_hour_first"),
+        F.col("peak2").cast("int").alias("peak_hour_second"),
+        (cosv < 0.999).alias("shape_shift"),
+    )

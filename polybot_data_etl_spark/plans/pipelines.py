@@ -871,3 +871,92 @@ def q_mix_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(s1 * s1 * 1.0 / s2 + F.lit(1e-9), 2).alias("ess_docs"),
     )
+
+
+_DOMAIN_CAP = 50    # max docs kept per source
+
+
+@register(
+    "q_mix_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY doc_id * 2654435761 % 1000000007, doc_id
+               ) AS rnk
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               count(*) AS docs_before,
+               sum(CASE WHEN rnk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                   AS docs_after,
+               sum(n_chars) AS chars_before,
+               sum(CASE WHEN rnk <= {_DOMAIN_CAP} THEN n_chars
+                        ELSE 0 END) AS chars_after
+        FROM ranked GROUP BY source
+    ),
+    tot AS (
+        SELECT agg.*, sum(docs_after) OVER () AS total_after
+        FROM agg
+    )
+    SELECT source, CAST(docs_before AS BIGINT) AS docs_before,
+           CAST(docs_after AS BIGINT) AS docs_after,
+           CAST(chars_before AS BIGINT) AS chars_before,
+           CAST(chars_after AS BIGINT) AS chars_after,
+           round(docs_after / CAST(total_after AS DOUBLE) + 1e-9, 4)
+               AS share_after,
+           CAST(docs_before > {_DOMAIN_CAP} AS BOOLEAN) AS capped
+    FROM tot ORDER BY source
+    """,
+)
+def q_mix_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (the crawl-curation move every web-scale corpus
+    applies): keep at most K=50 documents per source, selected by a
+    DETERMINISTIC hash order (the q_split_assign multiplicative hash —
+    a re-run, backfill, or incremental append keeps exactly the same
+    documents; random() would not), reporting each source's before /
+    after doc+char mass and its share of the capped corpus — the
+    anti-domination guarantee that stops one crawl host from being 40%
+    of the training mix (the failure q_text_source_diversity measures;
+    this is the fix).
+
+    Shape: ONE source-partitioned rank window in hash order (the
+    q_win_share_of_total conduct; the two-pass bucket-offset recipe is
+    the documented swap when a single source outgrows a task) → one
+    hash agg per source → marginals over the k-row frame."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    kept = F.col("rnk") <= _DOMAIN_CAP
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("docs_before"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("docs_after"),
+        F.sum("n_chars").alias("chars_before"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+            "chars_after"
+        ),
+    )
+    tot = agg.withColumn(
+        "total_after",
+        F.sum("docs_after").over(Window.partitionBy()),
+    )
+    return tot.select(
+        "source",
+        F.col("docs_before").cast("bigint").alias("docs_before"),
+        F.col("docs_after").cast("bigint").alias("docs_after"),
+        F.col("chars_before").cast("bigint").alias("chars_before"),
+        F.col("chars_after").cast("bigint").alias("chars_after"),
+        F.round(
+            F.col("docs_after") / F.col("total_after").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("share_after"),
+        (F.col("docs_before") > _DOMAIN_CAP).alias("capped"),
+    ).orderBy("source")

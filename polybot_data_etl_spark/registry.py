@@ -204,6 +204,8 @@ _NEW_THIS_ROUND: set[str] = {
     "q_dq_drift_chi2", "q_text_oov", "q_ts_retention_halflife",
     "q_stats_srm", "q_ts_fano", "q_agg_boxplot",
     "q_ml_fold_stability", "q_graph_link_predict",
+    "q_agg_cms_eval", "q_mix_domain_cap", "q_stats_tail_ratio",
+    "q_ts_profile_drift", "q_embed_separation",
 }
 
 

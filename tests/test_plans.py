@@ -200,6 +200,7 @@ _NLJ_ALLOWED = {
     "q_ts_retention_halflife",  # bounded age×offset grid + 1-row fit cross
     "q_ts_fano",          # constant 3-row scale-grid broadcast cross
     "q_ml_fold_stability",  # 1-row stability-summary broadcast cross
+    "q_ts_profile_drift",  # 1-row (min,max)-epoch broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -3238,3 +3238,171 @@ def test_link_predict_adamic_adar(spark, sf_dir):
         # a predicted link is never an existing edge
         assert (r.a, r.b) not in edges
         assert r.a < r.b
+
+
+def test_cms_eval_one_sided_error(spark, sf_dir):
+    from polybot_data_etl_spark.operators.sketches import (
+        _CMS_P,
+        _CMS_PARAMS,
+        _CMS_W,
+        q_agg_cms_eval,
+    )
+
+    keys = [
+        r.l_partkey for r in table(spark, sf_dir, "lineitem").collect()
+    ]
+    exact = Counter(keys)
+    counters = defaultdict(int)
+    for k in keys:
+        for i, a, b in _CMS_PARAMS:
+            counters[(i, (k * a + b) % _CMS_P % _CMS_W)] += 1
+    est = {
+        k: min(
+            counters[(i, (k * a + b) % _CMS_P % _CMS_W)]
+            for i, a, b in _CMS_PARAMS
+        )
+        for k in exact
+    }
+    want = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = sorted(
+        q_agg_cms_eval(spark, sf_dir).collect(),
+        key=lambda r: (-r.est_count, r.l_partkey),
+    )
+    assert [(r.l_partkey, r.est_count) for r in rows] == want
+    for r in rows:
+        assert r.true_count == exact[r.l_partkey]
+        # the CMS one-sided guarantee: never an underestimate
+        assert r.overestimate >= 0
+        assert abs(r.rel_err - r.overestimate / r.true_count) < 1e-5
+
+
+def test_domain_cap_deterministic_keep_set(spark, sf_dir):
+    from polybot_data_etl_spark.plans.pipelines import (
+        _DOMAIN_CAP,
+        q_mix_domain_cap,
+    )
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "documents").collect():
+        per[r.source].append((r.doc_id * 2654435761 % 1000000007, r.doc_id, r.n_chars))
+    rows = {r.source: r for r in q_mix_domain_cap(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    total_after = sum(min(len(v), _DOMAIN_CAP) for v in per.values())
+    for src, docs in per.items():
+        docs.sort()
+        keep = docs[:_DOMAIN_CAP]
+        row = rows[src]
+        assert row.docs_before == len(docs)
+        assert row.docs_after == len(keep)
+        assert row.chars_before == sum(c for _, _, c in docs)
+        assert row.chars_after == sum(c for _, _, c in keep)
+        assert abs(row.share_after - len(keep) / total_after) < 1e-3
+        assert row.capped == (len(docs) > _DOMAIN_CAP)
+        assert row.docs_after <= _DOMAIN_CAP
+
+
+def test_tail_ratio_quantile_algebra(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_tail_ratio
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    def qc(xs, p):
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        return xs[lo] + frac * (xs[lo + 1] - xs[lo]) if lo + 1 < len(xs) else xs[lo]
+    rows = {r.event_type: r for r in q_stats_tail_ratio(spark, sf_dir).collect()}
+    for et, xs in per.items():
+        row = rows[et]
+        p50, p90, p99 = qc(xs, 0.5), qc(xs, 0.9), qc(xs, 0.99)
+        assert row.n == len(xs)
+        assert abs(row.p50 - p50) < 1e-3
+        assert abs(row.p90 - p90) < 1e-3
+        assert abs(row.p99 - p99) < 1e-3
+        assert abs(row.p99_over_p50 - p99 / p50) < 1e-2
+        assert abs(row.p90_over_p50 - p90 / p50) < 1e-2
+        assert row.long_tailed == (p99 / p50 > 10)
+        # percentiles are monotone
+        assert row.p50 <= row.p90 <= row.p99
+
+
+def test_profile_drift_cosine_and_tv(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import (
+        q_ts_profile_drift,
+    )
+
+    evs = [
+        (int(r.ts.timestamp()), r.ts.hour)
+        for r in table(spark, sf_dir, "events").collect()
+    ]
+    lo = min(s for s, _ in evs)
+    hi = max(s for s, _ in evs)
+    halves = [Counter(), Counter()]
+    for s, h in evs:
+        halves[0 if 2 * s < lo + hi else 1][h] += 1
+    tots = [sum(c.values()) for c in halves]
+    p1 = {h: round(halves[0].get(h, 0) / tots[0] + 1e-11, 6) for h in range(24)}
+    p2 = {h: round(halves[1].get(h, 0) / tots[1] + 1e-11, 6) for h in range(24)}
+    dot = sum(p1[h] * p2[h] for h in range(24))
+    n1 = sum(v * v for v in p1.values())
+    n2 = sum(v * v for v in p2.values())
+    l1 = sum(abs(p1[h] - p2[h]) for h in range(24))
+    cos = dot / math.sqrt(n1 * n2)
+    peak1 = min(h for h in p1 if p1[h] == max(p1.values()))
+    peak2 = min(h for h in p2 if p2[h] == max(p2.values()))
+    [row] = q_ts_profile_drift(spark, sf_dir).collect()
+    assert abs(row.profile_cosine - cos) < 1e-4
+    assert abs(row.tv_distance - l1 / 2) < 1e-3
+    assert (row.peak_hour_first, row.peak_hour_second) == (peak1, peak2)
+    assert row.shape_shift == (row.profile_cosine < 0.999)
+    # both are similarity/distance measures with hard bounds
+    assert 0 <= row.profile_cosine <= 1 + 1e-9
+    assert 0 <= row.tv_distance <= 1 + 1e-9
+
+
+def test_embed_separation_nearest_centroid(spark, sf_dir):
+    from polybot_data_etl_spark.functions.vectors import q_embed_separation
+
+    vecs = []
+    for r in table(spark, sf_dir, "embeddings").collect():
+        vecs.append((r.vec_id, r.label, [float(x) for x in r.embedding]))
+    d = len(vecs[0][2])
+    sums = defaultdict(lambda: [0.0] * d)
+    counts = Counter()
+    for _, lb, v in vecs:
+        counts[lb] += 1
+        for k in range(d):
+            sums[lb][k] += v[k]
+    cents = {
+        lb: [round(s[k] / counts[lb] + 1e-11, 6) for k in range(d)]
+        for lb, s in sums.items()
+    }
+    cn = {lb: math.sqrt(sum(c * c for c in cs)) for lb, cs in cents.items()}
+    per = defaultdict(list)
+    for _, lb, v in vecs:
+        vn = math.sqrt(sum(x * x for x in v))
+        cos = {
+            cl: round(
+                sum(a * b for a, b in zip(v, cs)) / (vn * cn[cl]) + 1e-11, 6
+            )
+            for cl, cs in cents.items()
+        }
+        own = cos[lb]
+        other = max(c for cl, c in cos.items() if cl != lb)
+        per[lb].append((own, other))
+    rows = {r.label: r for r in q_embed_separation(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for lb, pairs in per.items():
+        row = rows[lb]
+        n = len(pairs)
+        assert row.n_vectors == n
+        assert abs(row.mean_cos_own - sum(o for o, _ in pairs) / n) < 1e-3
+        assert abs(
+            row.mean_margin - sum(o - b for o, b in pairs) / n
+        ) < 1e-3
+        frac = sum(1 for o, b in pairs if o > b) / n
+        assert abs(row.frac_separated - frac) < 1e-3
+        assert row.classes_separable == (frac > 0.5)
+        assert -1 <= row.mean_cos_own <= 1 + 1e-9
