@@ -1245,3 +1245,71 @@ def q_dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("chi2") / (k - 1) > 2).alias("drifted"),
     )
+
+
+@register(
+    "q_dq_decimal_profile",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+               AS share_whole,
+           round(sum(CASE WHEN cents % 10 = 0 AND cents % 100 <> 0
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+               AS share_dime,
+           round(sum(CASE WHEN cents % 100 = 99 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+               AS share_99,
+           round(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) / 1e-2 + 1e-9, 4)
+               AS whole_vs_uniform,
+           CAST(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE) > 5e-2 AS BOOLEAN)
+               AS rounding_spike
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_dq_decimal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-digit forensics on the money column: the share of
+    values landing on whole units (cents ≡ 00), dimes (≡ x0), and
+    psychological .99 endings, with the whole-unit share expressed as
+    a multiple of the uniform 1% expectation — organic measurements
+    spread terminal cents ~uniformly; a whole-unit spike means
+    hand-entered, defaulted, or silently re-rounded data (the
+    last-digit cousin of q_dq_benford's FIRST-digit test, catching
+    fabrication modes Benford can't).
+
+    Determinism: values quantize to exact integer cents per row (the
+    q_win_moving pattern), so every share is int-over-int.  Shape: one
+    narrow projection + one map-side-combined conditional agg."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = e.select("event_type", cents.alias("cents"))
+    n = F.count("*")
+    whole = F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))
+    share = lambda cond: F.round(
+        F.sum(F.when(cond, 1).otherwise(0)) / n.cast("double") + F.lit(1e-9),
+        4,
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n"),
+            share(F.col("cents") % 100 == 0).alias("share_whole"),
+            share(
+                (F.col("cents") % 10 == 0) & (F.col("cents") % 100 != 0)
+            ).alias("share_dime"),
+            share(F.col("cents") % 100 == 99).alias("share_99"),
+            F.round(
+                whole / n.cast("double") / F.lit(0.01) + F.lit(1e-9), 4
+            ).alias("whole_vs_uniform"),
+            (whole / n.cast("double") > 0.05).alias("rounding_spike"),
+        )
+        .orderBy("event_type")
+    )

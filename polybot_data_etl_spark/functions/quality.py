@@ -820,3 +820,73 @@ def q_text_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.exp(h) < F.col("k") * 0.5).alias("concentrated"),
     )
+
+
+@register(
+    "q_text_fertility",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS n_tok,
+               length(replace(text, ' ', '')) AS n_char
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_char) AS BIGINT) AS n_chars,
+           round(sum(n_char) / CAST(sum(n_tok) AS DOUBLE) + 1e-9, 4)
+               AS chars_per_token,
+           round(sum(n_tok) / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+               AS tokens_per_doc,
+           CAST(sum(n_char) / CAST(sum(n_tok) AS DOUBLE)
+                > (SELECT 12e-1 * sum(n_char) / sum(n_tok) FROM d)
+                AS BOOLEAN) AS high_fertility
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language: characters per
+    (whitespace) token and tokens per document — THE multilingual
+    tokenizer-equity metric: a language whose chars/token runs ≫ the
+    corpus average will fragment into more subwords per word under a
+    shared vocab (longer sequences, higher cost, worse quality), and
+    this flags those languages before vocabulary training.  The
+    per-language drill-down beside q_text_oov's per-source view.
+
+    Shape: pure narrow per-document length arithmetic (split-length +
+    char count, zero explode) → ONE map-side-combined per-lang agg;
+    the corpus-average fertility baseline is a 1-row aggregate
+    broadcast into the flag comparison.  Counts are exact integers."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    )
+    n_char = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    base = d.select("lang", n_tok.alias("n_tok"), n_char.alias("n_char"))
+    overall = base.agg(
+        (F.sum("n_char") / F.sum("n_tok").cast("double")).alias("corpus_cpt")
+    )
+    per = base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_char").cast("bigint").alias("n_chars"),
+    )
+    cpt = F.col("n_chars") / F.col("n_tokens").cast("double")
+    return (
+        per.crossJoin(F.broadcast(overall))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(cpt + F.lit(1e-9), 4).alias("chars_per_token"),
+            F.round(
+                F.col("n_tokens") / F.col("n_docs").cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("tokens_per_doc"),
+            (cpt > 1.2 * F.col("corpus_cpt")).alias("high_fertility"),
+        )
+        .orderBy("lang")
+    )

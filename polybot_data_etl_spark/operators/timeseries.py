@@ -3815,3 +3815,103 @@ def q_ts_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak2").cast("int").alias("peak_hour_second"),
         (cosv < 0.999).alias("shape_shift"),
     )
+
+
+@register(
+    "q_ts_incidents",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts::TIMESTAMP)))
+                    AS BIGINT) / 3600 AS hidx,
+               count(*) AS events,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS errors
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT sum(errors) / CAST(sum(events) AS DOUBLE) AS slo
+        FROM hourly
+    ),
+    alert AS (
+        SELECT h.hidx
+        FROM hourly h, base b
+        WHERE h.errors / CAST(h.events AS DOUBLE) > 12e-1 * b.slo
+    ),
+    isl AS (
+        SELECT hidx,
+               hidx - row_number() OVER (ORDER BY hidx) AS grp
+        FROM alert
+    ),
+    inc AS (
+        SELECT grp, count(*) AS dur, min(hidx) AS start_h
+        FROM isl GROUP BY grp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_incidents,
+           CAST(coalesce(sum(dur), 0) AS BIGINT) AS alert_hours,
+           CAST(coalesce(max(dur), 0) AS BIGINT) AS longest_hours,
+           round(coalesce(avg(dur), 0) + 1e-9, 4) AS mean_hours,
+           CAST(max(dur) >= 3 AS BOOLEAN) AS sustained_incident
+    FROM inc
+    """,
+)
+def q_ts_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident segmentation: contiguous runs of hot hours (hourly
+    error share > 1.2× the corpus baseline) merged into INCIDENTS via
+    the gaps-and-islands rank-difference trick, reporting incident
+    count, total alert hours, and the longest/mean durations — the
+    difference between '40 alert hours' (meaningless) and '3
+    incidents, longest 9 hours' (postmortem-shaped).  The
+    incident-ledger layer over q_ts_burn_rate's per-hour alerts.
+
+    Determinism: hour indices are exact integers (epoch/3600), the
+    baseline multiple is an int-ratio comparison, and islands are pure
+    integer arithmetic.  Shape: hour-grain hash agg → 1-row baseline
+    broadcast → the island window runs over the alert-hour subset of
+    the calendar-bounded hourly frame → 1-row incident reduce."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+         / 3600)
+        .cast("bigint")
+        .alias("hidx")
+    ).agg(
+        F.count("*").alias("events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errors"),
+    )
+    base = hourly.agg(
+        (F.sum("errors") / F.sum("events").cast("double")).alias("slo")
+    )
+    alert = (
+        hourly.crossJoin(F.broadcast(base))
+        .filter(
+            F.col("errors") / F.col("events").cast("double")
+            > 1.2 * F.col("slo")
+        )
+        .select("hidx")
+    )
+    isl = alert.select(
+        "hidx",
+        (F.col("hidx") - F.row_number().over(Window.orderBy("hidx"))).alias(
+            "grp"
+        ),
+    )
+    inc = isl.groupBy("grp").agg(
+        F.count("*").alias("dur"), F.min("hidx").alias("start_h")
+    )
+    return inc.agg(
+        F.count("*").cast("bigint").alias("n_incidents"),
+        F.coalesce(F.sum("dur"), F.lit(0)).cast("bigint").alias(
+            "alert_hours"
+        ),
+        F.coalesce(F.max("dur"), F.lit(0)).cast("bigint").alias(
+            "longest_hours"
+        ),
+        F.round(F.coalesce(F.avg("dur"), F.lit(0.0)) + F.lit(1e-9), 4).alias(
+            "mean_hours"
+        ),
+        (F.max("dur") >= 3).alias("sustained_incident"),
+    )

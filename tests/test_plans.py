@@ -201,6 +201,8 @@ _NLJ_ALLOWED = {
     "q_ts_fano",          # constant 3-row scale-grid broadcast cross
     "q_ml_fold_stability",  # 1-row stability-summary broadcast cross
     "q_ts_profile_drift",  # 1-row (min,max)-epoch broadcast crossJoin
+    "q_text_fertility",   # 1-row corpus-fertility broadcast crossJoin
+    "q_ts_incidents",     # 1-row SLO-baseline broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -3406,3 +3406,81 @@ def test_embed_separation_nearest_centroid(spark, sf_dir):
         assert abs(row.frac_separated - frac) < 1e-3
         assert row.classes_separable == (frac > 0.5)
         assert -1 <= row.mean_cos_own <= 1 + 1e-9
+
+
+def test_fertility_char_token_ratios(spark, sf_dir):
+    from polybot_data_etl_spark.functions.quality import q_text_fertility
+
+    per = defaultdict(lambda: [0, 0, 0])
+    tot_tok = tot_char = 0
+    for r in table(spark, sf_dir, "documents").collect():
+        toks = [t for t in r.text.lower().split(" ") if t]
+        chars = len(r.text.replace(" ", ""))
+        c = per[r.lang]
+        c[0] += 1
+        c[1] += len(toks)
+        c[2] += chars
+        tot_tok += len(toks)
+        tot_char += chars
+    corpus_cpt = tot_char / tot_tok
+    rows = {r.lang: r for r in q_text_fertility(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for lang, (nd, nt, nc) in per.items():
+        row = rows[lang]
+        assert (row.n_docs, row.n_tokens, row.n_chars) == (nd, nt, nc)
+        assert abs(row.chars_per_token - nc / nt) < 1e-3
+        assert abs(row.tokens_per_doc - nt / nd) < 1e-3
+        assert row.high_fertility == (nc / nt > 1.2 * corpus_cpt)
+
+
+def test_decimal_profile_terminal_digits(spark, sf_dir):
+    from polybot_data_etl_spark.functions.dq import q_dq_decimal_profile
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(round(r.value * 100))
+    rows = {r.event_type: r for r in q_dq_decimal_profile(spark, sf_dir).collect()}
+    for et, cents in per.items():
+        n = len(cents)
+        whole = sum(1 for c in cents if c % 100 == 0)
+        dime = sum(1 for c in cents if c % 10 == 0 and c % 100 != 0)
+        nn = sum(1 for c in cents if c % 100 == 99)
+        row = rows[et]
+        assert row.n == n
+        assert abs(row.share_whole - whole / n) < 1e-3
+        assert abs(row.share_dime - dime / n) < 1e-3
+        assert abs(row.share_99 - nn / n) < 1e-3
+        assert abs(row.whole_vs_uniform - (whole / n) / 0.01) < 1e-1
+        assert row.rounding_spike == (whole / n > 0.05)
+        # the three shares never overlap, so they sum to at most 1
+        assert row.share_whole + row.share_dime + row.share_99 <= 1 + 1e-9
+
+
+def test_incidents_gaps_and_islands(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_incidents
+
+    hourly = defaultdict(lambda: [0, 0])
+    for r in table(spark, sf_dir, "events").collect():
+        h = int(r.ts.replace(minute=0, second=0, microsecond=0).timestamp()) // 3600
+        hourly[h][0] += 1
+        hourly[h][1] += r.event_type == "error"
+    slo = sum(e for _, (_, e) in [(k, v) for k, v in hourly.items()]) / sum(
+        v[0] for v in hourly.values()
+    )
+    alert = sorted(h for h, (ev, er) in hourly.items() if er / ev > 1.2 * slo)
+    incidents = []
+    for h in alert:
+        if incidents and h == incidents[-1][1] + 1:
+            incidents[-1][1] = h
+        else:
+            incidents.append([h, h])
+    durs = [b - a + 1 for a, b in incidents]
+    [row] = q_ts_incidents(spark, sf_dir).collect()
+    assert row.n_incidents == len(incidents)
+    assert row.alert_hours == sum(durs)
+    assert row.longest_hours == (max(durs) if durs else 0)
+    if durs:
+        assert abs(row.mean_hours - sum(durs) / len(durs)) < 1e-3
+        assert row.sustained_incident == (max(durs) >= 3)
+    # island identity: incidents can never exceed alert hours
+    assert row.n_incidents <= row.alert_hours
