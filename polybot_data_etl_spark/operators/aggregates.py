@@ -1017,3 +1017,138 @@ def q_agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ABC_BUCKETS = 32
+
+
+@register(
+    "q_agg_abc",
+    oracle="""
+    WITH pc AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+               sum(cents) OVER () AS total
+        FROM pc
+    ),
+    cls AS (
+        SELECT l_partkey, cents,
+               CASE WHEN cum <= 8e-1 * total THEN 'A'
+                    WHEN cum <= 95e-2 * total THEN 'B'
+                    ELSE 'C' END AS abc,
+               total
+        FROM r
+    ),
+    agg AS (
+        SELECT abc, count(*) AS n_parts, sum(cents) AS c,
+               max(total) AS total
+        FROM cls GROUP BY abc
+    ),
+    tot AS (SELECT agg.*, sum(n_parts) OVER () AS all_parts FROM agg)
+    SELECT abc AS abc_class, CAST(n_parts AS BIGINT) AS n_parts,
+           round(n_parts / CAST(all_parts AS DOUBLE) + 1e-9, 4)
+               AS parts_share,
+           round(c / 100.0, 2) AS revenue,
+           round(c / CAST(total AS DOUBLE) + 1e-9, 4) AS revenue_share
+    FROM tot ORDER BY abc_class
+    """,
+)
+def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: walk parts in
+    descending revenue order and split at 80% / 95% cumulative revenue
+    — class A is the vital few the working-capital and forecasting
+    effort goes to, C is the long tail to automate; reported as parts
+    share vs revenue share per class (the 20/80 shape in one 3-row
+    table).  The classification q_agg_pareto's single top-share number
+    summarizes.
+
+    Determinism: exact integer cents per part, total order
+    (cents DESC, partkey).  Scale: the descending cumulative uses the
+    two-pass bucket-offset recipe (quantile-literal cents buckets →
+    bucket-local cumsums → ≤32-row carry prefix, the q_stats_kruskal /
+    q_mix_budget construction) — no single task ever sorts the whole
+    part dimension; the oracle replays the plain window form."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pc = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    row = pc.agg(
+        F.percentile_approx(
+            "cents",
+            [i / _ABC_BUCKETS for i in range(1, _ABC_BUCKETS)],
+            10_000,
+        ).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(int(b)) for b in bounds])
+        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("cents")))
+    else:
+        bkt = F.lit(0)
+    pcb = pc.withColumn("bkt", bkt)
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offset = revenue mass in buckets ABOVE this one (higher cents)
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        pcb.groupBy("bkt")
+        .agg(F.sum("cents").alias("bc"))
+        .withColumn(
+            "off", F.coalesce(F.sum("bc").over(w_off), F.lit(0))
+        )
+        .select("bkt", "off")
+    )
+    total = pc.agg(F.sum("cents").alias("total"))
+    cum = (
+        pcb.withColumn("lcum", F.sum("cents").over(w_local))
+        .join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "cents",
+            (F.col("off") + F.col("lcum")).alias("cum"),
+            "total",
+        )
+    )
+    abc = (
+        F.when(F.col("cum") <= 0.8 * F.col("total"), "A")
+        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    agg = cum.select(abc.alias("abc"), "cents", "total").groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").alias("c"),
+        F.max("total").alias("total"),
+    )
+    tot = agg.withColumn(
+        "all_parts", F.sum("n_parts").over(Window.partitionBy())
+    )
+    return tot.select(
+        F.col("abc").alias("abc_class"),
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round(
+            F.col("n_parts") / F.col("all_parts").cast("double")
+            + F.lit(1e-9),
+            4,
+        ).alias("parts_share"),
+        F.round(F.col("c") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("c") / F.col("total").cast("double") + F.lit(1e-9), 4
+        ).alias("revenue_share"),
+    ).orderBy("abc_class")

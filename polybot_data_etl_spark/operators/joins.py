@@ -904,3 +904,78 @@ def q_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_sec"),
     )
+
+
+@register(
+    "q_join_lead_time",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               date_diff('day', o.o_orderdate::TIMESTAMP,
+                         min(l.l_shipdate)::TIMESTAMP) AS first_lead,
+               date_diff('day', o.o_orderdate::TIMESTAMP,
+                         max(l.l_shipdate)::TIMESTAMP) AS last_lead
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(first_lead) + 1e-9, 4) AS avg_first_ship_days,
+           round(avg(last_lead) + 1e-9, 4) AS avg_complete_days,
+           round(quantile_cont(last_lead, 0.9) + 1e-9, 4)
+               AS p90_complete_days,
+           round(sum(CASE WHEN last_lead > 90 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS late_share
+    FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_join_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfilment lead time by priority: days from order date to
+    FIRST shipment (responsiveness) and to LAST shipment (completion),
+    with the p90 completion tail and the >90-day late share — the
+    order⋈lineitem lifecycle rollup a fulfilment dashboard leads with,
+    and the canonical header⋈detail temporal join (every lead is an
+    exact integer day difference).
+
+    Shape: one fact-fact equi-join on the orderkey (co-partitionable;
+    the bucketed zero-exchange layout from tests/test_bucketing.py is
+    the 100 TB form) → per-order min/max (map-side combined) → k-row
+    priority rollup with one exact p90 percentile per group."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate")).alias(
+                "first_lead"
+            ),
+            F.datediff(F.max("l_shipdate"), F.col("o_orderdate")).alias(
+                "last_lead"
+            ),
+        )
+    )
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.avg("first_lead") + F.lit(1e-9), 4).alias(
+                "avg_first_ship_days"
+            ),
+            F.round(F.avg("last_lead") + F.lit(1e-9), 4).alias(
+                "avg_complete_days"
+            ),
+            F.round(
+                F.percentile("last_lead", F.lit(0.9)) + F.lit(1e-9), 4
+            ).alias("p90_complete_days"),
+            F.round(
+                F.sum(F.when(F.col("last_lead") > 90, 1).otherwise(0))
+                / F.count("*").cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("late_share"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -861,3 +861,119 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_total"),
         )
     )
+
+
+_NEYMAN_N = 1000
+
+
+@register(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, count(*) AS nh,
+               sum(value) AS sx, sum(value * value) AS sxx
+        FROM events GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, nh,
+               round(sqrt(sxx / nh - (sx / nh) * (sx / nh))
+                     + 1e-11, 6) AS sigma
+        FROM m
+    ),
+    w AS (
+        SELECT s.*, nh * sigma AS wt,
+               sum(nh * sigma) OVER () AS wtot,
+               sum(nh) OVER () AS ntot
+        FROM s
+    ),
+    q AS (
+        SELECT event_type, nh, sigma,
+               {_NEYMAN_N} * wt / wtot AS quota,
+               floor({_NEYMAN_N} * wt / wtot) AS base,
+               round({_NEYMAN_N} * wt / wtot
+                     - floor({_NEYMAN_N} * wt / wtot) + 1e-11, 6) AS rem,
+               ntot
+        FROM w
+    ),
+    r AS (
+        SELECT q.*,
+               row_number() OVER (ORDER BY rem DESC, event_type) AS rnk,
+               {_NEYMAN_N} - sum(base) OVER () AS leftover
+        FROM q
+    )
+    SELECT event_type, CAST(nh AS BIGINT) AS n_stratum,
+           round(sigma + 1e-9, 4) AS sigma,
+           CAST(round({_NEYMAN_N} * nh / CAST(ntot AS DOUBLE))
+                AS BIGINT) AS proportional_n,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS neyman_n,
+           CAST((base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+                > round({_NEYMAN_N} * nh / CAST(ntot AS DOUBLE))
+                AS BOOLEAN) AS oversampled
+    FROM r ORDER BY event_type
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: split a fixed
+    budget of 1000 draws across event-type strata ∝ Nₕ·σₕ (big AND
+    volatile strata get more), integerized by the deterministic
+    largest-remainder method, next to the naive proportional
+    allocation — the sampling-theory upgrade to q_sample_stratified
+    that minimizes the estimator variance for the same budget (a
+    near-constant stratum needs almost no samples no matter how big).
+
+    Determinism: σ 6-dp from raw moments, remainders 6-dp before the
+    largest-remainder ranking, event_type tiebreak.  Shape: one
+    moment agg → all allocation algebra on the k-row stratum frame
+    (windows over ≤k rows)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    nh = F.col("nh")
+    sigma6 = F.round(
+        F.sqrt(F.col("sxx") / nh - (F.col("sx") / nh) * (F.col("sx") / nh))
+        + F.lit(1e-11),
+        6,
+    )
+    s = m.select("event_type", nh, sigma6.alias("sigma"))
+    wa = Window.partitionBy()
+    w = s.select(
+        "*",
+        (nh * F.col("sigma")).alias("wt"),
+        F.sum(nh * F.col("sigma")).over(wa).alias("wtot"),
+        F.sum(nh).over(wa).alias("ntot"),
+    )
+    quota = _NEYMAN_N * F.col("wt") / F.col("wtot")
+    q = w.select(
+        "event_type",
+        "nh",
+        "sigma",
+        F.floor(quota).alias("base"),
+        F.round(quota - F.floor(quota) + F.lit(1e-11), 6).alias("rem"),
+        "ntot",
+    )
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("event_type")))
+        .alias("rnk"),
+        (_NEYMAN_N - F.sum("base").over(wa)).alias("leftover"),
+    )
+    ney = F.col("base") + F.when(
+        F.col("rnk") <= F.col("leftover"), 1
+    ).otherwise(0)
+    prop = F.round(_NEYMAN_N * F.col("nh") / F.col("ntot").cast("double"))
+    return r.select(
+        "event_type",
+        F.col("nh").cast("bigint").alias("n_stratum"),
+        F.round(F.col("sigma") + F.lit(1e-9), 4).alias("sigma"),
+        prop.cast("bigint").alias("proportional_n"),
+        ney.cast("bigint").alias("neyman_n"),
+        (ney > prop).alias("oversampled"),
+    ).orderBy("event_type")

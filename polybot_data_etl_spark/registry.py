@@ -207,6 +207,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_agg_cms_eval", "q_mix_domain_cap", "q_stats_tail_ratio",
     "q_ts_profile_drift", "q_embed_separation",
     "q_text_fertility", "q_dq_decimal_profile", "q_ts_incidents",
+    "q_agg_abc", "q_join_lead_time", "q_sample_neyman",
 }
 
 

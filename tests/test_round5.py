@@ -3484,3 +3484,113 @@ def test_incidents_gaps_and_islands(spark, sf_dir):
         assert row.sustained_incident == (max(durs) >= 3)
     # island identity: incidents can never exceed alert hours
     assert row.n_incidents <= row.alert_hours
+
+
+def test_abc_cumulative_classes(spark, sf_dir):
+    from polybot_data_etl_spark.operators.aggregates import q_agg_abc
+
+    cents = defaultdict(int)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        cents[r.l_partkey] += round(r.l_extendedprice * 100)
+    parts = sorted(cents.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cents.values())
+    cum = 0
+    cls = defaultdict(lambda: [0, 0])
+    for pk, c in parts:
+        cum += c
+        k = "A" if cum <= 0.8 * total else "B" if cum <= 0.95 * total else "C"
+        cls[k][0] += 1
+        cls[k][1] += c
+    rows = {r.abc_class: r for r in q_agg_abc(spark, sf_dir).collect()}
+    assert set(rows) == set(cls)
+    all_parts = len(parts)
+    for k, (n, c) in cls.items():
+        row = rows[k]
+        assert row.n_parts == n
+        assert abs(row.parts_share - n / all_parts) < 1e-3
+        assert abs(row.revenue - c / 100.0) < 1e-6
+        assert abs(row.revenue_share - c / total) < 1e-3
+    # ABC sanity: A holds ≥ its parts share in revenue
+    if "A" in rows and "C" in rows:
+        assert rows["A"].revenue_share >= rows["A"].parts_share
+        assert rows["C"].revenue_share <= rows["C"].parts_share
+
+
+def test_lead_time_day_arithmetic(spark, sf_dir):
+    from polybot_data_etl_spark.operators.joins import q_join_lead_time
+
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in table(spark, sf_dir, "orders").collect()
+    }
+    ships = defaultdict(list)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_orderkey in orders:
+            ships[r.l_orderkey].append(r.l_shipdate)
+    per = defaultdict(list)
+    for ok, ss in ships.items():
+        prio, od = orders[ok]
+        od_d = od.date() if hasattr(od, "date") else od
+        fl = min((s.date() if hasattr(s, "date") else s) for s in ss)
+        ll = max((s.date() if hasattr(s, "date") else s) for s in ss)
+        per[prio].append(((fl - od_d).days, (ll - od_d).days))
+    def qc(xs, p):
+        xs = sorted(xs)
+        pos = p * (len(xs) - 1)
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        return xs[lo] + frac * (xs[lo + 1] - xs[lo]) if lo + 1 < len(xs) else xs[lo]
+    rows = {r.o_orderpriority: r for r in q_join_lead_time(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for prio, leads in per.items():
+        row = rows[prio]
+        n = len(leads)
+        assert row.n_orders == n
+        assert abs(row.avg_first_ship_days - sum(f for f, _ in leads) / n) < 1e-2
+        assert abs(row.avg_complete_days - sum(l for _, l in leads) / n) < 1e-2
+        assert abs(row.p90_complete_days - qc([l for _, l in leads], 0.9)) < 1e-2
+        late = sum(1 for _, l in leads if l > 90) / n
+        assert abs(row.late_share - late) < 1e-3
+        # completion can never precede first shipment
+        assert row.avg_complete_days >= row.avg_first_ship_days - 1e-9
+
+
+def test_neyman_largest_remainder(spark, sf_dir):
+    from polybot_data_etl_spark.operators.relational_ext import (
+        _NEYMAN_N,
+        q_sample_neyman,
+    )
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    stats = {}
+    for et, xs in per.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        sigma = round(
+            math.sqrt(sum(x * x for x in xs) / n - mu * mu) + 1e-11, 6
+        )
+        stats[et] = (n, sigma)
+    wtot = sum(n * s for n, s in stats.values())
+    ntot = sum(n for n, _ in stats.values())
+    quotas = {et: _NEYMAN_N * n * s / wtot for et, (n, s) in stats.items()}
+    base = {et: math.floor(q) for et, q in quotas.items()}
+    rems = sorted(
+        ((round(quotas[et] - base[et] + 1e-11, 6), et) for et in stats),
+        key=lambda t: (-t[0], t[1]),
+    )
+    leftover = _NEYMAN_N - sum(base.values())
+    ney = dict(base)
+    for _, et in rems[: int(leftover)]:
+        ney[et] += 1
+    rows = {r.event_type: r for r in q_sample_neyman(spark, sf_dir).collect()}
+    assert set(rows) == set(stats)
+    assert sum(r.neyman_n for r in rows.values()) == _NEYMAN_N
+    for et, (n, s) in stats.items():
+        row = rows[et]
+        assert row.n_stratum == n
+        assert abs(row.sigma - s) < 1e-3
+        assert row.neyman_n == ney[et]
+        assert row.proportional_n == round(_NEYMAN_N * n / ntot)
+        assert row.oversampled == (row.neyman_n > row.proportional_n)
