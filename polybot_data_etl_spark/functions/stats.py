@@ -3271,3 +3271,54 @@ def q_stats_tail_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p90 / p50 + F.lit(1e-9), 4).alias("p90_over_p50"),
         (p99 / p50 > 10).alias("long_tailed"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_influence",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, count(*) AS n, sum(value) AS s,
+               max(value) AS mx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(s / n + 1e-9, 4) AS mean,
+           round((s - mx) / (n - 1) + 1e-9, 4) AS mean_without_max,
+           round((s / n - (s - mx) / (n - 1)) / (s / n) + 1e-9, 6)
+               AS max_influence,
+           round(mx / s + 1e-9, 6) AS top1_share,
+           CAST(mx / s > 1e-2 AS BOOLEAN) AS whale_fragile
+    FROM m ORDER BY event_type
+    """,
+)
+def q_stats_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-observation influence card: the leave-one-out shift of
+    the mean when the LARGEST value is removed, and the top-1 value's
+    share of the total — the exact finite-sample answer to 'is this
+    metric one whale away from a different story?' that the asymptotic
+    robust alternatives (q_stats_mad, q_agg_winsorized) approximate.
+    LOO-max shift is a closed form over three moments — no second
+    pass, no sort.
+
+    Shape: one map-side-combined (n, Σx, max) agg per type → k-row
+    algebra; the cheapest robustness diagnostic there is."""
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.max("value").alias("mx"),
+    )
+    n, s, mx = F.col("n"), F.col("s"), F.col("mx")
+    mean = s / n
+    loo = (s - mx) / (n - 1)
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(mean + F.lit(1e-9), 4).alias("mean"),
+        F.round(loo + F.lit(1e-9), 4).alias("mean_without_max"),
+        F.round((mean - loo) / mean + F.lit(1e-9), 6).alias(
+            "max_influence"
+        ),
+        F.round(mx / s + F.lit(1e-9), 6).alias("top1_share"),
+        (mx / s > 0.01).alias("whale_fragile"),
+    ).orderBy("event_type")

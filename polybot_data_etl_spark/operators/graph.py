@@ -808,3 +808,89 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cn").cast("bigint").alias("common_neighbors"),
         F.round(F.col("aa") + F.lit(1e-9), 4).alias("adamic_adar"),
     ).orderBy("rank")
+
+
+@register(
+    "q_graph_centralization",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    dd AS (SELECT deg.*, max(d) OVER () AS dmax FROM deg),
+    a AS (
+        SELECT count(*) AS n, max(d) AS md, avg(d) AS avgd,
+               sum(dmax - d) AS gap
+        FROM dd
+    )
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(md AS BIGINT) AS max_degree,
+           round(avgd + 1e-9, 4) AS mean_degree,
+           round(gap / ((n - 1e0) * (n - 2e0)) + 1e-9, 6)
+               AS centralization,
+           CAST(gap / ((n - 1e0) * (n - 2e0)) > 1e-1 AS BOOLEAN)
+               AS hub_dominated
+    FROM a
+    """,
+)
+def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the co-purchase graph:
+    Σ(d_max − d_v) / ((n−1)(n−2)) — 0 for a regular graph (every
+    product equally connected), 1 for a perfect star (one hub product
+    in every basket) — the graph-level inequality number that tells
+    you whether the q_graph_* pipeline faces a community structure or
+    one hub (and therefore whether hub-skew mitigations like the
+    link-predictor's degree cap are load-bearing).
+
+    Shape: the shared distinct-edge build → ONE degree agg → a 1-row
+    reduce (the max-degree marginal rides a window over the
+    node-degree frame — node-bounded, never edge- or fact-bounded)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    from pyspark.sql import Window
+
+    dd = deg.withColumn("dmax", F.max("d").over(Window.partitionBy()))
+    a = dd.agg(
+        F.count("*").alias("n"),
+        F.max("d").alias("max_degree"),
+        F.avg("d").alias("mean_degree"),
+        F.sum(F.col("dmax") - F.col("d")).alias("gap"),
+    )
+    cent = F.col("gap") / (
+        (F.col("n") - F.lit(1.0)) * (F.col("n") - F.lit(2.0))
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_nodes"),
+        F.col("max_degree").cast("bigint").alias("max_degree"),
+        F.round(F.col("mean_degree") + F.lit(1e-9), 4).alias("mean_degree"),
+        F.round(cent + F.lit(1e-9), 6).alias("centralization"),
+        (cent > 0.1).alias("hub_dominated"),
+    )

@@ -3915,3 +3915,78 @@ def q_ts_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("dur") >= 3).alias("sustained_incident"),
     )
+
+
+@register(
+    "q_ts_twap",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value,
+               lead(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS dt
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(dt) AS n,
+               CAST(sum(dt) AS BIGINT) AS tt,
+               sum(value * dt) AS vw,
+               sum(value) AS vs,
+               count(*) AS n_all
+        FROM seq GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_intervals,
+           round(vw / CAST(tt AS DOUBLE) + 1e-9, 4) AS twap,
+           round(vs / CAST(n_all AS DOUBLE) + 1e-9, 4) AS plain_avg,
+           round((vw / CAST(tt AS DOUBLE) - vs / CAST(n_all AS DOUBLE))
+                 / (vs / CAST(n_all AS DOUBLE)) + 1e-9, 4)
+               AS twap_vs_avg,
+           CAST(abs((vw / CAST(tt AS DOUBLE) - vs / CAST(n_all AS DOUBLE))
+                    / (vs / CAST(n_all AS DOUBLE))) > 5e-2 AS BOOLEAN)
+               AS sampling_biased
+    FROM m ORDER BY event_type
+    """,
+)
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each observation
+    weighted by how long it was the user's CURRENT state (hold time to
+    the next event, the lead-lag integral) — vs the plain event-count
+    average, with the relative gap as a sampling-bias readout: if
+    users emit more events exactly when value spikes (activity bias),
+    the plain average overstates reality and TWAP is the honest
+    number (the finance-TWAP construction applied to product
+    metrics).
+
+    Determinism: hold times are exact integer seconds (floor-epoch
+    lead diffs), weighted sums are plain doubles, ratios int-divided.
+    Shape: ONE user-partitioned lead window (the q_ts_interarrival
+    shuffle) → map-side-combined weighted-moment agg per type."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        (F.lead(sec).over(w) - sec).alias("dt"),
+    )
+    m = seq.groupBy("event_type").agg(
+        F.count("dt").alias("n"),
+        F.sum("dt").alias("tt"),
+        F.sum(F.col("value") * F.col("dt")).alias("vw"),
+        F.sum("value").alias("vs"),
+        F.count("*").alias("n_all"),
+    )
+    twap = F.col("vw") / F.col("tt").cast("double")
+    avg = F.col("vs") / F.col("n_all").cast("double")
+    gap = (twap - avg) / avg
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_intervals"),
+        F.round(twap + F.lit(1e-9), 4).alias("twap"),
+        F.round(avg + F.lit(1e-9), 4).alias("plain_avg"),
+        F.round(gap + F.lit(1e-9), 4).alias("twap_vs_avg"),
+        (F.abs(gap) > 0.05).alias("sampling_biased"),
+    ).orderBy("event_type")

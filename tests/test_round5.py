@@ -3594,3 +3594,89 @@ def test_neyman_largest_remainder(spark, sf_dir):
         assert row.neyman_n == ney[et]
         assert row.proportional_n == round(_NEYMAN_N * n / ntot)
         assert row.oversampled == (row.neyman_n > row.proportional_n)
+
+
+def test_twap_hold_time_weighting(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_twap
+
+    per_user = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per_user[r.user_id].append(
+            (r.ts, r.event_id, r.event_type, r.value)
+        )
+    stats = defaultdict(lambda: [0, 0, 0.0, 0.0, 0])
+    for evs in per_user.values():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        for i, (ts, _, et, v) in enumerate(evs):
+            c = stats[et]
+            c[4] += 1
+            c[3] += v
+            if i + 1 < len(evs):
+                dt = int(evs[i + 1][0].timestamp()) - int(ts.timestamp())
+                c[0] += 1
+                c[1] += dt
+                c[2] += v * dt
+    rows = {r.event_type: r for r in q_ts_twap(spark, sf_dir).collect()}
+    assert set(rows) == set(stats)
+    for et, (n, tt, vw, vs, n_all) in stats.items():
+        row = rows[et]
+        twap = vw / tt
+        avg = vs / n_all
+        assert row.n_intervals == n
+        assert abs(row.twap - twap) < 1e-2
+        assert abs(row.plain_avg - avg) < 1e-2
+        assert abs(row.twap_vs_avg - (twap - avg) / avg) < 1e-3
+        assert row.sampling_biased == (abs(row.twap_vs_avg) > 0.05)
+
+
+def test_influence_loo_identity(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import q_stats_influence
+
+    per = defaultdict(list)
+    for r in table(spark, sf_dir, "events").collect():
+        per[r.event_type].append(r.value)
+    rows = {r.event_type: r for r in q_stats_influence(spark, sf_dir).collect()}
+    for et, xs in per.items():
+        n, s, mx = len(xs), sum(xs), max(xs)
+        row = rows[et]
+        assert row.n == n
+        assert abs(row.mean - s / n) < 1e-2
+        assert abs(row.mean_without_max - (s - mx) / (n - 1)) < 1e-2
+        # exact LOO identity recomputed the slow way: drop ONE max
+        rest = sorted(xs)[:-1]
+        slow = sum(rest) / len(rest)
+        assert abs(row.mean_without_max - slow) < 1e-3
+        assert abs(row.max_influence - (s / n - slow) / (s / n)) < 1e-4
+        assert abs(row.top1_share - mx / s) < 1e-4
+        assert row.whale_fragile == (row.top1_share > 0.01)
+        # removing the max can only lower the mean
+        assert row.mean_without_max <= row.mean + 1e-9
+
+
+def test_centralization_freeman_formula(spark, sf_dir):
+    from polybot_data_etl_spark.operators.graph import q_graph_centralization
+
+    by_order = defaultdict(set)
+    for r in table(spark, sf_dir, "lineitem").collect():
+        if r.l_partkey % 4 == 0:
+            by_order[r.l_orderkey].add(r.l_partkey)
+    deg = Counter()
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    n = len(deg)
+    dmax = max(deg.values())
+    gap = sum(dmax - d for d in deg.values())
+    cent = gap / ((n - 1) * (n - 2))
+    [row] = q_graph_centralization(spark, sf_dir).collect()
+    assert (row.n_nodes, row.max_degree) == (n, dmax)
+    assert abs(row.mean_degree - sum(deg.values()) / n) < 1e-3
+    assert abs(row.centralization - cent) < 1e-5
+    assert row.hub_dominated == (cent > 0.1)
+    assert 0 <= row.centralization <= 1 + 1e-9
