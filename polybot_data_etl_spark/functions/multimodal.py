@@ -477,3 +477,76 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("content_md5", "media_id", "n_copies")
     )
+
+
+@register(
+    "q_multimodal_mix",
+    oracle="""
+    WITH m AS (
+        SELECT CASE CAST(doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               length(text) AS n_bytes
+        FROM documents
+    ),
+    a AS (
+        SELECT modality, count(*) AS n, sum(n_bytes) AS b,
+               max(n_bytes) AS mx
+        FROM m GROUP BY modality
+    ),
+    t AS (
+        SELECT a.*, sum(n) OVER () AS nt, sum(b) OVER () AS bt
+        FROM a
+    )
+    SELECT modality, CAST(n AS BIGINT) AS n_assets,
+           CAST(b AS BIGINT) AS total_bytes,
+           round(b / CAST(n AS DOUBLE) + 1e-9, 4) AS avg_bytes,
+           CAST(mx AS BIGINT) AS max_bytes,
+           round(n / CAST(nt AS DOUBLE) + 1e-9, 4) AS asset_share,
+           round(b / CAST(bt AS DOUBLE) + 1e-9, 4) AS byte_share,
+           CAST(b / CAST(bt AS DOUBLE)
+                > 2 * n / CAST(nt AS DOUBLE) AS BOOLEAN)
+               AS storage_heavy
+    FROM t ORDER BY modality
+    """,
+)
+def q_multimodal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality mix of the media store: asset count vs BYTE mass per
+    modality (with per-asset mean/max sizes and the byte-share ≫
+    asset-share 'storage heavy' flag) — the first number a multimodal
+    training-data plan needs, because batch composition is decided in
+    ASSETS but storage, egress, and decode budgets are spent in BYTES
+    (video is always the minority of files and the majority of bytes).
+
+    Shape: the deterministic media projection (no decode — sizes come
+    from metadata) → ONE map-side-combined per-modality agg →
+    marginals over the 3-row frame.  At 100 TB this reads parquet
+    column statistics, never payloads."""
+    m = media(spark, sf_dir)
+    a = m.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("meta.n_bytes")).alias("b"),
+        F.max(F.col("meta.n_bytes")).alias("mx"),
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy()
+    t = a.select(
+        "*",
+        F.sum("n").over(wa).alias("nt"),
+        F.sum("b").over(wa).alias("bt"),
+    )
+    ashare = F.col("n") / F.col("nt").cast("double")
+    bshare = F.col("b") / F.col("bt").cast("double")
+    return t.select(
+        "modality",
+        F.col("n").cast("bigint").alias("n_assets"),
+        F.col("b").cast("bigint").alias("total_bytes"),
+        F.round(
+            F.col("b") / F.col("n").cast("double") + F.lit(1e-9), 4
+        ).alias("avg_bytes"),
+        F.col("mx").cast("bigint").alias("max_bytes"),
+        F.round(ashare + F.lit(1e-9), 4).alias("asset_share"),
+        F.round(bshare + F.lit(1e-9), 4).alias("byte_share"),
+        (bshare > 2 * ashare).alias("storage_heavy"),
+    ).orderBy("modality")

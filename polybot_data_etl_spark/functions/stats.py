@@ -3322,3 +3322,106 @@ def q_stats_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx / s + F.lit(1e-9), 6).alias("top1_share"),
         (mx / s > 0.01).alias("whale_fragile"),
     ).orderBy("event_type")
+
+
+_OVL_BINS = 20
+
+
+@register(
+    "q_stats_overlap",
+    oracle=f"""
+    WITH f AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    rng AS (SELECT min(value) AS lo, max(value) AS hi FROM f),
+    binned AS (
+        SELECT f.event_type,
+               least(CAST(floor((f.value - rng.lo)
+                                / ((rng.hi - rng.lo) / {_OVL_BINS}))
+                          AS INTEGER), {_OVL_BINS - 1}) AS bin
+        FROM f, rng
+    ),
+    c AS (
+        SELECT bin,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        FROM binned GROUP BY bin
+    ),
+    t AS (
+        SELECT c.*, sum(a) OVER () AS ta, sum(b) OVER () AS tb FROM c
+    )
+    SELECT CAST(sum(a) AS BIGINT) AS n_click,
+           CAST(sum(b) AS BIGINT) AS n_view,
+           round(sum(least(a / CAST(ta AS DOUBLE),
+                           b / CAST(tb AS DOUBLE))) + 1e-9, 4)
+               AS overlap_coef,
+           round(1 - sum(least(a / CAST(ta AS DOUBLE),
+                               b / CAST(tb AS DOUBLE))) + 1e-9, 4)
+               AS separation,
+           CAST(sum(least(a / CAST(ta AS DOUBLE),
+                          b / CAST(tb AS DOUBLE))) > 9e-1
+                AS BOOLEAN) AS distributions_similar
+    FROM t
+    """,
+)
+def q_stats_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-overlap coefficient between the click and view
+    value distributions: Σ min(pᵢ, qᵢ) over 20 shared equal-width bins
+    — the literal 'what fraction of the two histograms is shared mass'
+    number (1 − total-variation distance), far more communicable to a
+    stakeholder than q_dq_psi's log-odds units or q_ml_ks's sup-gap:
+    'the distributions are 87% the same' needs no legend.
+
+    Determinism: the shared bin grid comes from a 1-row (min, max)
+    aggregate broadcast (identical edges both engines, floor-indexed
+    with a top-edge clamp); bin masses are exact integers.  Shape: one
+    1-row range agg → binned conditional count agg → ≤20-row
+    algebra."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    rng = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _OVL_BINS)
+            ).cast("int"),
+            F.lit(_OVL_BINS - 1),
+        ).alias("bin"),
+    )
+    c = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "a"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "b"
+        ),
+    )
+    from pyspark.sql import Window
+
+    t = c.select(
+        "*",
+        F.sum("a").over(Window.partitionBy()).alias("ta"),
+        F.sum("b").over(Window.partitionBy()).alias("tb"),
+    )
+    ovl = F.sum(
+        F.least(
+            F.col("a") / F.col("ta").cast("double"),
+            F.col("b") / F.col("tb").cast("double"),
+        )
+    )
+    agg = t.agg(
+        F.sum("a").cast("bigint").alias("n_click"),
+        F.sum("b").cast("bigint").alias("n_view"),
+        ovl.alias("ovl"),
+    )
+    return agg.select(
+        "n_click",
+        "n_view",
+        F.round(F.col("ovl") + F.lit(1e-9), 4).alias("overlap_coef"),
+        F.round(1 - F.col("ovl") + F.lit(1e-9), 4).alias("separation"),
+        (F.col("ovl") > 0.9).alias("distributions_similar"),
+    )

@@ -3990,3 +3990,65 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gap + F.lit(1e-9), 4).alias("twap_vs_avg"),
         (F.abs(gap) > 0.05).alias("sampling_biased"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_ts_dod_wow",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               count(*) AS n
+        FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events) e
+        GROUP BY date_trunc('day', ts)
+    ),
+    g AS (
+        SELECT day, n,
+               lag(n, 1) OVER (ORDER BY day) AS d1,
+               lag(n, 7) OVER (ORDER BY day) AS d7
+        FROM daily
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           round((n - d1) * 1e2 / d1 + 1e-9, 4) AS dod_pct,
+           round((n - d7) * 1e2 / d7 + 1e-9, 4) AS wow_pct,
+           CAST(abs(n - d7) * 1e2 / d7 < abs(n - d1) * 1e2 / d1
+                AS BOOLEAN) AS wow_smoother
+    FROM g WHERE d1 IS NOT NULL AND d7 IS NOT NULL
+    ORDER BY day
+    """,
+)
+def q_ts_dod_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth dashboard frame: day-over-day AND week-over-week volume
+    change on one spine, with the per-day flag showing WoW is the
+    smoother comparator (same-weekday comparison cancels the weekly
+    cycle that makes DoD whipsaw every Monday) — the two numbers every
+    daily standup quotes, and the empirical justification for
+    preferring lag-7 baselines (q_ts_forecast_snaive) over lag-1.
+    Rows where either baseline is missing are excluded (both
+    engines).
+
+    Shape: one day-grain hash agg → both lags from ONE ordered window
+    pass over the calendar-bounded day frame; counts are exact
+    integers so every percentage is int-algebra."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day")
+    g = daily.select(
+        "day",
+        "n",
+        F.lag("n", 1).over(w).alias("d1"),
+        F.lag("n", 7).over(w).alias("d7"),
+    ).filter(F.col("d1").isNotNull() & F.col("d7").isNotNull())
+    n, d1, d7 = F.col("n"), F.col("d1"), F.col("d7")
+    return g.select(
+        "day",
+        n.cast("bigint").alias("n_events"),
+        F.round((n - d1) * 100.0 / d1 + F.lit(1e-9), 4).alias("dod_pct"),
+        F.round((n - d7) * 100.0 / d7 + F.lit(1e-9), 4).alias("wow_pct"),
+        (F.abs(n - d7) * 100.0 / d7 < F.abs(n - d1) * 100.0 / d1).alias(
+            "wow_smoother"
+        ),
+    ).orderBy("day")

@@ -209,6 +209,7 @@ _NEW_THIS_ROUND: set[str] = {
     "q_text_fertility", "q_dq_decimal_profile", "q_ts_incidents",
     "q_agg_abc", "q_join_lead_time", "q_sample_neyman",
     "q_ts_twap", "q_stats_influence", "q_graph_centralization",
+    "q_multimodal_mix", "q_stats_overlap", "q_ts_dod_wow",
 }
 
 

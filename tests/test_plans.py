@@ -204,6 +204,7 @@ _NLJ_ALLOWED = {
     "q_text_fertility",   # 1-row corpus-fertility broadcast crossJoin
     "q_ts_incidents",     # 1-row SLO-baseline broadcast crossJoin
     "q_agg_abc",          # 1-row revenue-total broadcast crossJoin
+    "q_stats_overlap",    # 1-row (min,max) bin-grid broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)

@@ -3680,3 +3680,83 @@ def test_centralization_freeman_formula(spark, sf_dir):
     assert abs(row.centralization - cent) < 1e-5
     assert row.hub_dominated == (cent > 0.1)
     assert 0 <= row.centralization <= 1 + 1e-9
+
+
+def test_multimodal_mix_byte_accounting(spark, sf_dir):
+    from polybot_data_etl_spark.functions.multimodal import q_multimodal_mix
+
+    per = defaultdict(lambda: [0, 0, 0])
+    for r in table(spark, sf_dir, "documents").collect():
+        mod = ["image", "audio", "video"][r.doc_id % 3]
+        c = per[mod]
+        nb = len(r.text)
+        c[0] += 1
+        c[1] += nb
+        c[2] = max(c[2], nb)
+    nt = sum(c[0] for c in per.values())
+    bt = sum(c[1] for c in per.values())
+    rows = {r.modality: r for r in q_multimodal_mix(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for mod, (n, b, mx) in per.items():
+        row = rows[mod]
+        assert (row.n_assets, row.total_bytes, row.max_bytes) == (n, b, mx)
+        assert abs(row.avg_bytes - b / n) < 1e-2
+        assert abs(row.asset_share - n / nt) < 1e-3
+        assert abs(row.byte_share - b / bt) < 1e-3
+        assert row.storage_heavy == (b / bt > 2 * n / nt)
+    assert abs(sum(r.asset_share for r in rows.values()) - 1.0) < 1e-2
+
+
+def test_overlap_histogram_intersection(spark, sf_dir):
+    from polybot_data_etl_spark.functions.stats import (
+        _OVL_BINS,
+        q_stats_overlap,
+    )
+
+    a, b = [], []
+    for r in table(spark, sf_dir, "events").collect():
+        if r.event_type == "click":
+            a.append(r.value)
+        elif r.event_type == "view":
+            b.append(r.value)
+    lo = min(min(a), min(b))
+    hi = max(max(a), max(b))
+    width = (hi - lo) / _OVL_BINS
+    ca, cb = Counter(), Counter()
+    for x in a:
+        ca[min(int((x - lo) // width), _OVL_BINS - 1)] += 1
+    for x in b:
+        cb[min(int((x - lo) // width), _OVL_BINS - 1)] += 1
+    ovl = sum(
+        min(ca.get(i, 0) / len(a), cb.get(i, 0) / len(b))
+        for i in range(_OVL_BINS)
+    )
+    [row] = q_stats_overlap(spark, sf_dir).collect()
+    assert (row.n_click, row.n_view) == (len(a), len(b))
+    assert abs(row.overlap_coef - ovl) < 1e-3
+    assert abs(row.separation - (1 - ovl)) < 1e-3
+    assert row.distributions_similar == (row.overlap_coef > 0.9)
+    assert 0 <= row.overlap_coef <= 1 + 1e-9
+
+
+def test_dod_wow_lag_spine(spark, sf_dir):
+    from polybot_data_etl_spark.operators.timeseries import q_ts_dod_wow
+
+    daily = Counter()
+    for r in table(spark, sf_dir, "events").collect():
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    rows = {r.day.date(): r for r in q_ts_dod_wow(spark, sf_dir).collect()}
+    expect_days = [d for i, d in enumerate(days) if i >= 7]
+    assert sorted(rows) == expect_days
+    for i, d in enumerate(days):
+        if i < 7:
+            continue
+        n, d1, d7 = daily[d], daily[days[i - 1]], daily[days[i - 7]]
+        row = rows[d]
+        assert row.n_events == n
+        assert abs(row.dod_pct - (n - d1) * 100 / d1) < 1e-2
+        assert abs(row.wow_pct - (n - d7) * 100 / d7) < 1e-2
+        assert row.wow_smoother == (
+            abs(n - d7) * 100 / d7 < abs(n - d1) * 100 / d1
+        )
