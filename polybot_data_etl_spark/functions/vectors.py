@@ -660,13 +660,14 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM comp GROUP BY dim
     )
     -- "+ 0.0" after round: IEEE -0.0 + 0.0 = +0.0, normalizing the
-    -- signed zero a near-zero z-score can round to (array cells skip
-    -- the checker's scalar -0.0 normalization)
+    -- signed zero a near-zero z-score can round to. Long-form output
+    -- (vec_id, dim, z): the driver's canonicalizer sorts/hashes scalar
+    -- cells only, so the whitened matrix is emitted row-per-coordinate
+    -- rather than as an array<double> column.
     SELECT vec_id,
-           list(round((x - mu) / sd + 1e-9, 4) + 0.0 ORDER BY dim)
-               AS whitened
+           dim,
+           round((x - mu) / sd + 1e-9, 4) + 0.0 AS z
     FROM comp JOIN stats USING (dim)
-    GROUP BY vec_id
     """,
 )
 def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,10 +680,13 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: posexplode to (vec_id, dim, x) → ONE map-side-combined hash
     agg on dim (|dims| rows, independent of corpus size — the
     q_embed_centroid shape with second moments) → broadcast the tiny
-    stats frame back onto the exploded rows → re-assemble with
-    array_sort(collect_list(struct(dim, z))).  Std from raw moments
-    (E[x²]−E[x]², shared q_stats_* policy) so both engines round the
-    same doubles."""
+    stats frame back onto the exploded rows.  Output is the long-form
+    (vec_id, dim, z) frame — all-scalar columns so the driver's
+    pandas canonicalizer can sort/hash it (an array<double> cell is
+    unhashable there); a consumer wanting arrays re-assembles with
+    array_sort(collect_list(struct(dim, z))) as q_embed_kmeans does.
+    Std from raw moments (E[x²]−E[x]², shared q_stats_* policy) so
+    both engines round the same doubles."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "x0")
@@ -700,16 +704,8 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("x") - F.col("mu")) / F.col("sd") + F.lit(1e-9), 4)
         + F.lit(0.0)  # normalize IEEE -0.0 (see oracle comment)
     )
-    return (
-        ex.join(F.broadcast(stats), "dim")
-        .select("vec_id", "dim", z.alias("z"))
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "z"))),
-                lambda s: s.getField("z"),
-            ).alias("whitened")
-        )
+    return ex.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", z.alias("z")
     )
 
 

@@ -863,13 +863,17 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE self-equi-join on the basket key generates candidates —
     fan-out per order is C(basket,2), bounded by the schema's max
     basket size (13 here, ~7-line orders in TPC-H), never by table
-    size, so pair volume is O(orders · basket²).  Item supports and the
-    order total join back as broadcasts (bounded by |parts| and 1 row);
-    the a<b canonicalization halves the pair space and makes the pair
-    key deterministic.  Top-15 is (support DESC, part_a, part_b) — a
-    total order → TakeOrderedAndProject, no global sort.  At 100 TB the
-    only large shuffle is the orderkey-hash join, AQE-splittable on
-    skewed mega-baskets."""
+    size, so pair volume is O(orders · basket²).  The per-item support
+    table joins back UN-hinted (VERDICT r5 #6): it is bounded by
+    |parts|, which at 100 TB is NOT broadcast-safe — AQE picks the
+    strategy from the measured size (broadcast at fixture scale, a
+    plain partkey-hash shuffle join at part-catalog scale; see
+    SCALE.md "Basket lift").  Only the 1-row order total keeps an
+    explicit broadcast.  The a<b canonicalization halves the pair
+    space and makes the pair key deterministic.  Top-15 is (support
+    DESC, part_a, part_b) — a total order → TakeOrderedAndProject, no
+    global sort.  At 100 TB the only large shuffle is the
+    orderkey-hash join, AQE-splittable on skewed mega-baskets."""
     li = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -888,12 +892,10 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = li.agg(F.countDistinct("o").alias("n_orders"))
     return (
         pairs.join(
-            F.broadcast(item.withColumnsRenamed({"p": "part_a", "cnt": "ca"})),
-            "part_a",
+            item.withColumnsRenamed({"p": "part_a", "cnt": "ca"}), "part_a"
         )
         .join(
-            F.broadcast(item.withColumnsRenamed({"p": "part_b", "cnt": "cb"})),
-            "part_b",
+            item.withColumnsRenamed({"p": "part_b", "cnt": "cb"}), "part_b"
         )
         .crossJoin(F.broadcast(n))
         .select(

@@ -441,6 +441,112 @@ def q_win_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_weighted_median_scaled",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice,
+               sum(l_extendedprice) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_w,
+               sum(l_extendedprice) OVER (
+                   PARTITION BY l_returnflag
+               ) AS tot_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_quantity), 2) AS weighted_median_qty,
+           round(min(tot_w), 2) AS total_weight
+    FROM ranked
+    WHERE cum_w >= tot_w / 2
+    GROUP BY l_returnflag
+    """,
+)
+def q_win_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of q_win_weighted_median: identical output (same
+    oracle — the q_win_dist/q_win_dist_scaled pattern), but no
+    single-task per-flag sort of the whole fact table.
+
+    Two-pass bucket-offset rewrite (the q_win_dist_scaled shape applied
+    to cumulative WEIGHT instead of row number — valid because a cum-sum
+    is associative across value buckets):
+      1. One approx-quantile agg fixes ≤31 ORDERED l_quantity cut
+         points as driver literals → every row gets a deterministic
+         bucket; the cum-weight window partitions by (flag, bkt), so
+         each task sorts only its own value slice (3×32 ≈ 96-way
+         parallel instead of 3 single-task sorts).
+      2. Per-(flag, bkt) weight subtotals (≤96 rows) get prefix-summed
+         into bucket offsets — the only flag-partitioned unpartitioned-
+         by-bucket window runs over that tiny summary, never the data —
+         and the 3-row flag totals broadcast back on the equi key.
+    Global cum weight = offset + bucket-local cum.  Weights are exact
+    integer CENTS (per-row round(price*100), the order-sensitive-sum
+    convention): bucket subtotals then add associatively with no float
+    reordering risk, and the crossing test `2·cum ≥ tot` is integer-
+    exact.  total_weight re-renders as cents/100."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("w_cents"),
+    )
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = base.agg(
+        F.percentile_approx("l_quantity", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(
+            F.filter(cuts, lambda x: x <= F.col("l_quantity"))
+        ).cast("int")
+    else:
+        bkt = F.lit(0)
+    bucketed = base.withColumn("bkt", bkt)
+    w_local = (
+        Window.partitionBy("l_returnflag", "bkt")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("cum_local", F.sum("w_cents").over(w_local))
+    summary = bucketed.groupBy("l_returnflag", "bkt").agg(
+        F.sum("w_cents").alias("bw")
+    )
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = summary.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("offset"),
+    )
+    totals = summary.groupBy("l_returnflag").agg(
+        F.sum("bw").alias("tot_cents")
+    )
+    cum = F.col("offset") + F.col("cum_local")
+    return (
+        local.join(F.broadcast(offsets), ["l_returnflag", "bkt"])
+        .join(F.broadcast(totals), "l_returnflag")
+        .filter(cum * 2 >= F.col("tot_cents"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_quantity"), 2).alias("weighted_median_qty"),
+            F.round(F.min("tot_cents") / 100.0 + F.lit(1e-9), 2).alias(
+                "total_weight"
+            ),
+        )
+    )
+
+
+@register(
     "q_win_skyline",
     oracle="""
     WITH o AS (

@@ -146,8 +146,33 @@ _R04_RECORDED: frozenset[str] = frozenset(
     }
 )
 
+_R05_RECORDED: frozenset[str] = frozenset(
+    {
+        "q_attr_position", "q_dedup_cross_source", "q_dedup_lsh_stats",
+        "q_dedup_paragraph", "q_dedup_semantic", "q_dq_drift_ks",
+        "q_dq_expectations", "q_embed_cov", "q_embed_kmeans",
+        "q_embed_outliers", "q_embed_pca", "q_fn_binary",
+        "q_graph_degree", "q_join_nearest", "q_mix_curriculum",
+        "q_mix_epochs", "q_mix_upsample", "q_ml_auc",
+        "q_ml_calibration", "q_ml_confusion", "q_ml_feature_auc",
+        "q_ml_ks", "q_ml_logloss", "q_ml_ndcg", "q_ml_pr_curve",
+        "q_ml_threshold", "q_multimodal_dedup", "q_pipeline_card",
+        "q_pipeline_entities", "q_sample_reservoir", "q_setops_all",
+        "q_stats_kruskal", "q_stats_mad", "q_stats_mannwhitney",
+        "q_stats_proportion", "q_stats_ratio", "q_stats_spearman",
+        "q_stats_wilson", "q_text_boilerplate", "q_text_novelty",
+        "q_text_pmi", "q_text_urldedup", "q_text_zipf", "q_ts_calendar",
+        "q_ts_conversion_window", "q_ts_cumulative_users", "q_ts_gaps",
+        "q_ts_rolling_median", "q_ts_trend",
+        # q_embed_whiten stays OUT: it errored the r5 gate (array output
+        # vs the driver's pandas hasher), so after the r6 long-form fix
+        # it must re-enumerate at the tier-0 head for re-recording.
+    }
+)
+
 _RECORDED: frozenset[str] = (
     _R01_RECORDED | _R02_RECORDED | _R03_RECORDED | _R04_RECORDED
+    | _R05_RECORDED
 )
 
 
@@ -157,60 +182,14 @@ _RECORDED: frozenset[str] = (
 # queries before any cutoff.
 _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 
-# Queries first registered in round 5 of the build (new surface added
-# after the r4 gate).  They enumerate after the 50-query evidence debt:
-# oldest unrecorded debt keeps the head of the driver's ~50-slot
-# recording window (VERDICT r4: "add nothing ahead of tier 0").  The 42
-# round-4 additions are now plain tier-0 debt (never driver-recorded)
-# and dominate the window head alongside the 8 r4 spillover queries.
-_NEW_THIS_ROUND: set[str] = {
-    "q_fn_decimal", "q_fn_interval", "q_ml_lift", "q_ml_mrr",
-    "q_agg_hhi", "q_geo_grid", "q_mix_kl", "q_sample_systematic",
-    "q_agg_stringagg", "q_ts_session_stats", "q_ts_sma_cross",
-    "q_stats_samplesize", "q_win_ntile",
-    "q_fn_format", "q_ts_drawdown", "q_stats_bayes_ab",
-    "q_sql_window_clause",
-    "q_stats_anova", "q_dedup_cluster_sizes", "q_embed_pq",
-    "q_stats_levene", "q_stats_bootstrap", "q_basket_lift",
-    "q_fn_surrogate_key", "q_ts_stl", "q_ts_theilsen",
-    "q_ml_brier", "q_stats_fdr", "q_text_jsd",
-    "q_dq_fd", "q_agg_bool", "q_agg_means", "q_ts_cusum",
-    "q_graph_two_hop", "q_ml_mcc", "q_stats_tost", "q_fn_rounding",
-    "q_embed_recall_at_k", "q_mix_dedup_loss", "q_graph_assortativity",
-    "q_ts_interval_union", "q_stats_jarque_bera",
-    "q_ml_parity", "q_sample_balanced",
-    "q_dedup_minhash_eval", "q_ts_periodogram", "q_win_running_distinct",
-    "q_stats_beta_binomial", "q_dedup_threshold_sweep", "q_text_code_detect",
-    "q_ts_rolling_corr", "q_stats_poisson_rate", "q_ml_ece",
-    "q_embed_centroid_dist",
-    "q_dq_reconcile", "q_fn_isoweek", "q_mix_ess",
-    "q_stats_hill", "q_stats_gumbel", "q_dq_rle",
-    "q_stats_median_ci", "q_fn_try",
-    "q_ml_auc_ci", "q_ts_load_factor", "q_dq_id_gaps",
-    "q_embed_prefix_agreement", "q_stats_runs",
-    "q_dedup_winnowing", "q_dedup_capture_recapture",
-    "q_stats_mcnemar", "q_stats_bimodality",
-    "q_ml_kappa", "q_stats_cohens_d", "q_ts_ljung_box",
-    "q_agg_theil", "q_ts_hurst", "q_text_hapax",
-    "q_embed_anisotropy", "q_stats_sign_test", "q_graph_kcore",
-    "q_stats_simpson", "q_ts_mannkendall", "q_win_share_of_total",
-    "q_stats_breusch_pagan", "q_stats_durbin_watson",
-    "q_embed_quantize_eval",
-    "q_text_langid_eval", "q_ts_growth_accounting", "q_stats_gamma_mom",
-    "q_text_pii", "q_text_source_diversity", "q_stats_negbin_mom",
-    "q_ts_burn_rate", "q_stats_circular", "q_dq_cardinality_shift",
-    "q_ts_interarrival", "q_ts_entropy_rate", "q_graph_clustering",
-    "q_text_logodds", "q_stats_gpd_pot", "q_dq_clock_skew",
-    "q_dq_drift_chi2", "q_text_oov", "q_ts_retention_halflife",
-    "q_stats_srm", "q_ts_fano", "q_agg_boxplot",
-    "q_ml_fold_stability", "q_graph_link_predict",
-    "q_agg_cms_eval", "q_mix_domain_cap", "q_stats_tail_ratio",
-    "q_ts_profile_drift", "q_embed_separation",
-    "q_text_fertility", "q_dq_decimal_profile", "q_ts_incidents",
-    "q_agg_abc", "q_join_lead_time", "q_sample_neyman",
-    "q_ts_twap", "q_stats_influence", "q_graph_centralization",
-    "q_multimodal_mix", "q_stats_overlap", "q_ts_dod_wow",
-}
+# Queries first registered in the CURRENT build round (they enumerate
+# after the never-recorded evidence debt: oldest debt keeps the head of
+# the driver's ~50-slot recording window).  Round 6 is a REGISTRATION
+# FREEZE (VERDICT r5 #3): at +50 certified/round vs +126 added in r5,
+# the hard gate was falling behind the surface — so this set holds ONLY
+# the single VERDICT-r5-#5-requested scaled twin, and the 126 r5 additions (minus the 49 the r5 driver certified) are
+# now plain tier-0 debt draining through the window.
+_NEW_THIS_ROUND: set[str] = {"q_win_weighted_median_scaled"}
 
 
 def _cost_class(name: str) -> int:

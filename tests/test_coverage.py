@@ -55,3 +55,27 @@ def test_driver_window_priority_invariants():
     for t in (0, 1, 2):
         costs = [registry._cost_class(n) for n in names if registry._tier(n) == t]
         assert costs == sorted(costs)
+
+
+def test_every_registered_query_has_driver_hashable_schema(spark, sf_dir):
+    """The driver's differential gate canonicalizes results in pandas —
+    it sorts every column before hashing, and a cell holding a list /
+    dict / Row is unhashable there (round-5 lesson: `q_embed_whiten`
+    returned array<double> and errored the gate with `TypeError:
+    unhashable type: 'list'` despite being semantically correct).  Pin
+    the invariant: every registered query's RESOLVED schema (lazy —
+    no execution) is all-scalar.  Queries that compute per-row arrays
+    must emit them long-form (one row per element) or string-joined."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from polybot_data_etl_spark import registry
+
+    bad: list[str] = []
+    for name, fn in registry.queries().items():
+        schema = fn(spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert bad == [], (
+        "driver-unhashable (non-scalar) output columns:\n" + "\n".join(bad)
+    )

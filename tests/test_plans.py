@@ -114,6 +114,37 @@ def test_win_dist_scaled_no_global_data_sort(spark, sf_dir):
     assert "hashpartitioning(bkt" in plan
 
 
+def test_win_weighted_median_scaled_no_global_data_sort(spark, sf_dir):
+    """VERDICT r5 #5: the scaled weighted-median twin's cum-weight
+    window over DATA must partition by (flag, value-bucket) — never a
+    3-partition per-flag sort of the fact table; the only flag-only-
+    partitioned window runs over the ≤96-row bucket summary, and both
+    re-attach joins are broadcast equi-joins (no NLJ)."""
+    plan = plan_of(spark, sf_dir, "q_win_weighted_median_scaled")
+    assert "windowspecdefinition(l_returnflag" in plan
+    # the full-data window's exchange hashes on (flag, bkt)
+    import re
+
+    assert re.search(r"hashpartitioning\(l_returnflag#\d+, bkt#\d+", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_lift_support_join_unhinted(spark, sf_dir):
+    """VERDICT r5 #6: the per-item support table is bounded by |parts|
+    — not broadcast-safe at catalog scale — so its two re-attach joins
+    must carry NO broadcast hint (AQE chooses from measured size); the
+    only allowed hint is the 1-row order-total crossJoin."""
+    from polybot_data_etl_spark import registry
+
+    df = registry.queries()["q_basket_lift"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
+    hint_pos = analyzed.find("ResolvedHint")
+    assert "n_orders" in analyzed[hint_pos : hint_pos + 400]
+
+
 def test_dedup_embed_verify_join_not_hint_forced(spark, sf_dir):
     """VERDICT r1: attaching embeddings to bucket rows must be a plain
     equi-join on vec_id (AQE may still broadcast at small scale, but no

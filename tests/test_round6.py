@@ -1,0 +1,96 @@
+"""Property tests for the round-6 changes.  Round 6 is a registration
+freeze (VERDICT r5 #3): no new queries, so these cover the SHAPE fixes —
+the long-form `q_embed_whiten` output (the only red row of the r5
+driver gate) and the scaled weighted-median twin — each verified
+against an independent pure-Python recomputation on sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.functions.vectors import q_embed_whiten
+
+
+def test_embed_whiten_long_form_matches_python(spark, sf_dir):
+    """Recompute per-dimension z-scores in pure Python (population std
+    from raw moments, the engine's shared policy) and compare the
+    long-form (vec_id, dim, z) frame cell by cell."""
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    dims = len(next(iter(vecs.values())))
+    sums = defaultdict(float)
+    sqs = defaultdict(float)
+    for emb in vecs.values():
+        for d, x in enumerate(emb, start=1):
+            sums[d] += x
+            sqs[d] += x * x
+    n = len(vecs)
+    mu = {d: sums[d] / n for d in sums}
+    sd = {d: math.sqrt(sqs[d] / n - mu[d] * mu[d]) for d in sums}
+
+    rows = q_embed_whiten(spark, sf_dir).collect()
+    # exactly one row per (vector, coordinate) — the long-form contract
+    assert len(rows) == n * dims
+    assert {(r.vec_id, r.dim) for r in rows} == {
+        (v, d) for v in vecs for d in range(1, dims + 1)
+    }
+    for r in rows:
+        want = round(
+            (vecs[r.vec_id][r.dim - 1] - mu[r.dim]) / sd[r.dim] + 1e-9, 4
+        )
+        assert abs(r.z - want) < 1e-9, (r.vec_id, r.dim, r.z, want)
+        # driver-hashable scalar cells only
+        assert isinstance(r.z, float)
+
+
+def test_weighted_median_scaled_matches_unscaled_and_python(spark, sf_dir):
+    """The scaled twin must be value-identical to q_win_weighted_median
+    (they share one oracle), and both must match a pure-Python exact-
+    cents recomputation of the cumulative-weight crossing."""
+    from polybot_data_etl_spark.operators.windows import (
+        q_win_weighted_median,
+        q_win_weighted_median_scaled,
+    )
+
+    rows = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber",
+        "l_extendedprice",
+    ).collect()
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r.l_returnflag].append(r)
+    want = {}
+    for flag, grp in by_flag.items():
+        grp.sort(key=lambda r: (r.l_quantity, r.l_orderkey, r.l_linenumber))
+        cents = [round(r.l_extendedprice * 100) for r in grp]
+        tot = sum(cents)
+        cum = 0
+        for r, c in zip(grp, cents):
+            cum += c
+            if 2 * cum >= tot:
+                want[flag] = (round(r.l_quantity, 2), round(tot / 100 + 1e-9, 2))
+                break
+    for fn in (q_win_weighted_median, q_win_weighted_median_scaled):
+        got = {r.l_returnflag: r for r in fn(spark, sf_dir).collect()}
+        assert set(got) == set(want), fn.__name__
+        for flag, (qty, tot_w) in want.items():
+            assert got[flag].weighted_median_qty == qty, (fn.__name__, flag)
+            assert abs(got[flag].total_weight - tot_w) < 0.011, (
+                fn.__name__, flag, got[flag].total_weight, tot_w,
+            )
+
+
+def test_embed_whiten_schema_is_all_scalar(spark, sf_dir):
+    """The r5 gate red was a schema-shape bug, not a math bug — pin the
+    exact output schema so it cannot regress to array<double>."""
+    schema = q_embed_whiten(spark, sf_dir).schema
+    assert [f.name for f in schema.fields] == ["vec_id", "dim", "z"]
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint",
+        "bigint",
+        "double",
+    ]
