@@ -36,6 +36,25 @@ from polybot_data_etl_spark.session import build_session
 from __spark_entry__ import queries
 
 
+def compact_line(full: dict, budget: int = 1800) -> dict:
+    """The printed-line dict: `full` with the per-query map replaced by
+    the slowest-K entries that keep the serialized line within
+    `budget` chars (the driver captures only the last ~2000 chars of
+    stdout), plus queries_full / queries_omitted markers."""
+    per_query = full.get("queries", {})
+    out = dict(full)
+    out["queries"] = {}
+    out["queries_full"] = "BENCH_FULL.json"
+    out["queries_omitted"] = 0  # reserve space for the final count
+    for name, sec in sorted(per_query.items(), key=lambda kv: -kv[1]):
+        out["queries"][name] = sec
+        if len(json.dumps(out)) > budget:
+            del out["queries"][name]
+            break
+    out["queries_omitted"] = len(per_query) - len(out["queries"])
+    return out
+
+
 def main() -> int:
     from polybot_data_etl_spark.config import EngineConfig
 
@@ -179,18 +198,7 @@ def main() -> int:
     except OSError as exc:  # noqa: PERF203 — the print below still works
         print(f"could not write {full_path}: {exc}", file=sys.stderr)
 
-    out = dict(full)
-    slowest = sorted(per_query.items(), key=lambda kv: -kv[1])
-    out["queries"] = {}
-    out["queries_full"] = "BENCH_FULL.json"
-    budget = 1800  # stay inside the driver's stdout-tail capture
-    for name, sec in slowest:
-        out["queries"][name] = sec
-        if len(json.dumps(out)) > budget:
-            del out["queries"][name]
-            break
-    out["queries_omitted"] = len(per_query) - len(out["queries"])
-    print(json.dumps(out))
+    print(json.dumps(compact_line(full)))
     return 0
 
 

@@ -1,0 +1,54 @@
+"""The driver keeps only the last ~2000 chars of bench stdout and
+json-parses it; BENCH_r01–r05 all show parsed: null because the full
+per-query map blew that window.  Pin the compact-line contract."""
+
+from __future__ import annotations
+
+import json
+
+from bench import compact_line
+
+
+def _full(n: int) -> dict:
+    return {
+        "metric": "suite_wall_sec",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"q_example_{i:04d}": round(0.1 + i * 0.01, 3) for i in range(n)},
+        "sf": 0.1,
+        "n_queries": n,
+        "median_query_sec": 0.32,
+        "plan_build_sec": 80.0,
+        "pipelined": True,
+        "loadavg_start": [1.0, 1.0, 1.0],
+        "loadavg_end": [1.0, 1.0, 1.0],
+    }
+
+
+def test_line_fits_driver_capture_at_registry_scale():
+    out = compact_line(_full(365))
+    line = json.dumps(out)
+    assert len(line) <= 2000, len(line)
+    assert json.loads(line)["metric"] == "suite_wall_sec"
+    # headline metrics survive intact
+    for k in ("value", "median_query_sec", "plan_build_sec", "n_queries"):
+        assert out[k] == _full(365)[k]
+    # the retained entries are the SLOWEST ones and the count reconciles
+    kept = set(out["queries"])
+    slowest = sorted(_full(365)["queries"].items(), key=lambda kv: -kv[1])
+    assert kept == {n for n, _ in slowest[: len(kept)]}
+    assert out["queries_omitted"] == 365 - len(kept)
+    assert out["queries_full"] == "BENCH_FULL.json"
+
+
+def test_small_suite_keeps_every_query():
+    out = compact_line(_full(20))
+    assert len(out["queries"]) == 20
+    assert out["queries_omitted"] == 0
+
+
+def test_empty_suite_is_valid():
+    out = compact_line(_full(0))
+    assert out["queries"] == {}
+    assert out["queries_omitted"] == 0
+    json.dumps(out)
