@@ -196,10 +196,21 @@ def _cost_class(name: str) -> int:
     return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
 
 
+# Queries whose LAST driver row was an ERROR, now fixed: they must be
+# re-recorded before anything else (VERDICT r5 #1 "Done = a green
+# q_embed_whiten row in CORRECTNESS_r06.json"), so they jump to the
+# very head of the enumeration — registration order would otherwise
+# leave them outside the driver's ~50-slot window.
+_REQUEUED_RED: frozenset[str] = frozenset({"q_embed_whiten"})
+
+
 def _tier(name: str) -> int:
-    """0 = never driver-recorded (the 58-query evidence debt — must own
-    the head of the driver window), 1 = queries first registered this
-    round (newest debt yields to oldest), 2 = already has a driver row."""
+    """-1 = fixed-after-red requeue (must re-record first), 0 = never
+    driver-recorded (the evidence debt — owns the head of the driver
+    window), 1 = queries first registered this round (newest debt
+    yields to oldest), 2 = already has a driver row."""
+    if name in _REQUEUED_RED:
+        return -1
     if name in _RECORDED:
         return 2
     if name in _NEW_THIS_ROUND:
@@ -208,9 +219,9 @@ def _tier(name: str) -> int:
 
 
 def _priority_order(names) -> list[str]:
-    """Never-driver-recorded names first (oldest debt before new
-    additions), cheap before expensive inside each tier; registration
-    order otherwise (Python sort is stable)."""
+    """Fixed-after-red requeues first, then never-driver-recorded names
+    (oldest debt before new additions), cheap before expensive inside
+    each tier; registration order otherwise (Python sort is stable)."""
     return sorted(names, key=lambda n: (_tier(n), _cost_class(n)))
 
 

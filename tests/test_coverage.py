@@ -35,13 +35,26 @@ def test_driver_window_priority_invariants():
     names = list(registry.queries())
     tiers = [registry._tier(n) for n in names]
     assert tiers == sorted(tiers), "tier order must be monotonic"
+    # Fixed-after-red requeues (tier -1) lead everything: their last
+    # driver row was an ERROR and the fix needs a green row this round.
+    assert names[: len(registry._REQUEUED_RED)] == sorted(
+        registry._REQUEUED_RED,
+        key=lambda n: registry._cost_class(n),
+    ) or set(names[: len(registry._REQUEUED_RED)]) == registry._REQUEUED_RED
+    assert not (registry._REQUEUED_RED & registry._RECORDED)
     tier0 = [n for n in names if registry._tier(n) == 0]
-    # The tier-0 set is exactly "registered minus recorded minus new":
-    # derive the expectation from the same constants instead of a magic
-    # number (ADVICE r4) so a legitimate recording update can't break
-    # the invariant — only genuine drift (a query in both _RECORDED and
-    # _NEW_THIS_ROUND, or a recorded name no longer registered) does.
-    expected_tier0 = set(names) - registry._RECORDED - registry._NEW_THIS_ROUND
+    # The tier-0 set is exactly "registered minus recorded minus new
+    # minus requeued": derive the expectation from the same constants
+    # instead of a magic number (ADVICE r4) so a legitimate recording
+    # update can't break the invariant — only genuine drift (a query in
+    # both _RECORDED and _NEW_THIS_ROUND, or a recorded name no longer
+    # registered) does.
+    expected_tier0 = (
+        set(names)
+        - registry._RECORDED
+        - registry._NEW_THIS_ROUND
+        - registry._REQUEUED_RED
+    )
     assert set(tier0) == expected_tier0
     assert not (registry._RECORDED & registry._NEW_THIS_ROUND)
     assert registry._RECORDED <= set(names), (
@@ -52,7 +65,7 @@ def test_driver_window_priority_invariants():
         if registry._tier(n) == 0:
             assert n not in registry._NEW_THIS_ROUND
     # cheap-before-expensive within each tier
-    for t in (0, 1, 2):
+    for t in (-1, 0, 1, 2):
         costs = [registry._cost_class(n) for n in names if registry._tier(n) == t]
         assert costs == sorted(costs)
 
