@@ -32,12 +32,10 @@ from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.session import build_session
 
-_WORDS = [
-    "spark", "query", "batch", "line", "column", "order", "small", "sort",
-    "vector", "part", "scan", "fast", "agg", "filter", "customer", "slow",
-    "value", "string", "join", "window", "shuffle", "broadcast", "stream",
-    "parquet", "schema", "bucket", "index", "merge", "cache", "plan",
-]
+_VOCAB = 10_000  # synthetic token space: large enough that unrelated
+# docs share almost no 5-gram shingles and no shingle goes df-hot by
+# vocabulary saturation (a 30-word vocab zeroed the pair set at 50 k
+# docs — every shingle blew the df-cap)
 
 
 def synth_documents(spark, n_docs: int, out_dir: str) -> None:
@@ -45,7 +43,6 @@ def synth_documents(spark, n_docs: int, out_dir: str) -> None:
     2% template docs, 10% near-dup mutations of a template (same word
     stream with one word swapped every 8 positions)."""
     n_templates = max(1, n_docs // 50)
-    words = F.array(*[F.lit(w) for w in _WORDS])
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         # 0 = unique, 1 = template, 2 = near-dup of template (id % pool)
@@ -63,22 +60,19 @@ def synth_documents(spark, n_docs: int, out_dir: str) -> None:
         F.sequence(F.lit(0), F.lit(49)),
         # mutation channel: near-dups hash every 8th word with their
         # OWN id (third hash arg) so Jaccard stays high but < 1
-        lambda i: F.element_at(
-            words,
-            (
-                F.pmod(
-                    F.xxhash64(
-                        seed,
-                        i,
-                        F.when(
-                            (F.col("kind") == 2) & (i % 8 == 0),
-                            F.col("doc_id"),
-                        ).otherwise(F.lit(-1)),
-                    ),
-                    F.lit(len(_WORDS)),
-                )
-                + 1
-            ).cast("int"),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(
+                    seed,
+                    i,
+                    F.when(
+                        (F.col("kind") == 2) & (i % 8 == 0),
+                        F.col("doc_id"),
+                    ).otherwise(F.lit(-1)),
+                ),
+                F.lit(_VOCAB),
+            ),
         ),
     )
     docs = base.select(
