@@ -131,16 +131,23 @@ def main() -> int:
     build_wall = {"sec": 0.0}
 
     def _producer() -> None:
-        for name, fn in sorted(qs.items()):
-            t0 = time.time()
-            try:
-                df = fn(spark, sf_dir)
-                build_wall["sec"] += time.time() - t0
-                work.put((name, df, None))
-            except Exception as exc:  # noqa: BLE001 — record, continue
-                build_wall["sec"] += time.time() - t0
-                work.put((name, None, f"{type(exc).__name__}: {exc}"[:300]))
-        work.put(None)
+        # the sentinel lands even if the thread dies on a non-Exception
+        # (SystemExit/KeyboardInterrupt) — otherwise the consumer would
+        # block on work.get() forever
+        try:
+            for name, fn in sorted(qs.items()):
+                t0 = time.time()
+                try:
+                    df = fn(spark, sf_dir)
+                    build_wall["sec"] += time.time() - t0
+                    work.put((name, df, None))
+                except Exception as exc:  # noqa: BLE001 — record, go on
+                    build_wall["sec"] += time.time() - t0
+                    work.put(
+                        (name, None, f"{type(exc).__name__}: {exc}"[:300])
+                    )
+        finally:
+            work.put(None)
 
     t_suite = time.time()
     threading.Thread(target=_producer, daemon=True).start()
