@@ -526,9 +526,20 @@ def hyperplane_weight(k: int, j: int) -> int:
     return 2 * ((k * 64 + j) * _HYPER_MIX % _P % 2) - 1
 
 
-def hyperplane_buckets(e: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket): 4 LSH bands, each a 4-bit
+def hyperplane_buckets(
+    e: DataFrame, bands: int = _HYPER_BANDS, bits: int = _HYPER_BITS
+) -> DataFrame:
+    """(vec_id, band, bucket): `bands` LSH bands, each a `bits`-bit
     sign-of-projection bucket over deterministic ±1 hyperplanes.
+
+    Defaults (4×4 = 16 buckets/band) are the fixture calibration the
+    registered queries and their oracles pin; at corpus scale `bits`
+    must grow ~log2(n) so bucket occupancy stays bounded — measured in
+    SCALE.md "ANN calibration": at 200 k vectors the 4-bit default
+    makes LSH candidate generation COST MORE THAN BRUTE FORCE (each
+    band bucket holds ~n/16), while 12-bit buckets restore the win at
+    the same recall.  The weight formula is generic in the hyperplane
+    index, so wider configurations stay deterministic.
 
     Computed as an Arrow ``mapInPandas`` kernel: each batch stacks its
     vectors into an (n × 64) float64 matrix and does ONE ``X @ W``
@@ -543,7 +554,7 @@ def hyperplane_buckets(e: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_hyper = _HYPER_BANDS * _HYPER_BITS
+    n_hyper = bands * bits
     W = np.array(
         [[float(hyperplane_weight(k, j)) for k in range(n_hyper)] for j in range(64)],
         dtype=np.float64,
@@ -559,12 +570,12 @@ def hyperplane_buckets(e: DataFrame) -> DataFrame:
             # a projection landing exactly on the boundary would flip
             # bucket membership between engines.  Both sides compare
             # against the same epsilon (cf. q_text_quality's tie-nudge).
-            bits = (X @ W) > 1e-9
+            signs = (X @ W) > 1e-9
             out = []
-            for band in range(_HYPER_BANDS):
+            for band in range(bands):
                 b = np.zeros(len(pdf), dtype=np.int64)
-                for i in range(_HYPER_BITS):
-                    b += bits[:, band * _HYPER_BITS + i].astype(np.int64) << i
+                for i in range(bits):
+                    b += signs[:, band * bits + i].astype(np.int64) << i
                 out.append(
                     pd.DataFrame(
                         {"vec_id": pdf["vec_id"], "band": band, "bucket": b}

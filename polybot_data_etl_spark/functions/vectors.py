@@ -345,11 +345,15 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS = 16
 
 
-def ivf_assign(e: DataFrame) -> DataFrame:
+def ivf_assign(e: DataFrame, n_centroids: int = _IVF_CENTROIDS) -> DataFrame:
     """(vec_id, c_id): IVF coarse assignment — each vector to its
-    nearest of 16 deterministic centroids (the vectors with vec_id <
-    16 act as the codebook; a real deployment would k-means them, which
-    only changes the codebook contents, not this plan).
+    nearest of `n_centroids` deterministic centroids (the vectors with
+    vec_id < n_centroids act as the codebook; a real deployment would
+    k-means them, which only changes the codebook contents, not this
+    plan).  The default (16) is the fixture calibration the registered
+    query and oracle pin; at corpus scale the cell count must track
+    √n-ish so per-cell candidate volume stays bounded (SCALE.md "ANN
+    calibration").
 
     Plan shape: posexplode dims → broadcast-join the exploded centroid
     table (16×64 rows) → one codegen'd hash-agg of per-(vector,
@@ -358,7 +362,7 @@ def ivf_assign(e: DataFrame) -> DataFrame:
     assignment never materializes an n×n product."""
     ex = e.select("vec_id", F.posexplode(F.col("embedding")).alias("j", "x"))
     cent = (
-        e.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        e.filter(F.col("vec_id") < n_centroids)
         .select(
             F.col("vec_id").alias("c_id"),
             F.posexplode(F.col("embedding")).alias("j", "w"),
