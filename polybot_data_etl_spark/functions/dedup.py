@@ -1591,11 +1591,20 @@ def q_dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = n1f.crossJoin(F.broadcast(n2f)).crossJoin(F.broadcast(mf))
     n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
     nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
+    # try_divide: on an empty/duplicate-free corpus N̂ = 0 and the
+    # coverage ratios are undefined — NULL, not an ANSI
+    # DIVIDE_BY_ZERO crash (round-6 empty-input audit); on any corpus
+    # with pairs N̂ > 0 and this is a plain division (oracle parity
+    # unchanged).
     return c.select(
         n1.cast("bigint").alias("n_minhash"),
         n2.cast("bigint").alias("n_ngram"),
         m.cast("bigint").alias("n_both"),
         F.round(nhat + F.lit(1e-9), 2).alias("chapman_total"),
-        F.round(n1 / nhat + F.lit(1e-9), 4).alias("coverage_minhash"),
-        F.round(n2 / nhat + F.lit(1e-9), 4).alias("coverage_ngram"),
+        F.round(F.try_divide(n1, nhat) + F.lit(1e-9), 4).alias(
+            "coverage_minhash"
+        ),
+        F.round(F.try_divide(n2, nhat) + F.lit(1e-9), 4).alias(
+            "coverage_ngram"
+        ),
     )

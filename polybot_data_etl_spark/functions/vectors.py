@@ -1025,6 +1025,14 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         return r / 10**n
 
     c = row["c"]
+    if not c or c < 2:
+        # empty (or single-vector) corpus: the covariance and its
+        # principal direction are undefined — empty frame, same schema
+        # (the 100 TB posture: an empty partition/table must not crash
+        # the driver-side fold; caught by the round-6 empty-input audit)
+        return spark.createDataFrame(
+            [], schema="dim bigint, loading double, eigenvalue double"
+        )
     sx = [row[f"s{i}"] for i in range(d)]
     cov = [
         [

@@ -84,6 +84,39 @@ def test_weighted_median_scaled_matches_unscaled_and_python(spark, sf_dir):
             )
 
 
+def test_empty_corpus_does_not_crash_fixed_queries(spark, sf_dir, tmp_path):
+    """Round-6 empty-input audit regressions (scripts/audit_empty.py
+    runs the fleet-wide version): q_embed_pca's driver-side power
+    iteration crashed on the Nones a 0-row moment agg returns, and
+    q_dedup_capture_recapture's coverage ratios hit ANSI
+    DIVIDE_BY_ZERO when the Chapman estimate is 0.  Both must return
+    (not raise) on an all-empty fixture dir — the 100 TB
+    empty-partition posture."""
+    from polybot_data_etl_spark.catalog import TABLES
+    from polybot_data_etl_spark.functions.dedup import (
+        clear_pair_cache,
+        q_dedup_capture_recapture,
+    )
+    from polybot_data_etl_spark.functions.vectors import q_embed_pca
+
+    empty = str(tmp_path / "empty_sf")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{empty}/{t}.parquet")
+
+    assert q_embed_pca(spark, empty).collect() == []
+    clear_pair_cache()
+    try:
+        rows = q_dedup_capture_recapture(spark, empty).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.n_minhash, r.n_ngram, r.n_both) == (0, 0, 0)
+        assert r.coverage_minhash is None and r.coverage_ngram is None
+    finally:
+        clear_pair_cache()  # don't leak the empty-dir pair frames
+
+
 def test_embed_whiten_schema_is_all_scalar(spark, sf_dir):
     """The r5 gate red was a schema-shape bug, not a math bug — pin the
     exact output schema so it cannot regress to array<double>."""
