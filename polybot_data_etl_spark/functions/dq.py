@@ -692,11 +692,14 @@ def q_dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(tot), "event_type")
         .groupBy("event_type", "n0", "n1")
         .agg(
+            # try_divide: a type whose rows all fall in one half has an
+            # empty comparison sample — KS undefined, NULL not an ANSI
+            # crash (round-6 degenerate-input audit)
             F.round(
                 F.max(
                     F.abs(
-                        F.col("p0") / F.col("n0")
-                        - F.col("p1") / F.col("n1")
+                        F.try_divide(F.col("p0"), F.col("n0"))
+                        - F.try_divide(F.col("p1"), F.col("n1"))
                     )
                 )
                 + F.lit(1e-9),
@@ -1143,8 +1146,12 @@ def q_dq_clock_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("dt").cast("bigint").alias("n_pairs"),
             F.sum(neg).cast("bigint").alias("n_inversions"),
+            # try_divide: a single-event user stream has no pairs —
+            # rate undefined, NULL not an ANSI crash (round-6 audit)
             F.round(
-                F.sum(neg) / F.count("dt").cast("double") + F.lit(1e-9), 6
+                F.try_divide(F.sum(neg), F.count("dt").cast("double"))
+                + F.lit(1e-9),
+                6,
             ).alias("inversion_rate"),
             F.coalesce(
                 F.max(F.when(F.col("dt") < 0, -F.col("dt"))), F.lit(0)
@@ -1236,14 +1243,15 @@ def q_dq_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("k"),
     )
     k = F.col("k")
+    # try_divide: one observed category → dof = 0, the per-dof statistic
+    # is undefined — NULL, not an ANSI crash (round-6 audit)
+    per_dof = F.try_divide(F.col("chi2"), k - 1)
     return c.select(
         k.cast("bigint").alias("k_categories"),
         (k - 1).cast("bigint").alias("dof"),
         F.round(F.col("chi2") + F.lit(1e-9), 4).alias("chi2"),
-        F.round(F.col("chi2") / (k - 1) + F.lit(1e-9), 4).alias(
-            "chi2_per_dof"
-        ),
-        (F.col("chi2") / (k - 1) > 2).alias("drifted"),
+        F.round(per_dof + F.lit(1e-9), 4).alias("chi2_per_dof"),
+        (per_dof > 2).alias("drifted"),
     )
 
 

@@ -383,8 +383,11 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") - (F.col("cnt") - 1) / 2.0) * F.col("cnt_p")
         ).alias("rp"),
     )
-    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0) / (
-        F.col("np") * F.col("nn")
+    # try_divide: a single-class sample (n₊ = 0 or n₋ = 0) has no
+    # rankable pairs — AUC undefined, NULL not an ANSI crash (r6 audit)
+    auc = F.try_divide(
+        F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0,
+        F.col("np") * F.col("nn"),
     )
     return agg.select(
         F.col("np").cast("bigint").alias("n_pos"),
@@ -740,8 +743,11 @@ def q_ml_feature_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") - (F.col("cnt") - 1) / 2.0) * F.col("cnt_p")
         ).alias("rp"),
     )
-    auc = (F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0) / (
-        F.col("np") * F.col("nn")
+    # try_divide: a single-class dim sample has no rankable pairs —
+    # AUC undefined, NULL not an ANSI crash (round-6 audit)
+    auc = F.try_divide(
+        F.col("rp") - F.col("np") * (F.col("np") + 1) / 2.0,
+        F.col("np") * F.col("nn"),
     )
     return agg.select(
         F.col("dim").cast("bigint").alias("dim"),
@@ -886,8 +892,11 @@ def q_ml_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.crossJoin(F.broadcast(tot)).groupBy("np", "nn").agg(
         F.round(
             F.max(
+                # try_divide: single-class sample → one CDF is over an
+                # empty class, KS undefined (NULL, r6 audit)
                 F.abs(
-                    F.col("cp") / F.col("np") - F.col("cn") / F.col("nn")
+                    F.try_divide(F.col("cp"), F.col("np"))
+                    - F.try_divide(F.col("cn"), F.col("nn"))
                 )
             )
             + F.lit(1e-9),
@@ -1210,17 +1219,24 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~pos & ~F.col("truth"), 1).otherwise(0)).alias("tn"),
     )
     tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
-    tpr = tp * 1.0 / (tp + fn)
-    tnr = tn * 1.0 / (tn + fp)
+    # try_divide: an absent class/prediction zeroes a marginal — the
+    # rates and MCC are undefined, NULL not an ANSI crash (r6 audit)
+    tpr = F.try_divide(tp * 1.0, tp + fn)
+    tnr = F.try_divide(tn * 1.0, tn + fp)
     return c.select(
         tp.cast("bigint").alias("tp"),
         fp.cast("bigint").alias("fp"),
         fn.cast("bigint").alias("fn"),
         tn.cast("bigint").alias("tn"),
         F.round(
-            (tp * tn - fp * fn)
-            / F.sqrt(
-                (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+            F.try_divide(
+                tp * tn - fp * fn,
+                F.sqrt(
+                    (tp + fp).cast("double")
+                    * (tp + fn)
+                    * (tn + fp)
+                    * (tn + fn)
+                ),
             )
             + F.lit(1e-9),
             4,
@@ -1423,23 +1439,25 @@ def q_ml_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rp"),
     )
     np_, nn_ = F.col("np"), F.col("nn")
+    # try_divide: single-class sample → no rankable pairs, AUC and its
+    # Hanley-McNeil SE undefined — NULL, not an ANSI crash (r6 audit)
     a = agg.select(
         np_,
         nn_,
         F.round(
-            (F.col("rp") - np_ * (np_ + 1) / 2.0) / (np_ * nn_)
+            F.try_divide(F.col("rp") - np_ * (np_ + 1) / 2.0, np_ * nn_)
             + F.lit(1e-11),
             6,
         ).alias("auc"),
     )
     auc = F.col("auc")
     se = F.sqrt(
-        (
+        F.try_divide(
             auc * (1 - auc)
             + (np_ - 1) * (auc / (2 - auc) - auc * auc)
-            + (nn_ - 1) * (2 * auc * auc / (1 + auc) - auc * auc)
+            + (nn_ - 1) * (2 * auc * auc / (1 + auc) - auc * auc),
+            np_ * nn_,
         )
-        / (np_ * nn_)
     )
     return a.select(
         np_.cast("bigint").alias("n_pos"),
@@ -1548,9 +1566,14 @@ def q_ml_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_pos") * F.col("b_pos")
         + (n - F.col("a_pos")) * (n - F.col("b_pos"))
     ) / (n.cast("double") * n)
-    kappa = F.round((po - pe) / (1 - pe) + F.lit(1e-9), 4)
+    # try_divide: if chance agreement pe = 1 (degenerate constant
+    # raters, e.g. a 1-row sample) κ is undefined — NULL, not an ANSI
+    # crash (r6 audit); the band must not fall through to the
+    # `otherwise` branch on a NULL κ
+    kappa = F.round(F.try_divide(po - pe, 1 - pe) + F.lit(1e-9), 4)
     band = (
-        F.when(kappa < 0.2, "slight")
+        F.when(kappa.isNull(), F.lit(None).cast("string"))
+        .when(kappa < 0.2, "slight")
         .when(kappa < 0.4, "fair")
         .when(kappa < 0.6, "moderate")
         .when(kappa < 0.8, "substantial")

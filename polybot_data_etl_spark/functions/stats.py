@@ -210,15 +210,19 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a singleton / constant-x group has zero regressor
+    # variance — the fit is undefined, NULL not an ANSI crash (r6 audit)
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return m.select(
         "event_type",
         n,
         F.round(slope, 4).alias("slope"),
         F.round(sy / n - slope * sx / n, 4).alias("intercept"),
         F.round(
-            F.pow(n * sxy - sx * sy, 2)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            F.try_divide(
+                F.pow(n * sxy - sx * sy, 2),
+                (n * sxx - sx * sx) * (n * syy - sy * sy),
+            ),
             4,
         ).alias("r2"),
     ).orderBy("event_type")
@@ -292,7 +296,8 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     ).select(
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("theta"),
+        # try_divide: zero covariate variance → θ undefined (r6 audit)
+        F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx).alias("theta"),
         (sx / n).alias("mx"),
     )
     adj = per_user.crossJoin(F.broadcast(t))
@@ -370,12 +375,17 @@ def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = F.lit(_WILSON_Z)
     n = F.col("n").cast("double")
-    p = F.col("clicks") / n
+    # try_divide: a day with zero click/view impressions has no CTR —
+    # undefined (NULL), not an ANSI crash (round-6 degenerate audit)
+    p = F.try_divide(F.col("clicks"), n)
     wilson = (
         p
-        + z * z / (2 * n)
-        - z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
-    ) / (1 + z * z / n)
+        + F.try_divide(z * z, 2 * n)
+        - z
+        * F.sqrt(
+            F.try_divide(p * (1 - p), n) + F.try_divide(z * z, 4 * n * n)
+        )
+    ) / (1 + F.try_divide(z * z, n))
     return d.select(
         "day",
         F.col("clicks").cast("bigint").alias("clicks"),
@@ -659,9 +669,13 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lang",
         c.cast("bigint").alias("n_docs"),
+        # try_divide: all-tied ranks (e.g. a single doc) have zero rank
+        # variance — ρ undefined, NULL not an ANSI crash (r6 audit)
         F.round(
-            (c * sxy - sx * sy)
-            / F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy))
+            F.try_divide(
+                c * sxy - sx * sy,
+                F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)),
+            )
             + F.lit(1e-9),
             4,
         ).alias("rho"),
@@ -795,7 +809,11 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("rsq") - 3 * (n + 1)
-    h = h_raw / (1 - F.col("ties") * F.lit(1.0) / (n * n * n - n))
+    # try_divide: n = 1 zeroes the tie-correction denominator (n³−n) —
+    # H undefined, NULL not an ANSI crash (round-6 degenerate audit)
+    h = F.try_divide(
+        h_raw, 1 - F.try_divide(F.col("ties") * F.lit(1.0), n * n * n - n)
+    )
     return s.crossJoin(F.broadcast(ties)).select(
         F.col("k").cast("bigint").alias("k_groups"),
         n.cast("bigint").alias("n"),
@@ -926,11 +944,15 @@ def q_stats_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    r = sx / sy
-    var_x = (sxx - sx * sx / n) / (n - 1)
-    var_y = (syy - sy * sy / n) / (n - 1)
-    cov = (sxy - sx * sy / n) / (n - 1)
-    se = F.sqrt((var_x + r * r * var_y - 2 * r * cov) / n) / (sy / n)
+    # try_divide: singleton groups (n-1 = 0) or a zero denominator sum
+    # leave the delta-method SE undefined — NULL, not an ANSI crash
+    r = F.try_divide(sx, sy)
+    var_x = F.try_divide(sxx - sx * sx / n, n - 1)
+    var_y = F.try_divide(syy - sy * sy / n, n - 1)
+    cov = F.try_divide(sxy - sx * sy / n, n - 1)
+    se = F.try_divide(
+        F.sqrt((var_x + r * r * var_y - 2 * r * cov) / n), sy / n
+    )
     return m.select(
         "event_type",
         n.cast("bigint").alias("n_users"),
@@ -1180,10 +1202,19 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         (k - 1).cast("bigint").alias("df_between"),
         (nt - k).cast("bigint").alias("df_within"),
+        # try_divide: k = 1 group or nt = k (all singletons) leaves a
+        # zero df — F and η² undefined, NULL not an ANSI crash (r6 audit)
         F.round(
-            (ssb / (k - 1)) / (F.col("ssw") / (nt - k)) + F.lit(1e-9), 4
+            F.try_divide(
+                F.try_divide(ssb, k - 1),
+                F.try_divide(F.col("ssw"), nt - k),
+            )
+            + F.lit(1e-9),
+            4,
         ).alias("f_stat"),
-        F.round(ssb / (ssb + F.col("ssw")) + F.lit(1e-9), 4).alias("eta_sq"),
+        F.round(
+            F.try_divide(ssb, ssb + F.col("ssw")) + F.lit(1e-9), 4
+        ).alias("eta_sq"),
     )
 
 
@@ -1260,8 +1291,15 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         (k - 1).cast("bigint").alias("df_between"),
         (nt - k).cast("bigint").alias("df_within"),
+        # try_divide: k = 1 or nt = k leaves a zero df — W undefined,
+        # NULL not an ANSI crash (round-6 degenerate audit)
         F.round(
-            (ssb / (k - 1)) / (F.col("ssw") / (nt - k)) + F.lit(1e-9), 4
+            F.try_divide(
+                F.try_divide(ssb, k - 1),
+                F.try_divide(F.col("ssw"), nt - k),
+            )
+            + F.lit(1e-9),
+            4,
         ).alias("w_stat"),
     )
 
@@ -1367,8 +1405,10 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.select("rep", "value", w.alias("w"))
         .groupBy("rep")
         .agg(
+            # try_divide: a replicate whose Poisson weights all drew 0
+            # has an empty resample — mean undefined (NULL, r6 audit)
             F.round(
-                F.sum(F.col("w") * F.col("value")) / F.sum("w")
+                F.try_divide(F.sum(F.col("w") * F.col("value")), F.sum("w"))
                 + F.lit(1e-11),
                 6,
             ).alias("m")
@@ -1459,9 +1499,13 @@ def q_stats_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     zt = m.crossJoin(F.broadcast(g)).select(
         "event_type",
         "k",
+        # try_divide: singleton groups have no sample variance — z
+        # undefined, NULL not an ANSI crash (round-6 degenerate audit)
         F.round(
-            (sx / n - F.col("mu"))
-            / F.sqrt(((sxx - sx * sx / n) / (n - 1)) / n)
+            F.try_divide(
+                sx / n - F.col("mu"),
+                F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1) / n),
+            )
             + F.lit(1e-11),
             6,
         ).alias("z"),
@@ -1657,8 +1701,9 @@ def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = a2 - a1 * a1
     m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
     m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1
-    skew = m3 / F.pow(m2, 1.5)
-    ex_kurt = m4 / (m2 * m2) - 3
+    # try_divide: zero-variance groups → moments undefined (r6 audit)
+    skew = F.try_divide(m3, F.pow(m2, 1.5))
+    ex_kurt = F.try_divide(m4, m2 * m2) - 3
     jb = n / 6.0 * (F.pow(skew, 2) + F.pow(ex_kurt, 2) / 4)
     return m.select(
         "event_type",
@@ -1791,15 +1836,23 @@ def q_stats_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "second", 1).otherwise(0)).alias("x2"),
     )
     x1, x2 = F.col("x1"), F.col("x2")
+    # try_divide: an empty half-window (x1 or x2 = 0) leaves the rate
+    # ratio undefined — NULL, not an ANSI crash (round-6 audit)
     zst = F.round(
-        F.log(x2 * 1.0 / x1) / F.sqrt(1.0 / x1 + 1.0 / x2) + F.lit(1e-11),
+        F.try_divide(
+            F.log(F.try_divide(x2 * 1.0, x1)),
+            F.sqrt(F.try_divide(F.lit(1.0), x1) + F.try_divide(F.lit(1.0), x2)),
+        )
+        + F.lit(1e-11),
         6,
     )
     p = 2 * (1 - _phi_col(F.abs(zst)))
     return w.select(
         x1.cast("bigint").alias("n_first"),
         x2.cast("bigint").alias("n_second"),
-        F.round(x2 * 1.0 / x1 + F.lit(1e-9), 4).alias("rate_ratio"),
+        F.round(F.try_divide(x2 * 1.0, x1) + F.lit(1e-9), 4).alias(
+            "rate_ratio"
+        ),
         F.round(zst + F.lit(1e-9), 4).alias("z"),
         F.round(p + F.lit(1e-9), 4).alias("p_value"),
         (p < 0.05).alias("rate_changed"),
@@ -1933,12 +1986,14 @@ def q_stats_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = daily.agg(
         F.count("*").alias("n"),
         F.avg("mx").alias("mu_m"),
+        # try_divide: a 1-day window has no sample variance — the
+        # Gumbel fit is undefined, NULL not an ANSI crash (r6 audit)
         F.sqrt(
-            (
+            F.try_divide(
                 F.sum(F.col("mx") * F.col("mx"))
-                - F.sum("mx") * F.sum("mx") * 1.0 / F.count("*")
+                - F.sum("mx") * F.sum("mx") * 1.0 / F.count("*"),
+                F.count("*") - 1,
             )
-            / (F.count("*") - 1)
         ).alias("sd"),
     )
     beta = F.col("sd") * math.sqrt(6.0) / math.pi
@@ -2232,7 +2287,11 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     b, c = F.col("b"), F.col("c")
-    zst = F.round((b - c) / F.sqrt((b + c).cast("double")) + F.lit(1e-11), 6)
+    # try_divide: no discordant pairs (b + c = 0) → test undefined
+    zst = F.round(
+        F.try_divide(b - c, F.sqrt((b + c).cast("double"))) + F.lit(1e-11),
+        6,
+    )
     p = 2 * (1 - _phi_col(F.abs(zst)))
     return d.select(
         F.col("n").cast("bigint").alias("n"),
@@ -2304,10 +2363,13 @@ def q_stats_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = a2 - a1 * a1
     m3 = a3 - 3 * a1 * a2 + 2 * F.pow(a1, 3)
     m4 = a4 - 4 * a1 * a3 + 6 * F.pow(a1, 2) * a2 - 3 * F.pow(a1, 4)
-    skew = m3 / F.pow(m2, 1.5)
-    kurt = m4 / (m2 * m2)
-    bc = (F.pow(skew, 2) + 1) / (
-        kurt + 3.0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    # try_divide: zero-variance or n ≤ 3 groups leave the moments /
+    # small-sample correction undefined — NULL, not an ANSI crash
+    skew = F.try_divide(m3, F.pow(m2, 1.5))
+    kurt = F.try_divide(m4, m2 * m2)
+    bc = F.try_divide(
+        F.pow(skew, 2) + 1,
+        kurt + F.try_divide(3.0 * (n - 1) * (n - 1), (n - 2) * (n - 3)),
     )
     return m.select(
         "event_type",
@@ -2698,8 +2760,10 @@ def q_stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    # try_divide: a singleton (or constant-x) group has zero regressor
+    # variance — slope and LM undefined, NULL not an ANSI crash (r6)
     b6 = F.round(
-        (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+        F.try_divide(n * F.col("sxy") - sx * sy, n * F.col("sxx") - sx * sx)
         + F.lit(1e-11),
         6,
     )
@@ -2722,9 +2786,10 @@ def q_stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sz = F.col("n"), F.col("sx"), F.col("sz")
     lm6 = F.round(
-        n
-        * F.pow(n * F.col("sxz") - sx * sz, 2)
-        / ((n * F.col("sxx") - sx * sx) * (n * F.col("szz") - sz * sz))
+        F.try_divide(
+            n * F.pow(n * F.col("sxz") - sx * sz, 2),
+            (n * F.col("sxx") - sx * sx) * (n * F.col("szz") - sz * sz),
+        )
         + F.lit(1e-11),
         6,
     )
@@ -2827,8 +2892,10 @@ def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("t")).alias("stt"),
     )
     n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    # try_divide: a 1-day series has zero time variance — slope and DW
+    # undefined, NULL not an ANSI crash (round-6 degenerate audit)
     b6 = F.round(
-        (n * F.col("sty") - st * sy) / (n * F.col("stt") - st * st)
+        F.try_divide(n * F.col("sty") - st * sy, n * F.col("stt") - st * st)
         + F.lit(1e-11),
         6,
     )
@@ -2848,20 +2915,23 @@ def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = res.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.round(
-            F.sum(
-                F.when(
-                    F.col("e_prev").isNotNull(),
-                    (F.col("e") - F.col("e_prev"))
-                    * (F.col("e") - F.col("e_prev")),
-                ).otherwise(0.0)
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("e_prev").isNotNull(),
+                        (F.col("e") - F.col("e_prev"))
+                        * (F.col("e") - F.col("e_prev")),
+                    ).otherwise(0.0)
+                ),
+                F.sum(F.col("e") * F.col("e")),
             )
-            / F.sum(F.col("e") * F.col("e"))
             + F.lit(1e-11),
             6,
         ).alias("dw"),
     )
     verdict = (
-        F.when(F.col("dw") < 1.5, "positive")
+        F.when(F.col("dw").isNull(), F.lit(None).cast("string"))
+        .when(F.col("dw") < 1.5, "positive")
         .when(F.col("dw") > 2.5, "negative")
         .otherwise("none")
     )
@@ -2917,14 +2987,20 @@ def q_stats_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     mu = F.col("sx") / n
     var = F.col("sxx") / n - mu * mu
+    # try_divide: zero-variance (singleton) groups leave the MoM fit
+    # undefined — NULL, not an ANSI crash (round-6 degenerate audit)
     return m.select(
         "event_type",
         n.cast("bigint").alias("n"),
         F.round(mu + F.lit(1e-9), 4).alias("mean"),
-        F.round(mu * mu / var + F.lit(1e-9), 4).alias("shape_k"),
-        F.round(var / mu + F.lit(1e-9), 4).alias("scale_theta"),
-        F.round(F.sqrt(var) / mu + F.lit(1e-9), 4).alias("cv"),
-        (mu * mu / var < 1).alias("overdispersed"),
+        F.round(F.try_divide(mu * mu, var) + F.lit(1e-9), 4).alias(
+            "shape_k"
+        ),
+        F.round(F.try_divide(var, mu) + F.lit(1e-9), 4).alias(
+            "scale_theta"
+        ),
+        F.round(F.try_divide(F.sqrt(var), mu) + F.lit(1e-9), 4).alias("cv"),
+        (F.try_divide(mu * mu, var) < 1).alias("overdispersed"),
     ).orderBy("event_type")
 
 
@@ -3310,17 +3386,19 @@ def q_stats_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s, mx = F.col("n"), F.col("s"), F.col("mx")
     mean = s / n
-    loo = (s - mx) / (n - 1)
+    # try_divide: leave-one-out over a singleton group (n-1 = 0) and
+    # shares of a zero total are undefined — NULL, not an ANSI crash
+    loo = F.try_divide(s - mx, n - 1)
     return m.select(
         "event_type",
         n.cast("bigint").alias("n"),
         F.round(mean + F.lit(1e-9), 4).alias("mean"),
         F.round(loo + F.lit(1e-9), 4).alias("mean_without_max"),
-        F.round((mean - loo) / mean + F.lit(1e-9), 6).alias(
+        F.round(F.try_divide(mean - loo, mean) + F.lit(1e-9), 6).alias(
             "max_influence"
         ),
-        F.round(mx / s + F.lit(1e-9), 6).alias("top1_share"),
-        (mx / s > 0.01).alias("whale_fragile"),
+        F.round(F.try_divide(mx, s) + F.lit(1e-9), 6).alias("top1_share"),
+        (F.try_divide(mx, s) > 0.01).alias("whale_fragile"),
     ).orderBy("event_type")
 
 

@@ -704,8 +704,14 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
         .alias("sd"),
     )
+    # try_divide: a single-vector (or constant-dimension) corpus has
+    # sd = 0 — z undefined, NULL not an ANSI crash (round-6 audit)
     z = (
-        F.round((F.col("x") - F.col("mu")) / F.col("sd") + F.lit(1e-9), 4)
+        F.round(
+            F.try_divide(F.col("x") - F.col("mu"), F.col("sd"))
+            + F.lit(1e-9),
+            4,
+        )
         + F.lit(0.0)  # normalize IEEE -0.0 (see oracle comment)
     )
     return ex.join(F.broadcast(stats), "dim").select(
@@ -806,16 +812,20 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("c")
     sx, sy, sxy = F.col("sx"), F.col("sy"), F.col("sxy")
     sxx, syy = F.col("sxx"), F.col("syy")
+    # try_divide: a single-vector corpus has n-1 = 0 and zero variance —
+    # covariance/correlation undefined, NULL not an ANSI crash (r6 audit)
     return p.select(
         F.col("i").cast("bigint").alias("i"),
         F.col("j").cast("bigint").alias("j"),
         c.cast("bigint").alias("n"),
-        F.round((sxy - sx * sy / c) / (c - 1) + F.lit(1e-12), 6).alias(
-            "cov"
-        ),
         F.round(
-            (c * sxy - sx * sy)
-            / F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy))
+            F.try_divide(sxy - sx * sy / c, c - 1) + F.lit(1e-12), 6
+        ).alias("cov"),
+        F.round(
+            F.try_divide(
+                c * sxy - sx * sy,
+                F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)),
+            )
             + F.lit(1e-9),
             4,
         ).alias("corr"),
@@ -1527,7 +1537,9 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sv") * F.col("sv")).alias("ssq"),
     )
     n, ssq = F.col("n"), F.col("ssq")
-    avg_cos = (ssq - n) / (n.cast("double") * (n - 1))
+    # try_divide: a single-vector corpus has no pairs — the mean
+    # pairwise cosine is undefined, NULL not an ANSI crash (r6 audit)
+    avg_cos = F.try_divide(ssq - n, n.cast("double") * (n - 1))
     return a.select(
         n.cast("bigint").alias("n_vectors"),
         F.col("d").cast("bigint").alias("n_dims"),

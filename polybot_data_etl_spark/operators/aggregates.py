@@ -416,15 +416,24 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    # try_divide: a singleton group has zero variance / n-1 = 0 and
+    # both statistics are undefined — NULL, not an ANSI DIVIDE_BY_ZERO
+    # crash (round-6 degenerate-input audit; singleton groups are a
+    # real data condition at scale).  Non-degenerate groups divide by
+    # a nonzero value, so the output is bit-identical to plain `/`.
     return m.select(
         "l_returnflag",
         c.alias("n"),
         F.round(
-            (c * sxy - sx * sy)
-            / F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)),
+            F.try_divide(
+                c * sxy - sx * sy,
+                F.sqrt((c * sxx - sx * sx) * (c * syy - sy * sy)),
+            ),
             4,
         ).alias("corr_qty_price"),
-        F.round((sxy - sx * sy / c) / (c - 1), 2).alias("covar_qty_price"),
+        F.round(F.try_divide(sxy - sx * sy / c, c - 1), 2).alias(
+            "covar_qty_price"
+        ),
     )
 
 
@@ -522,15 +531,23 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m1, m2r, m3r, m4r = (F.col(c) for c in ("m1", "m2r", "m3r", "m4r"))
     var = m2r - m1 * m1
+    # try_divide: zero-variance (e.g. singleton) groups have undefined
+    # higher moments — NULL, not an ANSI crash (round-6 audit).
     return raw.select(
         "l_returnflag",
         "n",
         F.round(
-            (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 4
+            F.try_divide(
+                m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1, F.pow(var, 1.5)
+            ),
+            4,
         ).alias("skewness"),
         F.round(
-            (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
-            / F.pow(var, 2)
+            F.try_divide(
+                m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                - 3 * m1 * m1 * m1 * m1,
+                F.pow(var, 2),
+            )
             - 3,
             4,
         ).alias("kurtosis_excess"),

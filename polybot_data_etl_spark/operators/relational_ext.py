@@ -949,7 +949,10 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nh * F.col("sigma")).over(wa).alias("wtot"),
         F.sum(nh).over(wa).alias("ntot"),
     )
-    quota = _NEYMAN_N * F.col("wt") / F.col("wtot")
+    # try_divide: if every stratum has zero variance (e.g. singleton
+    # strata) the Neyman weights sum to 0 and the allocation is
+    # undefined — NULL, not an ANSI crash (round-6 audit)
+    quota = F.try_divide(_NEYMAN_N * F.col("wt"), F.col("wtot"))
     q = w.select(
         "event_type",
         "nh",

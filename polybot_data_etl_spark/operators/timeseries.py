@@ -317,8 +317,13 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("sq"),
     )
     c, s, sq = F.col("c"), F.col("s"), F.col("sq")
-    z = (F.col("n") - s.cast("double") / c) / F.sqrt(
-        (c * sq - s * s).cast("double") / (c * (c - 1))
+    # try_divide: a 1-day (or constant) series has no sample variance —
+    # z undefined, NULL not an ANSI crash (round-6 degenerate audit)
+    z = F.try_divide(
+        F.col("n") - s.cast("double") / c,
+        F.sqrt(
+            F.try_divide((c * sq - s * s).cast("double"), c * (c - 1))
+        ),
     )
     return (
         daily.join(F.broadcast(stats), "event_type")
@@ -2300,8 +2305,11 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = daily.join(F.broadcast(st), "event_type").select(
         "event_type",
         "day",
+        # try_divide: zero-variance series → z undefined (r6 audit)
         F.round(
-            (F.col("vc") - F.col("mu")) / F.col("sd") + F.lit(1e-11), 6
+            F.try_divide(F.col("vc") - F.col("mu"), F.col("sd"))
+            + F.lit(1e-11),
+            6,
         ).alias("z"),
     )
     w = (
@@ -3807,7 +3815,8 @@ def q_ts_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak2"
         ),
     )
-    cosv = F.col("dot") / F.sqrt(F.col("n1") * F.col("n2"))
+    # try_divide: an empty half-window zeroes a norm — cosine undefined
+    cosv = F.try_divide(F.col("dot"), F.sqrt(F.col("n1") * F.col("n2")))
     return a.select(
         F.round(cosv + F.lit(1e-9), 6).alias("profile_cosine"),
         F.round(F.col("l1") / 2 + F.lit(1e-9), 4).alias("tv_distance"),

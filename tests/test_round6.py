@@ -117,6 +117,43 @@ def test_empty_corpus_does_not_crash_fixed_queries(spark, sf_dir, tmp_path):
         clear_pair_cache()  # don't leak the empty-dir pair frames
 
 
+def test_singleton_groups_yield_null_not_crash(spark, sf_dir, tmp_path):
+    """Round-6 one-row audit regressions: 37 statistics queries crashed
+    with ANSI DIVIDE_BY_ZERO when a variance / n−1 / class-count
+    denominator degenerates (singleton groups are a REAL data condition
+    at scale).  Representative sample per family: the undefined
+    statistic must come back NULL, the defined columns real."""
+    from polybot_data_etl_spark.catalog import TABLES
+    from polybot_data_etl_spark.functions.ml import q_ml_auc
+    from polybot_data_etl_spark.functions.stats import (
+        q_stats_regression,
+        q_stats_wilson,
+    )
+    from polybot_data_etl_spark.operators.aggregates import q_agg_corr
+
+    one = str(tmp_path / "one_sf")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.mode(
+            "overwrite"
+        ).parquet(f"{one}/{t}.parquet")
+
+    corr = q_agg_corr(spark, one).collect()
+    assert len(corr) == 1 and corr[0].n == 1
+    assert corr[0].corr_qty_price is None
+    assert corr[0].covar_qty_price is None
+
+    reg = q_stats_regression(spark, one).collect()
+    assert len(reg) == 1
+    assert reg[0].slope is None and reg[0].r2 is None
+
+    auc = q_ml_auc(spark, one).collect()
+    assert len(auc) == 1 and auc[0].auc is None  # single-class sample
+
+    # wilson: the 1-row events fixture has no click/view impressions
+    for r in q_stats_wilson(spark, one).collect():
+        assert r.ctr is None
+
+
 def test_embed_whiten_schema_is_all_scalar(spark, sf_dir):
     """The r5 gate red was a schema-shape bug, not a math bug — pin the
     exact output schema so it cannot regress to array<double>."""
