@@ -50,6 +50,11 @@ def build_session(
         # which table was read first (catalog.table rebuilds the µs
         # timestamp; see its docstring).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Let custom Python DataSources (sources/pyds.py) receive pushed
+        # filters so they can prune shards at plan time — the Python-source
+        # analog of parquet partition pruning. Off by default in Spark 4.1;
+        # scoped to Python sources only, no effect on file scans.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

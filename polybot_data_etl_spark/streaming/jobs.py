@@ -579,3 +579,112 @@ def sliding_error_share(
             ).alias("error_share"),
         )
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor as _StatefulProcessor,
+)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-speaking state server
+    between the JVM and the Python workers; without the `protobuf`
+    package the driver worker crashes at init.  Import-gate (the
+    multimodal-codec treatment, functions/multimodal.py): the operator
+    below is real and the executable test runs wherever protobuf
+    exists; this sandbox lacks it, so the end-to-end test skips and the
+    processor's fold logic is unit-tested against a fake state harness
+    instead (tests/test_tws.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class UserTotalsProcessor(_StatefulProcessor):
+    """StatefulProcessor for :func:`tws_user_totals` — defined at module
+    scope so executors can unpickle it without the enclosing closure.
+
+    State layout (in the RocksDB state store the transformWithState
+    operator requires):
+    - ValueState ``agg``: one (n, total) scalar row per user — O(users)
+      keys, constant bytes per key.
+    - MapState ``bytype``: per-user per-event_type counts — the typed
+      multi-entry state shape applyInPandasWithState had to pack into
+      one struct; here each (user, etype) entry is addressed and
+      updated individually, so a large type vocabulary never rewrites
+      the whole per-user blob per batch.
+    """
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", "n bigint, total double")
+        self._bytype = handle.getMapState(
+            "bytype", "etype string", "cnt bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+        import pandas as pd
+
+        n, total = 0, 0.0
+        if self._agg.exists():
+            prev = self._agg.get()
+            n, total = int(prev[0]), float(prev[1])
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].astype("float64").sum())
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                old = (
+                    self._bytype.getValue((etype,))
+                    if self._bytype.containsKey((etype,))
+                    else None
+                )
+                self._bytype.updateValue(
+                    (etype,), (int(cnt) + (int(old[0]) if old else 0),)
+                )
+        self._agg.update((n, total))
+        n_types = sum(1 for _ in self._bytype.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n": [n],
+                "total": [round(total, 2)],
+                "n_types": [n_types],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N802
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark-4 arbitrary-stateful API that succeeds applyInPandasWithState
+    (SPARK-46815): explicit named state variables (ValueState +
+    MapState here; ListState/timers/TTL ride the same handle) in the
+    RocksDB state store, instead of one packed state struct in the
+    HDFS-backed store.
+
+    Why it matters at 100 TB: state lives off-heap in RocksDB with
+    changelog checkpointing, so per-key state size and key count are
+    bounded by local disk not executor heap, and each state variable is
+    read/written independently (the MapState update above touches one
+    (user, etype) entry, not the user's whole state row).
+
+    Update-mode emission: one refreshed (user_id, n, total, n_types)
+    row per user per batch that touches them; the final emission equals
+    the batch groupBy twin (asserted in tests/test_tws.py)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=(
+            "user_id bigint, n bigint, total double, n_types bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
