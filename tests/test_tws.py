@@ -163,6 +163,85 @@ def test_rocksdb_state_store_equals_default_provider(spark, sf_dir, tmp_path):
     assert ok, why
 
 
+def test_rocksdb_restart_resumes_from_changelog(spark, sf_dir, tmp_path):
+    """Kill-and-restart UNDER RocksDB with changelog checkpointing: the
+    restarted query reconstructs its state from the checkpointed
+    changelog (not a leftover local RocksDB instance — the working dir
+    of the first run is gone by design in a new executor), emits only
+    new finalized windows, and the combined output equals an
+    uninterrupted run.  This is the recovery path a 1000-executor
+    deployment exercises on every task reschedule."""
+    import os
+    import shutil
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
+    try:
+
+        def run_to_files(stream_df, ckpt, out_dir):
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        src_all = replay_events_chunks(
+            spark, sf_dir, str(tmp_path / "full_replay"), n_chunks=4
+        )
+        chunks = sorted(os.listdir(src_all))
+        live = str(tmp_path / "live")
+        os.makedirs(live)
+        ckpt = str(tmp_path / "ckpt_rocks_restart")
+        out = str(tmp_path / "out_rocks_restart")
+        for f in chunks[:2]:
+            shutil.copy(f"{src_all}/{f}", f"{live}/{f}")
+        run_to_files(
+            jobs.tumbling_agg(jobs.events_file_stream(spark, live), "10 minutes"),
+            ckpt,
+            out,
+        )
+        for f in chunks[2:]:
+            shutil.copy(f"{src_all}/{f}", f"{live}/{f}")
+        run_to_files(
+            jobs.tumbling_agg(jobs.events_file_stream(spark, live), "10 minutes"),
+            ckpt,
+            out,
+        )
+        combined = spark.read.parquet(out).toPandas()
+        assert combined["bucket"].is_unique  # no re-emission after restart
+
+        ref_out = str(tmp_path / "out_rocks_ref")
+        run_to_files(
+            jobs.tumbling_agg(
+                jobs.events_file_stream(spark, src_all), "10 minutes"
+            ),
+            str(tmp_path / "ckpt_rocks_ref"),
+            ref_out,
+        )
+        ref = spark.read.parquet(ref_out).toPandas()
+        ok, why = frames_match(combined, ref)
+        assert ok, why
+        assert len(combined) > 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+
+
 @pytest.mark.skipif(
     not jobs.tws_available(),
     reason="transformWithState needs the protobuf package for the "
