@@ -1100,6 +1100,11 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("bigint")
         ).alias("cents")
     )
+    # pc feeds four consumers (percentile probe, bucketed rows, bucket
+    # offsets, grand total): cut the lineage once so the scan+shuffle
+    # runs once, not per consumer (SCALE.md §shared-subtree; the
+    # percentile .first() below is the materializing action).
+    pc = pc.localCheckpoint(eager=False)
     row = pc.agg(
         F.percentile_approx(
             "cents",
