@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -54,6 +55,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -198,3 +200,114 @@ class EventFeedDataSource(DataSource):
 def register_event_feed(spark) -> None:
     """Idempotent per-session registration of the custom source."""
     spark.dataSource.register(EventFeedDataSource)
+
+
+# --- jsonl_ledger: Python DataSource with a two-phase-commit writer -------
+
+class _LedgerCommit(WriterCommitMessage):
+    def __init__(self, temp_path: str, rows: int):
+        self.temp_path = temp_path
+        self.rows = rows
+
+
+class _LedgerWriter(DataSourceWriter):
+    """Task side writes to `<uuid>.tmp`; only the driver-side
+    ``commit()`` renames temps into place — so a reader never sees a
+    partial task's output and a failed/speculated task's temp is
+    swept by ``abort()``. This is the same publish contract the
+    repository layer implements for managed tables (temp dir +
+    atomic rename), expressed through the engine's writer protocol:
+    Spark calls write() per partition, collects the commit messages,
+    and calls exactly one of commit()/abort() with all of them."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_ledger requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_LedgerCommit":
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{part:05d}-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _LedgerCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, old))
+        for m in messages:
+            if m is not None:
+                os.rename(m.temp_path, m.temp_path[: -len(".tmp")] + ".jsonl")
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
+class _LedgerReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        self.schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import os
+
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl")  # committed files ONLY — temps invisible
+        )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        import json as _json
+
+        names = self.schema.fieldNames()
+        with open(partition.value) as f:
+            for line in f:
+                d = _json.loads(line)
+                yield tuple(d.get(n) for n in names)
+
+
+class JsonlLedgerDataSource(DataSource):
+    """``df.write.format("jsonl_ledger").option("path", …)`` — a
+    Python-side sink/source pair whose visibility boundary is the
+    driver's commit (two-phase: task temps → atomic renames)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_ledger"
+
+    def schema(self) -> str:
+        # reader must be given a schema by the caller (`.schema(...)`);
+        # this default covers the tests' event-shaped ledgers
+        return "event_id bigint, etype string, amount double"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _LedgerReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _LedgerWriter(self.options, overwrite)
+
+
+def register_jsonl_ledger(spark) -> None:
+    """Idempotent per-session registration of the ledger source."""
+    spark.dataSource.register(JsonlLedgerDataSource)

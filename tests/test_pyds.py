@@ -183,3 +183,109 @@ def test_source_name_and_registration_idempotent(feed):
     assert EventFeedDataSource.name() == "event_feed"
     register_event_feed(feed)  # second registration must not raise
     assert _read(feed, parts=1, rows=3).count() == 3
+
+
+# --- jsonl_ledger: the Python DataSourceWriter two-phase commit -----------
+
+from polybot_data_etl_spark.sources.pyds import (  # noqa: E402
+    _LedgerCommit,
+    _LedgerWriter,
+    register_jsonl_ledger,
+)
+
+_LEDGER_SCHEMA = "event_id bigint, etype string, amount double"
+
+
+@pytest.fixture(scope="module")
+def ledger(spark):
+    register_jsonl_ledger(spark)
+    return spark
+
+
+def _sample(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"t{i % 3}", round(i * 1.5, 2)) for i in range(n)], _LEDGER_SCHEMA
+    )
+
+
+def test_ledger_write_read_roundtrip_exact(ledger, tmp_path):
+    """Partition-parallel write through the Python writer protocol,
+    then read back through the committed-files-only reader: exact
+    multiset equality, one committed file per write task, zero temp
+    files after commit (the two-phase publish boundary)."""
+    import os
+
+    out = str(tmp_path / "ledger")
+    df = _sample(ledger).repartition(5)
+    df.write.format("jsonl_ledger").option("path", out).mode("append").save()
+    files = os.listdir(out)
+    assert len([f for f in files if f.endswith(".jsonl")]) == 5
+    assert not [f for f in files if f.endswith(".tmp")]
+    back = (
+        ledger.read.format("jsonl_ledger")
+        .schema(_LEDGER_SCHEMA)
+        .option("path", out)
+        .load()
+    )
+    assert back.exceptAll(df).count() == 0
+    assert df.exceptAll(back).count() == 0
+
+
+def test_ledger_overwrite_replaces_committed_set(ledger, tmp_path):
+    import os
+
+    out = str(tmp_path / "ledger_ow")
+    _sample(ledger, 40).repartition(4).write.format("jsonl_ledger").option(
+        "path", out
+    ).mode("append").save()
+    _sample(ledger, 10).repartition(2).write.format("jsonl_ledger").option(
+        "path", out
+    ).mode("overwrite").save()
+    committed = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(committed) == 2
+    back = (
+        ledger.read.format("jsonl_ledger")
+        .schema(_LEDGER_SCHEMA)
+        .option("path", out)
+        .load()
+    )
+    assert back.count() == 10
+
+
+def test_ledger_reader_ignores_uncommitted_temps(ledger, tmp_path):
+    """A crashed/in-flight task's temp file must be invisible to
+    readers — visibility is the COMMIT rename, nothing else."""
+    out = str(tmp_path / "ledger_tmp")
+    _sample(ledger, 20).repartition(2).write.format("jsonl_ledger").option(
+        "path", out
+    ).mode("append").save()
+    stray = f"{out}/part-99999-deadbeef.tmp"
+    with open(stray, "w") as f:
+        f.write('{"event_id": 424242, "etype": "ghost", "amount": 0.0}\n')
+    back = (
+        ledger.read.format("jsonl_ledger")
+        .schema(_LEDGER_SCHEMA)
+        .option("path", out)
+        .load()
+    )
+    assert back.count() == 20
+    assert back.filter("event_id = 424242").count() == 0
+
+
+def test_ledger_abort_sweeps_temp_files(tmp_path):
+    """Driver-side abort() removes every task temp named in the commit
+    messages — the failed-job cleanup half of the protocol (unit-level:
+    write() needs a live TaskContext, abort() does not)."""
+    import os
+
+    out = str(tmp_path / "ledger_abort")
+    os.makedirs(out)
+    temps = []
+    for i in range(3):
+        p = f"{out}/part-0000{i}-x.tmp"
+        with open(p, "w") as f:
+            f.write("{}\n")
+        temps.append(_LedgerCommit(p, 1))
+    w = _LedgerWriter({"path": out}, overwrite=False)
+    w.abort(temps + [None])  # a lost task reports None
+    assert os.listdir(out) == []
