@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -307,7 +308,72 @@ class JsonlLedgerDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _LedgerWriter(self.options, overwrite)
 
+    def streamWriter(  # noqa: N802
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return _LedgerStreamWriter(self.options)
+
 
 def register_jsonl_ledger(spark) -> None:
     """Idempotent per-session registration of the ledger source."""
     spark.dataSource.register(JsonlLedgerDataSource)
+
+
+class _LedgerStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`_LedgerWriter`: per micro-batch, task
+    temps → driver-side ``commit(messages, batchId)`` renames them to
+    ``batch-<id>-part-*.jsonl``.  Idempotent replay: if the engine
+    re-runs a batch after a crash-before-checkpoint, commit() first
+    drops any files already published under that batchId — so the sink
+    holds exactly one copy of every batch no matter how many times the
+    engine retries it (the foreachBatch ledger recipe, expressed
+    through the engine's sink protocol instead of user code)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_ledger requires a 'path' option")
+
+    def write(self, iterator) -> "_LedgerCommit":
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"part-{part:05d}-{uuid.uuid4().hex}.tmp"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _LedgerCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        for old in os.listdir(self.path):
+            if old.startswith(f"batch-{batchId:09d}-") and old.endswith(
+                ".jsonl"
+            ):
+                os.remove(os.path.join(self.path, old))  # replayed batch
+        for i, m in enumerate(messages):
+            if m is not None:
+                os.rename(
+                    m.temp_path,
+                    os.path.join(
+                        self.path,
+                        f"batch-{batchId:09d}-part-{i:05d}.jsonl",
+                    ),
+                )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)

@@ -289,3 +289,85 @@ def test_ledger_abort_sweeps_temp_files(tmp_path):
     w = _LedgerWriter({"path": out}, overwrite=False)
     w.abort(temps + [None])  # a lost task reports None
     assert os.listdir(out) == []
+
+
+def test_ledger_stream_sink_exactly_once_end_to_end(feed, tmp_path):
+    """Full Python-source → Python-sink pipeline: the event_feed stream
+    drains through the jsonl_ledger streaming sink; committed batch
+    files hold exactly the deterministic feed (no dup, no gap), named
+    batch-<id>-part-<i>.jsonl at the driver's commit."""
+    import glob
+    import json as _json
+    import os
+
+    register_jsonl_ledger(feed)
+    out = str(tmp_path / "sink")
+    stream = (
+        feed.readStream.format("event_feed")
+        .option("partitions", "2")
+        .option("rows_per_batch", "5")
+        .option("max_rows", "15")
+        .load()
+        .selectExpr("event_id", "etype", "amount")
+    )
+    q = (
+        stream.writeStream.format("jsonl_ledger")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            rows = sum(
+                sum(1 for _ in open(p))
+                for p in glob.glob(f"{out}/*.jsonl")
+            )
+            if rows >= 30:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = sorted(
+        (d["event_id"], d["etype"], d["amount"])
+        for p in glob.glob(f"{out}/*.jsonl")
+        for d in map(_json.loads, open(p))
+    )
+    want = sorted(
+        (feed_row(p, i)[1], feed_row(p, i)[3], feed_row(p, i)[4])
+        for p in range(2)
+        for i in range(15)
+    )
+    assert got == want
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_ledger_stream_commit_is_replay_idempotent(tmp_path):
+    """Crash-before-checkpoint replays a batch: commit(messages,
+    batchId) must first drop that batch's previously-published files so
+    the sink ends with exactly one copy (unit-level, driver-side)."""
+    import os
+
+    from polybot_data_etl_spark.sources.pyds import _LedgerStreamWriter
+
+    out = str(tmp_path / "replay_sink")
+    os.makedirs(out)
+    w = _LedgerStreamWriter({"path": out})
+
+    def temp(name, lines):
+        p = f"{out}/{name}.tmp"
+        with open(p, "w") as f:
+            f.writelines(f'{{"n": {i}}}\n' for i in range(lines))
+        return _LedgerCommit(p, lines)
+
+    w.commit([temp("a", 3), temp("b", 2)], batchId=7)
+    first = sorted(os.listdir(out))
+    # the engine re-runs batch 7 after a simulated crash
+    w.commit([temp("c", 3), temp("d", 2)], batchId=7)
+    assert sorted(os.listdir(out)) == first  # same names, one copy
+    total = sum(
+        sum(1 for _ in open(f"{out}/{f}")) for f in os.listdir(out)
+    )
+    assert total == 5
