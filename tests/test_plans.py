@@ -870,3 +870,35 @@ def test_source_diversity_window_input_is_source_aggregate(spark, sf_dir):
         assert "text#" not in inp and "doc_id#" not in inp, (
             f"window input {inp!r} references the raw documents table"
         )
+
+
+def test_link_predict_pairs_are_explode_generated_no_self_join(spark, sf_dir):
+    """Round-6 rewrite pin: edge and wedge pair generation is explode²
+    over collected arrays (Generate nodes), NOT shuffle self-joins —
+    the only join left is the candidate anti-join against the edge set.
+    A SortMergeJoin/ShuffledHashJoin on l_orderkey or v reappearing
+    means someone reverted to the O(shuffle) pair generator."""
+    plan = plan_of(spark, sf_dir, "q_graph_link_predict")
+    import re
+
+    # wedge explode² (the edge side's Generates sit behind the
+    # localCheckpoint cut, so the visible plan shows the wedge pair)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) >= 2
+    assert "explode(ws" in plan
+
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan):
+        keys = m.group(2)
+        assert "l_orderkey" not in keys and not keys.startswith("v#"), (
+            f"pair-generating self-join reappeared on keys {keys!r}"
+        )
+
+
+def test_agg_abc_shares_one_revenue_frame(spark, sf_dir):
+    """Round-6 rewrite pin: the per-part revenue frame is checkpointed
+    once at the percentile probe; the four downstream consumers reuse
+    it, so the FINAL plan contains no lineitem parquet scan at all
+    (a scan reappearing means the shared subtree was un-cut and the
+    shuffle runs per consumer again)."""
+    plan = plan_of(spark, sf_dir, "q_agg_abc")
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
