@@ -288,3 +288,52 @@ def test_tws_user_totals_equals_batch(spark, sf_dir, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_query_listener_ledger(spark, sf_dir, tmp_path):
+    """StreamingQueryListener observability (#410): the engine pushes
+    per-batch progress (rows, per-operator state rows, watermark) with
+    zero extra query work. Assert the ledger's totals reconcile with
+    the data actually ingested and that stateful-operator state-row
+    counts surface (the 100 TB early-warning channel for state growth
+    and watermark lag)."""
+    import time as _time
+
+    from polybot_data_etl_spark.streaming.monitor import ProgressLedger
+
+    ledger = ProgressLedger()
+    spark.streams.addListener(ledger)
+    try:
+        replay = replay_events_chunks(
+            spark, sf_dir, str(tmp_path / "replay_mon"), n_chunks=3
+        )
+        n_events = spark.read.parquet(replay).count()
+        out = jobs.tumbling_agg(jobs.events_file_stream(spark, replay))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("mon_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_mon"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        qid = str(q.id)
+        # listener events are delivered async on the bus thread
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if ledger.rows_ingested(qid) >= n_events and qid in [
+                s for s in ledger.terminated
+            ]:
+                break
+            _time.sleep(0.5)
+        assert ledger.rows_ingested(qid) == n_events
+        assert qid in ledger.started and qid in ledger.terminated
+        batches = ledger.batches(qid)
+        assert len(batches) >= 1
+        # the watermarked agg is stateful: open windows must be visible
+        assert max(b["state_rows_total"] for b in batches) > 0
+        # watermark advanced past the epoch once data flowed
+        assert any(b["event_time_watermark"] for b in batches)
+    finally:
+        spark.streams.removeListener(ledger)
