@@ -162,3 +162,39 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tokenize_udtf(d.doc_id, d.text) t
         """
     )
+
+
+class SplitFixedUdtf:
+    """Polymorphic Python UDTF (Spark 4 ``analyze`` API): splits text
+    into exactly N columns ``c0..c{N-1}`` where N comes from a LITERAL
+    argument at PLAN time — the output schema is computed by
+    ``analyze()`` before any data moves, so downstream operators
+    resolve columns statically (no schema-on-read guessing, no
+    per-row width drift).  The fixed-width contract truncates extra
+    tokens and NULL-pads short rows — deterministic shape whatever the
+    data does.
+
+    Scale note: schema work happens once on the driver; per-row work
+    stays a bounded split.  This is the surface for config-driven
+    extraction (delimited exports, fixed-field logs) where the width
+    is a pipeline constant, not a data property."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not n.isConstantExpression or n.value is None:
+            raise ValueError("split_fixed_udtf requires a literal width n")
+        width = int(n.value)
+        if not (1 <= width <= 64):
+            raise ValueError("split_fixed_udtf width must be in [1, 64]")
+        schema = StructType()
+        for i in range(width):
+            schema = schema.add(f"c{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, n):  # noqa: D102
+        width = int(n)
+        toks = (text or "").split(" ")
+        yield tuple(toks[:width]) + (None,) * max(0, width - len(toks))
