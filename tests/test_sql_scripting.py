@@ -113,3 +113,32 @@ def test_if_else_branching_on_query_result(scripting):
         """
     ).first()
     assert got.label == "big" and got.n > 100
+
+
+def test_execute_immediate_with_identifier_binding(scripting):
+    """Dynamic SQL (#413): EXECUTE IMMEDIATE + IDENTIFIER(?) + session
+    variables — table/column templating through BINDINGS, not string
+    concatenation (the injection-safe form config-driven pipelines
+    need)."""
+    scripting.sql(
+        "DECLARE OR REPLACE VARIABLE tbl STRING DEFAULT 'lineitem_script'"
+    )
+    got = scripting.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT count(*) AS c FROM IDENTIFIER(?)' USING tbl"
+    ).first()
+    want = scripting.table("lineitem_script").count()
+    assert got.c == want
+
+
+def test_parameterized_sql_named_args(scripting):
+    """spark.sql named parameters: the literal travels as a BOUND
+    parameter, evaluated engine-side — same count as the inline form."""
+    got = scripting.sql(
+        "SELECT count(*) AS c FROM lineitem_script WHERE l_quantity >= :q",
+        args={"q": 25},
+    ).first()
+    want = scripting.sql(
+        "SELECT count(*) AS c FROM lineitem_script WHERE l_quantity >= 25"
+    ).first()
+    assert got.c == want.c and got.c > 0
