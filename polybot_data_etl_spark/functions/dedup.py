@@ -418,7 +418,9 @@ def simhash_bands(d: DataFrame) -> DataFrame:
                 out[f"b{b}"] = band
             yield pd.DataFrame(out)
 
-    return d.select("doc_id", "text").mapInPandas(
+    return d.select("doc_id", "text").filter(
+        F.col("text").isNotNull()  # NULL text = absent, never a crash
+    ).mapInPandas(
         fingerprint,
         ", ".join(["doc_id long"] + [f"b{b} long" for b in range(_SIMHASH_BANDS)]),
     )
@@ -583,7 +585,9 @@ def hyperplane_buckets(
                 )
             yield pd.concat(out)
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    return e.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()  # NULL vector = absent
+    ).mapInPandas(
         bucketize, "vec_id long, band int, bucket long"
     )
 
@@ -1188,6 +1192,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     pairs = (
         e.select("label", "vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())  # NULL vector = absent
         .groupBy("label")
         .applyInPandas(
             lambda pdf: _sem_pairs(pdf),
@@ -1494,7 +1499,9 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "fp": out_fp})
 
     d = table(spark, sf_dir, "documents")
-    fps = d.select("doc_id", "text").mapInPandas(
+    fps = d.select("doc_id", "text").filter(
+        F.col("text").isNotNull()  # NULL text = absent
+    ).mapInPandas(
         kernel, "doc_id long, fp long"
     )
     fps = fps.localCheckpoint(eager=False)

@@ -1086,7 +1086,9 @@ def q_dq_cardinality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2.0
     )
     ww = daily.withColumn("med7", med)
-    dev = (F.col("du") - F.col("med7")) / F.col("med7")
+    # med7 = 0 when a day's users are all NULL-scrubbed — NULL deviation,
+    # not an ANSI crash (null-injection audit)
+    dev = F.try_divide(F.col("du") - F.col("med7"), F.col("med7"))
     return ww.select(
         "event_type",
         "day",

@@ -140,7 +140,9 @@ _DECODE_SCHEMA = "media_id long, modality string, n_bytes int, brightness double
 
 def decode(media_df: DataFrame) -> DataFrame:
     """Decode every payload via the Arrow-batched fake decoder."""
-    return media_df.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+    return media_df.filter(
+        F.col("payload").isNotNull()  # NULL payload = undecodable, skip
+    ).mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +171,7 @@ def histogram_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def byte_histogram(media_df: DataFrame) -> DataFrame:
     """(media_id, bin, cnt): byte-value histogram, long form."""
-    return media_df.mapInPandas(
+    return media_df.filter(F.col("payload").isNotNull()).mapInPandas(
         histogram_batch, schema="media_id long, bin int, cnt long"
     )
 
@@ -192,7 +194,7 @@ def features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_features(media_df: DataFrame) -> DataFrame:
     """(media_id, features array<float>): deterministic feature vectors."""
-    return media_df.mapInPandas(
+    return media_df.filter(F.col("payload").isNotNull()).mapInPandas(
         features_batch, schema="media_id long, features array<float>"
     )
 
@@ -217,7 +219,7 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def resize(media_df: DataFrame, width: int, height: int) -> DataFrame:
     """(media_id, payload binary): payloads resized to width*height bytes."""
     target = media_df.withColumn("target_bytes", F.lit(width * height))
-    return target.mapInPandas(
+    return target.filter(F.col("payload").isNotNull()).mapInPandas(
         resize_batch, schema="media_id long, payload binary"
     )
 
@@ -247,7 +249,9 @@ def sample_frames_batch(
 
 def sample_frames(media_df: DataFrame) -> DataFrame:
     """(media_id, frame_idx, frame binary): sampled video frames."""
-    return media_df.filter(F.col("modality") == "video").mapInPandas(
+    return media_df.filter(
+        (F.col("modality") == "video") & F.col("payload").isNotNull()
+    ).mapInPandas(
         sample_frames_batch, schema="media_id long, frame_idx int, frame binary"
     )
 
@@ -391,7 +395,7 @@ def audio_energy(media_df: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(
+    return media_df.filter(F.col("payload").isNotNull()).mapInPandas(
         kernel, "media_id long, win_idx int, n_samples int, rms double"
     )
 

@@ -248,7 +248,13 @@ def minhash_signatures(docs: DataFrame, n_perms: int = _MINHASH_PERMS) -> DataFr
     schema = ", ".join(
         ["doc_id long"] + [f"sig_{k} long" for k in range(n_perms)]
     )
-    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
+    # NULL text = absent from the corpus (failed upstream extraction):
+    # skip, never crash — the null-injection audit contract
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .mapInPandas(kernel, schema)
+    )
 
 
 def _minhash_sig_sql(n_perms: int = _MINHASH_PERMS) -> str:

@@ -491,11 +491,15 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-(_EWMA_K - 1), Window.currentRow)
     )
+    # collect_list drops NULL values, so a window of all-NULL rows
+    # yields an EMPTY arr: guard both the slice length (never negative)
+    # and the seed (NULL ewma, not an ANSI crash) — null-injection audit
     fold = (
-        "floor(aggregate(slice(arr, 2, size(arr) - 1),"
+        "case when size(arr) = 0 then cast(null as double) else"
+        " floor(aggregate(slice(arr, 2, greatest(size(arr) - 1, 0)),"
         " cast(element_at(arr, 1) as double),"
         f" (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA})"
-        " * 10000 + 0.5) / 10000"
+        " * 10000 + 0.5) / 10000 end"
     )
     return (
         e.withColumn("arr", F.collect_list("value").over(w))

@@ -164,3 +164,61 @@ def test_embed_whiten_schema_is_all_scalar(spark, sf_dir):
         "bigint",
         "double",
     ]
+
+
+def test_null_cells_never_crash_fixed_families(spark, sf_dir, tmp_path):
+    """Null-injection regression (round-6 audit #2): NULL text /
+    embedding / payload cells are a 100 TB reality (failed upstream
+    extraction, optional fields).  The audit found 16 queries crashing;
+    the contract is now skip-or-NULL-propagate, never crash.  This pins
+    one representative per fixed family against a fixture copy with
+    NULLs salted into every nullable data column."""
+    import pyspark.sql.functions as F
+
+    from polybot_data_etl_spark import registry
+    from polybot_data_etl_spark.catalog import TABLES
+    from polybot_data_etl_spark.functions.dedup import clear_pair_cache
+
+    out = str(tmp_path / "nulled")
+    keep = {"doc_id", "vec_id", "event_id"}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key = next(
+            (c for c in df.columns if c in keep or c.endswith("key")),
+            df.columns[0],
+        )
+        salted = F.pmod(F.hash(F.col(key)), F.lit(10)) == 0
+        cols = [
+            F.col(f.name)
+            if (f.name in keep or f.name.endswith("key"))
+            else F.when(salted, F.lit(None).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(*cols).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+
+    representative = [
+        "q_dedup_minhash",        # text kernel (minhash_signatures)
+        "q_dedup_simhash",        # text kernel (simhash fingerprint)
+        "q_dedup_winnowing",      # text kernel (winnowing fps)
+        "q_dedup_embed",          # embedding kernel (hyperplane buckets)
+        "q_dedup_semantic",       # embedding kernel (per-label G@G.T)
+        "q_multimodal_decode",    # binary kernel (NULL payload)
+        "q_multimodal_histogram",
+        "q_sim_topk_lsh",
+        "q_ts_ewma",              # empty collect_list window
+        "q_dq_cardinality_shift",  # zero median denominator
+    ]
+    clear_pair_cache()
+    try:
+        for name in representative:
+            # must not raise; row counts are free to differ (NULL rows
+            # are absent from the corpus by contract)
+            registry.queries()[name](spark, out).write.mode(
+                "overwrite"
+            ).format("noop").save()
+    finally:
+        clear_pair_cache()
