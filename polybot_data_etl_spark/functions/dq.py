@@ -476,7 +476,9 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one narrow projection to the leading digit, one 9-group
     map-side-combined agg; the total comes from a window over the
     9-row aggregate (never the fact table)."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_totalprice") >= 1) & ~F.isnan("o_totalprice")
+    )  # NaN sorts above every number in Spark, so >= 1 alone admits it
     d = o.select(
         F.substring(
             F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
@@ -851,13 +853,13 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     l = li.groupBy("l_orderkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+        F.sum(F.round(F.col("l_extendedprice") * 100).try_cast("long")).alias(
             "lc"
         )
     )
     g = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
         (
-            F.round(F.col("o_totalprice") * 100).cast("long") - F.col("lc")
+            F.round(F.col("o_totalprice") * 100).try_cast("long") - F.col("lc")
         ).alias("gap")
     )
     agap = F.abs(F.col("gap"))
@@ -1299,7 +1301,7 @@ def q_dq_decimal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_win_moving pattern), so every share is int-over-int.  Shape: one
     narrow projection + one map-side-combined conditional agg."""
     e = table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(F.col("value") * 100).try_cast("bigint")
     c = e.select("event_type", cents.alias("cents"))
     n = F.count("*")
     whole = F.sum(F.when(F.col("cents") % 100 == 0, 1).otherwise(0))

@@ -681,7 +681,7 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "%.2f", F.round("o_totalprice", 2).cast("double")
         ).alias("price_str"),
         F.format_number(
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint"), 0
+            F.round(F.col("o_totalprice") * 100, 0).try_cast("bigint"), 0
         ).alias("cents_grouped"),
     )
 
@@ -763,7 +763,7 @@ def q_fn_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
             F.round(
                 F.sum(
-                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    F.round(F.col("o_totalprice") * 100).try_cast("long")
                 )
                 / 100.0,
                 2,

@@ -1981,7 +1981,7 @@ def q_stats_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments (the shared q_stats_* policy)."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.max(F.round(F.col("value") * 100).cast("long")).alias("mx")
+        F.max(F.round(F.col("value") * 100).try_cast("long")).alias("mx")
     )
     m = daily.agg(
         F.count("*").alias("n"),
@@ -2162,7 +2162,7 @@ def q_stats_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+        F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("vc")
     )
     w = Window.orderBy("day")
     moves = daily.select(

@@ -1097,7 +1097,7 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pc = li.groupBy("l_partkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            F.round(F.col("l_extendedprice") * 100).try_cast("bigint")
         ).alias("cents")
     )
     # pc feeds four consumers (percentile probe, bucketed rows, bucket

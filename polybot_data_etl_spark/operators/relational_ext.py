@@ -704,10 +704,10 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_window_clause",
     oracle="""
     SELECT user_id, event_id,
-           round(sum(CAST(round(value * 100, 0) AS BIGINT))
+           round(sum(TRY_CAST(round(value * 100, 0) AS BIGINT))
                  OVER w_run / 1e2, 2) AS run_total,
            cast(rank() OVER w_rank AS BIGINT) AS value_rank,
-           round(avg(CAST(round(value * 100, 0) AS BIGINT))
+           round(avg(TRY_CAST(round(value * 100, 0) AS BIGINT))
                  OVER w_run / 1e2 + 1e-9, 4) AS run_avg
     FROM (SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)
     WHERE user_id < 50
@@ -738,10 +738,10 @@ def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT user_id, event_id,
-               round(sum(CAST(round(value * 100, 0) AS BIGINT))
+               round(sum(TRY_CAST(round(value * 100, 0) AS BIGINT))
                  OVER w_run / 1e2, 2) AS run_total,
                cast(rank() OVER w_rank AS BIGINT) AS value_rank,
-               round(avg(CAST(round(value * 100, 0) AS BIGINT))
+               round(avg(TRY_CAST(round(value * 100, 0) AS BIGINT))
                  OVER w_run / 1e2 + 1e-9, 4) AS run_avg
         FROM events_wc
         WHERE user_id < 50

@@ -2109,7 +2109,7 @@ def q_ts_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+        F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("vc")
     )
     w = Window.orderBy("day").rowsBetween(-3, 3)
     t = daily.withColumn(
@@ -2189,7 +2189,7 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+        F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("vc")
     )
     idx = daily.select(
         F.row_number().over(Window.orderBy("day")).alias("i"), "vc"
@@ -2294,7 +2294,7 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc"))
+    ).agg(F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("vc"))
     st = daily.groupBy("event_type").agg(
         F.round(F.avg("vc") + F.lit(1e-11), 6).alias("mu"),
         F.round(
@@ -2496,7 +2496,7 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+        F.sum(F.round(F.col("value") * 100).try_cast("long")).alias("vc")
     )
     w = Window.orderBy("day")
     idx = daily.select(
@@ -2584,7 +2584,7 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.round(F.col("value") * 100).try_cast("long")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(
             F.when(F.col("event_type") == "click", cents).otherwise(0)

@@ -124,7 +124,7 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-3, Window.currentRow)
     )
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(F.col("value") * 100).try_cast("bigint")
     avg_cents = F.floor(
         F.sum(cents).over(w) * F.lit(1.0) / F.count("*").over(w) + F.lit(0.5)
     )
@@ -492,7 +492,7 @@ def q_win_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(F.col("l_extendedprice") * 100)
-        .cast("bigint")
+        .try_cast("bigint")
         .alias("w_cents"),
     )
     n_buckets = 32
@@ -793,7 +793,7 @@ def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "o_custkey")
         .agg(
             F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                F.round(F.col("o_totalprice") * 100).try_cast("bigint")
             ).alias("cents")
         )
     )

@@ -222,3 +222,49 @@ def test_null_cells_never_crash_fixed_families(spark, sf_dir, tmp_path):
             ).format("noop").save()
     finally:
         clear_pair_cache()
+
+
+def test_nan_cells_never_crash_fixed_families(spark, sf_dir, tmp_path):
+    """NaN-injection regression (round-6 audit #3): ANSI CAST(NaN AS
+    BIGINT) crashes the exact-cents pattern, and Spark sorts NaN above
+    every number so `>= k` filters admit it.  17 queries crashed; all
+    now try_cast (NaN-as-missing) or isnan-guard.  Representative per
+    crash shape against NaN-salted doubles."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from polybot_data_etl_spark import registry
+    from polybot_data_etl_spark.catalog import TABLES
+
+    out = str(tmp_path / "nans")
+    keep = {"doc_id", "vec_id", "event_id"}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key = next(
+            (c for c in df.columns if c in keep or c.endswith("key")),
+            df.columns[0],
+        )
+        salted = F.pmod(F.hash(F.col(key)), F.lit(10)) == 0
+        cols = [
+            F.when(salted, F.lit(float("nan")).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            and not (f.name in keep or f.name.endswith("key"))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(*cols).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    representative = [
+        "q_agg_abc",             # cents cast inside a sum
+        "q_win_moving",          # cents cast feeding a window
+        "q_dq_benford",          # >= filter admitting NaN (isnan guard)
+        "q_sql_window_clause",   # SQL-text TRY_CAST (both dialects)
+        "q_ts_stl",              # cents cast behind AQE stage retry
+    ]
+    for name in representative:
+        registry.queries()[name](spark, out).write.mode(
+            "overwrite"
+        ).format("noop").save()
