@@ -860,10 +860,13 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     association-rule read (Apriori's scoring step) a recommender or
     assortment pipeline runs on an order lake.
 
-    Shape: ONE self-equi-join on the basket key generates candidates —
-    fan-out per order is C(basket,2), bounded by the schema's max
-    basket size (13 here, ~7-line orders in TPC-H), never by table
-    size, so pair volume is O(orders · basket²).  The per-item support
+    Shape: pair candidates come from basket-bounded explode² over the
+    collected per-order part set (the q_graph_link_predict round-6
+    posture) — ONE hash-agg shuffle on the basket key instead of a
+    two-sided self-join exchange; fan-out per order is C(basket,2),
+    bounded by the schema's max basket size (13 here, ~7-line orders
+    in TPC-H), never by table size, so pair volume stays
+    O(orders · basket²).  The per-item support
     table joins back UN-hinted (VERDICT r5 #6): it is bounded by
     |parts|, which at 100 TB is NOT broadcast-safe — AQE picks the
     strategy from the measured size (broadcast at fixture scale, a
@@ -880,10 +883,10 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     li = li.localCheckpoint(eager=False)
-    a = li.select(F.col("o"), F.col("p").alias("part_a"))
-    b = li.select(F.col("o"), F.col("p").alias("part_b"))
+    baskets = li.groupBy("o").agg(F.collect_set("p").alias("parts"))
+    pa = baskets.select(F.explode("parts").alias("part_a"), "parts")
     pairs = (
-        a.join(b, "o")
+        pa.select("part_a", F.explode("parts").alias("part_b"))
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_orders"))
