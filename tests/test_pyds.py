@@ -300,36 +300,55 @@ def test_ledger_stream_sink_exactly_once_end_to_end(feed, tmp_path):
     import json as _json
     import os
 
+    from pyspark.errors import StreamingQueryException
+
     register_jsonl_ledger(feed)
     out = str(tmp_path / "sink")
-    stream = (
-        feed.readStream.format("event_feed")
-        .option("partitions", "2")
-        .option("rows_per_batch", "5")
-        .option("max_rows", "15")
-        .load()
-        .selectExpr("event_id", "etype", "amount")
-    )
-    q = (
-        stream.writeStream.format("jsonl_ledger")
-        .option("path", out)
-        .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            rows = sum(
-                sum(1 for _ in open(p))
-                for p in glob.glob(f"{out}/*.jsonl")
+
+    def drain(attempt: int) -> None:
+        stream = (
+            feed.readStream.format("event_feed")
+            .option("partitions", "2")
+            .option("rows_per_batch", "5")
+            .option("max_rows", "15")
+            .load()
+            .selectExpr("event_id", "etype", "amount")
+        )
+        q = (
+            stream.writeStream.format("jsonl_ledger")
+            .option("path", out)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_sink{attempt}")
             )
-            if rows >= 30:
-                break
-            time.sleep(0.5)
-    finally:
-        q.stop()
-        q.awaitTermination(60)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                rows = sum(
+                    sum(1 for _ in open(p))
+                    for p in glob.glob(f"{out}/*.jsonl")
+                )
+                if rows >= 30:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    try:
+        drain(0)
+    except StreamingQueryException as exc:
+        # a saturated box can time out the Python sink worker's
+        # connect-back socket — an infra flake, not a sink bug; the
+        # batchId-keyed commit makes a clean retry exactly-once safe
+        if "connect back" not in str(exc) and "CANNOT_OPEN_SOCKET" not in str(exc):
+            raise
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        drain(1)
     got = sorted(
         (d["event_id"], d["etype"], d["amount"])
         for p in glob.glob(f"{out}/*.jsonl")
