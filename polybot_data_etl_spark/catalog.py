@@ -134,6 +134,24 @@ PARTITION_HINTS: dict[str, str] = {
 }
 
 
+# Scan-frame cache, keyed (application, sf_dir, table).  A DataFrame
+# is an immutable plan, so handing every consumer the same object is
+# semantically free — but building one costs a spark.read.parquet
+# footer read + schema analysis (~20-90 ms of Py4J round-trips), and
+# the 365-query suite makes ~550 table() calls.  The cache cut
+# plan_build_sec measurably (VERDICT r6 #6).  Keyed by applicationId
+# so a restarted session never sees another JVM's frames; cleared by
+# clear_table_cache() for tests that regenerate fixtures in place.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE_LOCK = __import__("threading").Lock()
+
+
+def clear_table_cache() -> None:
+    """Drop cached scan frames (fixture swaps / tests)."""
+    with _TABLE_CACHE_LOCK:
+        _TABLE_CACHE.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (schema-on-file).
 
@@ -150,6 +168,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    with _TABLE_CACHE_LOCK:
+        cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Lazy data-dir validation (ADVICE r4): config.from_env only checks
     # the fixture-dir env var when it is explicitly set, so a missing
     # machine-default dir must still fail HERE with the variable named
@@ -179,6 +202,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    with _TABLE_CACHE_LOCK:
+        _TABLE_CACHE[key] = df
     return df
 
 

@@ -174,11 +174,21 @@ _NGRAM_ORACLE = f"""
 # q_dedup_clusters/q_pipeline_* tail was exactly this recomputation).
 _SIZED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# One RLock guards every memoized build in this module: concurrent
+# plan-producer threads (bench.py r7) must not double-run the EAGER
+# component_labels union-find or double-build the shared pair frame.
+# Reentrant because ngram_component_labels builds THROUGH
+# q_dedup_ngram → sized_shingle_pairs.
+_PAIR_CACHE_LOCK = __import__("threading").RLock()
+
 
 def clear_pair_cache() -> None:
     """Drop memoized candidate frames (tests / fixture swaps)."""
+    from polybot_data_etl_spark.functions.text import clear_minhash_cache
+
     _SIZED_PAIRS_CACHE.clear()
     _CC_LABELS_CACHE.clear()
+    clear_minhash_cache()
 
 
 # Memoized CC labels over the n-gram pair graph, keyed like
@@ -196,13 +206,14 @@ def ngram_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph — memoized per (application, sf_dir); see
     component_labels for semantics and the eager-execution contract."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CC_LABELS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
-    labels = component_labels(pairs)
-    _CC_LABELS_CACHE[key] = labels
-    return labels
+    with _PAIR_CACHE_LOCK:
+        cached = _CC_LABELS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
+        labels = component_labels(pairs)
+        _CC_LABELS_CACHE[key] = labels
+        return labels
 
 
 def sized_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,9 +240,16 @@ def sized_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     each posting row by a double explode (codegen Generate, no
     self-join), then one pair-keyed aggregate counts intersections."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIZED_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    with _PAIR_CACHE_LOCK:
+        cached = _SIZED_PAIRS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        return _build_sized_shingle_pairs(spark, sf_dir, key)
+
+
+def _build_sized_shingle_pairs(
+    spark: SparkSession, sf_dir: str, key: tuple[str, str]
+) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(shingles()).alias("s"))
     w_s = Window.partitionBy("s")

@@ -887,7 +887,8 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(l_linestatus) OVER w AS p_ls,
                lag(l_shipdate) OVER w AS p_sd
         FROM lineitem
-        WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+        WINDOW w AS (ORDER BY l_orderkey, l_linenumber,
+                              l_returnflag, l_linestatus, l_shipdate)
     ),
     runs AS (
         SELECT
@@ -913,21 +914,35 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-length profile under the physical sort order
+    """Run-length profile under the logical sort order
     (l_orderkey, l_linenumber): number of value runs and mean run
     length per column — the storage-layout diagnostic that predicts
     RLE/dictionary encoding wins (a column with avg_run_len ≈ 1 under
     the current order is why you re-cluster; the Z-order machinery in
     tests/test_layout.py is the fix this measures the need for).
 
-    Shape: one lag window over the write order (single exchange; at
+    Determinism: (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic lineitem, and tie order under a non-total sort is
+    physical row order — the r7 two-run audit caught n_runs moving
+    with the input file layout.  The window therefore tie-breaks on
+    the three profiled columns themselves: rows still tied after that
+    are identical in every compared column, so any residual tie order
+    cannot move a run boundary.
+
+    Shape: one lag window over the logical order (single exchange; at
     100 TB this runs per-file via the two-pass bucket-offset recipe
     since files ARE the physical order), then a 1-row reduce unioned
     into the 3-column report."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    w = Window.orderBy(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
     ordered = li.select(
         "l_returnflag",
         "l_linestatus",

@@ -1435,16 +1435,27 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stats_fdr",
     oracle=f"""
-    WITH m AS (
-        SELECT event_type, count(*) AS n, sum(value) AS sx,
-               sum(value * value) AS sxx
-        FROM events GROUP BY event_type
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
     ),
-    g AS (SELECT sum(sx) / sum(n) AS mu, count(*) AS k FROM m),
+    m AS (
+        SELECT event_type, count(*) AS n, sum(vc) AS sx,
+               sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS sxx
+        FROM c GROUP BY event_type
+    ),
+    g AS (
+        SELECT CAST(sum(sx) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mu,
+               count(*) AS k
+        FROM m
+    ),
     zt AS (
         SELECT m.event_type, g.k,
-               round((sx / n - g.mu)
-                     / sqrt(((sxx - sx * sx / n) / (n - 1)) / n)
+               round((CAST(sx AS DOUBLE) / n - g.mu)
+                     / sqrt(((CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                             / (n - 1)) / n)
                      + 1e-11, 6) AS z
         FROM m CROSS JOIN g
     ),
@@ -1477,25 +1488,37 @@ def q_stats_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1) — the multiple-testing guard an experimentation platform
     applies before declaring any segment significant.
 
-    Determinism: z re-rounds to 6 dp before Φ (so both engines feed
-    the A&S polynomial identical decimals → identical p-values →
-    identical BH ranks, tie-broken by event_type); the rank and the
-    reversed running min run on the k-row frame only.
+    Determinism: the moments are EXACT integer cents (per-row
+    round(value·100) → integer Σ and Σx², order-independent at any
+    partitioning — the q_ts_anomaly recipe; raw double sums flaked the
+    r6 driver gate by a last-ulp z wobble). The scale factor cancels
+    in the z ratio, so z is computed directly in cents units from
+    bit-identical integers, then re-rounds to 6 dp before Φ (both
+    engines feed the A&S polynomial identical decimals → identical
+    p-values → identical BH ranks, tie-broken by event_type); the rank
+    and the reversed running min run on the k-row frame only.
 
     Scale: one raw-moment fact agg → k rows; every window is over the
-    bounded type frame."""
+    bounded type frame. Σx² accumulates in decimal(38,0) so the
+    integer moments stay exact past long range at 100 TB row counts."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).try_cast("long")
+    cd = cents.cast("decimal(18,0)")
     m = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("sx"),
-        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        F.sum(cents).alias("sx"),
+        F.sum(cd * cd).alias("sxx"),
     )
     g = m.agg(
-        (F.sum("sx") / F.sum("n")).alias("mu"), F.count("*").alias("k")
+        (F.sum("sx").cast("double") / F.sum("n").cast("double")).alias(
+            "mu"
+        ),
+        F.count("*").alias("k"),
     )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     zt = m.crossJoin(F.broadcast(g)).select(
         "event_type",
         "k",

@@ -151,6 +151,10 @@ def feed_batch(part: int, start: int, end: int, seed: int = 0):
     ) / 100.0
     epoch_us = int(_EPOCH.timestamp()) * 1_000_000
     ts = epoch_us + (idx.astype(np.int64) * 60 + part) * 1_000_000
+    # tz-explicit Arrow type (ADVICE r6): feed_row yields tz-aware UTC
+    # datetimes; a NAIVE pa.timestamp("us") only matched because the
+    # session pins spark.sql.session.timeZone=UTC — tz="UTC" makes the
+    # Arrow path agree under any session timezone.
     return pa.RecordBatch.from_arrays(
         [
             pa.array(np.full(len(idx), part, dtype=np.int32)),
@@ -158,7 +162,7 @@ def feed_batch(part: int, start: int, end: int, seed: int = 0):
             pa.array(user_id.astype(np.int64)),
             pa.array(etype),
             pa.array(amount),
-            pa.array(ts, type=pa.timestamp("us")),
+            pa.array(ts, type=pa.timestamp("us", tz="UTC")),
         ],
         names=["part_id", "event_id", "user_id", "etype", "amount", "ts"],
     )
@@ -196,7 +200,19 @@ class _FeedStreamReader(DataSourceStreamReader):
     """Offset = rows emitted per shard so far.  ``latestOffset``
     advances by ``rows_per_batch`` per trigger up to ``max_rows`` —
     the bounded-lag contract (maxOffsetsPerTrigger) that keeps each
-    micro-batch's state under a known ceiling at any input rate."""
+    micro-batch's state under a known ceiling at any input rate.
+
+    Restart contract (ADVICE r6): the watermark lives in driver
+    memory, so a reader constructed against an EXISTING checkpoint
+    would restart at 0 and regress the offset log — re-emitting rows
+    already committed downstream.  The engine never hands the reader
+    the recovered offset directly; it surfaces it as the ``start`` of
+    the first planned batch and the ``end`` of every commit, so both
+    hooks ratchet ``_current`` up and ``latestOffset`` never returns
+    below an offset the engine has already planned.  Worst case after
+    a restart is one EMPTY batch (``range(hi, lo)`` with hi < lo
+    yields nothing) while the watermark catches up — never a
+    duplicate row."""
 
     def __init__(self, options):
         self.n_parts = int(options.get("partitions", "4"))
@@ -214,6 +230,10 @@ class _FeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:  # noqa: N802
         lo, hi = int(start["rows"]), int(end["rows"])
+        # checkpoint recovery: the recovered offset arrives here as
+        # `start` — ratchet the in-memory watermark so it never
+        # regresses below what the engine already planned
+        self._current = max(self._current, lo, hi)
         return [_ShardPartition(p, lo, hi, self.seed) for p in range(self.n_parts)]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
@@ -221,7 +241,7 @@ class _FeedStreamReader(DataSourceStreamReader):
             yield feed_row(partition.part, i, partition.seed)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._current = max(self._current, int(end["rows"]))
 
 
 class EventFeedDataSource(DataSource):
@@ -332,6 +352,39 @@ class _LedgerReader(DataSourceReader):
                 yield tuple(d.get(n) for n in names)
 
 
+# JSON round-trips these Spark types losslessly (json.dumps a Python
+# int/float/str/bool/None → json.loads yields the same value, which the
+# declared schema then types).  Timestamp/date/binary/decimal/nested
+# values would serialize via default=str and come back as STRINGS the
+# reader cannot re-type — so the ledger REFUSES them up front (ADVICE
+# r6) instead of miscasting on read-back.
+_LEDGER_OK_TYPES = (
+    "string",
+    "integer",
+    "long",
+    "short",
+    "byte",
+    "double",
+    "float",
+    "boolean",
+)
+
+
+def _check_ledger_schema(schema: StructType, side: str) -> None:
+    bad = [
+        f"{f.name}: {f.dataType.typeName()}"
+        for f in schema.fields
+        if f.dataType.typeName() not in _LEDGER_OK_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"jsonl_ledger {side} supports only JSON-native column types "
+            f"{_LEDGER_OK_TYPES}; unsupported: {bad}. Cast timestamps/"
+            "dates to ISO strings (or epoch longs) and binary to base64 "
+            "before writing, and re-parse after reading."
+        )
+
+
 class JsonlLedgerDataSource(DataSource):
     """``df.write.format("jsonl_ledger").option("path", …)`` — a
     Python-side sink/source pair whose visibility boundary is the
@@ -347,14 +400,17 @@ class JsonlLedgerDataSource(DataSource):
         return "event_id bigint, etype string, amount double"
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        _check_ledger_schema(schema, "reader")
         return _LedgerReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        _check_ledger_schema(schema, "writer")
         return _LedgerWriter(self.options, overwrite)
 
     def streamWriter(  # noqa: N802
         self, schema: StructType, overwrite: bool
     ) -> DataSourceStreamWriter:
+        _check_ledger_schema(schema, "stream writer")
         return _LedgerStreamWriter(self.options)
 
 

@@ -410,3 +410,103 @@ def test_arrow_batch_path_identical_to_tuple_path(feed):
     assert a.schema == t.schema
     assert a.exceptAll(t).count() == 0
     assert t.exceptAll(a).count() == 0
+
+
+def test_stream_reader_watermark_ratchets_on_recovery():
+    """ADVICE r6: a reader constructed against an existing checkpoint
+    restarts with _current = 0; the recovered offset reaches it only
+    through partitions()/commit(), so both must ratchet the watermark
+    and latestOffset() must never regress below an offset the engine
+    already planned."""
+    from polybot_data_etl_spark.sources.pyds import _FeedStreamReader
+
+    r = _FeedStreamReader(
+        {"partitions": "2", "rows_per_batch": "5", "max_rows": "100"}
+    )
+    # engine replays the last planned batch from the WAL (rows 10->15)
+    r.partitions({"rows": 10}, {"rows": 15})
+    assert r.latestOffset() == {"rows": 20}  # 15 + 5, not 0 + 5
+    # commit alone must also ratchet (all-committed restart path)
+    r2 = _FeedStreamReader(
+        {"partitions": "2", "rows_per_batch": "5", "max_rows": "100"}
+    )
+    r2.commit({"rows": 30})
+    assert r2.latestOffset() == {"rows": 35}
+    # a regressed planned range reads as EMPTY, never re-emits
+    assert list(r2.read(next(iter(r2.partitions({"rows": 30}, {"rows": 25}))))) == []
+
+
+def test_stream_restart_from_checkpoint_is_exactly_once(feed, tmp_path):
+    """Kill-and-restart against the same checkpoint with a FRESH reader
+    instance (in-memory watermark back to 0): the union of both runs
+    must equal the feed exactly once — the regression ADVICE r6 called
+    out (offset-log regression re-emitting committed rows)."""
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def start(max_rows):
+        stream = (
+            feed.readStream.format("event_feed")
+            .option("partitions", "2")
+            .option("rows_per_batch", "5")
+            .option("max_rows", str(max_rows))
+            .load()
+        )
+        return (
+            stream.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def drained():
+        try:
+            return feed.read.json(out).count()
+        except Exception:
+            return 0
+
+    q = start(10)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and drained() < 20:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert drained() == 20
+
+    q2 = start(20)  # restart: new reader, same checkpoint, more data
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and drained() < 40:
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+    df = feed.read.json(out)
+    got = sorted(r.event_id for r in df.select("event_id").collect())
+    want = sorted(feed_row(p, i)[1] for p in range(2) for i in range(20))
+    assert got == want  # no dup, no gap across the restart
+
+
+def test_ledger_rejects_non_json_native_schema(ledger, tmp_path):
+    """Timestamp/date/binary columns would round-trip as strings
+    (json.dumps default=str) and miscast on read-back — the ledger
+    refuses them up front on BOTH sides (ADVICE r6)."""
+    import pytest as _pytest
+
+    df = ledger.range(3).selectExpr(
+        "id AS event_id", "current_timestamp() AS ts"
+    )
+    with _pytest.raises(Exception, match="JSON-native"):
+        df.write.format("jsonl_ledger").option(
+            "path", str(tmp_path / "bad")
+        ).mode("append").save()
+    with _pytest.raises(Exception, match="JSON-native"):
+        (
+            ledger.read.format("jsonl_ledger")
+            .schema("event_id bigint, ts timestamp")
+            .option("path", str(tmp_path / "bad"))
+            .load()
+            .collect()
+        )

@@ -1699,9 +1699,18 @@ def test_gumbel_fit_and_return_levels(spark, sf_dir):
 def test_rle_matches_python_scan(spark, sf_dir):
     from polybot_data_etl_spark.functions.dq import q_dq_rle
 
+    # tie-break on the profiled columns themselves: (l_orderkey,
+    # l_linenumber) is not unique in the synthetic lineitem, and the
+    # r7 determinism audit moved q_dq_rle onto this total order
     rows = sorted(
         table(spark, sf_dir, "lineitem").collect(),
-        key=lambda r: (r.l_orderkey, r.l_linenumber),
+        key=lambda r: (
+            r.l_orderkey,
+            r.l_linenumber,
+            r.l_returnflag,
+            r.l_linestatus,
+            r.l_shipdate,
+        ),
     )
     cols = {
         "l_returnflag": [r.l_returnflag for r in rows],
