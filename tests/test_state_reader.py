@@ -185,3 +185,48 @@ def test_statestore_state_matches_emitted_result(spark, tmp_path):
     assert state.exceptAll(batch).count() == 0
     assert batch.exceptAll(state).count() == 0
     assert state.count() == 7
+
+
+def test_statestore_change_feed_tracks_per_batch_updates(spark, tmp_path):
+    """readChangeFeed turns the checkpoint into a CDC stream of state
+    transitions: one (batch_id, change_type, key, value) row per
+    update — how an audit attributes a state change to the exact
+    micro-batch that made it (the state-level twin of a table's
+    change feed)."""
+    import os
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b0.json"), "w") as f:
+        f.write('{"k":"a","v":1}\n')
+    df = spark.readStream.schema("k string, v long").json(src_dir)
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    with open(os.path.join(src_dir, "b1.json"), "w") as f:
+        f.write('{"k":"a","v":10}\n{"k":"b","v":5}\n')
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    cf = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", "0")
+        .load(ckpt)
+    )
+    got = sorted(
+        (r["batch_id"], r["change_type"], r["key"]["k"], r["value"]["sum"])
+        for r in cf.collect()
+    )
+    assert got == [
+        (0, "update", "a", 1),   # batch 0 creates a=1
+        (1, "update", "a", 11),  # batch 1 updates a, creates b
+        (1, "update", "b", 5),
+    ]

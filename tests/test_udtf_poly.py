@@ -69,3 +69,74 @@ def test_non_literal_width_is_a_plan_error(split_fixed, sf_dir):
             LATERAL split_fixed_udtf(d.text, CAST(d.doc_id AS INT)) t
             """
         ).collect()
+
+
+def test_arrow_optimized_udtf_matches_pickled_path(spark, sf_dir):
+    """`@udtf(useArrow=True)` swaps the row-pickle UDTF transport for
+    Arrow batches (the pandas_udf treatment applied to table
+    functions).  Same eval logic both ways must give identical rows —
+    the transport is an optimization, never semantics."""
+    from polybot_data_etl_spark.catalog import table
+
+    def make(use_arrow: bool):
+        @udtf(returnType="word string, n int", useArrow=use_arrow)
+        class Words:
+            def eval(self, text: str):
+                if text:
+                    for w in text.split(" ")[:3]:
+                        yield w, len(w)
+
+        return Words
+
+    spark.udtf.register("words_arrow", make(True))
+    spark.udtf.register("words_plain", make(False))
+    docs = table(spark, sf_dir, "documents")
+    docs.limit(50).createOrReplaceTempView("udtf_docs")
+    a = spark.sql(
+        "SELECT d.doc_id, w.word, w.n FROM udtf_docs d, "
+        "LATERAL words_arrow(d.text) w"
+    )
+    p = spark.sql(
+        "SELECT d.doc_id, w.word, w.n FROM udtf_docs d, "
+        "LATERAL words_plain(d.text) w"
+    )
+    assert a.count() > 0
+    assert a.exceptAll(p).count() == 0
+    assert p.exceptAll(a).count() == 0
+
+
+def test_python_udf_profiler_attributes_worker_time(spark):
+    """spark.profile with spark.sql.pyspark.udf.profiler=perf samples
+    the Python-worker execution of a UDF — the runtime observability
+    that tells an operator WHICH udf is burning executor CPU before
+    they ship it to a 1000-executor cluster.  The profile must exist
+    for the executed UDF and show its eval frame."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark.conf.set("spark.sql.pyspark.udf.profiler", "perf")
+    try:
+
+        # NOTE: `from __future__ import annotations` stringifies type
+        # hints and pandas_udf cannot resolve 'pd.Series' from a local
+        # import, so the probe's types come from the module-scope pd
+        # alias below.
+        import pandas as _pd
+
+        globals()["_pd"] = _pd
+
+        @pandas_udf("double")
+        def _prof_probe(s: "_pd.Series") -> "_pd.Series":
+            return (s * 2 + 1).astype("float64")
+
+        spark.range(1000).select(_prof_probe("id").alias("y")).collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            spark.profile.show(type="perf")
+        out = buf.getvalue()
+        assert "_prof_probe" in out or "function calls" in out
+    finally:
+        spark.conf.unset("spark.sql.pyspark.udf.profiler")
+        spark.profile.clear()
