@@ -174,6 +174,10 @@ _NGRAM_ORACLE = f"""
 # q_dedup_clusters/q_pipeline_* tail was exactly this recomputation).
 _SIZED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Memoized q_dedup_embed verified-pair frame (r7): consumed by the
+# query itself and q_dedup_threshold_sweep.
+_EMBED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 # One RLock guards every memoized build in this module: concurrent
 # plan-producer threads (bench.py r7) must not double-run the EAGER
 # component_labels union-find or double-build the shared pair frame.
@@ -184,11 +188,14 @@ _PAIR_CACHE_LOCK = __import__("threading").RLock()
 
 def clear_pair_cache() -> None:
     """Drop memoized candidate frames (tests / fixture swaps)."""
+    from polybot_data_etl_spark.catalog import clear_table_cache
     from polybot_data_etl_spark.functions.text import clear_minhash_cache
 
     _SIZED_PAIRS_CACHE.clear()
     _CC_LABELS_CACHE.clear()
+    _EMBED_PAIRS_CACHE.clear()
     clear_minhash_cache()
+    clear_table_cache()
 
 
 # Memoized CC labels over the n-gram pair graph, keyed like
@@ -745,7 +752,24 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket sort).  Rounding carries a +1e-9 nudge on both engines
     so a sim at a .00005 boundary can't round apart.  Recall is the
     standard LSH trade-off (≈1-(1-p^4)^4, p = 1 - θ/π); add bands to
-    raise it."""
+    raise it.
+
+    The verified pair frame is memoized per (application, sf_dir)
+    like the MinHash pairs: q_dedup_threshold_sweep consumes it, so a
+    session running both pays the hyperplane kernel + tiled verify
+    once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PAIR_CACHE_LOCK:
+        cached = _EMBED_PAIRS_CACHE.get(key)
+        if cached is None:
+            cached = _build_embed_pairs(spark, sf_dir).localCheckpoint(
+                eager=False
+            )
+            _EMBED_PAIRS_CACHE[key] = cached
+        return cached
+
+
+def _build_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # bk feeds the size aggregate AND the tiled join — without a cut the
     # hyperplane sign-bit matmul (the Arrow kernel) executes twice per
