@@ -902,3 +902,33 @@ def test_agg_abc_shares_one_revenue_frame(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_agg_abc")
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_minhash_eval_found_side_is_probe_bounded(spark, sf_dir):
+    """q_dedup_minhash_eval (r7): BOTH sides are probe-bounded — every
+    parquet scan in the plan (the query reads only documents) carries
+    the doc_id < 100 pushdown, so the found side runs the signature
+    kernel over the probe subset, never the corpus (a corpus scan →
+    100-doc kernel at 100 TB).  Banding is per-doc deterministic, so
+    probe×probe LSH pairs are identical either way (the oracle keeps
+    the filtered-full-corpus formulation as the independent witness)."""
+    import re
+
+    from polybot_data_etl_spark.functions.dedup import clear_pair_cache
+
+    clear_pair_cache()  # a memoized corpus pair frame would hide scans
+    try:
+        plan = plan_of(spark, sf_dir, "q_dedup_minhash_eval")
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+        assert scans, "expected parquet scans in the plan"
+        probe_pushed = [
+            ln
+            for ln in plan.splitlines()
+            if "PushedFilters" in ln and "LessThan(doc_id,100)" in ln
+        ]
+        assert len(probe_pushed) == len(scans), (
+            f"{len(scans)} parquet scans but only {len(probe_pushed)}"
+            f" carry the probe pushdown:\n{plan[:2000]}"
+        )
+    finally:
+        clear_pair_cache()
