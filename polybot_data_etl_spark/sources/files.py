@@ -114,6 +114,50 @@ def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> Data
     return reader.load(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+    mode: str | None = None,
+) -> DataFrame:
+    """XML connector (NATIVE in Spark 4 — the spark-xml package moved
+    in-tree): one row per ``row_tag`` element, attributes surfaced as
+    ``_attr`` columns, nested elements as structs.  ``mode`` is the
+    dirty-input policy shared with CSV/JSON (PERMISSIVE /
+    DROPMALFORMED / FAILFAST) — the feed-ingest shape for the XML
+    exports enterprise systems still emit."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if mode:
+        reader = reader.option("mode", mode)
+        if mode == "PERMISSIVE":
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    partition_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """XML sink twin of :func:`read_xml` (one ``row_tag`` element per
+    row under ``root_tag`` per file)."""
+    writer = (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def avro_available(spark: SparkSession) -> bool:
     """True when the spark-avro module is on the session's classpath.
 

@@ -242,3 +242,78 @@ def test_avro_connector_gate_or_roundtrip(spark, sf_dir, tmp_path):
             files.write_avro(nation, path)
         with pytest.raises(RuntimeError, match="spark-avro"):
             files.read_avro(spark, path)
+
+
+def test_xml_round_trip_exact(spark, sf_dir, tmp_path):
+    """XML source/sink (native in Spark 4): write orders as XML, read
+    back under an explicit schema, rows exactly equal — the lake
+    interchange format #5 after parquet/ORC/CSV/JSON, still the
+    export shape of many enterprise feeds."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        # XML carries timestamps as text; pin the lossless string form
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_date_s"
+        ),
+    )
+    path = str(tmp_path / "orders_xml")
+    files.write_xml(orders, path, row_tag="order", root_tag="orders")
+    back = files.read_xml(
+        spark,
+        path,
+        row_tag="order",
+        schema=(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_date_s string"
+        ),
+    ).select(*orders.columns)
+    _assert_same_rows(orders, back, "o_orderkey")
+
+
+def test_xml_attributes_and_nesting(spark, tmp_path):
+    """XML structure mapping: attributes become _-prefixed columns,
+    nested elements become structs — the shape contract code relies
+    on when flattening a feed."""
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "a.xml").write_text(
+        "<rows>"
+        '<row id="7"><who><name>ann</name><org>acme</org></who>'
+        "<amt>1.5</amt></row>"
+        "</rows>"
+    )
+    df = files.read_xml(spark, str(src), row_tag="row")
+    [r] = df.collect()
+    assert r["_id"] == 7
+    assert r["who"]["name"] == "ann" and r["who"]["org"] == "acme"
+    assert r["amt"] == 1.5
+
+
+def test_xml_permissive_mode_isolates_corrupt_rows(spark, tmp_path):
+    """The CSV/JSON dirty-input policy holds for XML too: PERMISSIVE
+    keeps malformed elements in the corrupt-record column instead of
+    failing the scan."""
+    src = tmp_path / "dirty"
+    src.mkdir()
+    (src / "a.xml").write_text(
+        "<rows>"
+        "<row><id>1</id><amt>2.5</amt></row>"
+        "<row><id>notanint</id><amt>3.5</amt></row>"
+        "</rows>"
+    )
+    df = files.read_xml(
+        spark,
+        str(src),
+        row_tag="row",
+        schema="id bigint, amt double, _corrupt string",
+        mode="PERMISSIVE",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 1
+    assert len(bad) == 1 and bad[0]["id"] is None
