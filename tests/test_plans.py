@@ -149,10 +149,14 @@ def test_dedup_embed_verify_join_not_hint_forced(spark, sf_dir):
     """VERDICT r1: attaching embeddings to bucket rows must be a plain
     equi-join on vec_id (AQE may still broadcast at small scale, but no
     hint may force shipping the full vector store). The only allowed
-    hint is on the tiny (band,bucket) size summary."""
-    from polybot_data_etl_spark import registry
+    hint is on the tiny (band,bucket) size summary.
 
-    df = registry.queries()["q_dedup_embed"](spark, sf_dir)
+    Inspects the underlying builder: the registered query memoizes a
+    localCheckpoint wrapper (r7), whose analyzed plan collapses to the
+    checkpoint node once another test materializes it."""
+    from polybot_data_etl_spark.functions.dedup import _build_embed_pairs
+
+    df = _build_embed_pairs(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
     # the hinted subtree is the count aggregate, not a raw relation
