@@ -227,13 +227,19 @@ def main() -> int:
         # overwrote the driver's): rotate the existing file aside,
         # named by its own mtime, so concurrent driver/judge runs
         # coexist on disk; BENCH_FULL.json always holds the latest.
+        # A same-second collision gets a pid-suffixed unique name —
+        # skipping the rotation would silently destroy the record,
+        # the exact clobber this exists to prevent.
         if os.path.exists(full_path):
             stamp = time.strftime(
                 "%Y%m%dT%H%M%S", time.gmtime(os.path.getmtime(full_path))
             )
             rotated = full_path.replace(".json", f"_{stamp}.json")
-            if not os.path.exists(rotated):
-                os.replace(full_path, rotated)
+            if os.path.exists(rotated):
+                rotated = full_path.replace(
+                    ".json", f"_{stamp}_{os.getpid()}.json"
+                )
+            os.replace(full_path, rotated)
         with open(full_path, "w") as fh:
             json.dump(full, fh)
     except OSError as exc:  # noqa: PERF203 — the print below still works

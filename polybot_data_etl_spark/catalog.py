@@ -168,9 +168,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     with _TABLE_CACHE_LOCK:
         cached = _TABLE_CACHE.get(key)
+        if cached is None:
+            # evict dead-session generations: a process that restarts
+            # SparkSessions would otherwise pin DataFrames holding
+            # Py4J refs into dead JVMs forever
+            for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+                del _TABLE_CACHE[k]
     if cached is not None:
         return cached
     # Lazy data-dir validation (ADVICE r4): config.from_env only checks

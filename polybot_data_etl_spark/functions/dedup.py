@@ -186,14 +186,27 @@ _EMBED_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIR_CACHE_LOCK = __import__("threading").RLock()
 
 
+def _evict_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop entries from other (dead) SparkSessions — a restarting
+    process must not pin Py4J refs into dead JVMs forever.  Caller
+    holds the module lock."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 def clear_pair_cache() -> None:
-    """Drop memoized candidate frames (tests / fixture swaps)."""
+    """Drop memoized candidate frames (tests / fixture swaps).
+
+    Takes the build lock: clearing concurrently with an in-flight
+    memoized build must not let the builder re-insert a frame pinned
+    to the pre-swap file listing right after the clear."""
     from polybot_data_etl_spark.catalog import clear_table_cache
     from polybot_data_etl_spark.functions.text import clear_minhash_cache
 
-    _SIZED_PAIRS_CACHE.clear()
-    _CC_LABELS_CACHE.clear()
-    _EMBED_PAIRS_CACHE.clear()
+    with _PAIR_CACHE_LOCK:
+        _SIZED_PAIRS_CACHE.clear()
+        _CC_LABELS_CACHE.clear()
+        _EMBED_PAIRS_CACHE.clear()
     clear_minhash_cache()
     clear_table_cache()
 
@@ -217,6 +230,7 @@ def ngram_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _CC_LABELS_CACHE.get(key)
         if cached is not None:
             return cached
+        _evict_dead_sessions(_CC_LABELS_CACHE, key[0])
         pairs = q_dedup_ngram(spark, sf_dir).select("a_id", "b_id")
         labels = component_labels(pairs)
         _CC_LABELS_CACHE[key] = labels
@@ -251,6 +265,7 @@ def sized_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _SIZED_PAIRS_CACHE.get(key)
         if cached is not None:
             return cached
+        _evict_dead_sessions(_SIZED_PAIRS_CACHE, key[0])
         return _build_sized_shingle_pairs(spark, sf_dir, key)
 
 
@@ -762,6 +777,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _PAIR_CACHE_LOCK:
         cached = _EMBED_PAIRS_CACHE.get(key)
         if cached is None:
+            _evict_dead_sessions(_EMBED_PAIRS_CACHE, key[0])
             cached = _build_embed_pairs(spark, sf_dir).localCheckpoint(
                 eager=False
             )

@@ -369,6 +369,11 @@ def minhash_signature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _MINHASH_CACHE_LOCK:
         cached = _MINHASH_SIG_CACHE.get(key)
         if cached is None:
+            from polybot_data_etl_spark.functions.dedup import (
+                _evict_dead_sessions,
+            )
+
+            _evict_dead_sessions(_MINHASH_SIG_CACHE, key[0])
             cached = minhash_signatures(
                 table(spark, sf_dir, "documents")
             ).localCheckpoint(eager=False)
@@ -396,6 +401,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _MINHASH_CACHE_LOCK:
         cached = _MINHASH_PAIRS_CACHE.get(key)
         if cached is None:
+            from polybot_data_etl_spark.functions.dedup import (
+                _evict_dead_sessions,
+            )
+
+            _evict_dead_sessions(_MINHASH_PAIRS_CACHE, key[0])
             cached = minhash_pairs(
                 table(spark, sf_dir, "documents"),
                 sigs=minhash_signature_frame(spark, sf_dir),

@@ -120,20 +120,39 @@ def read_xml(
     row_tag: str = "row",
     schema=None,
     mode: str | None = None,
+    corrupt_column: str = "_corrupt",
 ) -> DataFrame:
     """XML connector (NATIVE in Spark 4 — the spark-xml package moved
     in-tree): one row per ``row_tag`` element, attributes surfaced as
     ``_attr`` columns, nested elements as structs.  ``mode`` is the
     dirty-input policy shared with CSV/JSON (PERMISSIVE /
     DROPMALFORMED / FAILFAST) — the feed-ingest shape for the XML
-    exports enterprise systems still emit."""
+    exports enterprise systems still emit.  Under PERMISSIVE,
+    malformed elements land in ``corrupt_column`` — it must name a
+    string field of the supplied schema, or the capture is silently
+    inert (Spark routes corrupt data to a nonexistent column and
+    drops it), so that mismatch raises here."""
     reader = spark.read.format("xml").option("rowTag", row_tag)
     if schema is not None:
         reader = reader.schema(schema)
     if mode:
         reader = reader.option("mode", mode)
         if mode == "PERMISSIVE":
-            reader = reader.option("columnNameOfCorruptRecord", "_corrupt")
+            if schema is not None:
+                names = (
+                    schema.fieldNames()
+                    if hasattr(schema, "fieldNames")
+                    else [f.split()[0] for f in str(schema).split(",")]
+                )
+                if corrupt_column not in [n.strip() for n in names]:
+                    raise ValueError(
+                        f"PERMISSIVE capture needs {corrupt_column!r} in"
+                        f" the schema (got {names}); pass corrupt_column="
+                        "to match your schema's corrupt-record field"
+                    )
+            reader = reader.option(
+                "columnNameOfCorruptRecord", corrupt_column
+            )
     return reader.load(path)
 
 

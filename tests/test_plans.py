@@ -77,8 +77,34 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 def test_no_cartesian_products(spark, sf_dir, name):
     """LSH/dedup candidate generation and every relational join must be
     an equi-join — a CartesianProduct/nested-loop here means the bucket
-    key got lost and the operator is O(n²) at scale."""
-    plan = plan_of(spark, sf_dir, name)
+    key got lost and the operator is O(n²) at scale.
+
+    Memoized queries (r7) return a localCheckpoint wrapper whose plan
+    collapses to `Scan ExistingRDD` — inspecting that would make this
+    test vacuous, so those names resolve to their underlying plan
+    builders instead."""
+    from polybot_data_etl_spark.functions import dedup as _dedup
+    from polybot_data_etl_spark.functions import text as _text
+
+    builders = {
+        "q_dedup_minhash": lambda s, d: _text.minhash_pairs(
+            __import__(
+                "polybot_data_etl_spark.catalog", fromlist=["table"]
+            ).table(s, d, "documents")
+        ),
+        "q_dedup_embed": _dedup._build_embed_pairs,
+    }
+    if name in builders:
+        df = builders[name](spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+    else:
+        plan = plan_of(spark, sf_dir, name)
+    # prove the inspected plan is the REAL candidate-generation tree,
+    # not a collapsed checkpoint scan (vacuous-test guard)
+    assert "HashAggregate" in plan or "Join" in plan, name
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
 
