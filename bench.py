@@ -222,14 +222,17 @@ def main() -> int:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    # Never clobber a prior run's full record (the r6 judge run
+    # overwrote the driver's): rotate the existing file aside,
+    # named by its own mtime, so concurrent driver/judge runs
+    # coexist on disk; BENCH_FULL.json always holds the latest.
+    # A same-second collision gets a pid-suffixed unique name —
+    # skipping the rotation would silently destroy the record,
+    # the exact clobber this exists to prevent.  The rotation and
+    # the write get SEPARATE guards (ADVICE r7): a lost rotation
+    # race (two runs, the loser's os.replace raises FileNotFound)
+    # must still fall through to writing THIS run's record.
     try:
-        # Never clobber a prior run's full record (the r6 judge run
-        # overwrote the driver's): rotate the existing file aside,
-        # named by its own mtime, so concurrent driver/judge runs
-        # coexist on disk; BENCH_FULL.json always holds the latest.
-        # A same-second collision gets a pid-suffixed unique name —
-        # skipping the rotation would silently destroy the record,
-        # the exact clobber this exists to prevent.
         if os.path.exists(full_path):
             stamp = time.strftime(
                 "%Y%m%dT%H%M%S", time.gmtime(os.path.getmtime(full_path))
@@ -240,6 +243,9 @@ def main() -> int:
                     ".json", f"_{stamp}_{os.getpid()}.json"
                 )
             os.replace(full_path, rotated)
+    except OSError as exc:
+        print(f"could not rotate {full_path}: {exc}", file=sys.stderr)
+    try:
         with open(full_path, "w") as fh:
             json.dump(full, fh)
     except OSError as exc:  # noqa: PERF203 — the print below still works

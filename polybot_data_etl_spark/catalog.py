@@ -144,12 +144,20 @@ PARTITION_HINTS: dict[str, str] = {
 # clear_table_cache() for tests that regenerate fixtures in place.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _TABLE_CACHE_LOCK = __import__("threading").Lock()
+_TABLE_CACHE_GEN = 0  # bumped by clear_table_cache(); see table()
 
 
 def clear_table_cache() -> None:
     """Drop cached scan frames (fixture swaps / tests)."""
+    global _TABLE_CACHE_GEN
     with _TABLE_CACHE_LOCK:
         _TABLE_CACHE.clear()
+        # Invalidate in-flight builds too (ADVICE r7): table() reads
+        # parquet OUTSIDE the lock (so K parallel plan producers can
+        # build different tables concurrently), so a build that started
+        # before this clear() must not re-insert its now-stale frame
+        # after it.  The generation bump makes such inserts no-ops.
+        _TABLE_CACHE_GEN += 1
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -171,6 +179,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir, name)
     with _TABLE_CACHE_LOCK:
+        gen = _TABLE_CACHE_GEN
         cached = _TABLE_CACHE.get(key)
         if cached is None:
             # evict dead-session generations: a process that restarts
@@ -210,7 +219,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ),
         )
     with _TABLE_CACHE_LOCK:
-        _TABLE_CACHE[key] = df
+        if _TABLE_CACHE_GEN == gen:
+            _TABLE_CACHE[key] = df
     return df
 
 

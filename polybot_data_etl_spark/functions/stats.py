@@ -1474,9 +1474,9 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                ), 1.0) AS padj
         FROM p
     )
-    SELECT event_type, round(z + 1e-9, 4) AS z,
-           round(pv + 1e-9, 4) AS p_value,
-           round(padj + 1e-9, 4) AS p_adj,
+    SELECT event_type, round(z + 1e-9, 4) + 0.0 AS z,
+           round(pv + 1e-9, 4) + 0.0 AS p_value,
+           round(padj + 1e-9, 4) + 0.0 AS p_adj,
            CAST(padj < 0.05 AS BOOLEAN) AS reject
     FROM adj
     """,
@@ -1547,11 +1547,20 @@ def q_stats_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         ),
     )
+    # `+ 0.0` on BOTH engines: IEEE −0.0 + 0.0 = +0.0.  The 'error'
+    # type's z rounds to −0.000001 at the 6-dp stage, so the 4-dp
+    # re-round lands on negative zero; Spark's unsafe-row path folds it
+    # to +0.0 but DuckDB preserves it, and the driver hasher is signed-
+    # zero-strict — the deterministic r6/r7 hash red (VERDICT r7 #1).
     return adj.select(
         "event_type",
-        F.round(F.col("z") + F.lit(1e-9), 4).alias("z"),
-        F.round(F.col("pv") + F.lit(1e-9), 4).alias("p_value"),
-        F.round(F.col("padj") + F.lit(1e-9), 4).alias("p_adj"),
+        (F.round(F.col("z") + F.lit(1e-9), 4) + F.lit(0.0)).alias("z"),
+        (F.round(F.col("pv") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+        (F.round(F.col("padj") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "p_adj"
+        ),
         (F.col("padj") < 0.05).alias("reject"),
     )
 

@@ -170,9 +170,36 @@ _R05_RECORDED: frozenset[str] = frozenset(
     }
 )
 
+# CORRECTNESS_r06.json greens (48 hash_match=true + q_agg_cms_eval's
+# declared rows-only row; the round-7 driver window re-sampled the
+# IDENTICAL 50 queries because this fold-in was missed — VERDICT r7
+# §What's wrong #3 — so the r6 and r7 green sets are the same 49
+# names, recorded here ONCE).  q_stats_fdr stays OUT: red in both
+# rounds (signed-zero divergence, VERDICT r7 #1), requeued below.
+_R06_RECORDED: frozenset[str] = frozenset(
+    {
+        "q_agg_abc", "q_agg_bool", "q_agg_boxplot", "q_agg_cms_eval",
+        "q_agg_hhi", "q_agg_means", "q_agg_stringagg", "q_agg_theil",
+        "q_basket_lift", "q_embed_whiten", "q_fn_surrogate_key",
+        "q_geo_grid", "q_graph_assortativity", "q_graph_centralization",
+        "q_graph_clustering", "q_graph_kcore", "q_graph_link_predict",
+        "q_graph_two_hop", "q_join_lead_time", "q_sample_balanced",
+        "q_sample_neyman", "q_sample_systematic", "q_sql_window_clause",
+        "q_stats_anova", "q_stats_bayes_ab", "q_stats_beta_binomial",
+        "q_stats_bimodality", "q_stats_bootstrap",
+        "q_stats_breusch_pagan", "q_stats_circular", "q_stats_cohens_d",
+        "q_stats_durbin_watson", "q_stats_gamma_mom", "q_stats_gpd_pot",
+        "q_stats_gumbel", "q_stats_hill", "q_stats_jarque_bera",
+        "q_stats_levene", "q_stats_mcnemar", "q_stats_median_ci",
+        "q_stats_negbin_mom", "q_stats_poisson_rate", "q_stats_runs",
+        "q_stats_samplesize", "q_stats_sign_test", "q_stats_simpson",
+        "q_stats_srm", "q_stats_tail_ratio", "q_stats_tost",
+    }
+)
+
 _RECORDED: frozenset[str] = (
     _R01_RECORDED | _R02_RECORDED | _R03_RECORDED | _R04_RECORDED
-    | _R05_RECORDED
+    | _R05_RECORDED | _R06_RECORDED
 )
 
 
@@ -196,12 +223,14 @@ def _cost_class(name: str) -> int:
     return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
 
 
-# Queries whose LAST driver row was an ERROR, now fixed: they must be
-# re-recorded before anything else (VERDICT r5 #1 "Done = a green
-# q_embed_whiten row in CORRECTNESS_r06.json"), so they jump to the
-# very head of the enumeration — registration order would otherwise
-# leave them outside the driver's ~50-slot window.
-_REQUEUED_RED: frozenset[str] = frozenset({"q_embed_whiten"})
+# Queries whose LAST driver row was RED, now fixed: they must be
+# re-recorded before anything else (VERDICT r7 #2 "Done = green
+# q_stats_fdr row in CORRECTNESS_r08"), so they jump to the very head
+# of the enumeration — registration order would otherwise leave them
+# outside the driver's ~50-slot window.  (q_embed_whiten, the r5-red
+# occupant of this slot, went green in r6/r7 and now lives in
+# _R06_RECORDED.)
+_REQUEUED_RED: frozenset[str] = frozenset({"q_stats_fdr"})
 
 
 def _tier(name: str) -> int:

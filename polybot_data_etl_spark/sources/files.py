@@ -139,11 +139,16 @@ def read_xml(
         reader = reader.option("mode", mode)
         if mode == "PERMISSIVE":
             if schema is not None:
+                # DDL strings parse through StructType.fromDDL — a
+                # naive split(',') breaks inside nested types like
+                # 'a struct<x:int,y:int>' (ADVICE r7), either raising
+                # spuriously or false-passing on a struct-inner field
+                # and leaving corrupt capture silently inert.
                 names = (
-                    schema.fieldNames()
+                    schema
                     if hasattr(schema, "fieldNames")
-                    else [f.split()[0] for f in str(schema).split(",")]
-                )
+                    else T.StructType.fromDDL(str(schema))
+                ).fieldNames()
                 if corrupt_column not in [n.strip() for n in names]:
                     raise ValueError(
                         f"PERMISSIVE capture needs {corrupt_column!r} in"

@@ -40,6 +40,8 @@ Scale posture:
 from __future__ import annotations
 
 import datetime as _dt
+import json
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -212,28 +214,72 @@ class _FeedStreamReader(DataSourceStreamReader):
     below an offset the engine has already planned.  Worst case after
     a restart is one EMPTY batch (``range(hi, lo)`` with hi < lo
     yields nothing) while the watermark catches up — never a
-    duplicate row."""
+    duplicate row.
+
+    ENGINE-ORDERING ASSUMPTION (ADVICE r7): the in-memory ratchet
+    relies on the engine invoking ``partitions()`` (WAL replay of a
+    pending batch) or planning from the recovered offset BEFORE the
+    first ``latestOffset()`` of the restarted query — the behavior of
+    the pinned Spark version, validated end-to-end by the
+    kill-and-restart test.  A hypothetical engine that called
+    ``latestOffset()`` first would see ``_current == 0`` and regress
+    the offset log.  For deployments that must not depend on hook
+    order, pass ``offset_dir`` (point it next to the query's
+    ``checkpointLocation``): the high-water offset is then persisted
+    there on every advance (atomic tmp+rename) and reloaded at
+    construction, so ``latestOffset`` can never return below a
+    previously planned/committed offset regardless of call order."""
 
     def __init__(self, options):
         self.n_parts = int(options.get("partitions", "4"))
         self.rows_per_batch = int(options.get("rows_per_batch", "20"))
         self.max_rows = int(options.get("max_rows", "100"))
         self.seed = int(options.get("seed", "0"))
+        self.offset_dir = options.get("offset_dir")
         self._current = 0
+        if self.offset_dir:
+            try:
+                with open(self._offset_path()) as f:
+                    self._current = int(json.load(f)["rows"])
+            except (OSError, ValueError, KeyError):
+                pass  # no sidecar yet (first start) → 0
+        # initialOffset must return the CONSTRUCTION-TIME high water,
+        # not the live watermark: the engine calls latestOffset()
+        # BEFORE initialOffset() when planning a fresh query's first
+        # batch (observed on the pinned Spark version), and a live
+        # read would skip the rows of that first planned range.
+        self._initial = self._current
+
+    def _offset_path(self) -> str:
+        return os.path.join(self.offset_dir, "event_feed_high_water.json")
+
+    def _ratchet(self, rows: int) -> None:
+        """Advance the high-water mark, never regress; persist when
+        ``offset_dir`` is set (atomic rename — a crash mid-write leaves
+        the previous sidecar intact, worst case one empty batch)."""
+        if rows <= self._current:
+            return
+        self._current = rows
+        if self.offset_dir:
+            os.makedirs(self.offset_dir, exist_ok=True)
+            tmp = self._offset_path() + f".{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"rows": rows}, f)
+            os.replace(tmp, self._offset_path())
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"rows": 0}
+        return {"rows": self._initial}
 
     def latestOffset(self) -> dict:  # noqa: N802
-        self._current = min(self._current + self.rows_per_batch, self.max_rows)
+        self._ratchet(min(self._current + self.rows_per_batch, self.max_rows))
         return {"rows": self._current}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:  # noqa: N802
         lo, hi = int(start["rows"]), int(end["rows"])
         # checkpoint recovery: the recovered offset arrives here as
-        # `start` — ratchet the in-memory watermark so it never
-        # regresses below what the engine already planned
-        self._current = max(self._current, lo, hi)
+        # `start` — ratchet the watermark so it never regresses below
+        # what the engine already planned
+        self._ratchet(max(lo, hi))
         return [_ShardPartition(p, lo, hi, self.seed) for p in range(self.n_parts)]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
@@ -241,7 +287,7 @@ class _FeedStreamReader(DataSourceStreamReader):
             yield feed_row(partition.part, i, partition.seed)
 
     def commit(self, end: dict) -> None:
-        self._current = max(self._current, int(end["rows"]))
+        self._ratchet(int(end["rows"]))
 
 
 class EventFeedDataSource(DataSource):

@@ -34,9 +34,18 @@ def canon_cell(v) -> str:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
+            # NaN→NULL is representation-forced, not a leniency: pandas
+            # float64 (the dtype both spark.toPandas() and duckdb.df()
+            # produce) stores SQL NULL as NaN, so the two are already
+            # indistinguishable by the time any pandas-based hasher —
+            # ours or the driver's — sees the cell.
             return "NULL"
-        if v == 0.0:
-            return "0.0"  # normalize -0.0
+        # NO -0.0 normalization: the driver's hasher is signed-zero-
+        # strict (repr(-0.0) == '-0.0' != '0.0'), and the old fold here
+        # masked a real deterministic driver red for two rounds
+        # (q_stats_fdr, VERDICT r7 §What's wrong #1/#2).  Signed-zero
+        # divergences must be fixed at the query's emit side (+ 0.0 on
+        # both engines), never in the hasher.
         return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()

@@ -92,3 +92,40 @@ def test_every_registered_query_has_driver_hashable_schema(spark, sf_dir):
     assert bad == [], (
         "driver-unhashable (non-scalar) output columns:\n" + "\n".join(bad)
     )
+
+
+def test_recorded_set_folds_in_every_committed_driver_green():
+    """Regression pin for VERDICT r7 §What's wrong #3: round 7's driver
+    window re-sampled round 6's EXACT 50 queries because the r6 greens
+    were never folded into ``registry._RECORDED``, so the priority head
+    never advanced and zero evidence debt drained.  This test makes a
+    forgotten fold-in a hard failure: every green row (hash pass, or
+    declared rows-only pass) in any committed CORRECTNESS_r0*.json must
+    be in ``_RECORDED``, so no enumeration-head slot is ever wasted on
+    a query that already has driver evidence."""
+    import glob
+    import json
+
+    from polybot_data_etl_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows", 0) > 0
+            ):
+                greens.add(name)
+    greens &= set(registry.queries())  # ignore since-renamed keys, if any
+    missing = sorted(greens - registry._RECORDED)
+    assert not missing, (
+        "driver-green queries missing from registry._RECORDED — fold "
+        f"them in or the next driver window re-records them: {missing}"
+    )
+    # And the flip side of the same waste: nothing in the head of the
+    # driver's ~50-slot recording window may already be green.
+    head = list(registry.queries())[:50]
+    stale = [n for n in head if n in greens and n not in registry._REQUEUED_RED]
+    assert not stale, f"enumeration head contains prior-green queries: {stale}"

@@ -436,6 +436,38 @@ def test_stream_reader_watermark_ratchets_on_recovery():
     assert list(r2.read(next(iter(r2.partitions({"rows": 30}, {"rows": 25}))))) == []
 
 
+def test_stream_reader_offset_dir_survives_hook_order(tmp_path):
+    """ADVICE r7: the in-memory ratchet assumes the engine calls
+    partitions()/commit() before the first latestOffset() after a
+    restart.  With ``offset_dir`` set, the high-water mark is persisted
+    (atomic rename) and reloaded at construction, so even an engine
+    that calls latestOffset() FIRST on the fresh reader can never
+    regress the offset log — the order-independent restart guarantee."""
+    from polybot_data_etl_spark.sources.pyds import _FeedStreamReader
+
+    opts = {
+        "partitions": "2",
+        "rows_per_batch": "5",
+        "max_rows": "100",
+        "offset_dir": str(tmp_path / "hw"),
+    }
+    r = _FeedStreamReader(opts)
+    assert r.initialOffset() == {"rows": 0}
+    r.latestOffset()  # 5
+    r.commit({"rows": 5})
+    r.latestOffset()  # 10
+    # crash: fresh reader against the same offset_dir, latestOffset
+    # FIRST (the hook order the in-memory ratchet cannot survive)
+    r2 = _FeedStreamReader(opts)
+    assert r2.latestOffset() == {"rows": 15}  # 10 + 5, not 0 + 5
+    # and a third reader that only ever asks for initialOffset resumes
+    # at the persisted high water, not 0
+    assert _FeedStreamReader(opts).initialOffset() == {"rows": 15}
+    # without offset_dir the documented in-memory behavior is unchanged
+    r3 = _FeedStreamReader({k: v for k, v in opts.items() if k != "offset_dir"})
+    assert r3.latestOffset() == {"rows": 5}
+
+
 def test_stream_restart_from_checkpoint_is_exactly_once(feed, tmp_path):
     """Kill-and-restart against the same checkpoint with a FRESH reader
     instance (in-memory watermark back to 0): the union of both runs

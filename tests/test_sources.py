@@ -317,3 +317,45 @@ def test_xml_permissive_mode_isolates_corrupt_rows(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt"] is not None]
     assert len(good) == 1 and good[0]["id"] == 1
     assert len(bad) == 1 and bad[0]["id"] is None
+
+
+def test_xml_permissive_guard_parses_nested_ddl(spark, tmp_path):
+    """ADVICE r7: the PERMISSIVE guard must parse DDL-string schemas
+    with StructType.fromDDL, not a naive comma split — a nested
+    'struct<x:int,y:int>' would otherwise split inside the angle
+    brackets, spuriously rejecting valid schemas (or false-passing on
+    a struct-INNER field named like the corrupt column, leaving
+    corrupt capture silently inert)."""
+    import pytest
+
+    src = tmp_path / "nested"
+    src.mkdir()
+    (src / "a.xml").write_text(
+        "<rows>"
+        "<row><id>1</id><pt><x>2</x><y>3</y></pt></row>"
+        "<row><id>oops</id><pt><x>4</x><y>5</y></pt></row>"
+        "</rows>"
+    )
+    # nested struct BEFORE the corrupt column: the old split(',') saw
+    # field names ['id', 'pt struct<x:int', ...] and raised on a
+    # perfectly valid schema
+    df = files.read_xml(
+        spark,
+        str(src),
+        row_tag="row",
+        schema="id bigint, pt struct<x:int,y:int>, _corrupt string",
+        mode="PERMISSIVE",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert sorted(r["_corrupt"] is None for r in rows) == [False, True]
+    # and the inverse failure: a struct-inner field named _corrupt must
+    # NOT satisfy the guard (top-level capture column still missing)
+    with pytest.raises(ValueError, match="PERMISSIVE capture"):
+        files.read_xml(
+            spark,
+            str(src),
+            row_tag="row",
+            schema="id bigint, pt struct<_corrupt:string,y:int>",
+            mode="PERMISSIVE",
+        )
