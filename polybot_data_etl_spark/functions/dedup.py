@@ -202,12 +202,14 @@ def clear_pair_cache() -> None:
     to the pre-swap file listing right after the clear."""
     from polybot_data_etl_spark.catalog import clear_table_cache
     from polybot_data_etl_spark.functions.text import clear_minhash_cache
+    from polybot_data_etl_spark.operators.graph import clear_edges_cache
 
     with _PAIR_CACHE_LOCK:
         _SIZED_PAIRS_CACHE.clear()
         _CC_LABELS_CACHE.clear()
         _EMBED_PAIRS_CACHE.clear()
     clear_minhash_cache()
+    clear_edges_cache()
     clear_table_cache()
 
 

@@ -191,14 +191,15 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            cast(len(embedding) AS INTEGER) AS dim,
-           round((embedding::DOUBLE[])[1], 4) AS first_val,
-           round(list_sum(list_transform(embedding::DOUBLE[], x -> x)), 4) AS total,
+           round((embedding::DOUBLE[])[1], 4) + 0.0 AS first_val,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x)), 4)
+               + 0.0 AS total,
            round(list_sum(list_transform(list_filter(embedding::DOUBLE[], x -> x > 0),
-                                         x -> x)), 4) AS pos_total,
+                                         x -> x)), 4) + 0.0 AS pos_total,
            cast(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER)
                AS n_pos,
-           round(list_sort(embedding::DOUBLE[])[1], 4) AS min_val,
-           round(list_slice(embedding::DOUBLE[], 1, 3)[3], 4) AS third_val
+           round(list_sort(embedding::DOUBLE[])[1], 4) + 0.0 AS min_val,
+           round(list_slice(embedding::DOUBLE[], 1, 3)[3], 4) + 0.0 AS third_val
     FROM embeddings
     """,
 )
@@ -208,20 +209,35 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation-defined, scalars are not)."""
     e = table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # `+ 0.0` on every rounded float: signed-zero normalization on both
+    # engines (a component that rounds to -0.0 hashes differently
+    # otherwise — the strict-hasher class found in round 8)
     return e.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(F.element_at(dbl, 1), 4).alias("first_val"),
-        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("total"),
-        F.round(
-            F.aggregate(
-                F.filter(dbl, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x
-            ),
-            4,
+        (F.round(F.element_at(dbl, 1), 4) + F.lit(0.0)).alias("first_val"),
+        (
+            F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4)
+            + F.lit(0.0)
+        ).alias("total"),
+        (
+            F.round(
+                F.aggregate(
+                    F.filter(dbl, lambda x: x > 0),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("pos_total"),
         F.size(F.filter(dbl, lambda x: x > 0)).cast("int").alias("n_pos"),
-        F.round(F.element_at(F.array_sort(dbl), 1), 4).alias("min_val"),
-        F.round(F.element_at(F.slice(dbl, 1, 3), 3), 4).alias("third_val"),
+        (F.round(F.element_at(F.array_sort(dbl), 1), 4) + F.lit(0.0)).alias(
+            "min_val"
+        ),
+        (F.round(F.element_at(F.slice(dbl, 1, 3), 3), 4) + F.lit(0.0)).alias(
+            "third_val"
+        ),
     )
 
 

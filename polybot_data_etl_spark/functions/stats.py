@@ -445,10 +445,10 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact table collapses to the distinct-value frame
     with ONE map-side-combined hash agg; the rank prefix-sum then runs
-    the engine's two-pass bucket-offset recipe (quantile-literal value
-    buckets → bucket-local cumsums → ≤P-row carry prefix — same as
-    q_win_dist_scaled), so no single task ever sorts the whole value
-    domain; the final reduce is a 1-row aggregate."""
+    the engine's two-pass bucket-offset recipe (broadcast quantile
+    cut-point array → bucket-local cumsums → ≤P-row carry prefix —
+    same as q_win_dist_scaled), so no single task ever sorts the whole
+    value domain; the final reduce is a 1-row aggregate."""
     from pyspark.sql import Window
 
     n_buckets = 32
@@ -463,17 +463,25 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cnt_a"),
         )
     )
+    # In-plan cut points (round 8): the bounds used to be collected
+    # with .first() at plan-construction time — a full execution of
+    # the distinct-value agg INSIDE the builder (3.1 s of measured
+    # plan-build wall), plus a second execution at query time.  As a
+    # broadcast 1-row array crossed onto the frame, the same recipe is
+    # ONE action, and exchange reuse dedupes the v agg across its
+    # three consumers (bounds, local cumsums, offsets).
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = v.agg(
-        F.percentile_approx("value", qs, 10_000).alias("bounds")
-    ).first()
-    bounds = sorted(set(row["bounds"] or []))
-    if bounds:
-        cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("value")))
-    else:
-        bkt = F.lit(0)
-    v = v.withColumn("bkt", bkt)
+    bounds = v.agg(
+        F.array_distinct(
+            F.coalesce(
+                F.percentile_approx("value", qs, 10_000), F.array()
+            )
+        ).alias("cuts")
+    )
+    v = v.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.size(F.filter(F.col("cuts"), lambda x: x <= F.col("value"))),
+    ).drop("cuts")
     w_local = (
         Window.partitionBy("bkt")
         .orderBy("value")
@@ -748,22 +756,27 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.groupBy("value", "event_type").agg(F.count("*").alias("cnt"))
     d = v.groupBy("value").agg(F.sum("cnt").alias("tot"))
     # two-pass bucket-offset rank prefix (the q_stats_mannwhitney /
-    # q_win_dist_scaled recipe): quantile-literal value buckets →
+    # q_win_dist_scaled recipe): broadcast quantile cut-point array →
     # bucket-local cumsums → ≤P-row carry prefix — no single task ever
-    # sorts the whole value domain
+    # sorts the whole value domain.  In-plan bounds (round 8): the old
+    # .first() executed the value-marginal agg at plan-build time.
     n_buckets = 32
-    row = d.agg(
-        F.percentile_approx(
-            "value", [i / n_buckets for i in range(1, n_buckets)], 10_000
-        ).alias("bounds")
-    ).first()
-    bounds = sorted(set(row["bounds"] or []))
-    if bounds:
-        cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("value")))
-    else:
-        bkt = F.lit(0)
-    d = d.withColumn("bkt", bkt)
+    bounds = d.agg(
+        F.array_distinct(
+            F.coalesce(
+                F.percentile_approx(
+                    "value",
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    10_000,
+                ),
+                F.array(),
+            )
+        ).alias("cuts")
+    )
+    d = d.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.size(F.filter(F.col("cuts"), lambda x: x <= F.col("value"))),
+    ).drop("cuts")
     w_local = (
         Window.partitionBy("bkt")
         .orderBy("value")

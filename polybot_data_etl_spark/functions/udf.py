@@ -102,7 +102,8 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     "q_udaf_grouped",
     oracle="""
     SELECT user_id, event_id,
-           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+               + 0.0 AS z
     FROM events
     WHERE user_id < 500
     WINDOW w AS (PARTITION BY user_id)
@@ -123,7 +124,9 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_zscore, schema="user_id bigint, event_id bigint, z double")
     )
-    return raw.withColumn("z", F.round("z", 4))
+    # `+ 0.0`: signed-zero normalization on both engines (pandas can
+    # emit a z that rounds to -0.0; the driver hasher is signed-strict)
+    return raw.withColumn("z", F.round("z", 4) + F.lit(0.0))
 
 
 @udtf(returnType="doc_id: bigint, pos: bigint, token: string")

@@ -461,7 +461,8 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embed_centroid",
     oracle="""
-    SELECT label, u.k AS dim, round(avg(u.v::DOUBLE) + 1e-9, 4) AS centroid
+    SELECT label, u.k AS dim,
+           round(avg(u.v::DOUBLE) + 1e-9, 4) + 0.0 AS centroid
     FROM (
         SELECT label,
                unnest(list_transform(
@@ -492,8 +493,12 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.col("x").cast("double").alias("x"),
     )
+    # `+ 0.0`: signed-zero normalization on both engines (a centroid
+    # that rounds to -0.0 hashes differently across engines otherwise)
     return ex.groupBy("label", "dim").agg(
-        F.round(F.avg("x") + F.lit(1e-9), 4).alias("centroid")
+        (F.round(F.avg("x") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "centroid"
+        )
     )
 
 

@@ -501,10 +501,10 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
-                 / pow(m2r - m1 * m1, 1.5), 4) AS skewness,
+                 / pow(m2r - m1 * m1, 1.5), 4) + 0.0 AS skewness,
            round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
                   - 3 * m1 * m1 * m1 * m1)
-                 / pow(m2r - m1 * m1, 2) - 3, 4) AS kurtosis_excess
+                 / pow(m2r - m1 * m1, 2) - 3, 4) + 0.0 AS kurtosis_excess
     FROM raw
     """,
 )
@@ -533,23 +533,32 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = m2r - m1 * m1
     # try_divide: zero-variance (e.g. singleton) groups have undefined
     # higher moments — NULL, not an ANSI crash (round-6 audit).
+    # `+ 0.0` on both engines: a skewness that rounds to -0.0 survives
+    # in DuckDB but folds to +0.0 in Spark's unsafe row — the signed-
+    # zero class the strict r8 hasher exposed (q_stats_fdr's twin).
     return raw.select(
         "l_returnflag",
         "n",
-        F.round(
-            F.try_divide(
-                m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1, F.pow(var, 1.5)
-            ),
-            4,
-        ).alias("skewness"),
-        F.round(
-            F.try_divide(
-                m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
-                - 3 * m1 * m1 * m1 * m1,
-                F.pow(var, 2),
+        (
+            F.round(
+                F.try_divide(
+                    m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1, F.pow(var, 1.5)
+                ),
+                4,
             )
-            - 3,
-            4,
+            + F.lit(0.0)
+        ).alias("skewness"),
+        (
+            F.round(
+                F.try_divide(
+                    m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                    - 3 * m1 * m1 * m1 * m1,
+                    F.pow(var, 2),
+                )
+                - 3,
+                4,
+            )
+            + F.lit(0.0)
         ).alias("kurtosis_excess"),
     )
 

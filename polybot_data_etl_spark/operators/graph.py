@@ -27,6 +27,60 @@ _PR_DAMPING = 0.85
 _PR_ITERS = 3
 
 
+# Memoized co-purchase edge set (round 8): SEVEN graph queries
+# (triangles, degree, assortativity, kcore, clustering, link_predict,
+# centralization) build the IDENTICAL distinct (a < b) part-pair frame
+# over %4-filtered lineitem — the same redundant-kernel shape the r7
+# MinHash signature memo collapsed for the dedup family.  One lazily
+# checkpointed frame per (application, sf_dir): the first consumer
+# materializes ~75 k edges executor-locally, every later graph query
+# reads the blocks.  Built via the basket-bounded explode² (the r6
+# link_predict rewrite — zero join shuffles, fan-out bounded by basket
+# size) rather than the O(rows²/orders) self-join.
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGES_CACHE_LOCK = __import__("threading").RLock()
+
+
+def clear_edges_cache() -> None:
+    """Drop memoized co-purchase edge frames (tests / fixture swaps)."""
+    with _EDGES_CACHE_LOCK:
+        _EDGES_CACHE.clear()
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (a, b), a < b, over parts
+    with ``l_partkey % 4 == 0`` — the shared base graph of every
+    q_graph_* query.  Memoized per (application, sf_dir), lazily
+    checkpointed; build serialized so bench.py's plan-producer threads
+    cannot double-run the kernel."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _EDGES_CACHE_LOCK:
+        cached = _EDGES_CACHE.get(key)
+        if cached is None:
+            from polybot_data_etl_spark.functions.dedup import (
+                _evict_dead_sessions,
+            )
+
+            _evict_dead_sessions(_EDGES_CACHE, key[0])
+            li = (
+                table(spark, sf_dir, "lineitem")
+                .filter(F.col("l_partkey") % 4 == 0)
+                .select("l_orderkey", "l_partkey")
+            )
+            baskets = li.groupBy("l_orderkey").agg(
+                F.array_sort(F.collect_set("l_partkey")).alias("parts")
+            )
+            ea = baskets.select("parts", F.explode("parts").alias("a"))
+            cached = (
+                ea.select("a", F.explode("parts").alias("b"))
+                .filter(F.col("a") < F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            _EDGES_CACHE[key] = cached
+        return cached
+
+
 def _pagerank_oracle() -> str:
     d = _PR_DAMPING
     prev = "pr0"
@@ -178,27 +232,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on graph keys; nothing is quadratic in a
     node's raw degree after orientation.
     """
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("x"), li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-        # Referenced by degree agg + orientation + wedge join + closing
-        # probe: pin the bounded edge frame so the fact self-join runs
-        # once (same duplicated-subtree discipline as PageRank above).
-        .localCheckpoint(eager=False)
-    )
+    # Shared memoized edge frame (round 8): referenced by degree agg +
+    # orientation + wedge join + closing probe, and by six sibling
+    # graph queries — one kernel per session.
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -282,23 +319,7 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized edge table) → endpoint union → two map-side-combined
     aggs (node degree, then degree histogram).  Output is bounded by
     the max degree, not the node count."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("x"), li.alias("y")
-    edges = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -435,19 +456,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out) → DISTINCT edge set → symmetric orientation union →
     degree agg → moment reduce, all bounded by the edge count.
     Integer moments → exact algebra → one 4-dp round."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    e = copurchase_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -549,24 +558,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage cut per round so round r's plan doesn't replay rounds
     1..r−1.  Per-round outputs are 1-row count aggregates — the only
     cross is 1-row × 1-row."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    edges = copurchase_edges(spark, sf_dir)
     cur = edges
     per_round = []
     for r in (1, 2, 3):
@@ -648,23 +640,7 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses.  The oracle replays the naive three-way join, which must
     agree on every count."""
     tri = q_graph_triangles(spark, sf_dir)
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -753,28 +729,12 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are removed by an anti-join on the edge key, and the top-k
     is a TakeOrdered over 6-dp-rounded scores with (a, b) tiebreaks.
     All joins are equi-joins on node keys."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    # Basket-bounded explode² instead of self-joins (round-6 rewrite,
-    # 2× cold / 1.3× warm at sf0.1): pair generation inside a collected
-    # per-order (then per-center) array costs zero join shuffles — the
-    # fan-out is bounded by basket size (≤7 lineitems/order) and the
-    # degree cap, so Σk² stays linear in rows at any SF. Plan:
-    # 2 hash-agg shuffles (baskets, neighbor lists) + distinct +
-    # final (a,b) agg, vs v1's two shuffle self-joins on top of those.
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    ea = baskets.select("parts", F.explode("parts").alias("a"))
-    edges = (
-        ea.select("a", F.explode("parts").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # Shared memoized edge frame (round 8) — the basket-bounded
+    # explode² kernel (round-6 rewrite: pair generation inside a
+    # collected per-order array costs zero join shuffles; fan-out
+    # bounded by basket size) now lives in copurchase_edges and is
+    # computed once per session for all seven q_graph_* consumers.
+    edges = copurchase_edges(spark, sf_dir)
     und = edges.select(F.col("a").alias("v"), F.col("b").alias("w")).union(
         edges.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -855,23 +815,7 @@ def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the shared distinct-edge build → ONE degree agg → a 1-row
     reduce (the max-degree marginal rides a window over the
     node-degree frame — node-bounded, never edge- or fact-bounded)."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    x, y = li.alias("x"), li.alias("y")
-    edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))

@@ -154,7 +154,17 @@ def test_win_weighted_median_scaled_no_global_data_sort(spark, sf_dir):
     assert re.search(r"hashpartitioning\(l_returnflag#\d+, bkt#\d+", plan)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # The allowed nested-loops are the 1-row quantile cut-point attach
+    # (round 8: the bounds moved in-plan as a broadcast 1-row array
+    # instead of driver-side literals — the standard 1-row
+    # control-frame crossJoin idiom).  The syntactic tree shows one
+    # copy per bounds consumer; at execution they collapse into a
+    # single broadcast via ReusedExchange (verified r8).  Pin: never
+    # more nested-loops than duplicated cut-point subtrees — a
+    # data×data nested loop would break this cap.
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "percentile_approx"
+    )
 
 
 def test_basket_lift_support_join_unhinted(spark, sf_dir):
@@ -266,6 +276,8 @@ _NLJ_ALLOWED = {
     "q_ts_incidents",     # 1-row SLO-baseline broadcast crossJoin
     "q_agg_abc",          # 1-row revenue-total broadcast crossJoin
     "q_stats_overlap",    # 1-row (min,max) bin-grid broadcast crossJoin
+    "q_stats_mannwhitney",  # 1-row quantile cut-point broadcast crossJoin (r8)
+    "q_win_weighted_median_scaled",  # 1-row cut-point broadcast crossJoin (r8)
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
