@@ -1624,31 +1624,26 @@ def q_dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation on each side), one pair-keyed join for the overlap,
     three 1-row counts → closed-form algebra.  The two pair families
     are INDEPENDENT job DAGs, so their cold materialization (each
-    behind its family's memoized checkpoint) is submitted from two
+    behind its family's memoized checkpoint) is forced from two
     threads and overlaps in the scheduler (VERDICT r5 #7) — the
     first-consumer cost drops from sum to max of the two cold stages;
-    warm consumers hit both caches and pay neither."""
+    warm consumers hit both caches and the forcing count is a ~ms
+    scan of the tiny materialized pair blocks.  (Round 8: the old
+    extra eager localCheckpoint per side duplicated blocks the
+    parents' memo checkpoints already hold — the count() action keeps
+    the cold-overlap property without the copy.)"""
     from concurrent.futures import ThreadPoolExecutor
 
     from polybot_data_etl_spark.functions.text import q_dedup_minhash
 
-    def _mh() -> DataFrame:
-        return (
-            q_dedup_minhash(spark, sf_dir)
-            .select("a_id", "b_id")
-            .localCheckpoint(eager=True)
-        )
-
-    def _ng() -> DataFrame:
-        return (
-            q_dedup_ngram(spark, sf_dir)
-            .select(F.col("a_id").alias("na"), F.col("b_id").alias("nb"))
-            .localCheckpoint(eager=True)
-        )
-
     with ThreadPoolExecutor(max_workers=2) as pool:
-        mh_f, ng_f = pool.submit(_mh), pool.submit(_ng)
-        mh, ng = mh_f.result(), ng_f.result()
+        mh_f = pool.submit(lambda: q_dedup_minhash(spark, sf_dir).count())
+        ng_f = pool.submit(lambda: q_dedup_ngram(spark, sf_dir).count())
+        mh_f.result(), ng_f.result()
+    mh = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
+    ng = q_dedup_ngram(spark, sf_dir).select(
+        F.col("a_id").alias("na"), F.col("b_id").alias("nb")
+    )
     both = mh.join(
         ng, (mh["a_id"] == ng["na"]) & (mh["b_id"] == ng["nb"]), "left_semi"
     )

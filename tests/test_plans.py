@@ -277,7 +277,6 @@ _NLJ_ALLOWED = {
     "q_agg_abc",          # 1-row revenue-total broadcast crossJoin
     "q_stats_overlap",    # 1-row (min,max) bin-grid broadcast crossJoin
     "q_stats_mannwhitney",  # 1-row quantile cut-point broadcast crossJoin (r8)
-    "q_win_weighted_median_scaled",  # 1-row cut-point broadcast crossJoin (r8)
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
