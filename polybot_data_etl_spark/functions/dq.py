@@ -929,10 +929,11 @@ def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical in every compared column, so any residual tie order
     cannot move a run boundary.
 
-    Shape: one lag window over the logical order (single exchange; at
-    100 TB this runs per-file via the two-pass bucket-offset recipe
-    since files ARE the physical order), then a 1-row reduce unioned
-    into the 3-column report."""
+    Shape: one lag window over the logical order (single exchange —
+    fine at fixture scale; the 100 TB path is the EXACT-equal
+    :func:`rle_profile_bucketed` twin below, SURVEY #423: per-range
+    lag windows + a bounded boundary stitch, no global sort), then a
+    1-row reduce unpivoted into the 3-column report."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem")
@@ -967,6 +968,137 @@ def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build-time execution (localCheckpoint forces toRdd, which under
     # AQE runs the whole upstream DAG during plan CONSTRUCTION; this
     # builder alone was 6.2 s of the suite's measured plan-build wall).
+    return runs.select(
+        F.expr(
+            "stack(3,"
+            " 'l_returnflag', cast(n as bigint), cast(r_rf as bigint),"
+            " 'l_linestatus', cast(n as bigint), cast(r_ls as bigint),"
+            " 'l_shipdate',   cast(n as bigint), cast(r_sd as bigint))"
+            " as (col, n_rows, n_runs)"
+        )
+    ).select(
+        "col",
+        "n_rows",
+        "n_runs",
+        F.round(F.col("n_rows") / F.col("n_runs") + F.lit(1e-9), 4).alias(
+            "avg_run_len"
+        ),
+    )
+
+
+def rle_profile_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> DataFrame:
+    """The 100 TB twin of :func:`q_dq_rle` (SURVEY §2 #423,
+    test-only): the SAME run-length report without any global data
+    sort — the registered form's single lag window over the whole
+    logical order is the one remaining global-sort-over-data shape in
+    the fleet, fine at fixture scale but a one-task sort at 100 TB.
+
+    Two-pass bucket-offset construction (the q_win_dist_scaled /
+    q_stats_mannwhitney recipe, adapted to a LAG across boundaries):
+
+    1. Bucket rows by sampled ``l_orderkey`` quantile literals
+       (driver-side sampling — the RangePartitioner precedent).
+       Buckets are orderkey RANGES, so global logical order ==
+       (bucket, local order): every task sorts only its own slice.
+    2. Per-bucket lag windows count LOCAL run starts (each bucket's
+       first row counts as a start), one map-side-combined agg per
+       bucket.
+    3. Boundary stitch on the ≤``n_buckets``-row summary: per bucket,
+       ``min_by``/``max_by`` over the full sort-key struct yield the
+       first/last row's profiled values; where bucket k's first value
+       equals bucket k−1's last, the local pass double-counted that
+       run — subtract.  The only unpartitioned window runs over this
+       bounded summary, never the data.
+
+    Ties in the full sort key are identical in every profiled column
+    (the q_dq_rle determinism argument), so min_by/max_by tie choice
+    cannot move a boundary comparison.  Value-equality with the
+    registered global-window form is pinned at two scales in
+    tests/test_round6.py; the bkt-partitioned plan shape in
+    tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    order_cols = (
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+    base = li.select(*order_cols)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = base.agg(
+        F.percentile_approx("l_orderkey", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(int(b)) for b in bounds])
+        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("l_orderkey")))
+    else:
+        bkt = F.lit(0)
+    bb = base.withColumn("bkt", bkt)
+    w = Window.partitionBy("bkt").orderBy(*order_cols)
+    local = bb.select(
+        "bkt",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        F.lag("l_returnflag").over(w).alias("p_rf"),
+        F.lag("l_linestatus").over(w).alias("p_ls"),
+        F.lag("l_shipdate").over(w).alias("p_sd"),
+    )
+
+    def run(c: str, p: str):
+        return F.sum(
+            F.when(F.col(p).isNull() | (F.col(c) != F.col(p)), 1).otherwise(0)
+        )
+
+    lruns = local.groupBy("bkt").agg(
+        run("l_returnflag", "p_rf").alias("r_rf"),
+        run("l_linestatus", "p_ls").alias("r_ls"),
+        run("l_shipdate", "p_sd").alias("r_sd"),
+        F.count("*").alias("n"),
+    )
+    key = F.struct(*[F.col(c) for c in order_cols])
+    vals = F.struct(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_shipdate").alias("sd"),
+    )
+    fl = bb.groupBy("bkt").agg(
+        F.min_by(vals, key).alias("first"),
+        F.max_by(vals, key).alias("last"),
+    )
+    w_seq = Window.orderBy("bkt")  # ≤n_buckets+1 summary rows
+    stitched = fl.select(
+        "bkt", "first", F.lag("last").over(w_seq).alias("prev_last")
+    )
+
+    def cont(field: str):
+        return F.sum(
+            F.when(
+                F.col(f"prev_last.{field}") == F.col(f"first.{field}"), 1
+            ).otherwise(0)
+        )
+
+    adj = stitched.agg(
+        cont("rf").alias("a_rf"), cont("ls").alias("a_ls"), cont("sd").alias("a_sd")
+    )
+    tot = lruns.agg(
+        F.sum("r_rf").alias("t_rf"),
+        F.sum("r_ls").alias("t_ls"),
+        F.sum("r_sd").alias("t_sd"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+    )
+    runs = tot.crossJoin(F.broadcast(adj)).select(
+        (F.col("t_rf") - F.col("a_rf")).alias("r_rf"),
+        (F.col("t_ls") - F.col("a_ls")).alias("r_ls"),
+        (F.col("t_sd") - F.col("a_sd")).alias("r_sd"),
+        "n",
+    )
     return runs.select(
         F.expr(
             "stack(3,"

@@ -1,0 +1,100 @@
+"""Round-8 additions: the bucketed RLE scale twin (#423) and the
+signed-zero emit convention (SURVEY §2.1.13)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_rle_bucketed_matches_global_window(spark, sf_dir):
+    """#423: rle_profile_bucketed — q_dq_rle's two-pass bucket-offset
+    twin (per-orderkey-range lag windows + a bounded boundary stitch,
+    no global data sort) — must produce the IDENTICAL 3-row report.
+    The boundary arithmetic (local run starts minus cross-bucket
+    continuations) is exact, not approximate, so this is a strict
+    equality, not a band."""
+    from polybot_data_etl_spark.functions.dq import (
+        q_dq_rle,
+        rle_profile_bucketed,
+    )
+
+    a = sorted(tuple(r) for r in q_dq_rle(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in rle_profile_bucketed(spark, sf_dir).collect())
+    assert a == b
+    # ...and stays exact when the bucket count (hence every boundary
+    # position) changes — 5 buckets puts boundaries in completely
+    # different places than 32.
+    c = sorted(
+        tuple(r)
+        for r in rle_profile_bucketed(spark, sf_dir, n_buckets=5).collect()
+    )
+    assert a == c
+
+
+def test_rle_bucketed_no_global_data_sort(spark, sf_dir):
+    """#423 plan shape: the data-sized lag window partitions by the
+    orderkey-range bucket (its exchange hashes on bkt); the only
+    unpartitioned windows/aggregates run over the ≤33-row bucket
+    summary — never the fact table."""
+    from polybot_data_etl_spark.functions.dq import rle_profile_bucketed
+
+    plan = rle_profile_bucketed(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "hashpartitioning(bkt" in plan
+    # the full-key lag window must be bkt-partitioned, not global
+    assert "windowspecdefinition(bkt" in plan
+
+
+def test_rounded_float_outputs_normalize_signed_zero(spark, sf_dir):
+    """SURVEY §2.1.13 regression pin on the five queries the strict
+    hasher turned red (q_stats_fdr r6/r7 + the four the unmasked
+    mirror found in r8): no emitted float cell may be IEEE −0.0.
+    DuckDB preserves −0.0 through round(); Spark's unsafe-row path
+    folds it — so any −0.0 that reaches the driver hasher from either
+    engine is a cross-engine hash divergence waiting to happen.
+    scripts/audit_negzero.py is the fleet-wide oracle-side version;
+    this pins the Spark side of the five known-susceptible queries."""
+    import math
+
+    from polybot_data_etl_spark.functions.scalar import q_fn_array
+    from polybot_data_etl_spark.functions.stats import q_stats_fdr
+    from polybot_data_etl_spark.functions.udf import q_udaf_grouped
+    from polybot_data_etl_spark.functions.vectors import q_embed_centroid
+    from polybot_data_etl_spark.operators.aggregates import q_agg_moments
+
+    for fn in (q_stats_fdr, q_agg_moments, q_embed_centroid, q_fn_array,
+               q_udaf_grouped):
+        df = fn(spark, sf_dir)
+        float_cols = [
+            f.name for f in df.schema.fields if f.dataType.typeName() in
+            ("double", "float")
+        ]
+        for r in df.collect():
+            for c in float_cols:
+                v = r[c]
+                if v is not None and v == 0.0 and not math.isnan(v):
+                    assert math.copysign(1.0, v) > 0, (
+                        f"{fn.__name__}.{c} emitted -0.0"
+                    )
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2])
+def test_rle_bucketed_degenerate_bucket_counts(spark, sf_dir, n_buckets):
+    """1 bucket = the global form (no boundaries); 2 buckets = a single
+    boundary — both must still equal the registered answer."""
+    from polybot_data_etl_spark.functions.dq import (
+        q_dq_rle,
+        rle_profile_bucketed,
+    )
+
+    a = sorted(tuple(r) for r in q_dq_rle(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r)
+        for r in rle_profile_bucketed(
+            spark, sf_dir, n_buckets=n_buckets
+        ).collect()
+    )
+    assert a == b
