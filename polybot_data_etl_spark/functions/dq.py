@@ -1177,6 +1177,72 @@ def q_dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def id_gaps_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> DataFrame:
+    """The 100 TB twin of :func:`q_dq_id_gaps` (SURVEY §2 #424,
+    test-only): the SAME five-number continuity report without the
+    global id sort — the LEAD variant of the two-pass bucket-offset
+    recipe (#423 covered LAG).
+
+    1. Bucket rows by sampled ``event_id`` quantile literals: buckets
+       are id RANGES, so global id order == (bucket, local order).
+    2. Per-bucket lead() pairs each id with its in-bucket successor.
+    3. Each bucket's LAST row has no local successor; its true
+       successor is the NEXT bucket's minimum id — a lead() over the
+       ≤``n_buckets``-row per-bucket min summary, broadcast back.
+       (Consecutive-pair multisets are tie-order-invariant under
+       duplicate ids, so the stitch is exact, not approximate.)
+
+    Pinned EXACTLY equal to the registered form at multiple bucket
+    counts in tests/test_round8.py; guarded fleet-wide by the
+    global-window-over-data plan sweep in tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = e.agg(
+        F.percentile_approx("event_id", qs, 10_000).alias("bounds")
+    ).first()
+    bounds = sorted(set(row["bounds"] or []))
+    if bounds:
+        cuts = F.array(*[F.lit(int(b)) for b in bounds])
+        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("event_id")))
+    else:
+        bkt = F.lit(0)
+    b = e.select("event_id").withColumn("bkt", bkt)
+    w = Window.partitionBy("bkt").orderBy("event_id")
+    local = b.withColumn("nxt_local", F.lead("event_id").over(w))
+    mins = b.groupBy("bkt").agg(F.min("event_id").alias("bmin"))
+    w_seq = Window.orderBy("bkt")  # ≤n_buckets+1 summary rows
+    nxt_min = mins.select(
+        "bkt", F.lead("bmin").over(w_seq).alias("next_min")
+    )
+    d = local.join(F.broadcast(nxt_min), "bkt").select(
+        "event_id",
+        F.coalesce(F.col("nxt_local"), F.col("next_min")).alias("nxt"),
+    )
+    gaps = d.filter(F.col("nxt") - F.col("event_id") > 1).select(
+        (F.col("nxt") - F.col("event_id") - 1).alias("missing")
+    )
+    tot = e.agg(
+        F.count("*").alias("n_rows"),
+        (F.max("event_id") - F.min("event_id") + 1).alias("id_span"),
+    )
+    g = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.coalesce(F.sum("missing"), F.lit(0)).alias("n_missing"),
+        F.coalesce(F.max("missing"), F.lit(0)).alias("max_gap"),
+    )
+    return tot.crossJoin(F.broadcast(g)).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("id_span").cast("bigint").alias("id_span"),
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.col("n_missing").cast("bigint").alias("n_missing"),
+        F.col("max_gap").cast("bigint").alias("max_gap"),
+    )
+
+
 @register(
     "q_dq_cardinality_shift",
     oracle="""

@@ -973,3 +973,80 @@ def test_minhash_eval_found_side_is_probe_bounded(spark, sf_dir):
         )
     finally:
         clear_pair_cache()
+
+
+# Registered queries whose optimized plan contains an UNPARTITIONED
+# window directly over data-sized input (no Aggregate/Limit between the
+# window and a scan).  Each is a deliberately oracle-matched fixture-
+# scale form with a proven EXACT scale twin that removes the global
+# sort — the twin is pinned value-equal in tests and the pair is
+# documented in SCALE.md:
+_GLOBAL_DATA_WINDOW_ALLOWED = {
+    "q_dq_rle",       # twin: rle_profile_bucketed (#423, lag recipe)
+    "q_dq_id_gaps",   # twin: id_gaps_bucketed (#424, lead recipe)
+    "q_win_dist",     # twin: q_win_dist_scaled (registered, #~105)
+}
+
+
+def test_no_unpartitioned_window_over_data(spark, sf_dir):
+    """Fleet-wide plan sweep (round 8): an unpartitioned window whose
+    input reaches a scan with no cardinality-bounding node between
+    (Aggregate / Limit / Deduplicate) is a one-task global sort of the
+    data — the shape that dies first at 100 TB.  Every such site must
+    either carry a pinned-exact scale twin (allowlist above) or be
+    rewritten with the two-pass bucket-offset recipe.
+
+    Caveat encoded here: Aggregate counts as bounding even when its
+    grouping key is an entity id (per-customer, per-user) — those
+    frames still grow with data, just sublinearly; the known cases
+    (q_agg_rfm's ntiles over per-customer) are documented in SCALE.md
+    §global-window-inventory rather than flagged, because the sweep
+    cannot statically tell a 25-row event_type key from a 10^9-row
+    custkey one."""
+    from polybot_data_etl_spark import registry
+
+    def children(n):
+        cs = n.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    bounding = {
+        "Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate",
+        "OneRowRelation", "LocalRelation",
+    }
+
+    def bounded(n):
+        if n.getClass().getSimpleName() in bounding:
+            return True
+        cs = children(n)
+        if not cs:
+            return False  # leaf = relation/scan
+        return all(bounded(c) for c in cs)
+
+    def n_global_data_windows(df):
+        plan = df._jdf.queryExecution().optimizedPlan()
+        count = [0]
+
+        def walk(n):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+                and not bounded(children(n)[0])
+            ):
+                count[0] += 1
+            for c in children(n):
+                walk(c)
+
+        walk(plan)
+        return count[0]
+
+    bad = {}
+    for name, fn in registry.queries().items():
+        if name == "q_dedup_clusters":
+            continue  # iterative: builds labels eagerly; covered elsewhere
+        hits = n_global_data_windows(fn(spark, sf_dir))
+        if hits and name not in _GLOBAL_DATA_WINDOW_ALLOWED:
+            bad[name] = hits
+    assert not bad, (
+        "unpartitioned window over data-sized input (one-task global "
+        f"sort at scale) outside the twin-backed allowlist: {bad}"
+    )

@@ -98,3 +98,25 @@ def test_rle_bucketed_degenerate_bucket_counts(spark, sf_dir, n_buckets):
         ).collect()
     )
     assert a == b
+
+
+def test_id_gaps_bucketed_matches_global_window(spark, sf_dir):
+    """#424: id_gaps_bucketed — the LEAD variant of the bucket-offset
+    recipe (per-id-range lead windows; each bucket's last row stitches
+    to the next non-empty bucket's min) — must produce the IDENTICAL
+    five-number continuity report, at wildly different boundary
+    placements."""
+    from polybot_data_etl_spark.functions.dq import (
+        id_gaps_bucketed,
+        q_dq_id_gaps,
+    )
+
+    a = sorted(tuple(r) for r in q_dq_id_gaps(spark, sf_dir).collect())
+    for n_buckets in (1, 2, 7, 32):
+        b = sorted(
+            tuple(r)
+            for r in id_gaps_bucketed(
+                spark, sf_dir, n_buckets=n_buckets
+            ).collect()
+        )
+        assert a == b, f"n_buckets={n_buckets}"
