@@ -301,6 +301,113 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_quintiles_scaled(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> DataFrame:
+    """The 100 TB twin of :func:`q_agg_rfm` (SURVEY §2 #425,
+    test-only): the SAME (r, f, m) segment-size report with the three
+    global ntile sorts over the per-customer frame replaced by the
+    two-pass bucketed rank of q_win_dist_scaled — the entity-keyed
+    case the global-window plan sweep cannot flag statically (the
+    per-customer Aggregate bounds nothing at 10⁹ customers).
+
+    Per dimension: sampled quantile literals bucket the frame by
+    VALUE range (all three bounds arrays come from ONE build-time
+    pass), a bucket-partitioned window ranks locally under the exact
+    registered order (value DESC, custkey ASC), and the global rank
+    is local rank + the prefix-summed counts of HIGHER-value buckets
+    (a ≤``n_buckets``-row summary window).  ntile(5) is then the
+    closed-form first-(n mod 5)-tiles-get-ceil(n/5) rule on
+    (rank, n) — exactly Spark's ntile semantics, so the twin is
+    EXACTLY equal, not cutpoint-approximate (ties share a value
+    bucket; the custkey tiebreak is total).  Pinned equal at several
+    bucket counts in tests/test_round8.py."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    ).withColumn(
+        # monotonic numeric key for the recency dimension: NTZ →
+        # session-tz timestamp → epoch µs (ordering-preserving; only
+        # the ORDER matters for ranks, never the absolute value)
+        "rv",
+        F.unix_micros(F.col("last_order").cast("timestamp")).cast("double"),
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = per_cust.agg(
+        F.percentile_approx("rv", qs, 10_000).alias("b_r"),
+        F.percentile_approx(F.col("frequency").cast("double"), qs, 10_000).alias("b_f"),
+        F.percentile_approx("monetary", qs, 10_000).alias("b_m"),
+    ).first()
+
+    def bucket(col, key):
+        bounds = sorted(set(row[key] or []))
+        if not bounds:
+            return F.lit(0)
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.size(F.filter(cuts, lambda x: x <= col))
+
+    dims = (
+        ("r", "rv", "b_r"),
+        ("f", "frequency", "b_f"),
+        ("m", "monetary", "b_m"),
+    )
+    scored = per_cust
+    for name, col, key in dims:
+        scored = scored.withColumn(
+            f"bkt_{name}", bucket(F.col(col).cast("double"), key)
+        )
+    # three bucket-partitioned local ranks chained on ONE frame (the
+    # registered form's three windows, each now parallel over ~32
+    # buckets instead of one task)
+    for name, col, _ in dims:
+        w_local = Window.partitionBy(f"bkt_{name}").orderBy(
+            F.desc(col), F.asc("o_custkey")
+        )
+        scored = scored.withColumn(
+            f"lrn_{name}", F.row_number().over(w_local)
+        )
+    totals = scored.agg(F.count("*").alias("n_total"))
+    out = scored
+    for name, _, _ in dims:
+        counts = scored.groupBy(f"bkt_{name}").agg(
+            F.count("*").alias("cnt")
+        )
+        # rank is DESC in value: offset = rows in HIGHER-value buckets
+        w_off = Window.orderBy(F.desc(f"bkt_{name}")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        ).select(f"bkt_{name}", F.col("off").alias(f"off_{name}"))
+        out = out.join(F.broadcast(offsets), f"bkt_{name}")
+    out = out.crossJoin(F.broadcast(totals))
+    n = F.col("n_total")
+    base = F.floor(n / 5)
+    rem = n % 5
+    big = base + 1
+
+    def ntile5(rank_col):
+        r = rank_col
+        return (
+            F.when(base == 0, r)
+            .when(r <= rem * big, F.floor((r - 1) / big) + 1)
+            .otherwise(rem + F.floor((r - 1 - rem * big) / base) + 1)
+            .cast("int")
+        )
+
+    return (
+        out.select(
+            ntile5(F.col("off_r") + F.col("lrn_r")).alias("r"),
+            ntile5(F.col("off_f") + F.col("lrn_f")).alias("f"),
+            ntile5(F.col("off_m") + F.col("lrn_m")).alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 @register(
     "q_ts_changepoint",
     oracle="""

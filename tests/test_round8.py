@@ -120,3 +120,37 @@ def test_id_gaps_bucketed_matches_global_window(spark, sf_dir):
             ).collect()
         )
         assert a == b, f"n_buckets={n_buckets}"
+
+
+def test_rfm_scaled_matches_global_ntiles(spark, sf_dir):
+    """#425: rfm_quintiles_scaled — the two-pass bucketed-rank +
+    closed-form ntile(5) twin of q_agg_rfm's three global ntile sorts
+    over the per-customer frame (the entity-keyed-Aggregate case the
+    global-window plan sweep cannot flag statically).  Exactly equal,
+    not cutpoint-approximate: ties share a value bucket and the
+    custkey tiebreak is total, so every global rank — and therefore
+    every ntile boundary — is identical."""
+    from polybot_data_etl_spark.operators.behavior import (
+        q_agg_rfm,
+        rfm_quintiles_scaled,
+    )
+
+    a = sorted(tuple(r) for r in q_agg_rfm(spark, sf_dir).collect())
+    for n_buckets in (1, 3, 32):
+        b = sorted(
+            tuple(r)
+            for r in rfm_quintiles_scaled(
+                spark, sf_dir, n_buckets=n_buckets
+            ).collect()
+        )
+        assert a == b, f"n_buckets={n_buckets}"
+    # plan shape: every data-sized rank window partitions by its value
+    # bucket — no unpartitioned window over the customer frame
+    plan = rfm_quintiles_scaled(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "windowspecdefinition(bkt_r" in plan
+    assert "windowspecdefinition(bkt_f" in plan
+    assert "windowspecdefinition(bkt_m" in plan
