@@ -154,3 +154,26 @@ def test_rfm_scaled_matches_global_ntiles(spark, sf_dir):
     assert "windowspecdefinition(bkt_r" in plan
     assert "windowspecdefinition(bkt_f" in plan
     assert "windowspecdefinition(bkt_m" in plan
+
+
+def test_rfm_scaled_degenerate_cardinalities(spark, sf_dir, tmp_path):
+    """#425 edge: with fewer customers than tiles (n < 5) Spark's
+    ntile(5) hands each row its own tile — the closed-form rule's
+    base == 0 branch.  Exercise 1- and 3-customer fixtures."""
+    from polybot_data_etl_spark.operators.behavior import (
+        q_agg_rfm,
+        rfm_quintiles_scaled,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for n_cust, sub in (("one", 1), ("three", 3)):
+        keys = [r[0] for r in o.select("o_custkey").distinct().limit(sub).collect()]
+        tiny = str(tmp_path / f"tiny_{n_cust}")
+        o.filter(o["o_custkey"].isin(keys)).write.parquet(
+            f"{tiny}/orders.parquet"
+        )
+        a = sorted(tuple(r) for r in q_agg_rfm(spark, tiny).collect())
+        b = sorted(
+            tuple(r) for r in rfm_quintiles_scaled(spark, tiny).collect()
+        )
+        assert a == b, n_cust
