@@ -96,3 +96,67 @@ def test_applyinarrow_matches_declarative_agg(spark, sf_dir):
     assert via_arrow.count() > 0
     assert via_arrow.exceptAll(via_agg).count() == 0
     assert via_agg.exceptAll(via_arrow).count() == 0
+
+
+def test_mapinarrow_barrier_gang_schedules_and_matches(spark, sf_dir):
+    """#427: barrier execution mode for per-batch kernels — the gang-
+    scheduling seam a distributed-inference stage needs (all tasks of
+    the stage start together, so they can open a collective channel —
+    NCCL ring, parameter-server connect — before any data flows).
+    Pinned: (a) the barrier kernel's rows are IDENTICAL to the plain
+    mapInArrow twin (scheduling mode is transport, never semantics);
+    (b) inside the stage, BarrierTaskContext.allGather really is
+    collective — every task sees every partition's contribution, which
+    is impossible unless all tasks were co-scheduled."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .repartition(4)
+    )
+    schema = "doc_id long, lang_u string, n_peers int"
+
+    def barrier_kernel(batches):
+        from pyspark import BarrierTaskContext
+
+        import pyarrow.compute as pc
+
+        ctx = BarrierTaskContext.get()
+        # collective: blocks until EVERY task of the stage contributes
+        peers = ctx.allGather(str(ctx.partitionId()))
+        n_peers = len(set(peers))
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.utf8_upper(b.column(1)),
+                    pa.array([n_peers] * b.num_rows, pa.int32()),
+                ],
+                names=["doc_id", "lang_u", "n_peers"],
+            )
+
+    def plain_kernel(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.utf8_upper(b.column(1)),
+                    pa.array([4] * b.num_rows, pa.int32()),
+                ],
+                names=["doc_id", "lang_u", "n_peers"],
+            )
+
+    barrier = d.mapInArrow(barrier_kernel, schema, barrier=True)
+    plain = d.mapInArrow(plain_kernel, schema)
+    rows = barrier.collect()
+    assert len(rows) == d.count()
+    # every task saw all 4 partitions' allGather contributions
+    assert {r["n_peers"] for r in rows} == {4}
+    # row-identity vs the plain twin, compared driver-side: a barrier
+    # stage may not be composed under exceptAll's shuffle (Spark
+    # rejects barrier RDDs in non-1:1 chain patterns by design — the
+    # gang must own its stage), which is itself part of the contract
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, plain.collect())
+    )
