@@ -76,6 +76,27 @@ _HEAVY_SERIAL = (
 )
 
 
+def interleave_build_order(
+    heavy_names: list[str], light_names: list[str]
+) -> list[str]:
+    """Build order for the producers: one heavy per ~len(light)/
+    len(heavy) lights.  The heavy lanes need their next plan just-in-
+    time, but building ALL heavies first would fill the bounded heavy
+    queue and block the producers — starving the light lanes for the
+    whole heavy chain."""
+    out: list[str] = []
+    stride = max(1, len(light_names) // max(1, len(heavy_names)))
+    hi = li = 0
+    while hi < len(heavy_names) or li < len(light_names):
+        if hi < len(heavy_names):
+            out.append(heavy_names[hi])
+            hi += 1
+        chunk = light_names[li : li + stride]
+        out.extend(chunk)
+        li += len(chunk) if chunk else len(light_names)
+    return out
+
+
 def compact_line(full: dict, budget: int = 1800) -> dict:
     """The printed-line dict: `full` with the per-query map replaced by
     the slowest-K entries that keep the serialized line within
@@ -219,23 +240,10 @@ def main() -> int:
     light_q: _queue.Queue = _queue.Queue(maxsize=max(4, 2 * n_light))
     build_wall = {"sec": 0.0}
     build_lock = threading.Lock()
-    # Interleave heavy and light plans in build order: the heavy lane
-    # needs its next plan just-in-time (one heavy per ~7 lights keeps
-    # it fed), but building ALL heavies first would fill the bounded
-    # heavy queue and block the producers — starving the light lanes
-    # for the whole heavy chain.
-    heavy_names = [n for n in _HEAVY_SERIAL if n in heavy_set]
-    light_names = sorted(n for n in qs if n not in heavy_set)
-    names_sorted = []
-    stride = max(1, len(light_names) // max(1, len(heavy_names)))
-    hi = li = 0
-    while hi < len(heavy_names) or li < len(light_names):
-        if hi < len(heavy_names):
-            names_sorted.append(heavy_names[hi])
-            hi += 1
-        chunk = light_names[li : li + stride]
-        names_sorted.extend(chunk)
-        li += len(chunk) if chunk else len(light_names)
+    names_sorted = interleave_build_order(
+        [n for n in _HEAVY_SERIAL if n in heavy_set],
+        sorted(n for n in qs if n not in heavy_set),
+    )
     producers_left = {"n": n_producers}
 
     def _producer(slice_idx: int) -> None:

@@ -52,3 +52,36 @@ def test_empty_suite_is_valid():
     assert out["queries"] == {}
     assert out["queries_omitted"] == 0
     json.dumps(out)
+
+
+def test_interleave_build_order_properties():
+    """The two-lane build order must (a) be a permutation of the
+    union, (b) start with a heavy (the long poles start immediately),
+    (c) never queue more than ~stride lights between heavies while
+    heavies remain (the heavy lanes stay fed just-in-time), and
+    (d) handle the degenerate empty-lane cases."""
+    from bench import interleave_build_order
+
+    heavy = [f"h{i}" for i in range(45)]
+    light = [f"l{i}" for i in range(320)]
+    order = interleave_build_order(heavy, light)
+    assert sorted(order) == sorted(heavy + light)
+    assert order[0] == "h0"
+    # between consecutive heavies, at most stride lights
+    stride = 320 // 45
+    gap = 0
+    seen_heavy = 0
+    for name in order:
+        if name.startswith("h"):
+            assert gap <= stride
+            gap = 0
+            seen_heavy += 1
+        elif seen_heavy < len(heavy):
+            gap += 1
+    assert seen_heavy == 45
+    # heavies preserve their given (descending-cost) order
+    assert [n for n in order if n.startswith("h")] == heavy
+
+    assert interleave_build_order([], light) == light
+    assert interleave_build_order(heavy, []) == heavy
+    assert interleave_build_order([], []) == []
