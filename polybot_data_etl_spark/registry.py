@@ -197,10 +197,62 @@ _R06_RECORDED: frozenset[str] = frozenset(
     }
 )
 
+def _driver_evidence() -> tuple[frozenset[str], frozenset[str]]:
+    """Derive (latest-green, latest-red) name sets from the committed
+    CORRECTNESS_r*.json driver records themselves.
+
+    Round 7 was wasted because a fold-in of the r6 greens into the
+    hand-maintained ``_RECORDED`` set was forgotten (VERDICT r7 #3) —
+    so from round 8 on the fold-in is AUTOMATIC: the moment the driver
+    commits a round's record, the next session's enumeration reflects
+    it, no hand edit possible to forget.  The static ``_R0x_RECORDED``
+    sets above stay as the documented base (and as the fallback if the
+    evidence files are ever absent); ``tests/test_coverage.py`` pins
+    the two sources against each other.
+
+    A name's status is taken from the LATEST round that sampled it:
+    green = hash pass or declared rows-only pass; red = sampled but
+    not green (those re-enumerate at the head for re-recording).
+    Unreadable or malformed files are skipped — a damaged record must
+    never break query enumeration.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, bool] = {}
+    # lexicographic order == round order (r01..r09 < r10 < ...)
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            latest[name] = green
+    greens = frozenset(n for n, g in latest.items() if g)
+    reds = frozenset(n for n, g in latest.items() if not g)
+    return greens, reds
+
+
+_DRIVER_GREEN, _DRIVER_RED = _driver_evidence()
+
+# A latest-red name must re-record even if an OLDER round (or a static
+# set) once recorded it green — subtracting keeps the two tiers
+# disjoint under any green→red→green history.
 _RECORDED: frozenset[str] = (
     _R01_RECORDED | _R02_RECORDED | _R03_RECORDED | _R04_RECORDED
-    | _R05_RECORDED | _R06_RECORDED
-)
+    | _R05_RECORDED | _R06_RECORDED | _DRIVER_GREEN
+) - _DRIVER_RED
 
 
 # Families whose queries cost ≥ ~1.5s at the gate scale (dedup/sim
@@ -223,14 +275,16 @@ def _cost_class(name: str) -> int:
     return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
 
 
-# Queries whose LAST driver row was RED, now fixed: they must be
-# re-recorded before anything else (VERDICT r7 #2 "Done = green
-# q_stats_fdr row in CORRECTNESS_r08"), so they jump to the very head
-# of the enumeration — registration order would otherwise leave them
-# outside the driver's ~50-slot window.  (q_embed_whiten, the r5-red
-# occupant of this slot, went green in r6/r7 and now lives in
-# _R06_RECORDED.)
-_REQUEUED_RED: frozenset[str] = frozenset({"q_stats_fdr"})
+# Queries whose LATEST driver row is RED: they must be re-recorded
+# before anything else (VERDICT r7 #2 "Done = green q_stats_fdr row in
+# CORRECTNESS_r08"), so they jump to the very head of the enumeration —
+# registration order would otherwise leave them outside the driver's
+# ~50-slot window.  DERIVED from the committed evidence files (same
+# automation as _DRIVER_GREEN): the moment a requeued query's re-record
+# comes back green, it leaves this set and joins _RECORDED with no hand
+# edit.  (q_embed_whiten drained through this slot in r5→r6;
+# q_stats_fdr is the current occupant until its r8 row lands green.)
+_REQUEUED_RED: frozenset[str] = _DRIVER_RED
 
 
 def _tier(name: str) -> int:

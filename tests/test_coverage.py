@@ -100,7 +100,7 @@ def test_recorded_set_folds_in_every_committed_driver_green():
     were never folded into ``registry._RECORDED``, so the priority head
     never advanced and zero evidence debt drained.  This test makes a
     forgotten fold-in a hard failure: every green row (hash pass, or
-    declared rows-only pass) in any committed CORRECTNESS_r0*.json must
+    declared rows-only pass) in any committed CORRECTNESS_r*.json must
     be in ``_RECORDED``, so no enumeration-head slot is ever wasted on
     a query that already has driver evidence."""
     import glob
@@ -110,7 +110,7 @@ def test_recorded_set_folds_in_every_committed_driver_green():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     greens: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
