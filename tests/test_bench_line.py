@@ -85,3 +85,16 @@ def test_interleave_build_order_properties():
     assert interleave_build_order([], light) == light
     assert interleave_build_order(heavy, []) == heavy
     assert interleave_build_order([], []) == []
+
+
+def test_heavy_list_names_are_registered():
+    """The two-lane scheduler's heavy list is a static snapshot of the
+    measured ≥0.8 s queries; a renamed/retired entry silently falls
+    back to a light lane (harmless once), but the list must not rot
+    unnoticed — every name should exist in the registry."""
+    from bench import _HEAVY_SERIAL
+    from polybot_data_etl_spark.plans import entrypoints
+
+    registered = set(entrypoints.queries())
+    stale = [n for n in _HEAVY_SERIAL if n not in registered]
+    assert not stale, f"heavy-lane names no longer registered: {stale}"
