@@ -6,6 +6,7 @@ config-driven fixed-width extraction with statically resolved columns.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql.functions import udtf
 
@@ -140,3 +141,55 @@ def test_python_udf_profiler_attributes_worker_time(spark):
     finally:
         spark.conf.unset("spark.sql.pyspark.udf.profiler")
         spark.profile.clear()
+
+
+def test_arrow_optimized_scalar_udf_matches_pickled_and_pandas(spark, sf_dir):
+    """#429: `@udf(useArrow=True)` — the Arrow transport for SCALAR
+    Python UDFs, closing the transport-parity family (#416 covered
+    UDTFs, #420 mapInArrow/applyInArrow).  The same token-bucket logic
+    through all three Python eval transports — pickled row UDF, Arrow
+    row UDF, pandas_udf — must give identical rows; the executed plans
+    must show the expected eval operators (ArrowEvalPython for both
+    Arrow forms, BatchEvalPython for the pickled form), which is the
+    difference between one serialization barrier per ROW and one per
+    BATCH at 100 TB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf
+
+    from polybot_data_etl_spark.catalog import table
+
+    def bucket(n):
+        return "long" if n is not None and n > 400 else "short"
+
+    u_pickled = udf(bucket, "string", useArrow=False)
+    u_arrow = udf(bucket, "string", useArrow=True)
+
+    @pandas_udf("string")
+    def u_pandas(n: pd.Series) -> pd.Series:
+        return (n > 400).map({True: "long", False: "short"})
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .limit(200)
+    )
+    frames = {
+        name: d.select("doc_id", fn(F.col("n")).alias("b"))
+        for name, fn in [
+            ("pickled", u_pickled),
+            ("arrow", u_arrow),
+            ("pandas", u_pandas),
+        ]
+    }
+    rows = {
+        name: sorted(map(tuple, df.collect())) for name, df in frames.items()
+    }
+    assert rows["pickled"] == rows["arrow"] == rows["pandas"]
+    assert len(rows["arrow"]) == 200
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BatchEvalPython" in plan(frames["pickled"])
+    assert "ArrowEvalPython" in plan(frames["arrow"])
+    assert "ArrowEvalPython" in plan(frames["pandas"])
