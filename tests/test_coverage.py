@@ -119,13 +119,70 @@ def test_recorded_set_folds_in_every_committed_driver_green():
             ):
                 greens.add(name)
     greens &= set(registry.queries())  # ignore since-renamed keys, if any
-    missing = sorted(greens - registry._RECORDED)
+    # A latest-red name is deliberately excluded from _RECORDED even if
+    # an older round once recorded it green — it must requeue at the
+    # head (green→red→re-record is the intended flow, ADVICE r8 #2).
+    missing = sorted(greens - registry._RECORDED - registry._REQUEUED_RED)
     assert not missing, (
         "driver-green queries missing from registry._RECORDED — fold "
         f"them in or the next driver window re-records them: {missing}"
     )
-    # And the flip side of the same waste: nothing in the head of the
-    # driver's ~50-slot recording window may already be green.
-    head = list(registry.queries())[:50]
-    stale = [n for n in head if n in greens and n not in registry._REQUEUED_RED]
-    assert not stale, f"enumeration head contains prior-green queries: {stale}"
+    # And the flip side of the same waste — reformulated for the
+    # endgame (VERDICT r8 #1): once the never-recorded debt drops below
+    # the window size, the head MUST back-fill with prior greens, so
+    # "no green in head-50" is unsatisfiable.  The real invariant is
+    # that a prior green never DISPLACES outstanding debt:
+    #   (a) every never-recorded query precedes every prior-green, and
+    #   (b) the head contains ALL never-recorded queries when debt<50
+    #       (else the first 50 slots are all debt).
+    names = list(registry.queries())
+    debt = [n for n in names if n not in greens and n not in registry._REQUEUED_RED]
+    if debt:
+        last_debt_pos = names.index(debt[-1])
+        displaced = [
+            n
+            for n in names[:last_debt_pos]
+            if n in greens and n not in registry._REQUEUED_RED
+        ]
+        assert not displaced, (
+            "prior-green queries enumerate BEFORE outstanding evidence "
+            f"debt (they would waste driver window slots): {displaced}"
+        )
+    head = set(names[: max(50, len(registry._REQUEUED_RED) + len(debt))])
+    not_in_head = [n for n in debt[:50] if n not in head]
+    assert not not_in_head, (
+        "never-recorded queries pushed out of the driver's recording "
+        f"window head: {not_in_head}"
+    )
+
+
+def test_endgame_head_backfill_is_not_stale():
+    """Regression pin for VERDICT r8 #1: with fewer than 50 queries of
+    never-recorded debt, the enumeration head necessarily back-fills
+    with prior-green names — that back-fill is CORRECT (the driver
+    re-records them as fresh evidence), not staleness.  Simulate the
+    <50-debt state explicitly: whatever the current debt is, verify
+    the green-displacement invariant holds on a synthetic ordering
+    where greens trail all debt, and FAILS on one where a green
+    displaces debt — i.e. the check tests the right property."""
+    from polybot_data_etl_spark import registry
+
+    names = list(registry.queries())
+    greens = registry._RECORDED
+    debt = [n for n in names if n not in greens and n not in registry._REQUEUED_RED]
+
+    def displaced(order: list[str]) -> list[str]:
+        d = [n for n in order if n in debt]
+        if not d:
+            return []
+        last = order.index(d[-1])
+        return [n for n in order[:last] if n in greens]
+
+    # Current registry order: no green displaces debt.
+    assert displaced(names) == []
+    if debt and len(debt) < len(names):
+        # Synthetic violation: move one green ahead of the debt tail.
+        some_green = next(n for n in names if n in greens)
+        bad = [n for n in names if n != some_green]
+        bad.insert(max(0, len(debt) - 1), some_green)
+        assert displaced(bad) != [], "the displacement check must catch a green ahead of debt"
