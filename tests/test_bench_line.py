@@ -98,3 +98,66 @@ def test_heavy_list_names_are_registered():
     registered = set(entrypoints.queries())
     stale = [n for n in _HEAVY_SERIAL if n not in registered]
     assert not stale, f"heavy-lane names no longer registered: {stale}"
+
+
+def test_classify_errlog_extracts_logger_and_exception_classes(tmp_path):
+    """VERDICT r8 #2: a stack fragment in the driver's stdout tail must
+    be classifiable from the committed record.  The classifier reads
+    the log4j2 ERROR mirror and emits `Logger` and `Logger:Exception`
+    signatures, collapsing multi-line stacks to one name each."""
+    from bench import classify_errlog
+
+    log = tmp_path / "err.log"
+    log.write_text(
+        "ERROR org.apache.spark.scheduler.DAGScheduler: "
+        "Failed to update accumulator\n"
+        "org.apache.spark.SparkException: boom\n"
+        "\tat org.apache.spark.scheduler.DAGScheduler"
+        ".updateAccumulators(DAGScheduler.scala:1)\n"
+        "\tat org.apache.spark.util.EventLoop$$anon$1"
+        ".run(EventLoop.scala:50)\n"
+        "ERROR org.apache.spark.util.Utils: uncaught\n"
+        "java.lang.IllegalStateException: stopped\n"
+    )
+    assert classify_errlog(str(log)) == [
+        "DAGScheduler",
+        "DAGScheduler:SparkException",
+        "Utils",
+        "Utils:IllegalStateException",
+    ]
+
+
+def test_classify_errlog_missing_or_clean_file_is_empty(tmp_path):
+    from bench import classify_errlog
+
+    assert classify_errlog(str(tmp_path / "absent.log")) == []
+    clean = tmp_path / "clean.log"
+    clean.write_text("")
+    assert classify_errlog(str(clean)) == []
+
+
+def test_compact_line_keeps_self_describing_flags():
+    """VERDICT r8 #3: the compact line (what the driver json-parses)
+    must carry the mode flags — a reader of BENCH_r*.json alone can
+    tell whether per-query walls include co-execution queueing."""
+    full = _full(365)
+    full["exec_concurrency"] = 4
+    full["latency_mode"] = False
+    full["queueing_included"] = True
+    full["spark_stderr_classes"] = []
+    full["serial_cert"] = {
+        "suite_wall_sec": 165.0,
+        "median_query_sec": 0.34,
+        "max_query_sec": 2.5,
+        "n_queries": 365,
+        "sf": 0.1,
+        "utc": "2026-08-16T00:00:00Z",
+    }
+    out = compact_line(full)
+    line = json.dumps(out)
+    assert len(line) <= 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["latency_mode"] is False
+    assert parsed["queueing_included"] is True
+    assert parsed["spark_stderr_classes"] == []
+    assert parsed["serial_cert"]["median_query_sec"] == 0.34
