@@ -729,6 +729,27 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges are removed by an anti-join on the edge key, and the top-k
     is a TakeOrdered over 6-dp-rounded scores with (a, b) tiebreaks.
     All joins are equi-joins on node keys."""
+    return link_predict_topk(spark, sf_dir)
+
+
+def link_predict_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    deg_cap: int = _LP_DEG_CAP,
+    topk: int | None = _LP_TOPK,
+) -> DataFrame:
+    """Parameterized Adamic-Adar link prediction (VERDICT r8 #6: the
+    deployment knob).  `deg_cap` bounds wedge-center degree: wedge
+    mass — the query's entire compute floor at fixture density,
+    ~2.3 M wedges at the registered cap 64 — scales as Σ d·(d−1)/2
+    over centers with d ≤ cap, so halving the cap roughly quarters
+    the per-hub worst case.  Lowering the cap is an EXPLICIT
+    exactness trade: wedges centered at dropped hubs vanish, so a
+    pair's Adamic-Adar score can only shrink (each term 1/ln d > 0)
+    and candidate pairs whose only witnesses were dropped hubs
+    disappear — scores at cap c are a monotone lower bound of scores
+    at any cap ≥ c (pinned in tests/test_round9.py).  At the default
+    cap this IS q_graph_link_predict, pinned exactly equal."""
     # Shared memoized edge frame (round 8) — the basket-bounded
     # explode² kernel (round-6 rewrite: pair generation inside a
     # collected per-order array costs zero join shuffles; fan-out
@@ -743,7 +764,7 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = (
         und.groupBy("v")
         .agg(F.collect_set("w").alias("ws"))
-        .filter((F.size("ws") <= _LP_DEG_CAP) & (F.size("ws") >= 2))
+        .filter((F.size("ws") <= deg_cap) & (F.size("ws") >= 2))
         .withColumn("invlogd", 1.0 / F.log(F.size("ws").cast("double")))
     )
     wa = centers.select("ws", "invlogd", F.explode("ws").alias("a"))
@@ -757,7 +778,12 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = wedge.join(edges, ["a", "b"], "left_anti")
-    top = cand.orderBy(F.desc("aa"), F.asc("a"), F.asc("b")).limit(_LP_TOPK)
+    # topk=None ranks every candidate (audit mode — the monotonicity
+    # pins need the untruncated score map); a finite k stays on the
+    # TakeOrderedAndProject path, whose bounded heap is sized k.
+    top = cand.orderBy(F.desc("aa"), F.asc("a"), F.asc("b"))
+    if topk is not None:
+        top = top.limit(topk)
     from pyspark.sql import Window
 
     ranked = top.withColumn(
