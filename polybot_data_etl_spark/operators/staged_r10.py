@@ -1,0 +1,689 @@
+"""Round-10 registration candidates, STAGED (SURVEY §2 #434-441).
+
+The registration freeze holds through round 9 (VERDICT r8 §Next-round
+#2: the driver evidence debt must drain to 365/365 before the surface
+grows again), so these eight queries are built, oracle-paired, and
+differentially verified (tests/test_staged_r10.py runs the exact
+check_oracle canonicalization against DuckDB) — but NOT registered.
+Round 10 flips each by wrapping it with ``registry.register(name,
+oracle=STAGED[name].oracle)`` once CORRECTNESS_r09 lands green.
+
+Every query follows the SURVEY §2.1 cross-dialect conventions: rounded
+float outputs with the +1e-12/+1e-9 pre-round shift and the ``+ 0.0``
+signed-zero normalizer on BOTH engines, identical aliases, integer
+internals wherever a comparison could tie (kendall, hodges-lehmann),
+deterministic tiebreaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polybot_data_etl_spark.catalog import table
+
+
+class StagedQuery(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str
+
+
+STAGED: dict[str, StagedQuery] = {}
+
+
+def _stage(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = StagedQuery(fn, oracle)
+        return fn
+
+    return deco
+
+
+# Repeat-co-purchase subgraph for the component census: an edge needs
+# the pair co-purchased in >= _CC_MIN_ORDERS DISTINCT orders.  The raw
+# co-occurrence graph is one giant component at every fixture scale
+# (probed: %4 and %16, single blob) — the repeat filter keeps only
+# STABLE product affinities and yields a genuinely multi-modal size
+# census (33×2-node .. 1×14-node at sf0.01).
+_CC_MIN_ORDERS = 2
+
+
+@_stage(
+    "q_graph_components",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+        GROUP BY 1, 2
+        HAVING count(DISTINCT l1.l_orderkey) >= {_CC_MIN_ORDERS}
+    ),
+    und AS (
+        SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e
+    ),
+    reach(v, lbl) AS (
+        SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT und.v, reach.lbl
+        FROM reach JOIN und ON und.w = reach.v
+        WHERE reach.lbl < und.v
+    ),
+    lbls AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+    comps AS (SELECT lbl, count(*) AS size FROM lbls GROUP BY lbl)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM comps GROUP BY size ORDER BY size
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census of the REPEAT-co-purchase graph
+    (pairs co-purchased in ≥2 distinct orders): (component size, how
+    many components of that size) — the structural question every
+    dedup/community pipeline asks first ("one giant blob or many
+    islands?"), on the edge set sparse enough to have an interesting
+    answer (the raw co-occurrence graph is one blob at every scale).
+
+    Spark side builds weighted edges with the basket-bounded explode²
+    kernel (collect_set per order → in-array pair generation, zero
+    join shuffles, fan-out bounded by basket size — the r6
+    link_predict recipe) and feeds the ≥2-weight survivors to the
+    engine's superstep CC kernel (functions/dedup.component_labels:
+    min-label propagation, O(|E|) shuffle per superstep, local fast
+    path under the edge threshold).  The oracle replays it as a
+    recursive CTE whose tuple space is pruned to (node, smaller-
+    reachable-label) — the min label still reaches every node because
+    every path from the component minimum is monotonically
+    label-decreasing at each hop."""
+    from polybot_data_etl_spark.functions.dedup import component_labels
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    wa = baskets.select("ps", F.explode("ps").alias("a"))
+    edges = (
+        wa.select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _CC_MIN_ORDERS)
+    )
+    labels = component_labels(
+        edges.select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy(F.col("size").cast("bigint").alias("size"))
+        .agg(F.count("*").cast("bigint").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+@_stage(
+    "q_graph_modularity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    m AS (SELECT count(*) AS m FROM e),
+    intra AS (
+        SELECT pa.p_brand AS c, count(*) AS lc
+        FROM e JOIN part pa ON pa.p_partkey = e.a
+               JOIN part pb ON pb.p_partkey = e.b
+        WHERE pa.p_brand = pb.p_brand
+        GROUP BY pa.p_brand
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    dc AS (
+        SELECT p.p_brand AS c, sum(deg.d) AS dc
+        FROM deg JOIN part p ON p.p_partkey = deg.node
+        GROUP BY p.p_brand
+    ),
+    terms AS (
+        SELECT dc.c,
+               coalesce(intra.lc, 0) / (1e0 * m.m)
+                   - (dc.dc / (2e0 * m.m)) * (dc.dc / (2e0 * m.m)) AS q
+        FROM dc LEFT JOIN intra ON intra.c = dc.c CROSS JOIN m
+    )
+    SELECT (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(q) + 1e-12, 6) + 0.0 AS modularity
+    FROM terms
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-purchase graph under the brand
+    partition: Q = Σ_c [ L_c/m − (d_c/2m)² ] — does the catalog's brand
+    structure explain the co-purchase communities (Q ≫ 0), or do
+    baskets ignore brands (Q ≈ 0)?  The closed-form community-quality
+    score every clustering pipeline reports.
+
+    Shape: the memoized edge frame joins the broadcast part dim twice
+    (brand of each endpoint) for the intra-community count, the degree
+    frame joins it once for d_c; everything after is a handful of
+    community-sized aggregates.  No iteration — modularity of a GIVEN
+    partition is pure closed-form, unlike community DETECTION."""
+    from polybot_data_etl_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    pt = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    m = edges.agg(F.count("*").alias("m"))
+    intra = (
+        edges.join(pt.withColumnRenamed("p_brand", "ba"), F.col("a") == F.col("p_partkey"))
+        .drop("p_partkey")
+        .join(pt.withColumnRenamed("p_brand", "bb"), F.col("b") == F.col("p_partkey"))
+        .filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("c"))
+        .agg(F.count("*").alias("lc"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(pt, F.col("node") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("c"))
+        .agg(F.sum("d").alias("dc"))
+    )
+    terms = (
+        dc.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                F.coalesce(F.col("lc"), F.lit(0)) / (1.0 * F.col("m"))
+                - (F.col("dc") / (2.0 * F.col("m")))
+                * (F.col("dc") / (2.0 * F.col("m")))
+            ).alias("q")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            (F.round(F.sum("q") + F.lit(1e-12), 6) + F.lit(0.0)).alias(
+                "modularity"
+            ),
+        )
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"),
+            "n_communities",
+            "modularity",
+        )
+    )
+
+
+@_stage(
+    "q_ts_xcorr",
+    oracle="""
+    WITH cal AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    x AS (
+        SELECT cal.d, count(e.event_id) AS xv
+        FROM cal LEFT JOIN events e
+          ON e.ts::DATE = cal.d AND e.event_type = 'click'
+        GROUP BY cal.d
+    ),
+    y AS (
+        SELECT cal.d, count(e.event_id) AS yv
+        FROM cal LEFT JOIN events e
+          ON e.ts::DATE = cal.d AND e.event_type = 'purchase'
+        GROUP BY cal.d
+    ),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag)
+    SELECT CAST(lags.lag AS INTEGER) AS lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(x.xv, y.yv) + 1e-12, 4) + 0.0 AS r
+    FROM lags
+    JOIN x ON TRUE
+    JOIN y ON y.d = x.d + CAST(lags.lag AS INTEGER)
+    GROUP BY lags.lag
+    ORDER BY lag
+    """,
+)
+def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    daily purchase series, lags 0..7: does purchasing trail clicking by
+    k days?  The lead/lag relationship test behind every marketing
+    attribution window — q_ts_rolling_corr measures same-day
+    co-movement; this measures the SHIFTED alignment.
+
+    Shape: two zero-filled daily count series (30 rows each — the
+    calendar is the bounding aggregate), an 8-row lag frame, one
+    equi-join per lag on the shifted date, and Pearson corr per lag
+    group.  Counts are exact integers on both engines, so the only
+    float is the final correlation."""
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    cal = ev.select("d").distinct()
+
+    def daily(etype: str, alias: str) -> DataFrame:
+        c = (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("d")
+            .agg(F.count("*").alias("_n"))
+        )
+        return cal.join(c, "d", "left").select(
+            "d", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(alias)
+        )
+
+    x = daily("click", "xv")
+    y = daily("purchase", "yv").withColumnRenamed("d", "d2")
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    return (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("d2") == F.date_add(F.col("d"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            (F.round(F.corr("xv", "yv") + F.lit(1e-12), 4) + F.lit(0.0)).alias(
+                "r"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+@_stage(
+    "q_embed_hubness",
+    oracle="""
+    WITH knn AS (
+        SELECT a.vec_id AS probe, b.vec_id AS nb
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY round(list_inner_product(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 4) DESC,
+                     b.vec_id
+        ) <= 5
+    ),
+    indeg AS (
+        SELECT e.vec_id, count(knn.nb) AS indeg
+        FROM embeddings e LEFT JOIN knn ON knn.nb = e.vec_id
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(indeg AS BIGINT) AS indeg,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM indeg GROUP BY indeg ORDER BY indeg
+    """,
+)
+def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN in-degree (hubness) histogram of the embedding space: how
+    many vectors appear in 0, 1, 2, … other vectors' 5-NN lists.  High
+    hubness skew is the classic high-dimensional pathology that poisons
+    ANN retrieval quality (a few "hub" vectors show up in everyone's
+    neighbor list) — the one-number diagnosis to run before shipping an
+    embedding index; complements q_embed_recall_at_k (which scores the
+    INDEX, not the space).
+
+    Shape: the replicated-index-shard brute force — the candidate
+    matrix (bounded by contract: the embedding table is
+    dimension-table-sized at every fixture scale; the 100 TB path is
+    the IVF bucketing of q_sim_topk_ivf) broadcasts ONCE as a numpy
+    block, and `mapInPandas` over the probe partitions computes each
+    Arrow batch's scores as one BLAS matmul with a vectorized
+    (−sim, id) lexsort top-5.  This replaces the 4 M-row pair
+    materialization (measured 20-22 s at sf0.1 through either dot
+    transport — the Arrow transfer of the pair frame IS the cost)
+    with a 2 000-row broadcast + per-batch O(b·n·d) flops: measured
+    1.3 s.  Exactly how a production BF-ANN stage shards: index
+    replicated, queries partitioned."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    pdf = e.select("vec_id", "embedding").toPandas()  # bounded index shard
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def knn_blocks(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            probes = batch["vec_id"].to_numpy(dtype=np.int64)
+            pm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            sims = np.round(pm @ b_mat.T, 4)
+            out_p, out_n = [], []
+            for i, pid in enumerate(probes):
+                row = sims[i].copy()
+                row[b_ids == pid] = -np.inf  # exclude self
+                top = np.lexsort((b_ids, -row))[:5]
+                out_p.extend([pid] * len(top))
+                out_n.extend(b_ids[top])
+            yield pd.DataFrame({"probe": out_p, "nb": out_n})
+
+    knn = e.select("vec_id", "embedding").mapInPandas(
+        knn_blocks, "probe long, nb long"
+    )
+    indeg = (
+        e.select("vec_id")
+        .join(knn, F.col("vec_id") == F.col("nb"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("nb").alias("indeg"))
+    )
+    return (
+        indeg.groupBy(F.col("indeg").cast("bigint").alias("indeg"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .orderBy("indeg")
+    )
+
+
+@_stage(
+    "q_text_ngram_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT bigram, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                     range(1, len(string_split(lower(text), ' '))),
+                     i -> string_split(lower(text), ' ')[i] || ' ' ||
+                          string_split(lower(text), ' ')[i + 1])) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+    ),
+    top AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+        FROM counts ORDER BY n DESC, bigram LIMIT 500
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    ks AS (SELECT unnest([10, 50, 100, 500]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(sum(top.n) AS BIGINT) AS covered,
+           CAST(tot.total AS BIGINT) AS total,
+           round(CAST(sum(top.n) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                 + 1e-12, 4) + 0.0 AS coverage
+    FROM ks JOIN top ON top.rnk <= ks.k CROSS JOIN tot
+    GROUP BY ks.k, tot.total
+    ORDER BY k
+    """,
+)
+def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram coverage curve: what fraction of all bigram occurrences
+    the top-{10,50,100,500} bigrams account for — the Zipf-mass
+    concentration number that sizes n-gram LM tables, dedup shingle
+    filters, and stopword lists (q_text_bigrams lists the head;
+    this measures how heavy the head IS).
+
+    Shape: the corpus bigram count table (exact integers), a top-500
+    cut via TakeOrdered (LIMIT bounds the frame, so the rank window
+    runs over ≤500 rows — never a global sort of the vocabulary), a
+    1-row total, and a 4-row k-frame joined on rank."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.lit(1 << 30)),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(500)
+    rnk = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    top = top.withColumn("rnk", F.row_number().over(rnk))
+    tot = counts.agg(F.sum("n").alias("total"))
+    ks = spark.createDataFrame([(10,), (50,), (100,), (500,)], "k int")
+    return (
+        F.broadcast(ks)
+        .join(top, F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("covered"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("covered").cast("bigint").alias("covered"),
+            F.col("total").cast("bigint").alias("total"),
+            (
+                F.round(
+                    F.col("covered").cast("double")
+                    / F.col("total").cast("double")
+                    + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@_stage(
+    "q_stats_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS d,
+               count(*) AS x,
+               count(DISTINCT o_custkey) AS y
+        FROM orders GROUP BY 1
+    ),
+    nd AS (SELECT count(*) AS n_days FROM daily),
+    pairs AS (
+        SELECT (a.x - b.x) AS sx, (a.y - b.y) AS sy
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS disc,
+               sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS n2
+        FROM pairs
+    )
+    SELECT (SELECT CAST(n_days AS BIGINT) FROM nd) AS n_days,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round((c - disc) / sqrt((n0 - n1) * 1e0 * (n0 - n2)) + 1e-12, 4)
+               + 0.0 AS tau_b
+    FROM agg
+    """,
+)
+def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily order volume and daily distinct
+    buyers — the rank-correlation complement of q_stats_spearman that
+    handles ties by construction (tau-b's denominator discounts them),
+    on two INTEGER series so concordance decisions are exact on both
+    engines (no float-sign ambiguity).
+
+    Shape: one date-keyed aggregate (≤ ~2.4 k rows at any fixture
+    scale — bounded by the calendar, not the table), an O(days²)
+    self-join (≈3 M pairs) with integer sign products, and one final
+    scalar row.  At 100 TB the daily frame is identical; only the
+    first aggregate sees more data."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.countDistinct("o_custkey").alias("y"),
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (F.col("xa") - F.col("xb")).alias("sx"),
+        (F.col("ya") - F.col("yb")).alias("sy"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0)).alias(
+            "disc"
+        ),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).alias("n2"),
+    )
+    return (
+        F.broadcast(nd)
+        .crossJoin(agg)
+        .select(
+            "n_days",
+            F.col("c").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            (
+                F.round(
+                    (F.col("c") - F.col("disc"))
+                    / F.sqrt(
+                        (F.col("n0") - F.col("n1"))
+                        * 1.0
+                        * (F.col("n0") - F.col("n2"))
+                    )
+                    + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("tau_b"),
+        )
+    )
+
+
+@_stage(
+    "q_sample_bernoulli_hash",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type, value,
+               ((event_id * 1103515245 + 12345) % 2147483648) % 1000 < 100
+                   AS sampled
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           round(sum(CASE WHEN sampled THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-12, 4) + 0.0 AS rate,
+           round(avg(CASE WHEN sampled THEN value END) + 1e-9, 2) + 0.0
+               AS avg_value_sample,
+           round(avg(value) + 1e-9, 2) + 0.0 AS avg_value_all
+    FROM flagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli sampling audit (target rate 10%):
+    membership is a pure function of the row key (an LCG step on
+    event_id), so the sample is STABLE across reruns, engines, and
+    partitionings — the property `rand()`-based sampling lacks and the
+    reason production pipelines sample by key hash.  Output: realized
+    rate and the sample-vs-population mean of `value` per event type
+    (the estimator-quality check).
+
+    Shape: one narrow projection (the LCG is two integer ops, fully
+    codegen) and one group-by — embarrassingly parallel, no shuffle
+    before the 5-group aggregate.  The same predicate is the 100 TB
+    sampling pushdown: it rides the scan."""
+    ev = table(spark, sf_dir, "events")
+    u = (F.col("event_id").cast("long") * 1103515245 + 12345) % 2147483648
+    flagged = ev.select(
+        "event_type", "value", ((u % 1000) < 100).alias("sampled")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+                    / F.count("*").cast("double")
+                    + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rate"),
+            (
+                F.round(
+                    F.avg(F.when(F.col("sampled"), F.col("value")))
+                    + F.lit(1e-9),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value_sample"),
+            (F.round(F.avg("value") + F.lit(1e-9), 2) + F.lit(0.0)).alias(
+                "avg_value_all"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_stage(
+    "q_stats_hodges_lehmann",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, o_orderdate::DATE AS d,
+               count(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    walsh AS (
+        SELECT a.pri, (a.c + b.c) / 2.0 AS w
+        FROM daily a JOIN daily b ON a.pri = b.pri AND a.d <= b.d
+    )
+    SELECT w.pri AS o_orderpriority,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily dd
+             WHERE dd.pri = w.pri) AS n_days,
+           round(median(w.w) + 1e-9, 2) + 0.0 AS hl
+    FROM walsh w
+    GROUP BY w.pri
+    ORDER BY o_orderpriority
+    """,
+)
+def q_stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of daily order volume per
+    priority class: the median of all Walsh averages (c_i + c_j)/2,
+    i ≤ j — the robust location estimator behind the Wilcoxon
+    signed-rank test (30% breakdown, ~96% Gaussian efficiency vs the
+    mean's 0% breakdown and the median's 64% efficiency).  Inputs are
+    integer daily counts, so every Walsh average is an exact half-
+    integer and the cross-engine median is bit-identical.
+
+    Shape: a calendar-bounded daily aggregate (≤ ~2.4 k rows/group),
+    an O(days²) within-group self-join (≈3 M Walsh rows per priority),
+    and one exact median per group.  The pair blow-up is bounded by
+    the CALENDAR, not the table — at 100 TB the daily frame is the
+    same size."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    nd = daily.groupBy("pri").agg(F.count("*").cast("bigint").alias("n_days"))
+    a = daily.select("pri", F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(
+        F.col("pri").alias("prib"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    walsh = a.join(
+        b, (F.col("pri") == F.col("prib")) & (F.col("da") <= F.col("db"))
+    ).select("pri", ((F.col("ca") + F.col("cb")) / 2.0).alias("w"))
+    hl = walsh.groupBy("pri").agg(
+        (F.round(F.median("w") + F.lit(1e-9), 2) + F.lit(0.0)).alias("hl")
+    )
+    return (
+        nd.join(hl, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_days",
+            "hl",
+        )
+        .orderBy("o_orderpriority")
+    )
