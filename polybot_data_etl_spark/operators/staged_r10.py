@@ -1,4 +1,4 @@
-"""Round-10 registration candidates, STAGED (SURVEY §2 #434-441).
+"""Round-10 registration candidates, STAGED (SURVEY §2 #434-445).
 
 The registration freeze holds through round 9 (VERDICT r8 §Next-round
 #2: the driver evidence debt must drain to 365/365 before the surface
@@ -686,4 +686,402 @@ def q_stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hl",
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@_stage(
+    "q_stats_friedman",
+    oracle="""
+    WITH daily AS (
+        SELECT ts::DATE AS d, event_type AS t, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cal.d, ty.t, coalesce(daily.c, 0) AS c
+        FROM (SELECT DISTINCT d FROM daily) cal
+        CROSS JOIN (SELECT DISTINCT t FROM daily) ty
+        LEFT JOIN daily ON daily.d = cal.d AND daily.t = ty.t
+    ),
+    ranked AS (
+        SELECT d, t, c,
+               count(*) FILTER (WHERE 1=1)
+                   OVER (PARTITION BY d ORDER BY c
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS cnt_lt,
+               count(*) OVER (PARTITION BY d, c) AS tied
+        FROM grid
+    ),
+    rk AS (
+        SELECT d, t, cnt_lt + (tied + 1) / 2.0 AS r, tied
+        FROM ranked
+    ),
+    rsum AS (SELECT t, sum(r) AS rj FROM rk GROUP BY t),
+    dims AS (
+        SELECT (SELECT count(DISTINCT d) FROM grid) AS n,
+               (SELECT count(DISTINCT t) FROM grid) AS k
+    ),
+    ties AS (
+        SELECT coalesce(sum(tt * tt * tt - tt), 0) AS tcorr
+        FROM (
+            SELECT d, c, count(*) AS tt FROM grid GROUP BY d, c
+        )
+    )
+    SELECT CAST(dims.n AS BIGINT) AS n_blocks,
+           CAST(dims.k AS BIGINT) AS k_treatments,
+           round(
+             (12.0 * (SELECT sum(rj * rj) FROM rsum)
+                / (dims.n * dims.k * (dims.k + 1))
+              - 3.0 * dims.n * (dims.k + 1))
+             / (1.0 - ties.tcorr
+                      / (CAST(dims.n AS DOUBLE) * (dims.k * dims.k * dims.k
+                                                   - dims.k)))
+             + 1e-9, 4) + 0.0 AS chi2_f
+    FROM dims CROSS JOIN ties
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (tie-corrected) for the daily event-type volume
+    panel: blocks = days, treatments = the 5 event types, response =
+    daily count — do the types differ in volume once day-level noise
+    is blocked out?  The non-parametric two-way complement of
+    q_stats_kruskal (one-way) and q_stats_anova (parametric); the
+    workhorse test for 'same metric, k variants, repeated daily'.
+
+    Average ranks for ties computed closed-form (below-count +
+    (tied+1)/2 — exact half-integers from integer counts, never a
+    float sort), the zero-filled day×type grid bounds every window at
+    calendar × type size, and the tie-corrected statistic
+    Q / (1 − Σ(t³−t)/(nk(k²−1))·…) uses only exact integer sums until
+    the final division."""
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = ev.groupBy("d", F.col("event_type").alias("t")).agg(
+        F.count("*").alias("c")
+    )
+    cal = daily.select("d").distinct()
+    ty = daily.select("t").distinct()
+    grid = (
+        cal.crossJoin(F.broadcast(ty))
+        .join(daily, ["d", "t"], "left")
+        .select("d", "t", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_lt = (
+        Window.partitionBy("d")
+        .orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("d", "c")
+    rk = grid.select(
+        "d",
+        "t",
+        "c",
+        (
+            F.coalesce(F.count("*").over(w_lt), F.lit(0))
+            + (F.count("*").over(w_tie) + 1) / 2.0
+        ).alias("r"),
+    )
+    rsum = rk.groupBy("t").agg(F.sum("r").alias("rj"))
+    sum_rj2 = rsum.agg(F.sum(F.col("rj") * F.col("rj")).alias("s2"))
+    dims = grid.agg(
+        F.countDistinct("d").alias("n"), F.countDistinct("t").alias("k")
+    )
+    ties = (
+        grid.groupBy("d", "c")
+        .agg(F.count("*").alias("tt"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")),
+                F.lit(0),
+            ).alias("tcorr")
+        )
+    )
+    return (
+        dims.crossJoin(F.broadcast(sum_rj2))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("bigint").alias("n_blocks"),
+            F.col("k").cast("bigint").alias("k_treatments"),
+            (
+                F.round(
+                    (
+                        12.0
+                        * F.col("s2")
+                        / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                        - 3.0 * F.col("n") * (F.col("k") + 1)
+                    )
+                    / (
+                        1.0
+                        - F.col("tcorr")
+                        / (
+                            F.col("n").cast("double")
+                            * (
+                                F.col("k") * F.col("k") * F.col("k")
+                                - F.col("k")
+                            )
+                        )
+                    )
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("chi2_f"),
+        )
+    )
+
+
+@_stage(
+    "q_stats_cramers_v",
+    oracle="""
+    WITH ct AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    full_ct AS (
+        SELECT ra.a, rb.b, coalesce(ct.o, 0) AS o
+        FROM (SELECT DISTINCT a FROM ct) ra
+        CROSS JOIN (SELECT DISTINCT b FROM ct) rb
+        LEFT JOIN ct ON ct.a = ra.a AND ct.b = rb.b
+    ),
+    marg AS (
+        SELECT a, b, o,
+               sum(o) OVER (PARTITION BY a) AS ra,
+               sum(o) OVER (PARTITION BY b) AS cb,
+               sum(o) OVER () AS n
+        FROM full_ct
+    ),
+    chi AS (
+        SELECT any_value(n) AS n,
+               count(DISTINCT a) AS r,
+               count(DISTINCT b) AS c,
+               sum((o - ra * cb / (1.0 * n)) * (o - ra * cb / (1.0 * n))
+                   / (ra * cb / (1.0 * n))) AS chi2
+        FROM marg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(chi2 + 1e-9, 4) + 0.0 AS chi2,
+           round(sqrt(chi2 / (n * (least(r, c) - 1))) + 1e-9, 4) + 0.0
+               AS cramers_v
+    FROM chi
+    """,
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for order priority × order status: the NORMALIZED
+    association strength ([0, 1], comparable across tables and sample
+    sizes) that raw chi-square (q_stats_chisq) is not — the effect
+    size every categorical-drift dashboard actually wants, since chi²
+    alone grows linearly with row count.
+
+    Shape: one hash agg to the ≤ r×c contingency table (zero-filled
+    so expected counts are right even for absent cells), marginals by
+    windows over that tiny frame, one scalar row out."""
+    o = table(spark, sf_dir, "orders")
+    ct = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = ct.select("a").distinct()
+    rb = ct.select("b").distinct()
+    full_ct = (
+        ra.crossJoin(F.broadcast(rb))
+        .join(ct, ["a", "b"], "left")
+        .select("a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    marg = full_ct.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),  # whole frame = the tiny contingency table
+    )
+    exp = F.col("ra") * F.col("cb") / (1.0 * F.col("n"))
+    chi = marg.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        (F.round(F.col("chi2") + F.lit(1e-9), 4) + F.lit(0.0)).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )
+
+
+@_stage(
+    "q_win_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, date_trunc('day', o_orderdate) AS d,
+               round(sum(o_totalprice), 2) AS rev,
+               date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS x
+        FROM orders GROUP BY 1, 2, 4
+    ),
+    win AS (
+        SELECT pri, d,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx,
+               sum(rev) OVER w AS sy,
+               sum(x * rev) OVER w AS sxy,
+               sum(CAST(x AS DOUBLE) * x) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT pri AS o_orderpriority, d,
+           round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                 + 1e-9, 4) + 0.0 AS slope
+    FROM win WHERE n = 7
+    """,
+)
+def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row rolling OLS slope of daily revenue per priority class —
+    the trend-strength signal behind every 'revenue decelerating?'
+    alert (q_ts_rolling_corr co-moves two series; this regresses ONE
+    series on time).  β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), assembled
+    from five window sums over the SAME frame — one pass, no
+    self-join.
+
+    Cross-engine determinism: x is an exact integer day index, daily
+    revenue is rounded to cents BEFORE the regression on both engines
+    (the §2.1 two-step), the emitted day is a native TIMESTAMP on both
+    (convention 10 — DATE surfaces as midnight-timestamp in pandas),
+    windows are partitioned by priority (the bounded-key class), and
+    rows without a full 7-day history are dropped identically via the
+    frame row count."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_trunc("day", "o_orderdate").alias("d"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev")).withColumn(
+        "x",
+        F.datediff(F.to_date("d"), F.lit("1992-01-01").cast("date")),
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "pri",
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("rev").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).over(w).alias("sxx"),
+    )
+    return win.filter(F.col("n") == 7).select(
+        F.col("pri").alias("o_orderpriority"),
+        "d",
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("slope"),
+    )
+
+
+@_stage(
+    "q_text_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT token,
+               count(*) AS df,
+               sum(c) AS total,
+               sum(CAST(c AS DOUBLE) * c) AS sumsq
+        FROM per_doc GROUP BY token
+        ORDER BY df DESC, token LIMIT 20
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token,
+           CAST(df AS BIGINT) AS df,
+           CAST(total AS BIGINT) AS total,
+           round(total / (1.0 * df) + 1e-9, 4) + 0.0 AS per_doc_rate,
+           round(
+             (sumsq / (1.0 * n_docs)
+              - (total / (1.0 * n_docs)) * (total / (1.0 * n_docs)))
+             / (total / (1.0 * n_docs)) + 1e-9, 4) + 0.0 AS vmr
+    FROM stats CROSS JOIN nd
+    ORDER BY df DESC, token
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church-Gale) for the 20 highest-df tokens:
+    per-containing-doc rate (total/df — 'once it appears, how often?')
+    and the zero-inclusive variance-to-mean ratio (VMR > 1 = bursty
+    content word, VMR ≈ 1 = Poisson-like function word).  The
+    mixture-model diagnostic behind stopword lists and tf saturation
+    curves — q_text_zipf ranks the frequency mass, this measures its
+    CLUMPINESS across documents.
+
+    Zero-count docs enter the moments closed-form (Σc, Σc² over
+    occurrences + the document total N), never as materialized zero
+    rows; everything is an exact integer until the two final
+    divisions."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    stats = (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("total"),
+            F.sum(F.col("c").cast("double") * F.col("c")).alias("sumsq"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    mean = F.col("total") / (1.0 * F.col("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("total").cast("bigint").alias("total"),
+            (
+                F.round(F.col("total") / (1.0 * F.col("df")) + F.lit(1e-9), 4)
+                + F.lit(0.0)
+            ).alias("per_doc_rate"),
+            (
+                F.round(
+                    (F.col("sumsq") / (1.0 * F.col("n_docs")) - mean * mean)
+                    / mean
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
     )
