@@ -1,4 +1,4 @@
-"""Round-10 registration candidates, STAGED (SURVEY §2 #434-445).
+"""Round-10 registration candidates, STAGED (SURVEY §2 #434-446).
 
 The registration freeze holds through round 9 (VERDICT r8 §Next-round
 #2: the driver evidence debt must drain to 365/365 before the surface
@@ -1085,3 +1085,148 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("df"), F.asc("token"))
     )
+
+
+@_stage(
+    "q_ts_interrupted",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS x,
+               round(sum(o_totalprice), 2) AS y
+        FROM orders GROUP BY 1
+    ),
+    cut AS (
+        SELECT CAST(min(x) + (max(x) - min(x)) // 2 AS BIGINT) AS x0
+        FROM daily
+    ),
+    seg AS (
+        SELECT d.x, d.y, d.x >= c.x0 AS post FROM daily d CROSS JOIN cut c
+    ),
+    fits AS (
+        SELECT post,
+               count(*) AS n,
+               (count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(CAST(x AS DOUBLE) * x)
+                    - CAST(sum(x) AS DOUBLE) * sum(x)) AS slope,
+               sum(y) / (1.0 * count(*))
+                 - (count(*) * sum(x * y) - sum(x) * sum(y))
+                   / (count(*) * sum(CAST(x AS DOUBLE) * x)
+                      - CAST(sum(x) AS DOUBLE) * sum(x))
+                   * (sum(x) / (1.0 * count(*))) AS intercept
+        FROM seg GROUP BY post
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM fits WHERE NOT post) AS n_pre,
+           (SELECT CAST(n AS BIGINT) FROM fits WHERE post) AS n_post,
+           round((SELECT slope FROM fits WHERE NOT post) + 1e-9, 4) + 0.0
+               AS slope_pre,
+           round((SELECT slope FROM fits WHERE post) + 1e-9, 4) + 0.0
+               AS slope_post,
+           round((SELECT slope FROM fits WHERE post)
+                 - (SELECT slope FROM fits WHERE NOT post) + 1e-9, 4) + 0.0
+               AS slope_change,
+           round((SELECT intercept + slope * cut.x0 FROM fits WHERE post)
+                 - (SELECT intercept + slope * cut.x0 FROM fits
+                    WHERE NOT post) + 1e-9, 2) + 0.0 AS level_change
+    FROM cut
+    """,
+)
+def q_ts_interrupted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) of daily revenue
+    around the series midpoint: separate OLS fits before/after the
+    cut, reporting the slope change and the level discontinuity AT the
+    cutpoint — 'did the trend break, and did the level jump?', the
+    causal-inference workhorse for launches/incidents
+    (q_win_rolling_slope tracks local trend; this tests ONE structural
+    break).  The cutpoint is derived from the data (midpoint of the
+    integer day span), so the query is self-contained at every scale.
+
+    Determinism: integer day index, cents-rounded daily revenue before
+    the fits (§2.1 two-step), closed-form β and intercept from exact
+    sums, two-group aggregate — no window at all."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("x")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    cut = daily.agg(
+        (
+            F.min("x")
+            + F.floor((F.max("x") - F.min("x")) / 2).cast("long")
+        )
+        .cast("bigint")
+        .alias("x0")
+    )
+    seg = daily.crossJoin(F.broadcast(cut)).withColumn(
+        "post", F.col("x") >= F.col("x0")
+    )
+    slope = (
+        F.count("*") * F.sum(F.col("x") * F.col("y"))
+        - F.sum("x") * F.sum("y")
+    ) / (
+        F.count("*") * F.sum(F.col("x").cast("double") * F.col("x"))
+        - F.sum("x").cast("double") * F.sum("x")
+    )
+    fits = seg.groupBy("post").agg(
+        F.count("*").alias("n"),
+        slope.alias("slope"),
+        (
+            F.sum("y") / (1.0 * F.count("*"))
+            - slope * (F.sum("x") / (1.0 * F.count("*")))
+        ).alias("intercept"),
+    )
+    pre = fits.filter(~F.col("post")).select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("s_pre"),
+        F.col("intercept").alias("i_pre"),
+    )
+    post = fits.filter(F.col("post")).select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("s_post"),
+        F.col("intercept").alias("i_post"),
+    )
+    return (
+        pre.crossJoin(post)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("n_pre").cast("bigint").alias("n_pre"),
+            F.col("n_post").cast("bigint").alias("n_post"),
+            (F.round(F.col("s_pre") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "slope_pre"
+            ),
+            (F.round(F.col("s_post") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "slope_post"
+            ),
+            (
+                F.round(F.col("s_post") - F.col("s_pre") + F.lit(1e-9), 4)
+                + F.lit(0.0)
+            ).alias("slope_change"),
+            (
+                F.round(
+                    (F.col("i_post") + F.col("s_post") * F.col("x0"))
+                    - (F.col("i_pre") + F.col("s_pre") * F.col("x0"))
+                    + F.lit(1e-9),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("level_change"),
+        )
+    )
+
+
+def register_staged() -> None:
+    """The round-10 flip: register every staged query with its oracle.
+
+    NOT called anywhere in round 9 (the freeze).  Round 10:
+      1. verify CORRECTNESS_r09.json landed green (the freeze's
+         purpose — cumulative driver evidence 365/365);
+      2. call this from plans/entrypoints (or inline the decorators);
+      3. add the staged names to ``registry._NEW_THIS_ROUND`` so they
+         enumerate AFTER any remaining evidence debt;
+      4. move each function into its family module and update the
+         SURVEY §2 rows from [STAGED r10] to registered.
+    """
+    from polybot_data_etl_spark.registry import register
+
+    for name, (fn, oracle) in sorted(STAGED.items()):
+        register(name, oracle=oracle)(fn)
