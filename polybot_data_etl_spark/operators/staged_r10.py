@@ -1,4 +1,4 @@
-"""Round-10 registration candidates, STAGED (SURVEY §2 #434-446).
+"""Round-10 registration candidates, STAGED (SURVEY §2 #434-448).
 
 The registration freeze holds through round 9 (VERDICT r8 §Next-round
 #2: the driver evidence debt must drain to 365/365 before the surface
@@ -1230,3 +1230,197 @@ def register_staged() -> None:
 
     for name, (fn, oracle) in sorted(STAGED.items()):
         register(name, oracle=oracle)(fn)
+
+
+@_stage(
+    "q_stats_welch",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(value) AS s,
+               sum(CAST(value AS DOUBLE) * value) AS ss
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, s / (1.0 * n) AS mean,
+               (ss - s * s / (1.0 * n)) / (n - 1.0) AS var
+        FROM g
+    ),
+    w AS (
+        SELECT event_type, n, mean, n / var AS wi FROM m
+    ),
+    tot AS (
+        SELECT count(*) AS k, sum(wi) AS sw,
+               sum(wi * mean) / sum(wi) AS mstar
+        FROM w
+    ),
+    parts AS (
+        SELECT sum(w.wi * (w.mean - tot.mstar) * (w.mean - tot.mstar)) AS num,
+               sum((1.0 - w.wi / tot.sw) * (1.0 - w.wi / tot.sw)
+                   / (w.n - 1.0)) AS lam,
+               any_value(tot.k) AS k,
+               sum(w.n) AS n
+        FROM w CROSS JOIN tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n,
+           round((num / (k - 1.0))
+                 / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam)
+                 + 1e-9, 4) + 0.0 AS f_welch,
+           round((k * k - 1.0) / (3.0 * lam) + 1e-9, 4) + 0.0 AS df2
+    FROM parts
+    """,
+)
+def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's ANOVA across event types: the unequal-variance one-way
+    F (weights w_i = n_i/s_i², Welch-Satterthwaite df₂) — the modern
+    default the classic F (q_stats_anova) should be replaced by when
+    Levene (q_stats_levene) rejects variance homogeneity; the three
+    queries form the complete omnibus-test decision path.
+
+    Shape: ONE raw-moment pass over the fact table (n, Σx, Σx² per
+    group — the q_stats_anova recipe exactly), then closed-form Welch
+    algebra on the k-row frame; every post-agg frame is ≤ k rows."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s") / (1.0 * F.col("n"))).alias("mean"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / (1.0 * F.col("n")))
+            / (F.col("n") - 1.0)
+        ).alias("var"),
+    )
+    w = m.select(
+        "event_type", "n", "mean", (F.col("n") / F.col("var")).alias("wi")
+    )
+    tot = w.agg(
+        F.count("*").alias("k"),
+        F.sum("wi").alias("sw"),
+        (F.sum(F.col("wi") * F.col("mean")) / F.sum("wi")).alias("mstar"),
+    )
+    parts = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("wi")
+                * (F.col("mean") - F.col("mstar"))
+                * (F.col("mean") - F.col("mstar"))
+            ).alias("num"),
+            F.sum(
+                (1.0 - F.col("wi") / F.col("sw"))
+                * (1.0 - F.col("wi") / F.col("sw"))
+                / (F.col("n") - 1.0)
+            ).alias("lam"),
+            F.first("k").alias("k"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(
+                (F.col("num") / (F.col("k") - 1.0))
+                / (
+                    1.0
+                    + 2.0
+                    * (F.col("k") - 2.0)
+                    / (F.col("k") * F.col("k") - 1.0)
+                    * F.col("lam")
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("f_welch"),
+        (
+            F.round(
+                (F.col("k") * F.col("k") - 1.0) / (3.0 * F.col("lam"))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("df2"),
+    )
+
+
+@_stage(
+    "q_agg_lorenz",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+        FROM cust
+    ),
+    dec AS (
+        SELECT decile, count(*) AS n_cust, sum(rev) AS drev
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT sum(drev) AS total FROM dec)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           round(drev / tot.total + 1e-12, 4) + 0.0 AS share,
+           round(sum(drev) OVER (ORDER BY decile) / tot.total + 1e-12, 4)
+               + 0.0 AS cum_share
+    FROM dec CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration at deciles:
+    share and cumulative share of total revenue held by each revenue
+    decile of customers — the CURVE whose enclosed area q_agg_gini
+    reduces to one scalar; the shape is what a data-mix or account-
+    concentration review actually reads ('the top decile holds 40%').
+
+    Determinism: per-customer revenue is cents-rounded BEFORE the
+    decile ranking and tiled on (rev, custkey) — a total order, so
+    ntile boundaries cannot flip on last-ulp float sums.  Scale
+    posture: the ntile runs over the per-customer AGGREGATE (the
+    entity-keyed bounded class documented for q_agg_rfm, whose
+    bucketed twin #425 is the 100 TB recipe); the decile frame is 10
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    tiled = cust.select(
+        "rev",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    dec = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("rev").alias("drev")
+    )
+    tot = dec.agg(F.sum("drev").alias("total"))
+    wcum = Window.orderBy("decile")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_cust").cast("bigint").alias("n_cust"),
+            (
+                F.round(F.col("drev") / F.col("total") + F.lit(1e-12), 4)
+                + F.lit(0.0)
+            ).alias("share"),
+            (
+                F.round(
+                    F.sum("drev").over(wcum) / F.col("total") + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
