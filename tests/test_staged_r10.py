@@ -53,3 +53,52 @@ def test_staged_query_schema_is_driver_hashable(spark, sf_dir, name):
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
     ]
     assert bad == [], bad
+
+
+def test_staged_queries_have_no_unbounded_global_windows(spark, sf_dir):
+    """The round-8 fleet plan invariant, applied to the staged batch
+    BEFORE it registers: no unpartitioned window whose input reaches a
+    scan without a cardinality-bounding node (Aggregate/Limit/
+    Deduplicate) — the one-task global sort that dies first at 100 TB.
+    Same walker as tests/test_plans.py's registered-fleet sweep.
+    q_graph_components is excluded like q_dedup_clusters there: its
+    CC kernel materializes labels eagerly at build time."""
+
+    def children(n):
+        cs = n.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    bounding = {
+        "Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate",
+        "OneRowRelation", "LocalRelation",
+    }
+
+    def bounded(n):
+        if n.getClass().getSimpleName() in bounding:
+            return True
+        cs = children(n)
+        if not cs:
+            return False
+        return all(bounded(c) for c in cs)
+
+    bad = {}
+    for name, (fn, _) in sorted(STAGED.items()):
+        if name == "q_graph_components":
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        count = [0]
+
+        def walk(n):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+                and not bounded(children(n)[0])
+            ):
+                count[0] += 1
+            for c in children(n):
+                walk(c)
+
+        walk(plan)
+        if count[0]:
+            bad[name] = count[0]
+    assert not bad, f"staged queries with unbounded global windows: {bad}"
