@@ -102,3 +102,36 @@ def test_staged_queries_have_no_unbounded_global_windows(spark, sf_dir):
         if count[0]:
             bad[name] = count[0]
     assert not bad, f"staged queries with unbounded global windows: {bad}"
+
+
+@pytest.fixture(scope="module")
+def duck_sf001():
+    import duckdb
+
+    from polybot_data_etl_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    yield con
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_query_matches_oracle_at_gate_scale(spark, duck_sf001, name):
+    """Same differential, at the DRIVER'S gate scale (sf0.01) — the
+    scale the t2 gate will actually run these at after the round-10
+    registration flip.  Catches scale-dependent divergence (empty
+    groups, tie structure, recursion depth) that sf0.001 can mask."""
+    fn, oracle = STAGED[name]
+    sdf = fn(spark, "/root/testdata/sf0.01").toPandas()
+    ddf = duck_sf001.execute(oracle).df()
+    s_rows, s_cols, s_hash, s_sample = canon_frame(sdf)
+    d_rows, d_cols, d_hash, d_sample = canon_frame(ddf)
+    assert (s_rows, s_cols) == (d_rows, d_cols), (name, s_rows, d_rows)
+    assert s_rows > 0
+    assert s_hash == d_hash, (
+        f"{name} @sf0.01: hash mismatch\nspark  {s_sample}\nduckdb {d_sample}"
+    )
