@@ -1,4 +1,4 @@
-"""Round-10 registration candidates, STAGED (SURVEY §2 #434-448).
+"""Round-10 registration candidates, STAGED (SURVEY §2 #434-450).
 
 The registration freeze holds through round 9 (VERDICT r8 §Next-round
 #2: the driver evidence debt must drain to 365/365 before the surface
@@ -1423,4 +1423,182 @@ def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
         .orderBy("decile")
+    )
+
+
+@_stage(
+    "q_graph_powerlaw",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           round(avg(1.0 * d) + 1e-9, 4) + 0.0 AS mean_degree,
+           round(1.0 + count(*) / sum(ln(d / 0.5)) + 1e-9, 4) + 0.0
+               AS alpha
+    FROM deg
+    """,
+)
+def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the co-purchase degree distribution:
+    the Clauset-Shalizi-Newman continuous-MLE α̂ = 1 + n/Σ ln(d/(d_min
+    −½)) at d_min = 1 — the one-number scale-free-ness check that
+    decides whether hub-sensitive algorithms (the #430 degree cap,
+    salting, top-k caches) are load-bearing on this graph (α ≲ 2.5 ⇒
+    heavy hubs) or cosmetic (α ≳ 3.5).  Complements
+    q_graph_centralization's max-vs-rest gap with the full tail
+    exponent.
+
+    Shape: one degree aggregate over the memoized edge frame, one
+    scalar row — integer degrees make Σ ln(d/0.5) engine-identical
+    to the last rounding step."""
+    from polybot_data_etl_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        (F.round(F.avg(1.0 * F.col("d")) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "mean_degree"
+        ),
+        (
+            F.round(
+                1.0 + F.count("*") / F.sum(F.log(F.col("d") / 0.5))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("alpha"),
+    )
+
+
+@_stage(
+    "q_ts_seasonal_mk",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(extract('month' FROM o_orderdate) AS INTEGER) AS m,
+               o_orderdate::DATE AS day, count(*) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.m,
+               sum(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS sm
+        FROM daily a JOIN daily b ON a.m = b.m AND a.day < b.day
+        GROUP BY a.m
+    ),
+    v AS (
+        SELECT m, sum(tc) AS n,
+               sum(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+        FROM (SELECT m, x, count(*) AS tc FROM daily GROUP BY m, x)
+        GROUP BY m
+    ),
+    tot AS (
+        SELECT count(*) AS n_seasons,
+               sum(s.sm) AS s_total,
+               sum((v.n * (v.n - 1e0) * (2 * v.n + 5) - v.tie_term) / 18e0)
+                   AS var_total
+        FROM s JOIN v USING (m)
+    )
+    SELECT CAST(n_seasons AS BIGINT) AS n_seasons,
+           CAST(s_total AS BIGINT) AS s_total,
+           round(CASE WHEN s_total > 0
+                      THEN (s_total - 1) / sqrt(var_total)
+                      WHEN s_total < 0
+                      THEN (s_total + 1) / sqrt(var_total)
+                      ELSE 0e0 END + 1e-9, 4) + 0.0 AS z
+    FROM tot
+    """,
+)
+def q_ts_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on daily order volume: S and
+    tie-corrected Var(S) computed WITHIN each calendar month across
+    years, then summed — the seasonality-blocked version of
+    q_ts_mannkendall that doesn't mistake an annual cycle for a
+    monotone trend (Hirsch-Slack, the hydrology standard for exactly
+    this failure mode).  Continuity-corrected z on the pooled S.
+
+    Shape: a calendar-bounded daily aggregate, the O(days²) pairwise
+    sign join runs WITHIN month blocks (~12× fewer pairs than the
+    unblocked test), then 12-row closed-form assembly — integer
+    counts end-to-end until the final z."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count("*").alias("x"))
+    a = daily.select("m", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(
+        F.col("m").alias("mb"), F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, (F.col("m") == F.col("mb")) & (F.col("da") < F.col("db")))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("sm")
+        )
+    )
+    v = (
+        daily.groupBy("m", "x")
+        .agg(F.count("*").alias("tc"))
+        .groupBy("m")
+        .agg(
+            F.sum("tc").alias("n"),
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    tot = (
+        s.join(v, "m")
+        .agg(
+            F.count("*").alias("n_seasons"),
+            F.sum("sm").alias("s_total"),
+            F.sum(
+                (
+                    F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_total"),
+        )
+    )
+    return tot.select(
+        F.col("n_seasons").cast("bigint").alias("n_seasons"),
+        F.col("s_total").cast("bigint").alias("s_total"),
+        (
+            F.round(
+                F.when(
+                    F.col("s_total") > 0,
+                    (F.col("s_total") - 1) / F.sqrt(F.col("var_total")),
+                )
+                .when(
+                    F.col("s_total") < 0,
+                    (F.col("s_total") + 1) / F.sqrt(F.col("var_total")),
+                )
+                .otherwise(F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
     )

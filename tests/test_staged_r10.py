@@ -16,7 +16,7 @@ from polybot_data_etl_spark.operators.staged_r10 import STAGED
 def test_staged_batch_is_nonempty_and_not_yet_registered():
     from polybot_data_etl_spark import registry
 
-    assert len(STAGED) == 15
+    assert len(STAGED) == 17
     clash = set(STAGED) & set(registry.queries())
     assert not clash, (
         "staged names already registered — the round-9 freeze forbids "
