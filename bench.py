@@ -116,14 +116,21 @@ def compact_line(full: dict, budget: int = 1800) -> dict:
     return out
 
 
-def classify_errlog(path: str) -> list[str]:
+def classify_errlog(path: str) -> list[str] | None:
     """Distinct `logger:ExceptionClass` signatures from the log4j2
     ERROR mirror file, sorted — empty list means a clean JVM run.
     Parsing is line-anchored on the `ERROR <logger>: <msg>` layout the
     bench log4j2 config emits plus the first exception-class line of
     each stack, so multi-KB stacks collapse to one classifiable name
     (VERDICT r8 #2: the r8 tail's truncated DAGScheduler fragment was
-    exactly this kind of unlabeled noise)."""
+    exactly this kind of unlabeled noise).
+
+    Returns ``None`` — NOT ``[]`` — when the mirror file does not
+    exist or cannot be read (ADVICE r9 #1): `[]` certifies a
+    present-and-empty mirror (clean JVM), while a missing file means
+    the log4j2 config never applied (not the first JVM-creating
+    session, extraJavaOptions overridden, -D path broken) and must
+    read as "no evidence", never as "clean"."""
     import re
 
     classes: set[str] = set()
@@ -140,8 +147,27 @@ def classify_errlog(path: str) -> list[str]:
                 if m and logger is not None:
                     classes.add(f"{logger}:{m.group(1).rsplit('.', 1)[-1]}")
     except OSError:
-        return []
+        return None
     return sorted(classes)
+
+
+def _git_head(repo_dir: str) -> str | None:
+    """Current HEAD commit (short), or None outside a usable git repo —
+    the serial certification stamps it so staleness is detectable
+    (ADVICE r9 #4)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    head = out.stdout.strip()
+    return head if out.returncode == 0 and head else None
 
 
 def main() -> int:
@@ -400,7 +426,10 @@ def main() -> int:
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         # VERDICT r8 #2: distinct JVM ERROR signatures this run, from
-        # the log4j2 mirror file — [] certifies a clean-JVM record.
+        # the log4j2 mirror file — [] certifies a clean-JVM record
+        # (file present and empty); null means the mirror file never
+        # appeared, i.e. the log4j2 config did not apply and this run
+        # carries NO JVM-error evidence either way (ADVICE r9 #1).
         "spark_stderr_classes": classify_errlog(errlog),
     }
     if errors:
@@ -427,6 +456,10 @@ def main() -> int:
                         "utc": time.strftime(
                             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                         ),
+                        # ADVICE r9 #4: bind the certification to the
+                        # code it measured, so a stale cert cannot ride
+                        # beside a record from a different commit.
+                        "commit": _git_head(root_dir),
                     },
                     fh,
                 )
@@ -440,6 +473,16 @@ def main() -> int:
             # this record (a smoke-test serial run at another sf
             # must not masquerade as this scale's latency numbers)
             if isinstance(cert, dict) and cert.get("sf") == sf:
+                # ADVICE r9 #4: a certification produced on another
+                # commit is still embedded (it is the best latency
+                # evidence available) but self-describes as stale so
+                # it cannot masquerade as current-code numbers.
+                head = _git_head(root_dir)
+                cert["commit_matches_run"] = (
+                    cert.get("commit") == head
+                    if cert.get("commit") and head
+                    else None
+                )
                 full["serial_cert"] = cert
         except (OSError, ValueError):
             pass  # no prior serial certification on this box yet

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
@@ -3547,4 +3547,512 @@ def q_stats_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ovl") + F.lit(1e-9), 4).alias("overlap_coef"),
         F.round(1 - F.col("ovl") + F.lit(1e-9), 4).alias("separation"),
         (F.col("ovl") > 0.9).alias("distributions_similar"),
+    )
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+
+@register(
+    "q_stats_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS d,
+               count(*) AS x,
+               count(DISTINCT o_custkey) AS y
+        FROM orders GROUP BY 1
+    ),
+    nd AS (SELECT count(*) AS n_days FROM daily),
+    pairs AS (
+        SELECT (a.x - b.x) AS sx, (a.y - b.y) AS sy
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    agg AS (
+        SELECT count(*) AS n0,
+               sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS disc,
+               sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS n2
+        FROM pairs
+    )
+    SELECT (SELECT CAST(n_days AS BIGINT) FROM nd) AS n_days,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round((c - disc) / sqrt((n0 - n1) * 1e0 * (n0 - n2)) + 1e-12, 4)
+               + 0.0 AS tau_b
+    FROM agg
+    """,
+)
+def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily order volume and daily distinct
+    buyers — the rank-correlation complement of q_stats_spearman that
+    handles ties by construction (tau-b's denominator discounts them),
+    on two INTEGER series so concordance decisions are exact on both
+    engines (no float-sign ambiguity).
+
+    Shape: one date-keyed aggregate (≤ ~2.4 k rows at any fixture
+    scale — bounded by the calendar, not the table), an O(days²)
+    self-join (≈3 M pairs) with integer sign products, and one final
+    scalar row.  At 100 TB the daily frame is identical; only the
+    first aggregate sees more data."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.countDistinct("o_custkey").alias("y"),
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    a = daily.select(
+        F.col("d").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("d").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        (F.col("xa") - F.col("xb")).alias("sx"),
+        (F.col("ya") - F.col("yb")).alias("sy"),
+    )
+    agg = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("sx") * F.col("sy") > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("sx") * F.col("sy") < 0, 1).otherwise(0)).alias(
+            "disc"
+        ),
+        F.sum(F.when(F.col("sx") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sy") == 0, 1).otherwise(0)).alias("n2"),
+    )
+    return (
+        F.broadcast(nd)
+        .crossJoin(agg)
+        .select(
+            "n_days",
+            F.col("c").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            (
+                F.round(
+                    (F.col("c") - F.col("disc"))
+                    / F.sqrt(
+                        (F.col("n0") - F.col("n1"))
+                        * 1.0
+                        * (F.col("n0") - F.col("n2"))
+                    )
+                    + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "q_stats_hodges_lehmann",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, o_orderdate::DATE AS d,
+               count(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    walsh AS (
+        SELECT a.pri, (a.c + b.c) / 2.0 AS w
+        FROM daily a JOIN daily b ON a.pri = b.pri AND a.d <= b.d
+    )
+    SELECT w.pri AS o_orderpriority,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily dd
+             WHERE dd.pri = w.pri) AS n_days,
+           round(median(w.w) + 1e-9, 2) + 0.0 AS hl
+    FROM walsh w
+    GROUP BY w.pri
+    ORDER BY o_orderpriority
+    """,
+)
+def q_stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of daily order volume per
+    priority class: the median of all Walsh averages (c_i + c_j)/2,
+    i ≤ j — the robust location estimator behind the Wilcoxon
+    signed-rank test (30% breakdown, ~96% Gaussian efficiency vs the
+    mean's 0% breakdown and the median's 64% efficiency).  Inputs are
+    integer daily counts, so every Walsh average is an exact half-
+    integer and the cross-engine median is bit-identical.
+
+    Shape: a calendar-bounded daily aggregate (≤ ~2.4 k rows/group),
+    an O(days²) within-group self-join (≈3 M Walsh rows per priority),
+    and one exact median per group.  The pair blow-up is bounded by
+    the CALENDAR, not the table — at 100 TB the daily frame is the
+    same size."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    nd = daily.groupBy("pri").agg(F.count("*").cast("bigint").alias("n_days"))
+    a = daily.select("pri", F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(
+        F.col("pri").alias("prib"), F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    walsh = a.join(
+        b, (F.col("pri") == F.col("prib")) & (F.col("da") <= F.col("db"))
+    ).select("pri", ((F.col("ca") + F.col("cb")) / 2.0).alias("w"))
+    hl = walsh.groupBy("pri").agg(
+        (F.round(F.median("w") + F.lit(1e-9), 2) + F.lit(0.0)).alias("hl")
+    )
+    return (
+        nd.join(hl, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_days",
+            "hl",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_stats_friedman",
+    oracle="""
+    WITH daily AS (
+        SELECT ts::DATE AS d, event_type AS t, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT cal.d, ty.t, coalesce(daily.c, 0) AS c
+        FROM (SELECT DISTINCT d FROM daily) cal
+        CROSS JOIN (SELECT DISTINCT t FROM daily) ty
+        LEFT JOIN daily ON daily.d = cal.d AND daily.t = ty.t
+    ),
+    ranked AS (
+        SELECT d, t, c,
+               count(*) FILTER (WHERE 1=1)
+                   OVER (PARTITION BY d ORDER BY c
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS cnt_lt,
+               count(*) OVER (PARTITION BY d, c) AS tied
+        FROM grid
+    ),
+    rk AS (
+        SELECT d, t, cnt_lt + (tied + 1) / 2.0 AS r, tied
+        FROM ranked
+    ),
+    rsum AS (SELECT t, sum(r) AS rj FROM rk GROUP BY t),
+    dims AS (
+        SELECT (SELECT count(DISTINCT d) FROM grid) AS n,
+               (SELECT count(DISTINCT t) FROM grid) AS k
+    ),
+    ties AS (
+        SELECT coalesce(sum(tt * tt * tt - tt), 0) AS tcorr
+        FROM (
+            SELECT d, c, count(*) AS tt FROM grid GROUP BY d, c
+        )
+    )
+    SELECT CAST(dims.n AS BIGINT) AS n_blocks,
+           CAST(dims.k AS BIGINT) AS k_treatments,
+           round(
+             (12.0 * (SELECT sum(rj * rj) FROM rsum)
+                / (dims.n * dims.k * (dims.k + 1))
+              - 3.0 * dims.n * (dims.k + 1))
+             / (1.0 - ties.tcorr
+                      / (CAST(dims.n AS DOUBLE) * (dims.k * dims.k * dims.k
+                                                   - dims.k)))
+             + 1e-9, 4) + 0.0 AS chi2_f
+    FROM dims CROSS JOIN ties
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (tie-corrected) for the daily event-type volume
+    panel: blocks = days, treatments = the 5 event types, response =
+    daily count — do the types differ in volume once day-level noise
+    is blocked out?  The non-parametric two-way complement of
+    q_stats_kruskal (one-way) and q_stats_anova (parametric); the
+    workhorse test for 'same metric, k variants, repeated daily'.
+
+    Average ranks for ties computed closed-form (below-count +
+    (tied+1)/2 — exact half-integers from integer counts, never a
+    float sort), the zero-filled day×type grid bounds every window at
+    calendar × type size, and the tie-corrected statistic
+    Q / (1 − Σ(t³−t)/(nk(k²−1))·…) uses only exact integer sums until
+    the final division."""
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    daily = ev.groupBy("d", F.col("event_type").alias("t")).agg(
+        F.count("*").alias("c")
+    )
+    cal = daily.select("d").distinct()
+    ty = daily.select("t").distinct()
+    grid = (
+        cal.crossJoin(F.broadcast(ty))
+        .join(daily, ["d", "t"], "left")
+        .select("d", "t", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_lt = (
+        Window.partitionBy("d")
+        .orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("d", "c")
+    rk = grid.select(
+        "d",
+        "t",
+        "c",
+        (
+            F.coalesce(F.count("*").over(w_lt), F.lit(0))
+            + (F.count("*").over(w_tie) + 1) / 2.0
+        ).alias("r"),
+    )
+    rsum = rk.groupBy("t").agg(F.sum("r").alias("rj"))
+    sum_rj2 = rsum.agg(F.sum(F.col("rj") * F.col("rj")).alias("s2"))
+    dims = grid.agg(
+        F.countDistinct("d").alias("n"), F.countDistinct("t").alias("k")
+    )
+    ties = (
+        grid.groupBy("d", "c")
+        .agg(F.count("*").alias("tt"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt")),
+                F.lit(0),
+            ).alias("tcorr")
+        )
+    )
+    return (
+        dims.crossJoin(F.broadcast(sum_rj2))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("bigint").alias("n_blocks"),
+            F.col("k").cast("bigint").alias("k_treatments"),
+            (
+                F.round(
+                    (
+                        12.0
+                        * F.col("s2")
+                        / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                        - 3.0 * F.col("n") * (F.col("k") + 1)
+                    )
+                    / (
+                        1.0
+                        - F.col("tcorr")
+                        / (
+                            F.col("n").cast("double")
+                            * (
+                                F.col("k") * F.col("k") * F.col("k")
+                                - F.col("k")
+                            )
+                        )
+                    )
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("chi2_f"),
+        )
+    )
+
+
+@register(
+    "q_stats_cramers_v",
+    oracle="""
+    WITH ct AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    full_ct AS (
+        SELECT ra.a, rb.b, coalesce(ct.o, 0) AS o
+        FROM (SELECT DISTINCT a FROM ct) ra
+        CROSS JOIN (SELECT DISTINCT b FROM ct) rb
+        LEFT JOIN ct ON ct.a = ra.a AND ct.b = rb.b
+    ),
+    marg AS (
+        SELECT a, b, o,
+               sum(o) OVER (PARTITION BY a) AS ra,
+               sum(o) OVER (PARTITION BY b) AS cb,
+               sum(o) OVER () AS n
+        FROM full_ct
+    ),
+    chi AS (
+        SELECT any_value(n) AS n,
+               count(DISTINCT a) AS r,
+               count(DISTINCT b) AS c,
+               sum((o - ra * cb / (1.0 * n)) * (o - ra * cb / (1.0 * n))
+                   / (ra * cb / (1.0 * n))) AS chi2
+        FROM marg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(chi2 + 1e-9, 4) + 0.0 AS chi2,
+           round(sqrt(chi2 / (n * (least(r, c) - 1))) + 1e-9, 4) + 0.0
+               AS cramers_v
+    FROM chi
+    """,
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for order priority × order status: the NORMALIZED
+    association strength ([0, 1], comparable across tables and sample
+    sizes) that raw chi-square (q_stats_chisq) is not — the effect
+    size every categorical-drift dashboard actually wants, since chi²
+    alone grows linearly with row count.
+
+    Shape: one hash agg to the ≤ r×c contingency table (zero-filled
+    so expected counts are right even for absent cells), marginals by
+    windows over that tiny frame, one scalar row out."""
+    o = table(spark, sf_dir, "orders")
+    ct = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count("*").alias("o"))
+    ra = ct.select("a").distinct()
+    rb = ct.select("b").distinct()
+    full_ct = (
+        ra.crossJoin(F.broadcast(rb))
+        .join(ct, ["a", "b"], "left")
+        .select("a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    marg = full_ct.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),  # whole frame = the tiny contingency table
+    )
+    exp = F.col("ra") * F.col("cb") / (1.0 * F.col("n"))
+    chi = marg.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+        F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        (F.round(F.col("chi2") + F.lit(1e-9), 4) + F.lit(0.0)).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q_stats_welch",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(value) AS s,
+               sum(CAST(value AS DOUBLE) * value) AS ss
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, s / (1.0 * n) AS mean,
+               (ss - s * s / (1.0 * n)) / (n - 1.0) AS var
+        FROM g
+    ),
+    w AS (
+        SELECT event_type, n, mean, n / var AS wi FROM m
+    ),
+    tot AS (
+        SELECT count(*) AS k, sum(wi) AS sw,
+               sum(wi * mean) / sum(wi) AS mstar
+        FROM w
+    ),
+    parts AS (
+        SELECT sum(w.wi * (w.mean - tot.mstar) * (w.mean - tot.mstar)) AS num,
+               sum((1.0 - w.wi / tot.sw) * (1.0 - w.wi / tot.sw)
+                   / (w.n - 1.0)) AS lam,
+               any_value(tot.k) AS k,
+               sum(w.n) AS n
+        FROM w CROSS JOIN tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n,
+           round((num / (k - 1.0))
+                 / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam)
+                 + 1e-9, 4) + 0.0 AS f_welch,
+           round((k * k - 1.0) / (3.0 * lam) + 1e-9, 4) + 0.0 AS df2
+    FROM parts
+    """,
+)
+def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's ANOVA across event types: the unequal-variance one-way
+    F (weights w_i = n_i/s_i², Welch-Satterthwaite df₂) — the modern
+    default the classic F (q_stats_anova) should be replaced by when
+    Levene (q_stats_levene) rejects variance homogeneity; the three
+    queries form the complete omnibus-test decision path.
+
+    Shape: ONE raw-moment pass over the fact table (n, Σx, Σx² per
+    group — the q_stats_anova recipe exactly), then closed-form Welch
+    algebra on the k-row frame; every post-agg frame is ≤ k rows."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s") / (1.0 * F.col("n"))).alias("mean"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / (1.0 * F.col("n")))
+            / (F.col("n") - 1.0)
+        ).alias("var"),
+    )
+    w = m.select(
+        "event_type", "n", "mean", (F.col("n") / F.col("var")).alias("wi")
+    )
+    tot = w.agg(
+        F.count("*").alias("k"),
+        F.sum("wi").alias("sw"),
+        (F.sum(F.col("wi") * F.col("mean")) / F.sum("wi")).alias("mstar"),
+    )
+    parts = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("wi")
+                * (F.col("mean") - F.col("mstar"))
+                * (F.col("mean") - F.col("mstar"))
+            ).alias("num"),
+            F.sum(
+                (1.0 - F.col("wi") / F.col("sw"))
+                * (1.0 - F.col("wi") / F.col("sw"))
+                / (F.col("n") - 1.0)
+            ).alias("lam"),
+            F.first("k").alias("k"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return parts.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(
+                (F.col("num") / (F.col("k") - 1.0))
+                / (
+                    1.0
+                    + 2.0
+                    * (F.col("k") - 2.0)
+                    / (F.col("k") * F.col("k") - 1.0)
+                    * F.col("lam")
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("f_welch"),
+        (
+            F.round(
+                (F.col("k") * F.col("k") - 1.0) / (3.0 * F.col("lam"))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("df2"),
     )

@@ -22,7 +22,7 @@ engine-specific and forced a rows-only gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
@@ -1763,4 +1763,180 @@ def q_text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov_sum / n.cast("double") > 0.15).alias("vocab_mismatch"),
         )
         .orderBy("source")
+    )
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+
+@register(
+    "q_text_ngram_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT bigram, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                     range(1, len(string_split(lower(text), ' '))),
+                     i -> string_split(lower(text), ' ')[i] || ' ' ||
+                          string_split(lower(text), ' ')[i + 1])) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+    ),
+    top AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+        FROM counts ORDER BY n DESC, bigram LIMIT 500
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    ks AS (SELECT unnest([10, 50, 100, 500]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(sum(top.n) AS BIGINT) AS covered,
+           CAST(tot.total AS BIGINT) AS total,
+           round(CAST(sum(top.n) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                 + 1e-12, 4) + 0.0 AS coverage
+    FROM ks JOIN top ON top.rnk <= ks.k CROSS JOIN tot
+    GROUP BY ks.k, tot.total
+    ORDER BY k
+    """,
+)
+def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram coverage curve: what fraction of all bigram occurrences
+    the top-{10,50,100,500} bigrams account for — the Zipf-mass
+    concentration number that sizes n-gram LM tables, dedup shingle
+    filters, and stopword lists (q_text_bigrams lists the head;
+    this measures how heavy the head IS).
+
+    Shape: the corpus bigram count table (exact integers), a top-500
+    cut via TakeOrdered (LIMIT bounds the frame, so the rank window
+    runs over ≤500 rows — never a global sort of the vocabulary), a
+    1-row total, and a 4-row k-frame joined on rank."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.lit(1 << 30)),
+            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("bigram")).limit(500)
+    rnk = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    top = top.withColumn("rnk", F.row_number().over(rnk))
+    tot = counts.agg(F.sum("n").alias("total"))
+    ks = spark.createDataFrame([(10,), (50,), (100,), (500,)], "k int")
+    return (
+        F.broadcast(ks)
+        .join(top, F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("covered"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("covered").cast("bigint").alias("covered"),
+            F.col("total").cast("bigint").alias("total"),
+            (
+                F.round(
+                    F.col("covered").cast("double")
+                    / F.col("total").cast("double")
+                    + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q_text_burstiness",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT token,
+               count(*) AS df,
+               sum(c) AS total,
+               sum(CAST(c AS DOUBLE) * c) AS sumsq
+        FROM per_doc GROUP BY token
+        ORDER BY df DESC, token LIMIT 20
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token,
+           CAST(df AS BIGINT) AS df,
+           CAST(total AS BIGINT) AS total,
+           round(total / (1.0 * df) + 1e-9, 4) + 0.0 AS per_doc_rate,
+           round(
+             (sumsq / (1.0 * n_docs)
+              - (total / (1.0 * n_docs)) * (total / (1.0 * n_docs)))
+             / (total / (1.0 * n_docs)) + 1e-9, 4) + 0.0 AS vmr
+    FROM stats CROSS JOIN nd
+    ORDER BY df DESC, token
+    """,
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church-Gale) for the 20 highest-df tokens:
+    per-containing-doc rate (total/df — 'once it appears, how often?')
+    and the zero-inclusive variance-to-mean ratio (VMR > 1 = bursty
+    content word, VMR ≈ 1 = Poisson-like function word).  The
+    mixture-model diagnostic behind stopword lists and tf saturation
+    curves — q_text_zipf ranks the frequency mass, this measures its
+    CLUMPINESS across documents.
+
+    Zero-count docs enter the moments closed-form (Σc, Σc² over
+    occurrences + the document total N), never as materialized zero
+    rows; everything is an exact integer until the two final
+    divisions."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    stats = (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("c").alias("total"),
+            F.sum(F.col("c").cast("double") * F.col("c")).alias("sumsq"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    mean = F.col("total") / (1.0 * F.col("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            F.col("total").cast("bigint").alias("total"),
+            (
+                F.round(F.col("total") / (1.0 * F.col("df")) + F.lit(1e-9), 4)
+                + F.lit(0.0)
+            ).alias("per_doc_rate"),
+            (
+                F.round(
+                    (F.col("sumsq") / (1.0 * F.col("n_docs")) - mean * mean)
+                    / mean
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
     )

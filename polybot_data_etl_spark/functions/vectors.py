@@ -1789,3 +1789,125 @@ def q_embed_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+# q_embed_hubness broadcast budget: the replicated-index brute force is
+# only the right plan while the index shard is dimension-table-sized.
+# 2M rows / 512 MiB ≈ a 64-dim float64 index at ~4 GB executor heaps
+# with comfortable headroom; past either cap the query refuses and
+# points at the IVF path.
+_HUBNESS_MAX_INDEX_ROWS = 2_000_000
+_HUBNESS_MAX_INDEX_BYTES = 512 * 1024 * 1024
+
+
+@register(
+    "q_embed_hubness",
+    oracle="""
+    WITH knn AS (
+        SELECT a.vec_id AS probe, b.vec_id AS nb
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY round(list_inner_product(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 4) DESC,
+                     b.vec_id
+        ) <= 5
+    ),
+    indeg AS (
+        SELECT e.vec_id, count(knn.nb) AS indeg
+        FROM embeddings e LEFT JOIN knn ON knn.nb = e.vec_id
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(indeg AS BIGINT) AS indeg,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM indeg GROUP BY indeg ORDER BY indeg
+    """,
+)
+def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN in-degree (hubness) histogram of the embedding space: how
+    many vectors appear in 0, 1, 2, … other vectors' 5-NN lists.  High
+    hubness skew is the classic high-dimensional pathology that poisons
+    ANN retrieval quality (a few "hub" vectors show up in everyone's
+    neighbor list) — the one-number diagnosis to run before shipping an
+    embedding index; complements q_embed_recall_at_k (which scores the
+    INDEX, not the space).
+
+    Shape: the replicated-index-shard brute force — the candidate
+    matrix (bounded by contract: the embedding table is
+    dimension-table-sized at every fixture scale; the 100 TB path is
+    the IVF bucketing of q_sim_topk_ivf) broadcasts ONCE as a numpy
+    block, and `mapInPandas` over the probe partitions computes each
+    Arrow batch's scores as one BLAS matmul with a vectorized
+    (−sim, id) lexsort top-5.  This replaces the 4 M-row pair
+    materialization (measured 20-22 s at sf0.1 through either dot
+    transport — the Arrow transfer of the pair frame IS the cost)
+    with a 2 000-row broadcast + per-batch O(b·n·d) flops: measured
+    1.3 s.  Exactly how a production BF-ANN stage shards: index
+    replicated, queries partitioned."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    pdf = e.select("vec_id", "embedding").toPandas()  # bounded index shard
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # Executable broadcast contract (VERDICT r9 #4): the replicated
+    # index shard must actually fit a broadcast budget.  Past it, the
+    # right plan is the IVF-bucketed path (q_sim_topk_ivf,
+    # functions/vectors.py) — fail LOUD naming it, never spill into a
+    # driver OOM.
+    if len(ids) > _HUBNESS_MAX_INDEX_ROWS or mat.nbytes > _HUBNESS_MAX_INDEX_BYTES:
+        raise RuntimeError(
+            "q_embed_hubness: index shard exceeds the broadcast budget "
+            f"({len(ids)} rows / {mat.nbytes} bytes vs caps "
+            f"{_HUBNESS_MAX_INDEX_ROWS} rows / {_HUBNESS_MAX_INDEX_BYTES} "
+            "bytes) — use the IVF-bucketed k-NN path (q_sim_topk_ivf) "
+            "for index-scale embedding tables"
+        )
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def knn_blocks(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            probes = batch["vec_id"].to_numpy(dtype=np.int64)
+            pm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            raw = pm @ b_mat.T
+            # Half-AWAY-from-zero to 4 dp, sign-aware: DuckDB's round()
+            # (the oracle's 5-NN ranking key) rounds halves away from
+            # zero, while np.round is half-to-even — a dot product on a
+            # .xxxx5 boundary would flip neighbor order cross-engine
+            # (ADVICE r9).
+            sims = np.copysign(np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4, raw)
+            out_p, out_n = [], []
+            for i, pid in enumerate(probes):
+                row = sims[i].copy()
+                row[b_ids == pid] = -np.inf  # exclude self
+                order = np.lexsort((b_ids, -row))
+                # Drop non-finite before slicing: at <=5 index rows the
+                # plain [:5] would emit the probe as its own neighbor
+                # (the oracle's a.vec_id <> b.vec_id never does).
+                top = np.asarray(
+                    [j for j in order if np.isfinite(row[j])][:5], dtype=np.int64
+                )
+                out_p.extend([pid] * len(top))
+                out_n.extend(b_ids[top])
+            yield pd.DataFrame({"probe": out_p, "nb": out_n})
+
+    knn = e.select("vec_id", "embedding").mapInPandas(
+        knn_blocks, "probe long, nb long"
+    )
+    indeg = (
+        e.select("vec_id")
+        .join(knn, F.col("vec_id") == F.col("nb"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("nb").alias("indeg"))
+    )
+    return (
+        indeg.groupBy(F.col("indeg").cast("bigint").alias("indeg"))
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .orderBy("indeg")
+    )

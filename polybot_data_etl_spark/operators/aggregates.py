@@ -13,7 +13,7 @@ Expand operator (one pass over the input, no re-reads).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
@@ -1183,3 +1183,83 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") / F.col("total").cast("double") + F.lit(1e-9), 4
         ).alias("revenue_share"),
     ).orderBy("abc_class")
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+
+@register(
+    "q_agg_lorenz",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+        FROM cust
+    ),
+    dec AS (
+        SELECT decile, count(*) AS n_cust, sum(rev) AS drev
+        FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT sum(drev) AS total FROM dec)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           round(drev / tot.total + 1e-12, 4) + 0.0 AS share,
+           round(sum(drev) OVER (ORDER BY decile) / tot.total + 1e-12, 4)
+               + 0.0 AS cum_share
+    FROM dec CROSS JOIN tot
+    ORDER BY decile
+    """,
+)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration at deciles:
+    share and cumulative share of total revenue held by each revenue
+    decile of customers — the CURVE whose enclosed area q_agg_gini
+    reduces to one scalar; the shape is what a data-mix or account-
+    concentration review actually reads ('the top decile holds 40%').
+
+    Determinism: per-customer revenue is cents-rounded BEFORE the
+    decile ranking and tiled on (rev, custkey) — a total order, so
+    ntile boundaries cannot flip on last-ulp float sums.  Scale
+    posture: the ntile runs over the per-customer AGGREGATE (the
+    entity-keyed bounded class documented for q_agg_rfm, whose
+    bucketed twin #425 is the 100 TB recipe); the decile frame is 10
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    tiled = cust.select(
+        "rev",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    dec = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("rev").alias("drev")
+    )
+    tot = dec.agg(F.sum("drev").alias("total"))
+    wcum = Window.orderBy("decile")
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_cust").cast("bigint").alias("n_cust"),
+            (
+                F.round(F.col("drev") / F.col("total") + F.lit(1e-12), 4)
+                + F.lit(0.0)
+            ).alias("share"),
+            (
+                F.round(
+                    F.sum("drev").over(wcum) / F.col("total") + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

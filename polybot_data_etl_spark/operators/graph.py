@@ -867,3 +867,252 @@ def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cent + F.lit(1e-9), 6).alias("centralization"),
         (cent > 0.1).alias("hub_dominated"),
     )
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+# Repeat-co-purchase subgraph for the component census: an edge needs
+# the pair co-purchased in >= _CC_MIN_ORDERS DISTINCT orders.  The raw
+# co-occurrence graph is one giant component at every fixture scale
+# (probed: %4 and %16, single blob) — the repeat filter keeps only
+# STABLE product affinities and yields a genuinely multi-modal size
+# census (33×2-node .. 1×14-node at sf0.01).
+_CC_MIN_ORDERS = 2
+
+
+@register(
+    "q_graph_components",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+        GROUP BY 1, 2
+        HAVING count(DISTINCT l1.l_orderkey) >= {_CC_MIN_ORDERS}
+    ),
+    und AS (
+        SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e
+    ),
+    reach(v, lbl) AS (
+        SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und)
+        UNION
+        SELECT und.v, reach.lbl
+        FROM reach JOIN und ON und.w = reach.v
+        WHERE reach.lbl < und.v
+    ),
+    lbls AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+    comps AS (SELECT lbl, count(*) AS size FROM lbls GROUP BY lbl)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM comps GROUP BY size ORDER BY size
+    """,
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census of the REPEAT-co-purchase graph
+    (pairs co-purchased in ≥2 distinct orders): (component size, how
+    many components of that size) — the structural question every
+    dedup/community pipeline asks first ("one giant blob or many
+    islands?"), on the edge set sparse enough to have an interesting
+    answer (the raw co-occurrence graph is one blob at every scale).
+
+    Spark side builds weighted edges with the basket-bounded explode²
+    kernel (collect_set per order → in-array pair generation, zero
+    join shuffles, fan-out bounded by basket size — the r6
+    link_predict recipe) and feeds the ≥2-weight survivors to the
+    engine's superstep CC kernel (functions/dedup.component_labels:
+    min-label propagation, O(|E|) shuffle per superstep, local fast
+    path under the edge threshold).  The oracle replays it as a
+    recursive CTE whose tuple space is pruned to (node, smaller-
+    reachable-label) — the min label still reaches every node because
+    every path from the component minimum is monotonically
+    label-decreasing at each hop."""
+    from polybot_data_etl_spark.functions.dedup import component_labels
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    wa = baskets.select("ps", F.explode("ps").alias("a"))
+    edges = (
+        wa.select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _CC_MIN_ORDERS)
+    )
+    labels = component_labels(
+        edges.select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("size"))
+    return (
+        sizes.groupBy(F.col("size").cast("bigint").alias("size"))
+        .agg(F.count("*").cast("bigint").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+@register(
+    "q_graph_modularity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    m AS (SELECT count(*) AS m FROM e),
+    intra AS (
+        SELECT pa.p_brand AS c, count(*) AS lc
+        FROM e JOIN part pa ON pa.p_partkey = e.a
+               JOIN part pb ON pb.p_partkey = e.b
+        WHERE pa.p_brand = pb.p_brand
+        GROUP BY pa.p_brand
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    dc AS (
+        SELECT p.p_brand AS c, sum(deg.d) AS dc
+        FROM deg JOIN part p ON p.p_partkey = deg.node
+        GROUP BY p.p_brand
+    ),
+    terms AS (
+        SELECT dc.c,
+               coalesce(intra.lc, 0) / (1e0 * m.m)
+                   - (dc.dc / (2e0 * m.m)) * (dc.dc / (2e0 * m.m)) AS q
+        FROM dc LEFT JOIN intra ON intra.c = dc.c CROSS JOIN m
+    )
+    SELECT (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(q) + 1e-12, 6) + 0.0 AS modularity
+    FROM terms
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-purchase graph under the brand
+    partition: Q = Σ_c [ L_c/m − (d_c/2m)² ] — does the catalog's brand
+    structure explain the co-purchase communities (Q ≫ 0), or do
+    baskets ignore brands (Q ≈ 0)?  The closed-form community-quality
+    score every clustering pipeline reports.
+
+    Shape: the memoized edge frame joins the broadcast part dim twice
+    (brand of each endpoint) for the intra-community count, the degree
+    frame joins it once for d_c; everything after is a handful of
+    community-sized aggregates.  No iteration — modularity of a GIVEN
+    partition is pure closed-form, unlike community DETECTION."""
+    from polybot_data_etl_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    pt = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    m = edges.agg(F.count("*").alias("m"))
+    intra = (
+        edges.join(pt.withColumnRenamed("p_brand", "ba"), F.col("a") == F.col("p_partkey"))
+        .drop("p_partkey")
+        .join(pt.withColumnRenamed("p_brand", "bb"), F.col("b") == F.col("p_partkey"))
+        .filter(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("c"))
+        .agg(F.count("*").alias("lc"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        deg.join(pt, F.col("node") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("c"))
+        .agg(F.sum("d").alias("dc"))
+    )
+    terms = (
+        dc.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                F.coalesce(F.col("lc"), F.lit(0)) / (1.0 * F.col("m"))
+                - (F.col("dc") / (2.0 * F.col("m")))
+                * (F.col("dc") / (2.0 * F.col("m")))
+            ).alias("q")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            (F.round(F.sum("q") + F.lit(1e-12), 6) + F.lit(0.0)).alias(
+                "modularity"
+            ),
+        )
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"),
+            "n_communities",
+            "modularity",
+        )
+    )
+
+
+@register(
+    "q_graph_powerlaw",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_partkey % 4 = 0 AND l2.l_partkey % 4 = 0
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           round(avg(1.0 * d) + 1e-9, 4) + 0.0 AS mean_degree,
+           round(1.0 + count(*) / sum(ln(d / 0.5)) + 1e-9, 4) + 0.0
+               AS alpha
+    FROM deg
+    """,
+)
+def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the co-purchase degree distribution:
+    the Clauset-Shalizi-Newman continuous-MLE α̂ = 1 + n/Σ ln(d/(d_min
+    −½)) at d_min = 1 — the one-number scale-free-ness check that
+    decides whether hub-sensitive algorithms (the #430 degree cap,
+    salting, top-k caches) are load-bearing on this graph (α ≲ 2.5 ⇒
+    heavy hubs) or cosmetic (α ≳ 3.5).  Complements
+    q_graph_centralization's max-vs-rest gap with the full tail
+    exponent.
+
+    Shape: one degree aggregate over the memoized edge frame, one
+    scalar row — integer degrees make Σ ln(d/0.5) engine-identical
+    to the last rounding step."""
+    from polybot_data_etl_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+        (F.round(F.avg(1.0 * F.col("d")) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "mean_degree"
+        ),
+        (
+            F.round(
+                1.0 + F.count("*") / F.sum(F.log(F.col("d") / 0.5))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("alpha"),
+    )

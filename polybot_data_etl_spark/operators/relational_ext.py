@@ -980,3 +980,81 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         ney.cast("bigint").alias("neyman_n"),
         (ney > prop).alias("oversampled"),
     ).orderBy("event_type")
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+
+@register(
+    "q_sample_bernoulli_hash",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_type, value,
+               ((event_id * 1103515245 + 12345) % 2147483648) % 1000 < 100
+                   AS sampled
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           round(sum(CASE WHEN sampled THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-12, 4) + 0.0 AS rate,
+           round(avg(CASE WHEN sampled THEN value END) + 1e-9, 2) + 0.0
+               AS avg_value_sample,
+           round(avg(value) + 1e-9, 2) + 0.0 AS avg_value_all
+    FROM flagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli sampling audit (target rate 10%):
+    membership is a pure function of the row key (an LCG step on
+    event_id), so the sample is STABLE across reruns, engines, and
+    partitionings — the property `rand()`-based sampling lacks and the
+    reason production pipelines sample by key hash.  Output: realized
+    rate and the sample-vs-population mean of `value` per event type
+    (the estimator-quality check).
+
+    Shape: one narrow projection (the LCG is two integer ops, fully
+    codegen) and one group-by — embarrassingly parallel, no shuffle
+    before the 5-group aggregate.  The same predicate is the 100 TB
+    sampling pushdown: it rides the scan."""
+    ev = table(spark, sf_dir, "events")
+    u = (F.col("event_id").cast("long") * 1103515245 + 12345) % 2147483648
+    flagged = ev.select(
+        "event_type", "value", ((u % 1000) < 100).alias("sampled")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+                    / F.count("*").cast("double")
+                    + F.lit(1e-12),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rate"),
+            (
+                F.round(
+                    F.avg(F.when(F.col("sampled"), F.col("value")))
+                    + F.lit(1e-9),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value_sample"),
+            (F.round(F.avg("value") + F.lit(1e-9), 2) + F.lit(0.0)).alias(
+                "avg_value_all"
+            ),
+        )
+        .orderBy("event_type")
+    )

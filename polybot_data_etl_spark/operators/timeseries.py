@@ -4065,3 +4065,321 @@ def q_ts_dod_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_smoother"
         ),
     ).orderBy("day")
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+
+@register(
+    "q_ts_xcorr",
+    oracle="""
+    WITH cal AS (SELECT DISTINCT ts::DATE AS d FROM events),
+    x AS (
+        SELECT cal.d, count(e.event_id) AS xv
+        FROM cal LEFT JOIN events e
+          ON e.ts::DATE = cal.d AND e.event_type = 'click'
+        GROUP BY cal.d
+    ),
+    y AS (
+        SELECT cal.d, count(e.event_id) AS yv
+        FROM cal LEFT JOIN events e
+          ON e.ts::DATE = cal.d AND e.event_type = 'purchase'
+        GROUP BY cal.d
+    ),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag)
+    SELECT CAST(lags.lag AS INTEGER) AS lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(x.xv, y.yv) + 1e-12, 4) + 0.0 AS r
+    FROM lags
+    JOIN x ON TRUE
+    JOIN y ON y.d = x.d + CAST(lags.lag AS INTEGER)
+    GROUP BY lags.lag
+    ORDER BY lag
+    """,
+)
+def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily click series and the
+    daily purchase series, lags 0..7: does purchasing trail clicking by
+    k days?  The lead/lag relationship test behind every marketing
+    attribution window — q_ts_rolling_corr measures same-day
+    co-movement; this measures the SHIFTED alignment.
+
+    Shape: two zero-filled daily count series (30 rows each — the
+    calendar is the bounding aggregate), an 8-row lag frame, one
+    equi-join per lag on the shifted date, and Pearson corr per lag
+    group.  Counts are exact integers on both engines, so the only
+    float is the final correlation."""
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    cal = ev.select("d").distinct()
+
+    def daily(etype: str, alias: str) -> DataFrame:
+        c = (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("d")
+            .agg(F.count("*").alias("_n"))
+        )
+        return cal.join(c, "d", "left").select(
+            "d", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(alias)
+        )
+
+    x = daily("click", "xv")
+    y = daily("purchase", "yv").withColumnRenamed("d", "d2")
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    return (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("d2") == F.date_add(F.col("d"), F.col("lag")))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            (F.round(F.corr("xv", "yv") + F.lit(1e-12), 4) + F.lit(0.0)).alias(
+                "r"
+            ),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q_ts_interrupted",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS x,
+               round(sum(o_totalprice), 2) AS y
+        FROM orders GROUP BY 1
+    ),
+    cut AS (
+        SELECT CAST(min(x) + (max(x) - min(x)) // 2 AS BIGINT) AS x0
+        FROM daily
+    ),
+    seg AS (
+        SELECT d.x, d.y, d.x >= c.x0 AS post FROM daily d CROSS JOIN cut c
+    ),
+    fits AS (
+        SELECT post,
+               count(*) AS n,
+               (count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(CAST(x AS DOUBLE) * x)
+                    - CAST(sum(x) AS DOUBLE) * sum(x)) AS slope,
+               sum(y) / (1.0 * count(*))
+                 - (count(*) * sum(x * y) - sum(x) * sum(y))
+                   / (count(*) * sum(CAST(x AS DOUBLE) * x)
+                      - CAST(sum(x) AS DOUBLE) * sum(x))
+                   * (sum(x) / (1.0 * count(*))) AS intercept
+        FROM seg GROUP BY post
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM fits WHERE NOT post) AS n_pre,
+           (SELECT CAST(n AS BIGINT) FROM fits WHERE post) AS n_post,
+           round((SELECT slope FROM fits WHERE NOT post) + 1e-9, 4) + 0.0
+               AS slope_pre,
+           round((SELECT slope FROM fits WHERE post) + 1e-9, 4) + 0.0
+               AS slope_post,
+           round((SELECT slope FROM fits WHERE post)
+                 - (SELECT slope FROM fits WHERE NOT post) + 1e-9, 4) + 0.0
+               AS slope_change,
+           round((SELECT intercept + slope * cut.x0 FROM fits WHERE post)
+                 - (SELECT intercept + slope * cut.x0 FROM fits
+                    WHERE NOT post) + 1e-9, 2) + 0.0 AS level_change
+    FROM cut
+    """,
+)
+def q_ts_interrupted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) of daily revenue
+    around the series midpoint: separate OLS fits before/after the
+    cut, reporting the slope change and the level discontinuity AT the
+    cutpoint — 'did the trend break, and did the level jump?', the
+    causal-inference workhorse for launches/incidents
+    (q_win_rolling_slope tracks local trend; this tests ONE structural
+    break).  The cutpoint is derived from the data (midpoint of the
+    integer day span), so the query is self-contained at every scale.
+
+    Determinism: integer day index, cents-rounded daily revenue before
+    the fits (§2.1 two-step), closed-form β and intercept from exact
+    sums, two-group aggregate — no window at all."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).alias("x")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    cut = daily.agg(
+        (
+            F.min("x")
+            + F.floor((F.max("x") - F.min("x")) / 2).cast("long")
+        )
+        .cast("bigint")
+        .alias("x0")
+    )
+    seg = daily.crossJoin(F.broadcast(cut)).withColumn(
+        "post", F.col("x") >= F.col("x0")
+    )
+    slope = (
+        F.count("*") * F.sum(F.col("x") * F.col("y"))
+        - F.sum("x") * F.sum("y")
+    ) / (
+        F.count("*") * F.sum(F.col("x").cast("double") * F.col("x"))
+        - F.sum("x").cast("double") * F.sum("x")
+    )
+    fits = seg.groupBy("post").agg(
+        F.count("*").alias("n"),
+        slope.alias("slope"),
+        (
+            F.sum("y") / (1.0 * F.count("*"))
+            - slope * (F.sum("x") / (1.0 * F.count("*")))
+        ).alias("intercept"),
+    )
+    pre = fits.filter(~F.col("post")).select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("s_pre"),
+        F.col("intercept").alias("i_pre"),
+    )
+    post = fits.filter(F.col("post")).select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("s_post"),
+        F.col("intercept").alias("i_post"),
+    )
+    return (
+        pre.crossJoin(post)
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.col("n_pre").cast("bigint").alias("n_pre"),
+            F.col("n_post").cast("bigint").alias("n_post"),
+            (F.round(F.col("s_pre") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "slope_pre"
+            ),
+            (F.round(F.col("s_post") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "slope_post"
+            ),
+            (
+                F.round(F.col("s_post") - F.col("s_pre") + F.lit(1e-9), 4)
+                + F.lit(0.0)
+            ).alias("slope_change"),
+            (
+                F.round(
+                    (F.col("i_post") + F.col("s_post") * F.col("x0"))
+                    - (F.col("i_pre") + F.col("s_pre") * F.col("x0"))
+                    + F.lit(1e-9),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("level_change"),
+        )
+    )
+
+
+@register(
+    "q_ts_seasonal_mk",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(extract('month' FROM o_orderdate) AS INTEGER) AS m,
+               o_orderdate::DATE AS day, count(*) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.m,
+               sum(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS sm
+        FROM daily a JOIN daily b ON a.m = b.m AND a.day < b.day
+        GROUP BY a.m
+    ),
+    v AS (
+        SELECT m, sum(tc) AS n,
+               sum(tc * (tc - 1) * (2 * tc + 5)) AS tie_term
+        FROM (SELECT m, x, count(*) AS tc FROM daily GROUP BY m, x)
+        GROUP BY m
+    ),
+    tot AS (
+        SELECT count(*) AS n_seasons,
+               sum(s.sm) AS s_total,
+               sum((v.n * (v.n - 1e0) * (2 * v.n + 5) - v.tie_term) / 18e0)
+                   AS var_total
+        FROM s JOIN v USING (m)
+    )
+    SELECT CAST(n_seasons AS BIGINT) AS n_seasons,
+           CAST(s_total AS BIGINT) AS s_total,
+           round(CASE WHEN s_total > 0
+                      THEN (s_total - 1) / sqrt(var_total)
+                      WHEN s_total < 0
+                      THEN (s_total + 1) / sqrt(var_total)
+                      ELSE 0e0 END + 1e-9, 4) + 0.0 AS z
+    FROM tot
+    """,
+)
+def q_ts_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test on daily order volume: S and
+    tie-corrected Var(S) computed WITHIN each calendar month across
+    years, then summed — the seasonality-blocked version of
+    q_ts_mannkendall that doesn't mistake an annual cycle for a
+    monotone trend (Hirsch-Slack, the hydrology standard for exactly
+    this failure mode).  Continuity-corrected z on the pooled S.
+
+    Shape: a calendar-bounded daily aggregate, the O(days²) pairwise
+    sign join runs WITHIN month blocks (~12× fewer pairs than the
+    unblocked test), then 12-row closed-form assembly — integer
+    counts end-to-end until the final z."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count("*").alias("x"))
+    a = daily.select("m", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(
+        F.col("m").alias("mb"), F.col("day").alias("db"), F.col("x").alias("xb")
+    )
+    s = (
+        a.join(b, (F.col("m") == F.col("mb")) & (F.col("da") < F.col("db")))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("sm")
+        )
+    )
+    v = (
+        daily.groupBy("m", "x")
+        .agg(F.count("*").alias("tc"))
+        .groupBy("m")
+        .agg(
+            F.sum("tc").alias("n"),
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    tot = (
+        s.join(v, "m")
+        .agg(
+            F.count("*").alias("n_seasons"),
+            F.sum("sm").alias("s_total"),
+            F.sum(
+                (
+                    F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_total"),
+        )
+    )
+    return tot.select(
+        F.col("n_seasons").cast("bigint").alias("n_seasons"),
+        F.col("s_total").cast("bigint").alias("s_total"),
+        (
+            F.round(
+                F.when(
+                    F.col("s_total") > 0,
+                    (F.col("s_total") - 1) / F.sqrt(F.col("var_total")),
+                )
+                .when(
+                    F.col("s_total") < 0,
+                    (F.col("s_total") + 1) / F.sqrt(F.col("var_total")),
+                )
+                .otherwise(F.lit(0.0))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

@@ -838,3 +838,89 @@ def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
     ).orderBy("c_nationkey", "rank")
+
+
+# --- Round-10 registrations (formerly operators/staged_r10.py, the
+# [STAGED r10] batch #434-450): moved into their family modules at
+# the registration flip (VERDICT r9 §Next-round #2). ---
+
+
+@register(
+    "q_win_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, date_trunc('day', o_orderdate) AS d,
+               round(sum(o_totalprice), 2) AS rev,
+               date_diff('day', DATE '1992-01-01', o_orderdate::DATE) AS x
+        FROM orders GROUP BY 1, 2, 4
+    ),
+    win AS (
+        SELECT pri, d,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx,
+               sum(rev) OVER w AS sy,
+               sum(x * rev) OVER w AS sxy,
+               sum(CAST(x AS DOUBLE) * x) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT pri AS o_orderpriority, d,
+           round((n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                 + 1e-9, 4) + 0.0 AS slope
+    FROM win WHERE n = 7
+    """,
+)
+def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row rolling OLS slope of daily revenue per priority class —
+    the trend-strength signal behind every 'revenue decelerating?'
+    alert (q_ts_rolling_corr co-moves two series; this regresses ONE
+    series on time).  β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), assembled
+    from five window sums over the SAME frame — one pass, no
+    self-join.
+
+    Cross-engine determinism: x is an exact integer day index, daily
+    revenue is rounded to cents BEFORE the regression on both engines
+    (the §2.1 two-step), the emitted day is a native TIMESTAMP on both
+    (convention 10 — DATE surfaces as midnight-timestamp in pandas),
+    windows are partitioned by priority (the bounded-key class), and
+    rows without a full 7-day history are dropped identically via the
+    frame row count."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_trunc("day", "o_orderdate").alias("d"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev")).withColumn(
+        "x",
+        F.datediff(F.to_date("d"), F.lit("1992-01-01").cast("date")),
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "pri",
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("rev").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).over(w).alias("sxy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).over(w).alias("sxx"),
+    )
+    return win.filter(F.col("n") == 7).select(
+        F.col("pri").alias("o_orderpriority"),
+        "d",
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.col("n") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("slope"),
+    )

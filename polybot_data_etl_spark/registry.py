@@ -197,7 +197,7 @@ _R06_RECORDED: frozenset[str] = frozenset(
     }
 )
 
-def _driver_evidence() -> tuple[frozenset[str], frozenset[str]]:
+def _driver_evidence() -> tuple[frozenset[str], frozenset[str], dict[str, int]]:
     """Derive (latest-green, latest-red) name sets from the committed
     CORRECTNESS_r*.json driver records themselves.
 
@@ -222,8 +222,11 @@ def _driver_evidence() -> tuple[frozenset[str], frozenset[str]]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
+    rounds: dict[str, int] = {}
     # lexicographic order == round order (r01..r09 < r10 < ...)
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for i, path in enumerate(
+        sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))), start=1
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -239,12 +242,13 @@ def _driver_evidence() -> tuple[frozenset[str], frozenset[str]]:
                 and (row.get("spark_rows") or 0) > 0
             )
             latest[name] = green
+            rounds[name] = i
     greens = frozenset(n for n, g in latest.items() if g)
     reds = frozenset(n for n, g in latest.items() if not g)
-    return greens, reds
+    return greens, reds, rounds
 
 
-_DRIVER_GREEN, _DRIVER_RED = _driver_evidence()
+_DRIVER_GREEN, _DRIVER_RED, _EVIDENCE_ROUND = _driver_evidence()
 
 # A latest-red name must re-record even if an OLDER round (or a static
 # set) once recorded it green — subtracting keeps the two tiers
@@ -261,20 +265,6 @@ _RECORDED: frozenset[str] = (
 # queries before any cutoff.
 _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 
-# Queries first registered in the CURRENT build round (they enumerate
-# after the never-recorded evidence debt: oldest debt keeps the head of
-# the driver's ~50-slot recording window).  Round 6 is a REGISTRATION
-# FREEZE (VERDICT r5 #3): at +50 certified/round vs +126 added in r5,
-# the hard gate was falling behind the surface — so this set holds ONLY
-# the single VERDICT-r5-#5-requested scaled twin, and the 126 r5 additions (minus the 49 the r5 driver certified) are
-# now plain tier-0 debt draining through the window.
-_NEW_THIS_ROUND: set[str] = {"q_win_weighted_median_scaled"}
-
-
-def _cost_class(name: str) -> int:
-    return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
-
-
 # Queries whose LATEST driver row is RED: they must be re-recorded
 # before anything else (VERDICT r7 #2 "Done = green q_stats_fdr row in
 # CORRECTNESS_r08"), so they jump to the very head of the enumeration —
@@ -283,8 +273,37 @@ def _cost_class(name: str) -> int:
 # automation as _DRIVER_GREEN): the moment a requeued query's re-record
 # comes back green, it leaves this set and joins _RECORDED with no hand
 # edit.  (q_embed_whiten drained through this slot in r5→r6;
-# q_stats_fdr is the current occupant until its r8 row lands green.)
+# q_stats_fdr drained in r8.)
 _REQUEUED_RED: frozenset[str] = _DRIVER_RED
+
+# Names first registered in the CURRENT build round, as DECLARED by the
+# round (hand-maintained).  Round 10 flips the [STAGED r10] batch
+# (#434-450, formerly operators/staged_r10.py) into the registry, so
+# the declaration holds those 17 names.
+_NEW_THIS_ROUND_DECLARED: frozenset[str] = frozenset({
+    "q_graph_components", "q_graph_modularity", "q_graph_powerlaw",
+    "q_ts_xcorr", "q_ts_interrupted", "q_ts_seasonal_mk",
+    "q_embed_hubness", "q_text_ngram_coverage", "q_text_burstiness",
+    "q_stats_kendall", "q_stats_hodges_lehmann", "q_stats_friedman",
+    "q_stats_cramers_v", "q_stats_welch", "q_sample_bernoulli_hash",
+    "q_win_rolling_slope", "q_agg_lorenz",
+})
+
+# The EFFECTIVE tier-1 set is derived, not static (VERDICT r9 #1: the
+# static set went stale the moment the driver recorded its member — the
+# r6 declaration `{"q_win_weighted_median_scaled"}` intersected
+# _RECORDED after the r9 fold-in and the coverage pin became
+# unsatisfiable).  Subtracting the recorded/requeued names at
+# derivation makes the set staleness-proof BY CONSTRUCTION: when the
+# r10 driver records these 17, they leave this set automatically and
+# round 11 cannot re-fire the red.
+_NEW_THIS_ROUND: frozenset[str] = (
+    _NEW_THIS_ROUND_DECLARED - _RECORDED - _REQUEUED_RED
+)
+
+
+def _cost_class(name: str) -> int:
+    return 1 if name.startswith(_EXPENSIVE_PREFIXES) else 0
 
 
 def _tier(name: str) -> int:
@@ -304,8 +323,15 @@ def _tier(name: str) -> int:
 def _priority_order(names) -> list[str]:
     """Fixed-after-red requeues first, then never-driver-recorded names
     (oldest debt before new additions), cheap before expensive inside
-    each tier; registration order otherwise (Python sort is stable)."""
-    return sorted(names, key=lambda n: (_tier(n), _cost_class(n)))
+    each tier; within the already-recorded tier, OLDEST evidence first
+    (VERDICT r9 #2: the <50-debt endgame back-fills the driver window
+    with prior greens — spend those slots refreshing r1-era records,
+    not whatever registration order happens to surface); registration
+    order otherwise (Python sort is stable)."""
+    return sorted(
+        names,
+        key=lambda n: (_tier(n), _cost_class(n), _EVIDENCE_ROUND.get(n, 0)),
+    )
 
 
 def queries() -> dict[str, QueryFn]:

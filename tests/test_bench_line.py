@@ -127,13 +127,30 @@ def test_classify_errlog_extracts_logger_and_exception_classes(tmp_path):
     ]
 
 
-def test_classify_errlog_missing_or_clean_file_is_empty(tmp_path):
+def test_classify_errlog_distinguishes_absent_from_clean(tmp_path):
+    """ADVICE r9 #1: a MISSING mirror file (log4j2 config never
+    applied) must read as None = "no JVM-error evidence", while only a
+    present-and-empty file certifies a clean run as []."""
     from bench import classify_errlog
 
-    assert classify_errlog(str(tmp_path / "absent.log")) == []
+    assert classify_errlog(str(tmp_path / "absent.log")) is None
     clean = tmp_path / "clean.log"
     clean.write_text("")
     assert classify_errlog(str(clean)) == []
+
+
+def test_git_head_stamp_resolves_in_this_repo(tmp_path):
+    """ADVICE r9 #4: the serial certification stamps the commit it
+    measured.  In the repo the stamp resolves to a short hash; outside
+    any repo it degrades to None instead of raising."""
+    import os
+    import re
+
+    from bench import _git_head
+
+    head = _git_head(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert head is not None and re.fullmatch(r"[0-9a-f]{7,40}", head)
+    assert _git_head(str(tmp_path)) is None
 
 
 def test_compact_line_keeps_self_describing_flags():

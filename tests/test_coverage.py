@@ -186,3 +186,40 @@ def test_endgame_head_backfill_is_not_stale():
         bad = [n for n in names if n != some_green]
         bad.insert(max(0, len(debt) - 1), some_green)
         assert displaced(bad) != [], "the displacement check must catch a green ahead of debt"
+
+
+def test_new_this_round_is_staleness_proof():
+    """Regression pin for VERDICT r9 #1 (the SECOND endgame coverage
+    red): a STATIC tier-1 set goes stale by design the moment the
+    driver records its member — r6's `{"q_win_weighted_median_scaled"}`
+    intersected ``_RECORDED`` after the r9 fold-in and
+    ``assert not (_RECORDED & _NEW_THIS_ROUND)`` became unsatisfiable.
+    From round 10 the effective set is DERIVED
+    (declared − recorded − requeued), so the all-recorded +
+    nonempty-declaration endgame — the exact state that fired in r8 AND
+    r9 — is structurally green: simulate it and assert the derivation
+    keeps the tiers disjoint with no hand edit."""
+    from polybot_data_etl_spark import registry
+
+    # The derivation is exactly declared − recorded − requeued.
+    assert registry._NEW_THIS_ROUND == (
+        registry._NEW_THIS_ROUND_DECLARED
+        - registry._RECORDED
+        - registry._REQUEUED_RED
+    )
+    # Simulate the round-11 fold-in: every declared name recorded.
+    recorded_after_fold = registry._RECORDED | registry._NEW_THIS_ROUND_DECLARED
+    derived = (
+        registry._NEW_THIS_ROUND_DECLARED
+        - recorded_after_fold
+        - registry._REQUEUED_RED
+    )
+    assert registry._NEW_THIS_ROUND_DECLARED, (
+        "the r10 declaration must be nonempty for this endgame case to "
+        "exercise the stale-set class"
+    )
+    assert not (recorded_after_fold & derived), (
+        "the derived tier-1 set must vanish when its members are "
+        "recorded — a nonempty intersection is the r8/r9 red re-firing"
+    )
+    assert derived == frozenset()
