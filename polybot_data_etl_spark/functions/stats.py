@@ -3819,24 +3819,29 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").cast("bigint").alias("n_blocks"),
             F.col("k").cast("bigint").alias("k_treatments"),
+            # try_divide at every degenerate-capable denominator
+            # (audit_empty r10): an empty grid zeroes n·k·(k+1), a
+            # single treatment zeroes k³−k, and an all-tied panel
+            # zeroes the whole tie-correction factor — the undefined
+            # statistic is NULL, never an ANSI crash; value-identical
+            # to `/` on every non-degenerate input (oracle unchanged).
             (
                 F.round(
-                    (
-                        12.0
-                        * F.col("s2")
-                        / (F.col("n") * F.col("k") * (F.col("k") + 1))
-                        - 3.0 * F.col("n") * (F.col("k") + 1)
-                    )
-                    / (
+                    F.try_divide(
+                        F.try_divide(
+                            12.0 * F.col("s2"),
+                            F.col("n") * F.col("k") * (F.col("k") + 1),
+                        )
+                        - 3.0 * F.col("n") * (F.col("k") + 1),
                         1.0
-                        - F.col("tcorr")
-                        / (
+                        - F.try_divide(
+                            F.col("tcorr"),
                             F.col("n").cast("double")
                             * (
                                 F.col("k") * F.col("k") * F.col("k")
                                 - F.col("k")
-                            )
-                        )
+                            ),
+                        ),
                     )
                     + F.lit(1e-9),
                     4,
@@ -3892,10 +3897,19 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one hash agg to the ≤ r×c contingency table (zero-filled
     so expected counts are right even for absent cells), marginals by
-    windows over that tiny frame, one scalar row out."""
+    windows over that tiny frame, one scalar row out.
+
+    NULL categories are bucketed EXPLICITLY (the audit_nulls finding
+    of round 10): a NULL key survives groupBy as its own group but the
+    zero-fill equi-join on ["a", "b"] drops it (NULL = NULL is false),
+    losing its counts and zeroing that row's marginal — which then
+    divides the expected-count denominator by zero under ANSI.  A
+    sentinel label keeps NULL a first-class contingency cell; clean
+    fixtures carry no NULL keys, so the oracle hash is unchanged."""
     o = table(spark, sf_dir, "orders")
     ct = o.groupBy(
-        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+        F.coalesce(F.col("o_orderpriority"), F.lit("(null)")).alias("a"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("(null)")).alias("b"),
     ).agg(F.count("*").alias("o"))
     ra = ct.select("a").distinct()
     rb = ct.select("b").distinct()
@@ -3926,10 +3940,14 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
         (F.round(F.col("chi2") + F.lit(1e-9), 4) + F.lit(0.0)).alias("chi2"),
         (
+            # try_divide: a 1-row table degenerates least(r,c)−1 to 0
+            # (audit_empty r10) — V is undefined there, emit NULL.
             F.round(
                 F.sqrt(
-                    F.col("chi2")
-                    / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+                    F.try_divide(
+                        F.col("chi2"),
+                        F.col("n") * (F.least(F.col("r"), F.col("c")) - 1),
+                    )
                 )
                 + F.lit(1e-9),
                 4,
@@ -3995,22 +4013,33 @@ def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("s"),
         F.sum(F.col("value").cast("double") * F.col("value")).alias("ss"),
     )
+    # try_divide throughout: a 1-row group degenerates n−1 to 0, a
+    # constant group degenerates var to 0, and a single-group input
+    # degenerates k−1 / k²−1 to 0 — the undefined statistic is NULL,
+    # never an ANSI DIVIDE_BY_ZERO pager (the audit_empty recipe;
+    # value-identical to plain `/` on every non-degenerate input, so
+    # the oracle hash is unchanged).
     m = g.select(
         "event_type",
         "n",
         (F.col("s") / (1.0 * F.col("n"))).alias("mean"),
-        (
-            (F.col("ss") - F.col("s") * F.col("s") / (1.0 * F.col("n")))
-            / (F.col("n") - 1.0)
+        F.try_divide(
+            F.col("ss") - F.col("s") * F.col("s") / (1.0 * F.col("n")),
+            F.col("n") - 1.0,
         ).alias("var"),
     )
     w = m.select(
-        "event_type", "n", "mean", (F.col("n") / F.col("var")).alias("wi")
+        "event_type",
+        "n",
+        "mean",
+        F.try_divide(F.col("n"), F.col("var")).alias("wi"),
     )
     tot = w.agg(
         F.count("*").alias("k"),
         F.sum("wi").alias("sw"),
-        (F.sum(F.col("wi") * F.col("mean")) / F.sum("wi")).alias("mstar"),
+        F.try_divide(F.sum(F.col("wi") * F.col("mean")), F.sum("wi")).alias(
+            "mstar"
+        ),
     )
     parts = (
         w.crossJoin(F.broadcast(tot))
@@ -4021,9 +4050,11 @@ def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("mean") - F.col("mstar"))
             ).alias("num"),
             F.sum(
-                (1.0 - F.col("wi") / F.col("sw"))
-                * (1.0 - F.col("wi") / F.col("sw"))
-                / (F.col("n") - 1.0)
+                F.try_divide(
+                    (1.0 - F.try_divide(F.col("wi"), F.col("sw")))
+                    * (1.0 - F.try_divide(F.col("wi"), F.col("sw"))),
+                    F.col("n") - 1.0,
+                )
             ).alias("lam"),
             F.first("k").alias("k"),
             F.sum("n").alias("n"),
@@ -4034,13 +4065,14 @@ def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (
             F.round(
-                (F.col("num") / (F.col("k") - 1.0))
-                / (
+                F.try_divide(
+                    F.try_divide(F.col("num"), F.col("k") - 1.0),
                     1.0
                     + 2.0
-                    * (F.col("k") - 2.0)
-                    / (F.col("k") * F.col("k") - 1.0)
-                    * F.col("lam")
+                    * F.try_divide(
+                        F.col("k") - 2.0, F.col("k") * F.col("k") - 1.0
+                    )
+                    * F.col("lam"),
                 )
                 + F.lit(1e-9),
                 4,
@@ -4049,7 +4081,9 @@ def q_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_welch"),
         (
             F.round(
-                (F.col("k") * F.col("k") - 1.0) / (3.0 * F.col("lam"))
+                F.try_divide(
+                    F.col("k") * F.col("k") - 1.0, 3.0 * F.col("lam")
+                )
                 + F.lit(1e-9),
                 4,
             )

@@ -1852,9 +1852,26 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    pdf = e.select("vec_id", "embedding").toPandas()  # bounded index shard
+    # NULL embeddings (failed upstream encode — the audit_nulls class)
+    # can be neither probes nor neighbors: np.stack would choke on the
+    # ragged None cells.  They stay in the in-degree universe below
+    # (left join), so a NULL-embedding vector reports indeg 0 — the
+    # same rows the oracle's a.vec_id <> b.vec_id join with NULL
+    # list_inner_product would rank last and drop.
+    vecs = e.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
+    pdf = vecs.toPandas()  # bounded index shard
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # np.stack needs >=1 array: a 0-row table (empty partition, late
+    # upstream) degrades to a 0×0 index — every probe then has zero
+    # finite candidates and the histogram is empty, matching the
+    # oracle's empty self-join (audit_empty class).
+    mat = (
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, 0), dtype=np.float64)
+    )
     # Executable broadcast contract (VERDICT r9 #4): the replicated
     # index shard must actually fit a broadcast budget.  Past it, the
     # right plan is the IVF-bucketed path (q_sim_topk_ivf,
@@ -1873,6 +1890,9 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     def knn_blocks(batches):
         b_ids, b_mat = bc.value
         for batch in batches:
+            if not len(batch) or not b_mat.size:
+                yield pd.DataFrame({"probe": [], "nb": []}, dtype=np.int64)
+                continue
             probes = batch["vec_id"].to_numpy(dtype=np.int64)
             pm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             raw = pm @ b_mat.T
@@ -1897,9 +1917,7 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_n.extend(b_ids[top])
             yield pd.DataFrame({"probe": out_p, "nb": out_n})
 
-    knn = e.select("vec_id", "embedding").mapInPandas(
-        knn_blocks, "probe long, nb long"
-    )
+    knn = vecs.mapInPandas(knn_blocks, "probe long, nb long")
     indeg = (
         e.select("vec_id")
         .join(knn, F.col("vec_id") == F.col("nb"), "left")

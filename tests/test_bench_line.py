@@ -170,6 +170,11 @@ def test_compact_line_keeps_self_describing_flags():
         "sf": 0.1,
         "utc": "2026-08-16T00:00:00Z",
     }
+    full["quiet_ref"] = {
+        "suite_wall_sec": 51.3,
+        "utc": "2026-08-16T00:00:00Z",
+        "commit": "abc1234",
+    }
     out = compact_line(full)
     line = json.dumps(out)
     assert len(line) <= 2000, len(line)
@@ -178,3 +183,6 @@ def test_compact_line_keeps_self_describing_flags():
     assert parsed["queueing_included"] is True
     assert parsed["spark_stderr_classes"] == []
     assert parsed["serial_cert"]["median_query_sec"] == 0.34
+    # VERDICT r9 #5: the best same-sf/same-commit wall rides every
+    # record, so a mid-band committed run self-describes its band.
+    assert parsed["quiet_ref"]["suite_wall_sec"] == 51.3

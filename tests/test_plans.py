@@ -277,6 +277,18 @@ _NLJ_ALLOWED = {
     "q_agg_abc",          # 1-row revenue-total broadcast crossJoin
     "q_stats_overlap",    # 1-row (min,max) bin-grid broadcast crossJoin
     "q_stats_mannwhitney",  # 1-row quantile cut-point broadcast crossJoin (r8)
+    # --- round-10 registrations (each a bounded control-frame cross,
+    #     judged per the same rule as the rows above) ---
+    "q_graph_modularity",  # 1-row edge-mass total broadcast crossJoin
+    "q_ts_xcorr",          # ≤366-row daily series × 8-row lag grid cross
+    "q_ts_interrupted",    # 1-row cutpoint/fit-summary broadcast crossJoin
+    "q_text_ngram_coverage",  # 1-row bigram-total × 4-row k grid crosses
+    "q_text_burstiness",   # 1-row corpus-totals broadcast crossJoin
+    "q_stats_kendall",     # calendar-bounded O(days²) sign-product pair join
+    "q_stats_friedman",    # day×type grid ≤(366·k) tie-correction crosses
+    "q_stats_cramers_v",   # ≤r×c contingency grid zero-fill cross
+    "q_stats_welch",       # k-row group frame × 1-row totals crossJoin
+    "q_agg_lorenz",        # 10-row decile frame × 1-row total crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
