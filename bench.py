@@ -73,6 +73,12 @@ _HEAVY_SERIAL = (
     "q_pipeline_leakage", "q_text_tfidf", "q_attr_linear",
     "q_embed_separation", "q_stats_mannwhitney", "q_dq_cardinality_shift",
     "q_dq_reconcile", "q_ts_interval_union", "q_sql_report",
+    # round 10: the two heavy registrations of the staged flip —
+    # hodges-lehmann's calendar-bounded O(days²) Walsh join runs
+    # 4-6 s at sf0.1; hubness pays the suite's first Python-worker +
+    # Arrow-path spin-up (~9 s cold, 0.8-1.9 s warm) because tier-1
+    # enumeration runs it before the fleet warms those paths.
+    "q_stats_hodges_lehmann", "q_embed_hubness",
 )
 
 
