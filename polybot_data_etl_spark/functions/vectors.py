@@ -1949,7 +1949,16 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    knn = vecs.mapInPandas(knn_blocks, "probe long, nb long")
+    # Partition the PROBE side before the kernel: the fixture parquet
+    # is one file → one mapInPandas task otherwise, so the whole
+    # kernel rides a single core (and a single box-stall).  This is
+    # also the production BF-ANN shape — index replicated, queries
+    # partitioned — so the bounded repartition (2 000-row shuffle) is
+    # the honest miniature of the 100 TB plan, not a bench trick.
+    n_slices = max(2, min(16, spark.sparkContext.defaultParallelism))
+    knn = vecs.repartition(n_slices).mapInPandas(
+        knn_blocks, "probe long, nb long"
+    )
     indeg = (
         e.select("vec_id")
         .join(knn, F.col("vec_id") == F.col("nb"), "left")
