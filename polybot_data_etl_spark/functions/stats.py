@@ -3676,26 +3676,73 @@ def q_stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer daily counts, so every Walsh average is an exact half-
     integer and the cross-engine median is bit-identical.
 
-    Shape: a calendar-bounded daily aggregate (≤ ~2.4 k rows/group),
-    an O(days²) within-group self-join (≈3 M Walsh rows per priority),
-    and one exact median per group.  The pair blow-up is bounded by
-    the CALENDAR, not the table — at 100 TB the daily frame is the
-    same size."""
+    Shape (round 10 rewrite): the naive within-group O(days²) pair
+    join materialized ≈3 M Walsh rows per priority (4-6 s at sf0.1);
+    daily counts REPEAT heavily, so the same Walsh multiset is counted
+    exactly from the value histogram H(v) = #days with count v — a
+    V×V convolution (V = distinct daily counts, ~40-400) plus a
+    cumulative-weight median pick (the q_win_weighted_median recipe):
+    pairs with v < w contribute H(v)·H(w) Walsh values, the diagonal
+    contributes H(v)·(H(v)+1)/2 (i ≤ j includes i = j).  ~10 k
+    weighted rows replace ~14 M materialized ones; exact-integer
+    counts keep the median bit-identical to the oracle's materialized
+    form.  At 100 TB the histogram is still calendar-bounded, and the
+    worst case (all counts distinct) degrades only to the naive
+    shape's own cost."""
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderpriority").alias("pri"),
         F.to_date("o_orderdate").alias("d"),
     ).agg(F.count("*").alias("c"))
     nd = daily.groupBy("pri").agg(F.count("*").cast("bigint").alias("n_days"))
-    a = daily.select("pri", F.col("d").alias("da"), F.col("c").alias("ca"))
-    b = daily.select(
-        F.col("pri").alias("prib"), F.col("d").alias("db"), F.col("c").alias("cb")
+    hist = daily.groupBy("pri", "c").agg(F.count("*").alias("h"))
+    x = hist.select(
+        "pri", F.col("c").alias("cx"), F.col("h").alias("hx")
     )
-    walsh = a.join(
-        b, (F.col("pri") == F.col("prib")) & (F.col("da") <= F.col("db"))
-    ).select("pri", ((F.col("ca") + F.col("cb")) / 2.0).alias("w"))
-    hl = walsh.groupBy("pri").agg(
-        (F.round(F.median("w") + F.lit(1e-9), 2) + F.lit(0.0)).alias("hl")
+    y = hist.select(
+        F.col("pri").alias("priy"), F.col("c").alias("cy"), F.col("h").alias("hy")
+    )
+    cells = x.join(
+        y, (F.col("pri") == F.col("priy")) & (F.col("cx") <= F.col("cy"))
+    ).select(
+        "pri",
+        ((F.col("cx") + F.col("cy")) / 2.0).alias("w"),
+        F.when(
+            F.col("cx") < F.col("cy"), F.col("hx") * F.col("hy")
+        ).otherwise(
+            (F.col("hx") * (F.col("hx") + 1) / 2).cast("long")
+        ).alias("cnt"),
+    )
+    # Exact weighted median over (w, cnt): with N total Walsh values,
+    # the median is the mean of the elements at 1-indexed positions
+    # ⌈N/2⌉ and ⌊N/2⌋+1 of the sorted expansion (equal when N is odd)
+    # — located by the first w whose cumulative count reaches each
+    # position.  Windows run over the tiny V-sized histogram frame.
+    wcum = Window.partitionBy("pri").orderBy("w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("pri")
+    ranked = cells.select(
+        "pri",
+        "w",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("ntot"),
+    )
+    lo_pos = F.col("ntot") - (F.col("ntot") / 2).cast("long")  # ceil(N/2)
+    hi_pos = (F.col("ntot") / 2).cast("long") + 1  # floor(N/2)+1
+    hl = ranked.groupBy("pri").agg(
+        (
+            F.round(
+                (
+                    F.min(F.when(F.col("cum") >= lo_pos, F.col("w")))
+                    + F.min(F.when(F.col("cum") >= hi_pos, F.col("w")))
+                )
+                / 2.0
+                + F.lit(1e-9),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("hl")
     )
     return (
         nd.join(hl, "pri")
