@@ -520,14 +520,14 @@ def main() -> int:
         try:
             with open(ref_path) as fh:
                 prior = json.load(fh)
-            if (
-                isinstance(prior, dict)
-                and prior.get("sf") == sf
-                and prior.get("commit") == head
-            ):
+            # Same-sf is mandatory; same-commit is NOT (the serial-cert
+            # pattern): a doc-only commit must not reset the baseline,
+            # and a prior-commit best self-describes via
+            # commit_matches_run below instead of being discarded.
+            if isinstance(prior, dict) and prior.get("sf") == sf:
                 best = prior
         except (OSError, ValueError):
-            pass  # first concurrent run at this sf/commit
+            pass  # first concurrent run at this sf on this box
         if best is None or total < best.get("suite_wall_sec", float("inf")):
             best = this_run
             try:
@@ -539,6 +539,11 @@ def main() -> int:
             "suite_wall_sec": best["suite_wall_sec"],
             "utc": best["utc"],
             "commit": best.get("commit"),
+            "commit_matches_run": (
+                best.get("commit") == head
+                if best.get("commit") and head
+                else None
+            ),
         }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
