@@ -921,19 +921,31 @@ def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the current order is why you re-cluster; the Z-order machinery in
     tests/test_layout.py is the fix this measures the need for).
 
+    Registered plan (round-11 flip, VERDICT r10 §Next-round #1): the
+    two-pass bucket-offset recipe of :func:`rle_profile_bucketed` —
+    per-orderkey-range lag windows plus a bounded boundary stitch, no
+    global data sort.  The r1-r10 fixture-scale form (one lag window
+    over the whole logical order — a one-task global sort at 100 TB)
+    is demoted to :func:`rle_profile_global`, kept as the pytest
+    cross-check that pins the two plans value-equal."""
+    return rle_profile_bucketed(spark, sf_dir)
+
+
+def rle_profile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture-scale global-window form of :func:`q_dq_rle` —
+    REGISTERED for rounds 1-10, demoted to the test-only cross-check
+    at the round-11 flip (the registered plan is now the bucketed
+    recipe; this form's single unpartitioned lag window is a one-task
+    global sort at 100 TB).  tests/test_round8.py pins it value-equal
+    to the registered plan at multiple bucket counts.
+
     Determinism: (l_orderkey, l_linenumber) is NOT unique in the
     synthetic lineitem, and tie order under a non-total sort is
     physical row order — the r7 two-run audit caught n_runs moving
     with the input file layout.  The window therefore tie-breaks on
     the three profiled columns themselves: rows still tied after that
     are identical in every compared column, so any residual tie order
-    cannot move a run boundary.
-
-    Shape: one lag window over the logical order (single exchange —
-    fine at fixture scale; the 100 TB path is the EXACT-equal
-    :func:`rle_profile_bucketed` twin below, SURVEY #423: per-range
-    lag windows + a bounded boundary stitch, no global sort), then a
-    1-row reduce unpivoted into the 3-column report."""
+    cannot move a run boundary."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem")
@@ -989,11 +1001,12 @@ def q_dq_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rle_profile_bucketed(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> DataFrame:
-    """The 100 TB twin of :func:`q_dq_rle` (SURVEY §2 #423,
-    test-only): the SAME run-length report without any global data
-    sort — the registered form's single lag window over the whole
-    logical order is the one remaining global-sort-over-data shape in
-    the fleet, fine at fixture scale but a one-task sort at 100 TB.
+    """THE registered plan of :func:`q_dq_rle` since the round-11 flip
+    (SURVEY §2 #423): the run-length report without any global data
+    sort — the demoted :func:`rle_profile_global` form's single lag
+    window over the whole logical order was the one remaining
+    global-sort-over-data shape in the fleet, fine at fixture scale
+    but a one-task sort at 100 TB.
 
     Two-pass bucket-offset construction (the q_win_dist_scaled /
     q_stats_mannwhitney recipe, adapted to a LAG across boundaries):
@@ -1013,10 +1026,10 @@ def rle_profile_bucketed(
        bounded summary, never the data.
 
     Ties in the full sort key are identical in every profiled column
-    (the q_dq_rle determinism argument), so min_by/max_by tie choice
-    cannot move a boundary comparison.  Value-equality with the
-    registered global-window form is pinned at two scales in
-    tests/test_round6.py; the bkt-partitioned plan shape in
+    (the rle_profile_global determinism argument), so min_by/max_by
+    tie choice cannot move a boundary comparison.  Value-equality with
+    the demoted global-window form is pinned at multiple bucket counts
+    in tests/test_round8.py; the bkt-partitioned plan shape in
     tests/test_plans.py."""
     from pyspark.sql import Window
 
@@ -1145,10 +1158,23 @@ def q_dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row count alone hides (10k rows with a 5k-wide hole means a
     range didn't land).
 
-    Shape: one lead() over the id order (at 100 TB: the two-pass
-    bucket-offset recipe on id ranges — ids are the natural range
-    partitioner) → gap rows → a 1-row reduce; the span/count
-    cross-checks come from a plain min/max agg."""
+    Registered plan (round-11 flip, VERDICT r10 §Next-round #1): the
+    two-pass bucket-offset recipe of :func:`id_gaps_bucketed` — ids
+    are the natural range partitioner, so per-bucket lead() windows
+    plus a bounded next-bucket-min stitch replace the global id sort.
+    The r1-r10 fixture-scale form (one unpartitioned lead() — a
+    one-task global sort at 100 TB) is demoted to
+    :func:`id_gaps_global`, kept as the pytest cross-check."""
+    return id_gaps_bucketed(spark, sf_dir)
+
+
+def id_gaps_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture-scale global-window form of :func:`q_dq_id_gaps` —
+    REGISTERED for rounds 1-10, demoted to the test-only cross-check
+    at the round-11 flip.  Shape: one lead() over the id order → gap
+    rows → a 1-row reduce; the span/count cross-checks come from a
+    plain min/max agg.  tests/test_round8.py pins it value-equal to
+    the registered bucketed plan at multiple bucket counts."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
@@ -1180,10 +1206,10 @@ def q_dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def id_gaps_bucketed(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> DataFrame:
-    """The 100 TB twin of :func:`q_dq_id_gaps` (SURVEY §2 #424,
-    test-only): the SAME five-number continuity report without the
-    global id sort — the LEAD variant of the two-pass bucket-offset
-    recipe (#423 covered LAG).
+    """THE registered plan of :func:`q_dq_id_gaps` since the round-11
+    flip (SURVEY §2 #424): the five-number continuity report without
+    the global id sort — the LEAD variant of the two-pass
+    bucket-offset recipe (#423 covered LAG).
 
     1. Bucket rows by sampled ``event_id`` quantile literals: buckets
        are id RANGES, so global id order == (bucket, local order).
@@ -1194,8 +1220,8 @@ def id_gaps_bucketed(
        (Consecutive-pair multisets are tie-order-invariant under
        duplicate ids, so the stitch is exact, not approximate.)
 
-    Pinned EXACTLY equal to the registered form at multiple bucket
-    counts in tests/test_round8.py; guarded fleet-wide by the
+    Pinned EXACTLY equal to the demoted global-window form at multiple
+    bucket counts in tests/test_round8.py; guarded fleet-wide by the
     global-window-over-data plan sweep in tests/test_plans.py."""
     from pyspark.sql import Window
 

@@ -3630,12 +3630,20 @@ def q_stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("concordant"),
             F.col("disc").cast("bigint").alias("discordant"),
             (
+                # try_divide, not `/` (ADVICE r10 #2): a constant x or
+                # y series (all daily counts equal) zeroes the tau-b
+                # denominator, and under ANSI mode a plain divide is a
+                # DIVIDE_BY_ZERO crash — the same degenerate class the
+                # sibling welch/friedman/cramers_v queries harden.  The
+                # undefined statistic degrades to NULL instead.
                 F.round(
-                    (F.col("c") - F.col("disc"))
-                    / F.sqrt(
-                        (F.col("n0") - F.col("n1"))
-                        * 1.0
-                        * (F.col("n0") - F.col("n2"))
+                    F.try_divide(
+                        F.col("c") - F.col("disc"),
+                        F.sqrt(
+                            (F.col("n0") - F.col("n1"))
+                            * 1.0
+                            * (F.col("n0") - F.col("n2"))
+                        ),
                     )
                     + F.lit(1e-12),
                     4,

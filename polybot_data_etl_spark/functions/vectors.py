@@ -1810,6 +1810,7 @@ _HUBNESS_MAX_INDEX_BYTES = 512 * 1024 * 1024
     WITH knn AS (
         SELECT a.vec_id AS probe, b.vec_id AS nb
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
         QUALIFY row_number() OVER (
             PARTITION BY a.vec_id
             ORDER BY round(list_inner_product(a.embedding::DOUBLE[],
@@ -1855,9 +1856,14 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL embeddings (failed upstream encode — the audit_nulls class)
     # can be neither probes nor neighbors: np.stack would choke on the
     # ragged None cells.  They stay in the in-degree universe below
-    # (left join), so a NULL-embedding vector reports indeg 0 — the
-    # same rows the oracle's a.vec_id <> b.vec_id join with NULL
-    # list_inner_product would rank last and drop.
+    # (left join), so a NULL-embedding vector reports indeg 0.  The
+    # oracle filters NULL embeddings from BOTH knn sides explicitly
+    # (ADVICE r10 #1: without the filter, a bare QUALIFY rn<=5 still
+    # emits 5 NULL-sim "neighbors" for a NULL-embedding probe — NULL
+    # sims rank last but are not dropped — and NULL vectors could
+    # enter a top-5 when a probe has <5 non-NULL candidates), so the
+    # two engines agree by construction on NULL-salted inputs, not
+    # just on the clean fixtures.
     vecs = e.select("vec_id", "embedding").filter(
         F.col("embedding").isNotNull()
     )

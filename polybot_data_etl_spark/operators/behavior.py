@@ -272,15 +272,23 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Recency (latest order first), Frequency, and Monetary value,
     rolled up to segment sizes — the standard CRM / lifecycle cut.
 
-    The windows run over the per-customer AGGREGATE (one row per
-    customer, already orders-of-magnitude smaller than the fact
-    table), with a custkey tiebreak making every ntile boundary
-    deterministic.  At 100 TB the global ntile sort over customers is
-    the pressure point; the drop-in rewrite is approx-quantile
-    cutpoints (computed once, broadcast, score by comparison) or the
-    two-pass bucketed rank of q_win_dist_scaled — both preserve these
-    segment semantics to within cutpoint resolution.
-    """
+    Registered plan (round-11 flip, VERDICT r10 §Next-round #3): the
+    two-pass bucketed rank of :func:`rfm_quintiles_scaled` — the
+    windows run over the per-customer AGGREGATE, an ENTITY-keyed frame
+    that grows with data (10⁹ customers at 100 TB), which the static
+    global-window plan sweep cannot flag; the bucketed recipe is
+    EXACTLY ntile-equal, not cutpoint-approximate.  The r1-r10
+    fixture-scale form (three global ntile sorts) is demoted to
+    :func:`rfm_global`, kept as the pytest cross-check."""
+    return rfm_quintiles_scaled(spark, sf_dir)
+
+
+def rfm_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture-scale form of :func:`q_agg_rfm` — REGISTERED for
+    rounds 1-10, demoted to the test-only cross-check at the round-11
+    flip (three global ntile sorts over the per-customer aggregate,
+    each a one-task sort once customers number in the billions).  The
+    custkey tiebreak makes every ntile boundary deterministic."""
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -304,10 +312,10 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm_quintiles_scaled(
     spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> DataFrame:
-    """The 100 TB twin of :func:`q_agg_rfm` (SURVEY §2 #425,
-    test-only): the SAME (r, f, m) segment-size report with the three
-    global ntile sorts over the per-customer frame replaced by the
-    two-pass bucketed rank of q_win_dist_scaled — the entity-keyed
+    """THE registered plan of :func:`q_agg_rfm` since the round-11
+    flip (SURVEY §2 #425): the (r, f, m) segment-size report with the
+    three global ntile sorts over the per-customer frame replaced by
+    the two-pass bucketed rank of q_win_dist_scaled — the entity-keyed
     case the global-window plan sweep cannot flag statically (the
     per-customer Aggregate bounds nothing at 10⁹ customers).
 
@@ -318,10 +326,11 @@ def rfm_quintiles_scaled(
     is local rank + the prefix-summed counts of HIGHER-value buckets
     (a ≤``n_buckets``-row summary window).  ntile(5) is then the
     closed-form first-(n mod 5)-tiles-get-ceil(n/5) rule on
-    (rank, n) — exactly Spark's ntile semantics, so the twin is
-    EXACTLY equal, not cutpoint-approximate (ties share a value
-    bucket; the custkey tiebreak is total).  Pinned equal at several
-    bucket counts in tests/test_round8.py."""
+    (rank, n) — exactly Spark's ntile semantics, so the plan is
+    EXACTLY equal to the demoted :func:`rfm_global` form, not
+    cutpoint-approximate (ties share a value bucket; the custkey
+    tiebreak is total).  Pinned equal at several bucket counts in
+    tests/test_round8.py."""
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),

@@ -276,18 +276,22 @@ _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 # q_stats_fdr drained in r8.)
 _REQUEUED_RED: frozenset[str] = _DRIVER_RED
 
+# The declared registry size — ONE place (SURVEY §7 M10 end-state:
+# surface complete at 382 queries / 380 oracles; no growth without a
+# VERDICT-named semantic gap).  Tests assert against these instead of
+# re-pinning literals (ADVICE r10 #3), so a sanctioned future addition
+# updates exactly this pair.
+EXPECTED_QUERY_COUNT = 382
+EXPECTED_ORACLE_COUNT = 380
+
 # Names first registered in the CURRENT build round, as DECLARED by the
-# round (hand-maintained).  Round 10 flips the [STAGED r10] batch
-# (#434-450, formerly operators/staged_r10.py) into the registry, so
-# the declaration holds those 17 names.
-_NEW_THIS_ROUND_DECLARED: frozenset[str] = frozenset({
-    "q_graph_components", "q_graph_modularity", "q_graph_powerlaw",
-    "q_ts_xcorr", "q_ts_interrupted", "q_ts_seasonal_mk",
-    "q_embed_hubness", "q_text_ngram_coverage", "q_text_burstiness",
-    "q_stats_kendall", "q_stats_hodges_lehmann", "q_stats_friedman",
-    "q_stats_cramers_v", "q_stats_welch", "q_sample_bernoulli_hash",
-    "q_win_rolling_slope", "q_agg_lorenz",
-})
+# round (hand-maintained).  Round 11 registers nothing new (the M10
+# end-state); the round's work is plan flips — the same names now run
+# their bucketed scale twins — which need no tier-1 slot because every
+# flipped name already has green driver evidence and the oracle is
+# unchanged.  (Round 10's declaration was the 17-name [STAGED r10]
+# batch, all folded into _RECORDED by CORRECTNESS_r10.json.)
+_NEW_THIS_ROUND_DECLARED: frozenset[str] = frozenset()
 
 # The EFFECTIVE tier-1 set is derived, not static (VERDICT r9 #1: the
 # static set went stale the moment the driver recorded its member — the

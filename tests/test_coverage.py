@@ -207,17 +207,16 @@ def test_new_this_round_is_staleness_proof():
         - registry._RECORDED
         - registry._REQUEUED_RED
     )
-    # Simulate the round-11 fold-in: every declared name recorded.
-    recorded_after_fold = registry._RECORDED | registry._NEW_THIS_ROUND_DECLARED
-    derived = (
-        registry._NEW_THIS_ROUND_DECLARED
-        - recorded_after_fold
-        - registry._REQUEUED_RED
-    )
-    assert registry._NEW_THIS_ROUND_DECLARED, (
-        "the r10 declaration must be nonempty for this endgame case to "
-        "exercise the stale-set class"
-    )
+    # Simulate the endgame fold-in on a SYNTHETIC nonempty declaration
+    # (round 11+ declares nothing — the M10 end-state — so the live set
+    # can no longer exercise the stale-set class; the formula is what's
+    # under test, not the current declaration).  Pick two recorded
+    # names as the "declared" batch: the exact all-recorded +
+    # nonempty-declaration state that fired in r8 AND r9.
+    declared = frozenset(sorted(registry._RECORDED)[:2])
+    assert declared, "the fleet always has recorded names to simulate with"
+    recorded_after_fold = registry._RECORDED | declared
+    derived = declared - recorded_after_fold - registry._REQUEUED_RED
     assert not (recorded_after_fold & derived), (
         "the derived tier-1 set must vanish when its members are "
         "recorded — a nonempty intersection is the r8/r9 red re-firing"

@@ -289,6 +289,11 @@ _NLJ_ALLOWED = {
     "q_stats_cramers_v",   # ≤r×c contingency grid zero-fill cross
     "q_stats_welch",       # k-row group frame × 1-row totals crossJoin
     "q_agg_lorenz",        # 10-row decile frame × 1-row total crossJoin
+    # --- round-11 plan flips (the registered plan is now the bucketed
+    #     recipe; each gained the idiom's 1-row control-frame cross) ---
+    "q_dq_rle",            # 1-row totals × 1-row boundary-stitch cross
+    "q_win_dist",          # = q_win_dist_scaled plan (1-row totals cross)
+    "q_agg_rfm",           # 1-row customer-total broadcast crossJoin
 }
 _ROW_PYTHON_ALLOWED = {
     "q_udf_python",   # the deliberate row-at-a-time UDF surface (#71)
@@ -989,15 +994,13 @@ def test_minhash_eval_found_side_is_probe_bounded(spark, sf_dir):
 
 # Registered queries whose optimized plan contains an UNPARTITIONED
 # window directly over data-sized input (no Aggregate/Limit between the
-# window and a scan).  Each is a deliberately oracle-matched fixture-
-# scale form with a proven EXACT scale twin that removes the global
-# sort — the twin is pinned value-equal in tests and the pair is
-# documented in SCALE.md:
-_GLOBAL_DATA_WINDOW_ALLOWED = {
-    "q_dq_rle",       # twin: rle_profile_bucketed (#423, lag recipe)
-    "q_dq_id_gaps",   # twin: id_gaps_bucketed (#424, lead recipe)
-    "q_win_dist",     # twin: q_win_dist_scaled (registered, #~105)
-}
+# window and a scan).  EMPTY since the round-11 flip (VERDICT r10
+# §Next-round #1): q_dq_rle, q_dq_id_gaps and q_win_dist now register
+# their bucketed two-pass plans (the former naive forms live on as
+# rle_profile_global / id_gaps_global / win_dist_global, pytest
+# cross-checks only).  Any future entry here needs a pinned-exact
+# scale twin and a SCALE.md row.
+_GLOBAL_DATA_WINDOW_ALLOWED: set[str] = set()
 
 
 def test_no_unpartitioned_window_over_data(spark, sf_dir):
@@ -1010,11 +1013,12 @@ def test_no_unpartitioned_window_over_data(spark, sf_dir):
 
     Caveat encoded here: Aggregate counts as bounding even when its
     grouping key is an entity id (per-customer, per-user) — those
-    frames still grow with data, just sublinearly; the known cases
-    (q_agg_rfm's ntiles over per-customer) are documented in SCALE.md
-    §global-window-inventory rather than flagged, because the sweep
+    frames still grow with data, just sublinearly, and the sweep
     cannot statically tell a 25-row event_type key from a 10^9-row
-    custkey one."""
+    custkey one.  The one known case, q_agg_rfm's ntiles over the
+    per-customer frame, was flipped to its bucketed-rank plan in
+    round 11 (operators/behavior.py), so the blind spot is currently
+    empty; SCALE.md §global-window-inventory tracks it."""
     from polybot_data_etl_spark import registry
 
     def children(n):

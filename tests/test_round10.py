@@ -32,10 +32,17 @@ def test_r10_batch_is_registered_with_oracles():
     qs, os_ = registry.queries(), registry.oracles()
     assert R10_BATCH <= set(qs), sorted(R10_BATCH - set(qs))
     assert R10_BATCH <= set(os_), sorted(R10_BATCH - set(os_))
-    assert len(qs) == 382 and len(os_) == 380
-    # The batch is this round's declared tier-1 set (minus any the
-    # driver has meanwhile recorded — the derivation is the point).
-    assert registry._NEW_THIS_ROUND_DECLARED == R10_BATCH
+    # Counts come from the registry's single declared pair (ADVICE r10
+    # #3: a sanctioned future addition updates the constants, not this
+    # unrelated flip-pin test).
+    assert len(qs) == registry.EXPECTED_QUERY_COUNT
+    assert len(os_) == registry.EXPECTED_ORACLE_COUNT
+    # The r10 driver recorded the whole batch green (CORRECTNESS_r10),
+    # so the names must have left the new-this-round tier and joined
+    # the recorded evidence tier — the derivation is the point.
+    assert R10_BATCH <= registry._RECORDED, sorted(
+        R10_BATCH - registry._RECORDED
+    )
 
 
 def test_hubness_broadcast_guard_fails_loud(spark, sf_dir, monkeypatch):

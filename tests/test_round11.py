@@ -1,0 +1,123 @@
+"""Round-11 pins: the registered-plan flips (VERDICT r10 §Next-round
+#1/#3 — q_dq_rle / q_dq_id_gaps / q_win_dist / q_agg_rfm now run their
+bucketed two-pass recipes; the naive global-window forms are demoted to
+test-only witnesses) and the two ADVICE r10 hardenings (kendall
+try_divide, hubness oracle NULL-embedding filter).
+
+Value equality of each flipped pair is pinned in tests/test_round8.py
+(updated to witness direction: demoted global form vs registered plan);
+this module pins what those can't see — that the REGISTERED plan is the
+bucketed one (plan shape), and the degenerate-input behavior the audit
+battery's fixtures don't reach (all-tied series, NULL-salted
+embeddings differentially against DuckDB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_flipped_plans_are_bucketed(spark, sf_dir):
+    """The flip happened at the REGISTRY level: the plan the driver
+    runs for each flipped name partitions its data-sized window by the
+    range bucket — no unpartitioned window over data remains (the
+    fleet sweep in tests/test_plans.py now runs with an EMPTY
+    allowlist; this pins the four names individually so a revert is
+    named, not just counted)."""
+    from polybot_data_etl_spark import registry
+
+    qs = registry.queries()
+    for name, marker in (
+        ("q_dq_rle", "windowspecdefinition(bkt"),
+        ("q_dq_id_gaps", "windowspecdefinition(bkt"),
+        ("q_win_dist", "windowspecdefinition(bkt"),
+        ("q_agg_rfm", "windowspecdefinition(bkt_r"),
+    ):
+        plan = _plan(spark, qs[name](spark, sf_dir))
+        assert marker in plan, f"{name} lost its bucketed window"
+        assert "hashpartitioning(bkt" in plan, (
+            f"{name}'s data window is not bucket-partitioned"
+        )
+
+
+def test_kendall_constant_series_is_null_not_crash(spark, tmp_path):
+    """ADVICE r10 #2: a constant x or y series zeroes tau-b's
+    denominator; under Spark 4 ANSI mode a plain divide raises
+    DIVIDE_BY_ZERO.  try_divide degrades the undefined statistic to
+    NULL — same hardening as the sibling welch/friedman/cramers_v."""
+    from polybot_data_etl_spark.functions.stats import q_stats_kendall
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(6),
+            "o_custkey": [1, 2, 1, 2, 1, 2],
+            "o_orderdate": ["2024-01-01"] * 2
+            + ["2024-01-02"] * 2
+            + ["2024-01-03"] * 2,
+            "o_totalprice": [10.0] * 6,
+            "o_orderpriority": ["1-URGENT"] * 6,
+            "o_orderstatus": ["O"] * 6,
+        }
+    )
+    pdf.to_parquet(tmp_path / "orders.parquet", index=False)
+    [row] = q_stats_kendall(spark, str(tmp_path)).collect()
+    assert row["n_days"] == 3
+    assert row["concordant"] == 0 and row["discordant"] == 0
+    assert row["tau_b"] is None
+
+
+def test_hubness_null_salted_matches_oracle(spark, tmp_path):
+    """ADVICE r10 #1: with NULL embeddings salted in, the oracle's
+    QUALIFY rn<=5 used to emit NULL-sim 'neighbors' for NULL probes
+    (NULL sims rank last but are not dropped) and NULL vectors could
+    enter a top-5 when a probe has <5 non-NULL candidates — while the
+    Spark kernel excludes NULL embeddings from both sides.  The oracle
+    now filters NULL embeddings on both knn sides, so the two engines
+    agree BY CONSTRUCTION on salted inputs.  Differential pin on a
+    7-vector table with 3 NULLs (4 non-NULL probes < 5+1, the exact
+    under-full regime the advice names)."""
+    import duckdb
+
+    from polybot_data_etl_spark import registry
+    from polybot_data_etl_spark.functions.vectors import q_embed_hubness
+
+    rng = np.random.default_rng(7)
+    emb = [rng.standard_normal(8).astype(np.float32) for _ in range(4)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(1, 8, dtype=np.int64),
+            "embedding": emb + [None, None, None],
+            "label": np.zeros(7, dtype=np.int32),
+        }
+    )
+    path = tmp_path / "embeddings.parquet"
+    pdf.to_parquet(path, index=False)
+
+    got = {
+        int(r["indeg"]): int(r["n_vecs"])
+        for r in q_embed_hubness(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = {
+        int(i): int(n)
+        for i, n in con.execute(
+            registry.oracles()["q_embed_hubness"]
+        ).fetchall()
+    }
+    assert got == want
+    # the 3 NULL-embedding vectors stay in the in-degree universe at 0
+    assert got.get(0, 0) >= 3
+    # every non-NULL probe emitted exactly its 3 real neighbors
+    assert sum(i * n for i, n in got.items()) == 4 * 3

@@ -7,19 +7,21 @@ import pytest
 
 
 def test_rle_bucketed_matches_global_window(spark, sf_dir):
-    """#423: rle_profile_bucketed — q_dq_rle's two-pass bucket-offset
-    twin (per-orderkey-range lag windows + a bounded boundary stitch,
-    no global data sort) — must produce the IDENTICAL 3-row report.
-    The boundary arithmetic (local run starts minus cross-bucket
-    continuations) is exact, not approximate, so this is a strict
-    equality, not a band."""
+    """#423: the registered q_dq_rle runs the two-pass bucket-offset
+    plan since the round-11 flip (per-orderkey-range lag windows + a
+    bounded boundary stitch, no global data sort); the demoted
+    rle_profile_global form is the independent witness — the two must
+    produce the IDENTICAL 3-row report.  The boundary arithmetic
+    (local run starts minus cross-bucket continuations) is exact, not
+    approximate, so this is a strict equality, not a band."""
     from polybot_data_etl_spark.functions.dq import (
         q_dq_rle,
         rle_profile_bucketed,
+        rle_profile_global,
     )
 
-    a = sorted(tuple(r) for r in q_dq_rle(spark, sf_dir).collect())
-    b = sorted(tuple(r) for r in rle_profile_bucketed(spark, sf_dir).collect())
+    a = sorted(tuple(r) for r in rle_profile_global(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q_dq_rle(spark, sf_dir).collect())
     assert a == b
     # ...and stays exact when the bucket count (hence every boundary
     # position) changes — 5 buckets puts boundaries in completely
@@ -84,13 +86,14 @@ def test_rounded_float_outputs_normalize_signed_zero(spark, sf_dir):
 @pytest.mark.parametrize("n_buckets", [1, 2])
 def test_rle_bucketed_degenerate_bucket_counts(spark, sf_dir, n_buckets):
     """1 bucket = the global form (no boundaries); 2 buckets = a single
-    boundary — both must still equal the registered answer."""
+    boundary — both must still equal the demoted global-window
+    witness."""
     from polybot_data_etl_spark.functions.dq import (
-        q_dq_rle,
         rle_profile_bucketed,
+        rle_profile_global,
     )
 
-    a = sorted(tuple(r) for r in q_dq_rle(spark, sf_dir).collect())
+    a = sorted(tuple(r) for r in rle_profile_global(spark, sf_dir).collect())
     b = sorted(
         tuple(r)
         for r in rle_profile_bucketed(
@@ -101,17 +104,18 @@ def test_rle_bucketed_degenerate_bucket_counts(spark, sf_dir, n_buckets):
 
 
 def test_id_gaps_bucketed_matches_global_window(spark, sf_dir):
-    """#424: id_gaps_bucketed — the LEAD variant of the bucket-offset
-    recipe (per-id-range lead windows; each bucket's last row stitches
-    to the next non-empty bucket's min) — must produce the IDENTICAL
-    five-number continuity report, at wildly different boundary
-    placements."""
+    """#424: the registered q_dq_id_gaps runs the LEAD variant of the
+    bucket-offset recipe since the round-11 flip (per-id-range lead
+    windows; each bucket's last row stitches to the next non-empty
+    bucket's min); the demoted id_gaps_global form is the witness —
+    IDENTICAL five-number continuity report at wildly different
+    boundary placements."""
     from polybot_data_etl_spark.functions.dq import (
         id_gaps_bucketed,
-        q_dq_id_gaps,
+        id_gaps_global,
     )
 
-    a = sorted(tuple(r) for r in q_dq_id_gaps(spark, sf_dir).collect())
+    a = sorted(tuple(r) for r in id_gaps_global(spark, sf_dir).collect())
     for n_buckets in (1, 2, 7, 32):
         b = sorted(
             tuple(r)
@@ -123,19 +127,20 @@ def test_id_gaps_bucketed_matches_global_window(spark, sf_dir):
 
 
 def test_rfm_scaled_matches_global_ntiles(spark, sf_dir):
-    """#425: rfm_quintiles_scaled — the two-pass bucketed-rank +
-    closed-form ntile(5) twin of q_agg_rfm's three global ntile sorts
-    over the per-customer frame (the entity-keyed-Aggregate case the
-    global-window plan sweep cannot flag statically).  Exactly equal,
-    not cutpoint-approximate: ties share a value bucket and the
-    custkey tiebreak is total, so every global rank — and therefore
-    every ntile boundary — is identical."""
+    """#425: the registered q_agg_rfm runs the two-pass bucketed-rank
+    + closed-form ntile(5) plan since the round-11 flip (the
+    entity-keyed-Aggregate case the global-window plan sweep cannot
+    flag statically); the demoted rfm_global three-global-ntile form
+    is the witness.  Exactly equal, not cutpoint-approximate: ties
+    share a value bucket and the custkey tiebreak is total, so every
+    global rank — and therefore every ntile boundary — is
+    identical."""
     from polybot_data_etl_spark.operators.behavior import (
-        q_agg_rfm,
+        rfm_global,
         rfm_quintiles_scaled,
     )
 
-    a = sorted(tuple(r) for r in q_agg_rfm(spark, sf_dir).collect())
+    a = sorted(tuple(r) for r in rfm_global(spark, sf_dir).collect())
     for n_buckets in (1, 3, 32):
         b = sorted(
             tuple(r)
@@ -161,7 +166,7 @@ def test_rfm_scaled_degenerate_cardinalities(spark, sf_dir, tmp_path):
     ntile(5) hands each row its own tile — the closed-form rule's
     base == 0 branch.  Exercise 1- and 3-customer fixtures."""
     from polybot_data_etl_spark.operators.behavior import (
-        q_agg_rfm,
+        rfm_global,
         rfm_quintiles_scaled,
     )
 
@@ -172,7 +177,7 @@ def test_rfm_scaled_degenerate_cardinalities(spark, sf_dir, tmp_path):
         o.filter(o["o_custkey"].isin(keys)).write.parquet(
             f"{tiny}/orders.parquet"
         )
-        a = sorted(tuple(r) for r in q_agg_rfm(spark, tiny).collect())
+        a = sorted(tuple(r) for r in rfm_global(spark, tiny).collect())
         b = sorted(
             tuple(r) for r in rfm_quintiles_scaled(spark, tiny).collect()
         )
