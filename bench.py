@@ -157,6 +157,80 @@ def classify_errlog(path: str) -> list[str] | None:
     return sorted(classes)
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) cumulative jiffies from /proc/stat's aggregate
+    cpu line — the direct hypervisor-steal counter.  None when the
+    file is absent/odd (non-Linux), so the record carries "no
+    evidence" rather than zeros."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:9]]  # user..steal
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+class StealSampler:
+    """In-bench box-steal measurement (VERDICT r10 #5: fold
+    scripts/pressure_monitor.py's steal series into every record, so a
+    degraded wall self-describes as box phase — the r10 evidence was
+    quiet ≈1% steal → 55.9 s vs degraded 12-13% mean / 26% burst →
+    381.9 s, measured by the standalone monitor beside the run).
+
+    Samples /proc/stat every ``interval`` seconds on a daemon thread;
+    ``stop()`` returns {"mean_pct", "burst_pct", "n_samples"} over the
+    sampled window (mean from the endpoint deltas, burst = max
+    per-interval delta), or None without /proc/stat."""
+
+    def __init__(self, interval: float = 2.0):
+        import threading
+
+        self.interval = interval
+        self._samples: list[tuple[int, int]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            s = _cpu_jiffies()
+            if s is not None:
+                self._samples.append(s)
+            self._stop.wait(self.interval)
+        s = _cpu_jiffies()
+        if s is not None:
+            self._samples.append(s)
+
+    def start(self) -> "StealSampler":
+        self._thread.start()
+        return self
+
+    def stop(self) -> dict | None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+        if len(self._samples) < 2:
+            return None
+        (s0, t0), (s1, t1) = self._samples[0], self._samples[-1]
+        if t1 <= t0:
+            return None
+        burst = 0.0
+        for (sa, ta), (sb, tb) in zip(self._samples, self._samples[1:]):
+            if tb > ta:
+                burst = max(burst, 100.0 * (sb - sa) / (tb - ta))
+        return {
+            "mean_pct": round(100.0 * (s1 - s0) / (t1 - t0), 2),
+            "burst_pct": round(burst, 2),
+            "n_samples": len(self._samples),
+        }
+
+
+# A serial certification is only trustworthy from a quiet window: past
+# this measured mean steal the walls measure the hypervisor, not the
+# engine (VERDICT r10 #5 — the 381.9 s degraded run cleared the hard
+# gate by 0.1%; the record must prove its band by itself).
+_CERT_MAX_STEAL_PCT = 2.0
+
+
 def _git_head(repo_dir: str) -> str | None:
     """Current HEAD commit (short), or None outside a usable git repo —
     the serial certification stamps it so staleness is detectable
@@ -366,6 +440,7 @@ def main() -> int:
                     light_q.put(None)
 
     t_suite = time.time()
+    steal_sampler = StealSampler().start()
     for i in range(n_producers):
         threading.Thread(target=_producer, args=(i,), daemon=True).start()
 
@@ -404,6 +479,7 @@ def main() -> int:
     for c in consumers:
         c.join()
     total = round(time.time() - t_suite, 3)
+    steal = steal_sampler.stop()
 
     # The driver records only the LAST ~2000 chars of stdout and tries
     # to json-parse it — a 25k-char line with all 365 per-query times
@@ -438,6 +514,11 @@ def main() -> int:
         "plan_producers": n_producers,
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # VERDICT r10 #5: measured hypervisor steal over the suite
+        # window (mean from endpoint jiffie deltas, burst = worst
+        # 2 s interval) — the direct box-phase evidence; null means
+        # /proc/stat was unreadable, i.e. no evidence either way.
+        "steal": steal,
         # VERDICT r8 #2: distinct JVM ERROR signatures this run, from
         # the log4j2 mirror file — [] certifies a clean-JVM record
         # (file present and empty); null means the mirror file never
@@ -450,38 +531,63 @@ def main() -> int:
     root_dir = os.path.dirname(os.path.abspath(__file__))
     cert_path = os.path.join(root_dir, "BENCH_SERIAL_CERT.json")
     if n_exec == 1:
-        # A serial run IS the latency certification: persist its
-        # summary so subsequent concurrent records can carry the real
-        # latency numbers alongside their queueing-inclusive walls.
-        try:
-            with open(cert_path, "w") as fh:
-                json.dump(
-                    {
-                        "suite_wall_sec": total,
-                        "median_query_sec": full["median_query_sec"],
-                        "max_query_sec": (
-                            round(max(per_query.values()), 3)
-                            if per_query
-                            else None
-                        ),
-                        "n_queries": len(per_query),
-                        "sf": sf,
-                        "utc": time.strftime(
-                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-                        ),
-                        # ADVICE r9 #4: bind the certification to the
-                        # code it measured, so a stale cert cannot ride
-                        # beside a record from a different commit.
-                        "commit": _git_head(root_dir),
-                    },
-                    fh,
-                )
-        except OSError as exc:
-            print(f"could not write {cert_path}: {exc}", file=sys.stderr)
+        # A serial run IS the latency certification — but only from a
+        # quiet window (VERDICT r10 #5): past _CERT_MAX_STEAL_PCT
+        # measured mean steal the walls certify the hypervisor, not
+        # the engine, so a degraded serial run leaves the prior cert
+        # in place and the skipped numbers live in this run's
+        # BENCH_FULL record (with their steal series) instead.
+        quiet = steal is None or steal["mean_pct"] <= _CERT_MAX_STEAL_PCT
+        if not quiet:
+            print(
+                f"serial cert NOT refreshed: measured mean steal "
+                f"{steal['mean_pct']}% > {_CERT_MAX_STEAL_PCT}% "
+                f"(burst {steal['burst_pct']}%) — degraded window",
+                file=sys.stderr,
+            )
+        else:
+            new_cert = {
+                "suite_wall_sec": total,
+                "median_query_sec": full["median_query_sec"],
+                "max_query_sec": (
+                    round(max(per_query.values()), 3) if per_query else None
+                ),
+                "n_queries": len(per_query),
+                "sf": sf,
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                # ADVICE r9 #4: bind the certification to the code it
+                # measured, so a stale cert cannot ride beside a
+                # record from a different commit.
+                "commit": _git_head(root_dir),
+                # the cert proves its own band (r10 #5)
+                "steal": steal,
+            }
+            # per-sf cert map (round 11): a serial smoke run at
+            # another scale must not clobber the sf0.1 certification
+            certs: dict = {}
+            try:
+                with open(cert_path) as fh:
+                    prior = json.load(fh)
+                if isinstance(prior, dict):
+                    if "suite_wall_sec" in prior:  # legacy flat record
+                        certs = {str(prior.get("sf")): prior}
+                    else:
+                        certs = prior
+            except (OSError, ValueError):
+                pass
+            certs[str(sf)] = new_cert
+            try:
+                with open(cert_path, "w") as fh:
+                    json.dump(certs, fh)
+            except OSError as exc:
+                print(f"could not write {cert_path}: {exc}", file=sys.stderr)
     else:
         try:
             with open(cert_path) as fh:
                 cert = json.load(fh)
+            # per-sf map since round 11; legacy flat records still read
+            if isinstance(cert, dict) and "suite_wall_sec" not in cert:
+                cert = cert.get(str(sf))
             # only a same-scale certification is meaningful beside
             # this record (a smoke-test serial run at another sf
             # must not masquerade as this scale's latency numbers)
@@ -515,24 +621,35 @@ def main() -> int:
             "commit": head,
             "loadavg_start": load_start,
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # best-wall runs are quiet by construction; recording the
+            # measured band makes that checkable (r10 #5)
+            "steal": steal,
         }
-        best = None
+        # The ref file keys bests BY SF (round 11): the old flat
+        # single-record form let a smoke run at another scale clobber
+        # the sf0.1 reference outright.  Same-sf is mandatory per
+        # entry; same-commit is NOT (the serial-cert pattern): a
+        # doc-only commit must not reset the baseline, and a
+        # prior-commit best self-describes via commit_matches_run
+        # below instead of being discarded.
+        refs: dict = {}
         try:
             with open(ref_path) as fh:
                 prior = json.load(fh)
-            # Same-sf is mandatory; same-commit is NOT (the serial-cert
-            # pattern): a doc-only commit must not reset the baseline,
-            # and a prior-commit best self-describes via
-            # commit_matches_run below instead of being discarded.
-            if isinstance(prior, dict) and prior.get("sf") == sf:
-                best = prior
+            if isinstance(prior, dict):
+                if "suite_wall_sec" in prior:  # legacy flat record
+                    refs = {str(prior.get("sf")): prior}
+                else:
+                    refs = prior
         except (OSError, ValueError):
-            pass  # first concurrent run at this sf on this box
+            pass  # first concurrent run on this box
+        best = refs.get(str(sf))
         if best is None or total < best.get("suite_wall_sec", float("inf")):
             best = this_run
+            refs[str(sf)] = best
             try:
                 with open(ref_path, "w") as fh:
-                    json.dump(best, fh)
+                    json.dump(refs, fh)
             except OSError as exc:
                 print(f"could not write {ref_path}: {exc}", file=sys.stderr)
         full["quiet_ref"] = {
@@ -548,27 +665,40 @@ def main() -> int:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
-    # Never clobber a prior run's full record (the r6 judge run
-    # overwrote the driver's): rotate the existing file aside,
-    # named by its own mtime, so concurrent driver/judge runs
-    # coexist on disk; BENCH_FULL.json always holds the latest.
-    # A same-second collision gets a pid-suffixed unique name —
-    # skipping the rotation would silently destroy the record,
-    # the exact clobber this exists to prevent.  The rotation and
-    # the write get SEPARATE guards (ADVICE r7): a lost rotation
-    # race (two runs, the loser's os.replace raises FileNotFound)
-    # must still fall through to writing THIS run's record.
+    # Band history (VERDICT r10 #8): every run appends ONE compact
+    # line to BENCH_BAND.jsonl — the headline numbers plus the
+    # measured steal band — so the phase evidence accumulates in a
+    # single append-only file instead of 60+ timestamped BENCH_FULL_*
+    # snapshots at the repo root.  The full per-query map keeps a
+    # latest + one _prev rotation slot below (the anti-clobber
+    # guarantee the r6 judge-vs-driver race needed, without the
+    # sprawl; headline evidence of older runs lives in the band file).
+    band_path = os.path.join(root_dir, "BENCH_BAND.jsonl")
+    band_line = {
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "suite_wall_sec": total,
+        "sf": sf,
+        "exec_concurrency": n_exec,
+        "n_queries": len(per_query),
+        "median_query_sec": full["median_query_sec"],
+        "plan_build_sec": full["plan_build_sec"],
+        "loadavg_start": load_start,
+        "steal": steal,
+        "commit": _git_head(root_dir),
+        "n_errors": len(errors),
+        "spark_stderr_classes": full["spark_stderr_classes"],
+    }
+    try:
+        with open(band_path, "a") as fh:
+            fh.write(json.dumps(band_line) + "\n")
+    except OSError as exc:
+        print(f"could not append {band_path}: {exc}", file=sys.stderr)
+    # The rotation and the write get SEPARATE guards (ADVICE r7): a
+    # lost rotation race must still fall through to writing THIS run's
+    # record.
     try:
         if os.path.exists(full_path):
-            stamp = time.strftime(
-                "%Y%m%dT%H%M%S", time.gmtime(os.path.getmtime(full_path))
-            )
-            rotated = full_path.replace(".json", f"_{stamp}.json")
-            if os.path.exists(rotated):
-                rotated = full_path.replace(
-                    ".json", f"_{stamp}_{os.getpid()}.json"
-                )
-            os.replace(full_path, rotated)
+            os.replace(full_path, full_path.replace(".json", "_prev.json"))
     except OSError as exc:
         print(f"could not rotate {full_path}: {exc}", file=sys.stderr)
     try:
