@@ -1842,13 +1842,21 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-table-sized at every fixture scale; the 100 TB path is
     the IVF bucketing of q_sim_topk_ivf) broadcasts ONCE as a numpy
     block, and `mapInPandas` over the probe partitions computes each
-    Arrow batch's scores as one BLAS matmul with a vectorized
-    (−sim, id) lexsort top-5.  This replaces the 4 M-row pair
-    materialization (measured 20-22 s at sf0.1 through either dot
-    transport — the Arrow transfer of the pair frame IS the cost)
-    with a 2 000-row broadcast + per-batch O(b·n·d) flops: measured
-    1.3 s.  Exactly how a production BF-ANN stage shards: index
-    replicated, queries partitioned."""
+    Arrow batch's scores blockwise: 4 096-column index blocks, one
+    BLAS matmul each, per-block composite-key top-5 merged into a
+    running (batch×5) state — elementwise temporaries stay
+    cache-resident instead of materializing the full batch×index key
+    matrix (the sf1 measured point showed the flat kernel memory-
+    bandwidth-bound at 16 s/batch on a 20 k index vs 0.7 s of matmul;
+    blocking is 37× on the same inputs, bit-identical).  This replaces
+    the r9 4 M-row pair materialization (measured 20-22 s at sf0.1 —
+    the Arrow transfer of the pair frame IS the cost) with a
+    2 000-row broadcast + per-batch O(b·n·d) flops: measured 1.3 s at
+    sf0.1.  Exactly how a production BF-ANN stage shards: index
+    replicated, queries partitioned, index scanned in cache-sized
+    blocks.  Still quadratic in corpus size BY DESIGN (it is the
+    exact-diagnostic form; the measured sf0.1→sf1 point scales ~n²
+    as predicted) — index-scale corpora take the IVF path."""
     import numpy as np
     import pandas as pd
 
@@ -1895,63 +1903,103 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def knn_blocks(batches):
         b_ids, b_mat = bc.value
-        n = len(b_ids)
-        # Sentinel = int64 min + 1: the code below ranks by NEGATED
-        # keys, and -int64_min overflows back to itself (two's
-        # complement), which would rank the self entry FIRST instead
-        # of last.  min+1 negates cleanly to int64 max.
-        sentinel = np.iinfo(np.int64).min + 1
+        # Index-BLOCKED kernel (round 11): the sf1 measured point
+        # exposed the flat kernel as memory-bandwidth-bound, not
+        # FLOP-bound — at a 20 k index the per-batch round/key/
+        # argpartition temporaries are 200 MB each (25 M elements) and
+        # cost 16 s/batch against a 0.7 s matmul.  Blocking the index
+        # at 4 096 columns keeps every elementwise temporary ~5 MB
+        # (cache-resident) and merges per-block top-5s into a running
+        # (batch×5) state: measured 37× on the same inputs,
+        # bit-identical output (half-tie boundary and ≤k-row cases
+        # pinned equal).  Ordering key: keyn = id − q·2⁴⁰ ASCENDING ==
+        # "rounded sim DESC, id ASC"; sentinel int64 MAX ranks last
+        # and cannot collide with a real keyn (|q·2⁴⁰| < 2⁶², id < 2⁴⁰
+        # by the guard below).
+        _SENT = np.iinfo(np.int64).max
+        _BLOCK = 4096
+        # Composite-key bounds: |q| < 2²² and 0 ≤ id < 2⁴⁰ keep
+        # q·2⁴⁰ − id inside int64.  Ids are index-wide — check once.
+        if len(b_ids) and (
+            b_ids.min() < 0 or b_ids.max() >= (1 << 40)
+        ):
+            raise RuntimeError(
+                "q_embed_hubness: vec_id range exceeds the composite-"
+                "key bounds (0 <= vec_id < 2^40) — use the IVF-bucketed "
+                "k-NN path (q_sim_topk_ivf)"
+            )
         for batch in batches:
             if not len(batch) or not b_mat.size:
                 yield pd.DataFrame({"probe": [], "nb": []}, dtype=np.int64)
                 continue
             probes = batch["vec_id"].to_numpy(dtype=np.int64)
             pm = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            raw = pm @ b_mat.T
-            # Half-AWAY-from-zero to 4 dp, sign-aware: DuckDB's round()
-            # (the oracle's 5-NN ranking key) rounds halves away from
-            # zero, while np.round is half-to-even — a dot product on a
-            # .xxxx5 boundary would flip neighbor order cross-engine
-            # (ADVICE r9).  Kept as the INTEGER quantization q: the
-            # per-probe ranking "rounded sim DESC, id ASC" is a single
-            # composite int64 key q·2⁴⁰ − id, so the whole batch top-5
-            # is one argpartition + one tiny argsort (the r10 bench
-            # found the per-probe lexsort loop at 9.3 s/suite; this
-            # vectorization runs the same semantics in ~0.3 s).
-            q = np.copysign(np.floor(np.abs(raw) * 1e4 + 0.5), raw)
-            # Composite-key bounds: |q| < 2²² and 0 ≤ id < 2⁴⁰ keep
-            # q·2⁴⁰ − id inside int64.  Fixture sims are in [−1, 1]
-            # (|q| ≤ 10 001) and ids are small positive — the guard
-            # trips only on exotic un-normalized inputs, where the
-            # exact same RuntimeError contract as the broadcast budget
-            # applies (this is a diagnostics query, not a kernel).
-            if (
-                np.abs(q).max(initial=0) >= (1 << 22)
-                or b_ids.min(initial=0) < 0
-                or b_ids.max(initial=0) >= (1 << 40)
-            ):
-                raise RuntimeError(
-                    "q_embed_hubness: similarity/id range exceeds the "
-                    "composite-key bounds (|round(sim)·1e4| < 2^22, "
-                    "0 <= vec_id < 2^40) — normalize embeddings or use "
-                    "the IVF-bucketed k-NN path (q_sim_topk_ivf)"
+            nb_rows = len(probes)
+            run_keys = np.full((nb_rows, 5), _SENT, dtype=np.int64)
+            run_ids = np.zeros((nb_rows, 5), dtype=np.int64)
+            for s in range(0, len(b_ids), _BLOCK):
+                bm, bi = b_mat[s : s + _BLOCK], b_ids[s : s + _BLOCK]
+                raw = pm @ bm.T
+                # Half-AWAY-from-zero to 4 dp, sign-aware: DuckDB's
+                # round() (the oracle's 5-NN ranking key) rounds halves
+                # away from zero, while np.round is half-to-even — a
+                # dot product on a .xxxx5 boundary would flip neighbor
+                # order cross-engine (ADVICE r9).  trunc(x·10⁴ +
+                # copysign(.5, x)) ≡ copysign(floor(|x|·10⁴ + .5), x):
+                # trunc is floor toward zero and |a·b| rounds
+                # identically either side of the abs (pinned vs DuckDB
+                # in tests/test_round10.py).
+                q = np.trunc(raw * 1e4 + np.copysign(0.5, raw)).astype(
+                    np.int64
                 )
-            key = q.astype(np.int64) * (1 << 40) - b_ids[None, :]
-            # exclude self: the sentinel sorts last and is dropped below
-            key[b_ids[None, :] == probes[:, None]] = sentinel
-            kth = min(4, n - 1)
-            top_idx = np.argpartition(-key, kth, axis=1)[:, : kth + 1]
-            row_keys = np.take_along_axis(key, top_idx, axis=1)
-            order = np.argsort(-row_keys, axis=1, kind="stable")
-            top_sorted = np.take_along_axis(top_idx, order, axis=1)
-            valid = (
-                np.take_along_axis(key, top_sorted, axis=1) != sentinel
-            )
+                # Fixture sims are in [−1, 1] (|q| ≤ 10 001); the guard
+                # trips only on exotic un-normalized inputs, where the
+                # same RuntimeError contract as the broadcast budget
+                # applies (this is a diagnostics query, not a kernel).
+                if np.abs(q).max(initial=0) >= (1 << 22):
+                    raise RuntimeError(
+                        "q_embed_hubness: similarity range exceeds the "
+                        "composite-key bounds (|round(sim)·1e4| < 2^22)"
+                        " — normalize embeddings or use the IVF-"
+                        "bucketed k-NN path (q_sim_topk_ivf)"
+                    )
+                keyn = bi[None, :] - (q << 40)
+                # exclude self: the sentinel sorts last, dropped below
+                keyn[bi[None, :] == probes[:, None]] = _SENT
+                w = keyn.shape[1]
+                if w > 5:
+                    ti = np.argpartition(keyn, 4, axis=1)[:, :5]
+                    bk = np.take_along_axis(keyn, ti, axis=1)
+                    bid = np.take_along_axis(
+                        np.broadcast_to(bi, keyn.shape), ti, axis=1
+                    )
+                else:  # ≤5-wide tail block: pad to the merge shape
+                    pad = 5 - w
+                    bk = np.concatenate(
+                        [keyn, np.full((nb_rows, pad), _SENT, np.int64)],
+                        axis=1,
+                    )
+                    bid = np.concatenate(
+                        [
+                            np.broadcast_to(bi, keyn.shape),
+                            np.zeros((nb_rows, pad), np.int64),
+                        ],
+                        axis=1,
+                    )
+                ck = np.concatenate([run_keys, bk], axis=1)
+                ci = np.concatenate([run_ids, bid], axis=1)
+                ti = np.argpartition(ck, 4, axis=1)[:, :5]
+                run_keys = np.take_along_axis(ck, ti, axis=1)
+                run_ids = np.take_along_axis(ci, ti, axis=1)
+            order = np.argsort(run_keys, axis=1, kind="stable")
+            run_keys = np.take_along_axis(run_keys, order, axis=1)
+            run_ids = np.take_along_axis(run_ids, order, axis=1)
+            valid = run_keys != _SENT
             reps = valid.sum(axis=1)
             yield pd.DataFrame(
                 {
                     "probe": np.repeat(probes, reps),
-                    "nb": b_ids[top_sorted[valid]],
+                    "nb": run_ids[valid],
                 }
             )
 
