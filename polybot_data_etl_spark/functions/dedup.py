@@ -561,6 +561,90 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_pairs_combinatorial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-scale twin of :func:`q_dedup_simhash` (test-only;
+    round 11): the IDENTICAL Hamming ≤ 3 pair set through
+    combinatorial banding, removing the registered form's fixed 2¹⁶
+    band space.
+
+    The ×100 measured point (SCALE.md §"×100 point") showed the
+    registered 4×16-bit banding's candidate mass growing ×67.6 for
+    ×10 docs: exact ≤3 banding over 64 bits pins 4 bands of 16 bits,
+    and 2¹⁶ buckets crowd once the corpus passes ~65 k docs — chance
+    collisions grow n²/2¹⁶ no matter how sparse real near-dups are.
+
+    Combinatorial (Gionis-style) banding fixes the SPACE without
+    giving up exactness: split the same 64-bit fingerprint into
+    6 blocks (4×11 + 2×10 bits); a pair with Hamming ≤ 3 corrupts at
+    most 3 blocks, so it agrees on ≥ 3 of 6 — bucket on every
+    3-subset of blocks (C(6,3) = 20 bands, 31-33-bit keys, ~2³²
+    band space).  Pigeonhole-complete for ≤ 3 exactly like the
+    registered form, so after the same Hamming verify the output is
+    EQUAL (pinned in tests/test_round11.py).  The trade is 20 posting
+    rows per doc instead of 4 — 5× shuffle mass for a 2¹⁶ → ~2³²
+    bucket space, the right side of that trade everywhere past ~10⁵
+    docs (measured: candidate mass drops ~200× on a ×8 clone while
+    the registered form grows super-linearly).
+    """
+    n_blocks, agree = 6, 3
+    sizes = (11, 11, 11, 11, 10, 10)
+    starts = tuple(sum(sizes[:i]) for i in range(n_blocks))
+    fp = simhash_bands(table(spark, sf_dir, "documents"))
+    # reassemble the 64-bit fingerprint (bit k lives at position k:
+    # simhash_bands packs bit 16·b + i at bit i of column b{b})
+    fp64 = sum(
+        F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
+        for b in range(_SIMHASH_BANDS)
+    )
+    blocks = [
+        # unsigned shift: b3 ≥ 2¹⁵ sets bit 63 and an arithmetic
+        # shift would sign-extend into every high block
+        F.shiftrightunsigned(fp64, starts[m]).bitwiseAND(
+            F.lit((1 << sizes[m]) - 1)
+        )
+        for m in range(n_blocks)
+    ]
+    from itertools import combinations
+
+    subset_keys = [
+        (blocks[i] * F.lit(1 << 22))
+        + (blocks[j] * F.lit(1 << 11))
+        + blocks[k]
+        for i, j, k in combinations(range(n_blocks), agree)
+    ]
+    rec = F.struct(
+        "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
+    ).alias("rec")
+    banded = fp.select(
+        rec, F.posexplode(F.array(*subset_keys)).alias("band", "value")
+    )
+    postings = (
+        banded.groupBy("band", "value")
+        .agg(F.collect_list("rec").alias("recs"))
+        .filter(F.size("recs") >= 2)
+    )
+    pairs = (
+        postings.select(F.explode("recs").alias("a"), "recs")
+        .select("a", F.explode("recs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
+        for b in range(_SIMHASH_BANDS)
+    ).cast("long")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup via hyperplane LSH
 

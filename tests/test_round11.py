@@ -75,6 +75,106 @@ def test_kendall_constant_series_is_null_not_crash(spark, tmp_path):
     assert row["tau_b"] is None
 
 
+def _simhash_candidate_mass(fp, combinatorial: bool) -> int:
+    """Σ C(|posting|, 2) across band buckets — the pair-stage work the
+    banding scheme commits to BEFORE any Hamming verify.  ``fp`` is a
+    (doc_id, b0..b3) fingerprint frame."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from polybot_data_etl_spark.functions.dedup import (
+        _SIMHASH_BANDS,
+        _SIMHASH_BITS,
+    )
+
+    if not combinatorial:
+        keys = [F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
+    else:
+        sizes = (11, 11, 11, 11, 10, 10)
+        starts = tuple(sum(sizes[:i]) for i in range(6))
+        fp64 = sum(
+            F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
+            for b in range(_SIMHASH_BANDS)
+        )
+        blocks = [
+            F.shiftrightunsigned(fp64, starts[m]).bitwiseAND(
+                F.lit((1 << sizes[m]) - 1)
+            )
+            for m in range(6)
+        ]
+        keys = [
+            (blocks[i] * F.lit(1 << 22)) + (blocks[j] * F.lit(1 << 11)) + blocks[k]
+            for i, j, k in combinations(range(6), 3)
+        ]
+    banded = fp.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "value")
+    )
+    row = (
+        banded.groupBy("band", "value")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("mass"))
+        .first()
+    )
+    return int(row["mass"] or 0)
+
+
+def test_simhash_combinatorial_equals_registered(spark, sf_dir):
+    """The combinatorial-banding scale twin is pigeonhole-complete for
+    Hamming ≤ 3 exactly like the registered 4×16 form (≤3 corrupted
+    bits touch ≤3 of 6 blocks → ≥1 agreeing 3-subset), so after the
+    same verify the pair set must be IDENTICAL."""
+    from polybot_data_etl_spark.functions.dedup import (
+        clear_pair_cache,
+        q_dedup_simhash,
+        simhash_pairs_combinatorial,
+    )
+
+    clear_pair_cache()
+    a = sorted(tuple(r) for r in q_dedup_simhash(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r)
+        for r in simhash_pairs_combinatorial(spark, sf_dir).collect()
+    )
+    assert a == b
+    assert a, "fixture must contain at least one simhash near-dup pair"
+
+
+def test_simhash_combinatorial_kills_chance_collisions(spark):
+    """The reason the twin exists (SCALE.md §'×100 point': registered
+    band-candidates grew ×67.6 for ×10 docs): the component that
+    crowds is CHANCE collisions in the fixed 2¹⁶ band space —
+    n²·4/2¹⁷ pairs of unrelated docs.  Genuinely correlated near-dup
+    clusters collide under BOTH schemes (that is the exactness
+    guarantee), so the pin isolates the chance term with UNIFORM
+    random fingerprints: at 20 k docs the registered banding must
+    already commit thousands of junk candidate pairs while the
+    ~2³²-space combinatorial banding commits ~none."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    fp = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                **{
+                    f"b{b}": rng.integers(
+                        0, 1 << 16, size=n, dtype=np.int64
+                    )
+                    for b in range(4)
+                },
+            }
+        )
+    )
+    reg = _simhash_candidate_mass(fp, combinatorial=False)
+    comb = _simhash_candidate_mass(fp, combinatorial=True)
+    # E[reg] = 4·C(20k,2)/2¹⁶ ≈ 12.2k; E[comb] = 20·C(20k,2)/~2³¹⁻³³ ≈ 0-4
+    assert reg > 5_000, reg
+    assert comb < reg / 100, (reg, comb)
+
+
 def test_hubness_null_salted_matches_oracle(spark, tmp_path):
     """ADVICE r10 #1: with NULL embeddings salted in, the oracle's
     QUALIFY rn<=5 used to emit NULL-sim 'neighbors' for NULL probes
