@@ -871,13 +871,28 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
 
 
-def _build_embed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_embed_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = _HYPER_BANDS,
+    bits: int = _HYPER_BITS,
+) -> DataFrame:
+    """Candidate generation + tiled exact verify behind
+    :func:`q_dedup_embed`.  ``bands``/``bits`` default to the fixture
+    calibration the registered oracle pins; at corpus scale ``bits``
+    grows ~log₂ n so bucket occupancy stays bounded (the ×100
+    measured point showed pair work exactly ×100 for ×10 rows at the
+    4-bit default — SCALE.md §"×100 point"; the recall trade per
+    configuration is §"ANN calibration").  A wider configuration's
+    verified output is a SUBSET of the default's (same verify, fewer
+    candidates) — pinned with its recall floor in
+    tests/test_round11.py."""
     e = table(spark, sf_dir, "embeddings")
     # bk feeds the size aggregate AND the tiled join — without a cut the
     # hyperplane sign-bit matmul (the Arrow kernel) executes twice per
     # run.  The frame is (vec_id, band, bucket): narrow, bands× the
     # vector count, far smaller than the vectors themselves.
-    bk = hyperplane_buckets(e).localCheckpoint(eager=False)
+    bk = hyperplane_buckets(e, bands, bits).localCheckpoint(eager=False)
     sizes = bk.groupBy("band", "bucket").agg(F.count("*").alias("n_bucket"))
     ntiles = F.greatest(
         F.lit(1), F.ceil(F.col("n_bucket") / F.lit(_EMBED_TILE))

@@ -175,6 +175,59 @@ def test_simhash_combinatorial_kills_chance_collisions(spark):
     assert comb < reg / 100, (reg, comb)
 
 
+def test_embed_pairs_scaled_bits_subset_with_recall_floor(spark, sf_dir):
+    """The embedding-LSH analog of the simhash space fix: the ×100
+    point measured pair work EXACTLY ×100 for ×10 rows at the 4-bit
+    fixture calibration (64 buckets total), and the documented dial is
+    bits ~ log₂ n (`_build_embed_pairs(bands, bits)`).  A wider
+    configuration runs the SAME verify over fewer candidates, so its
+    verified output must be a strict SUBSET of the registered
+    4-bit output with the recall the LSH math predicts — pinned here
+    at 8 bits on the fixture (everything deterministic: fixed
+    hyperplanes, fixed data)."""
+    from pyspark.sql import functions as F
+
+    from polybot_data_etl_spark.functions.dedup import (
+        _build_embed_pairs,
+        clear_pair_cache,
+        hyperplane_buckets,
+    )
+    from polybot_data_etl_spark.catalog import table
+
+    clear_pair_cache()
+    reg = {
+        (r.a_id, r.b_id, r.sim)
+        for r in _build_embed_pairs(spark, sf_dir).collect()
+    }
+    scaled = {
+        (r.a_id, r.b_id, r.sim)
+        for r in _build_embed_pairs(spark, sf_dir, bands=4, bits=8).collect()
+    }
+    assert reg, "fixture must contain verified embed near-dup pairs"
+    assert scaled <= reg, scaled - reg
+    # deterministic recall on this fixture; LSH predicts
+    # 1-(1-p^8)^4 ≈ 0.5-0.9 for the fixture's sim range — pin a floor
+    # so a silent candidate-generation regression is caught
+    assert len(scaled) >= 0.4 * len(reg), (len(scaled), len(reg))
+    # and the candidate space actually got finer: 8-bit bands split
+    # the corpus into ~2^(8-4) = 16x more buckets → bucket pair mass
+    # (the stage the x100 point showed quadratic) drops hard
+    def mass(bits):
+        bk = hyperplane_buckets(
+            table(spark, sf_dir, "embeddings"), 4, bits
+        )
+        row = (
+            bk.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("m"))
+            .first()
+        )
+        return int(row["m"] or 0)
+
+    m4, m8 = mass(4), mass(8)
+    assert m8 * 4 < m4, (m4, m8)
+
+
 def test_hubness_null_salted_matches_oracle(spark, tmp_path):
     """ADVICE r10 #1: with NULL embeddings salted in, the oracle's
     QUALIFY rn<=5 used to emit NULL-sim 'neighbors' for NULL probes
