@@ -487,6 +487,89 @@ def _simhash_bands_sql() -> str:
         )"""
 
 
+_SIMHASH_BLOCK_SIZES = (11, 11, 11, 11, 10, 10)   # 6 blocks over 64 bits
+_SIMHASH_BLOCK_AGREE = 3                           # Hamming<=3 corrupts <=3 blocks
+
+
+def _simhash_combinatorial_keys() -> list:
+    """The C(6,3) = 20 combinatorial band keys over the 64-bit
+    fingerprint (columns b0..b3 of :func:`simhash_bands`).
+
+    Split the fingerprint into 6 blocks (4x11 + 2x10 bits); a pair with
+    Hamming <= 3 corrupts at most 3 blocks, so it agrees on >= 3 of 6 —
+    bucket on every 3-subset of blocks (20 bands, 31-33-bit keys, ~2^32
+    band space).  Pigeonhole-complete for <= 3 exactly like 4x16-bit
+    banding, but the band space no longer crowds at ~65k docs."""
+    from itertools import combinations
+
+    starts = tuple(
+        sum(_SIMHASH_BLOCK_SIZES[:i]) for i in range(len(_SIMHASH_BLOCK_SIZES))
+    )
+    # reassemble the 64-bit fingerprint (bit k lives at position k:
+    # simhash_bands packs bit 16·b + i at bit i of column b{b})
+    fp64 = sum(
+        F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
+        for b in range(_SIMHASH_BANDS)
+    )
+    blocks = [
+        # unsigned shift: b3 >= 2^15 sets bit 63 and an arithmetic
+        # shift would sign-extend into every high block
+        F.shiftrightunsigned(fp64, starts[m]).bitwiseAND(
+            F.lit((1 << _SIMHASH_BLOCK_SIZES[m]) - 1)
+        )
+        for m in range(len(_SIMHASH_BLOCK_SIZES))
+    ]
+    return [
+        (blocks[i] * F.lit(1 << 22)) + (blocks[j] * F.lit(1 << 11)) + blocks[k]
+        for i, j, k in combinations(
+            range(len(_SIMHASH_BLOCK_SIZES)), _SIMHASH_BLOCK_AGREE
+        )
+    ]
+
+
+def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
+    """Banded-LSH candidate generation + Hamming <= 3 verify shared by
+    the registered combinatorial plan and the classic 4x16 witness.
+
+    Candidates come from per-(band, value) posting lists — ONE shuffle
+    keyed by the band value, pairs generated inside each posting row by
+    a double explode (the same pattern as q_dedup_minhash /
+    q_dedup_ngram).  Each posting element carries the doc's full 4-band
+    fingerprint, so the Hamming verify reads the exploded pair directly:
+    the whole query is ONE linear chain off the Python fingerprint
+    kernel — no self-join, no join-back to fp, no branch that could
+    recompute the kernel."""
+    rec = F.struct(
+        "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
+    ).alias("rec")
+    banded = fp.select(
+        rec, F.posexplode(F.array(*band_keys)).alias("band", "value")
+    )
+    postings = (
+        banded.groupBy("band", "value")
+        .agg(F.collect_list("rec").alias("recs"))
+        .filter(F.size("recs") >= 2)
+    )
+    pairs = (
+        postings.select(F.explode("recs").alias("a"), "recs")
+        .select("a", F.explode("recs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
+        for b in range(_SIMHASH_BANDS)
+    ).cast("long")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+    )
+
+
 @register(
     "q_dedup_simhash",
     oracle=f"""
@@ -511,137 +594,44 @@ def _simhash_bands_sql() -> str:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit TF-weighted Charikar fingerprint,
-    banded-LSH candidate generation (two docs collide iff ≥1 of the 4
-    16-bit bands is equal — pigeonhole-complete for Hamming ≤ 3, so the
-    result is EXACT for the ≤3 threshold), Hamming ≤ 3 verification on
-    candidates.
+    combinatorial (Gionis-style) banded-LSH candidate generation,
+    Hamming <= 3 verification on candidates.
 
-    Scale: candidates come from per-(band, value) posting lists — ONE
-    shuffle keyed by the 16-bit band value, pairs generated inside each
-    posting row by a double explode (the same pattern as q_dedup_minhash
-    / q_dedup_ngram; random band collisions occur at rate 4/65536, so
-    posting rows stay small and candidate volume ~linear in corpus
-    size).  Each posting element carries the doc's full 4-band
-    fingerprint, so the Hamming verify reads the exploded pair directly:
-    the whole query is ONE linear chain off the Python fingerprint
-    kernel — no self-join, no join-back to fp, no branch that could
-    recompute the kernel."""
+    Registered plan (round 12, VERDICT r11 #1): C(6,3) = 20 bands over
+    3-subsets of 6 fingerprint blocks (~2^32 band space) instead of the
+    classic 4x16-bit banding (2^16 band space).  Both are
+    pigeonhole-complete for Hamming <= 3, so the verified pair set is
+    IDENTICAL (pinned exact-equal vs :func:`simhash_pairs_classic` in
+    tests/test_round11.py) and the DuckDB oracle — which enumerates the
+    classic candidates, a superset-equivalent route to the same <= 3
+    pairs — is unchanged.
+
+    Why the flip: the x100 measured point (SCALE.md) showed the classic
+    banding's candidate mass growing x67.6 for x10 docs at 500k docs
+    (2.09G candidate pairs) — chance collisions grow n²/2^16 no matter
+    how sparse real near-dups are once the corpus passes ~65k docs.
+    The combinatorial form trades 20 posting rows per doc instead of 4
+    (5x shuffle mass) for a 2^16 → ~2^32 bucket space — the right side
+    of that trade everywhere past ~10^5 docs, and band space good to
+    ~10^9 docs."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
-    rec = F.struct(
-        "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
-    ).alias("rec")
-    banded = fp.select(
-        rec,
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)])).alias(
-            "band", "value"
-        ),
-    )
-    postings = (
-        banded.groupBy("band", "value")
-        .agg(F.collect_list("rec").alias("recs"))
-        .filter(F.size("recs") >= 2)
-    )
-    pairs = (
-        postings.select(F.explode("recs").alias("a"), "recs")
-        .select("a", F.explode("recs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    ham = sum(
-        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
-        for b in range(_SIMHASH_BANDS)
-    ).cast("long")
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
-    )
+    return _simhash_verify_pairs(fp, _simhash_combinatorial_keys())
 
 
-def simhash_pairs_combinatorial(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The corpus-scale twin of :func:`q_dedup_simhash` (test-only;
-    round 11): the IDENTICAL Hamming ≤ 3 pair set through
-    combinatorial banding, removing the registered form's fixed 2¹⁶
-    band space.
+def simhash_pairs_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic 4x16-bit-banding SimHash plan — q_dedup_simhash's
+    registered form through round 11, demoted to a pytest witness when
+    the combinatorial banding took over (VERDICT r11 #1).
 
-    The ×100 measured point (SCALE.md §"×100 point") showed the
-    registered 4×16-bit banding's candidate mass growing ×67.6 for
-    ×10 docs: exact ≤3 banding over 64 bits pins 4 bands of 16 bits,
-    and 2¹⁶ buckets crowd once the corpus passes ~65 k docs — chance
-    collisions grow n²/2¹⁶ no matter how sparse real near-dups are.
-
-    Combinatorial (Gionis-style) banding fixes the SPACE without
-    giving up exactness: split the same 64-bit fingerprint into
-    6 blocks (4×11 + 2×10 bits); a pair with Hamming ≤ 3 corrupts at
-    most 3 blocks, so it agrees on ≥ 3 of 6 — bucket on every
-    3-subset of blocks (C(6,3) = 20 bands, 31-33-bit keys, ~2³²
-    band space).  Pigeonhole-complete for ≤ 3 exactly like the
-    registered form, so after the same Hamming verify the output is
-    EQUAL (pinned in tests/test_round11.py).  The trade is 20 posting
-    rows per doc instead of 4 — 5× shuffle mass for a 2¹⁶ → ~2³²
-    bucket space, the right side of that trade everywhere past ~10⁵
-    docs (measured: candidate mass drops ~200× on a ×8 clone while
-    the registered form grows super-linearly).
-    """
-    n_blocks, agree = 6, 3
-    sizes = (11, 11, 11, 11, 10, 10)
-    starts = tuple(sum(sizes[:i]) for i in range(n_blocks))
+    Two docs collide iff >= 1 of the 4 16-bit bands is equal —
+    pigeonhole-complete for Hamming <= 3 like the registered
+    combinatorial form, so the verified pair set is EQUAL (the pin in
+    tests/test_round11.py).  Kept because it is the natural small-corpus
+    plan (4 posting rows per doc instead of 20) and because the
+    equality pin is the registered plan's exactness proof."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
-    # reassemble the 64-bit fingerprint (bit k lives at position k:
-    # simhash_bands packs bit 16·b + i at bit i of column b{b})
-    fp64 = sum(
-        F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
-        for b in range(_SIMHASH_BANDS)
-    )
-    blocks = [
-        # unsigned shift: b3 ≥ 2¹⁵ sets bit 63 and an arithmetic
-        # shift would sign-extend into every high block
-        F.shiftrightunsigned(fp64, starts[m]).bitwiseAND(
-            F.lit((1 << sizes[m]) - 1)
-        )
-        for m in range(n_blocks)
-    ]
-    from itertools import combinations
-
-    subset_keys = [
-        (blocks[i] * F.lit(1 << 22))
-        + (blocks[j] * F.lit(1 << 11))
-        + blocks[k]
-        for i, j, k in combinations(range(n_blocks), agree)
-    ]
-    rec = F.struct(
-        "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
-    ).alias("rec")
-    banded = fp.select(
-        rec, F.posexplode(F.array(*subset_keys)).alias("band", "value")
-    )
-    postings = (
-        banded.groupBy("band", "value")
-        .agg(F.collect_list("rec").alias("recs"))
-        .filter(F.size("recs") >= 2)
-    )
-    pairs = (
-        postings.select(F.explode("recs").alias("a"), "recs")
-        .select("a", F.explode("recs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    ham = sum(
-        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
-        for b in range(_SIMHASH_BANDS)
-    ).cast("long")
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
+    return _simhash_verify_pairs(
+        fp, [F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
     )
 
 

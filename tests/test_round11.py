@@ -79,34 +79,18 @@ def _simhash_candidate_mass(fp, combinatorial: bool) -> int:
     """Σ C(|posting|, 2) across band buckets — the pair-stage work the
     banding scheme commits to BEFORE any Hamming verify.  ``fp`` is a
     (doc_id, b0..b3) fingerprint frame."""
-    from itertools import combinations
-
     from pyspark.sql import functions as F
 
     from polybot_data_etl_spark.functions.dedup import (
         _SIMHASH_BANDS,
-        _SIMHASH_BITS,
+        _simhash_combinatorial_keys,
     )
 
     if not combinatorial:
         keys = [F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
     else:
-        sizes = (11, 11, 11, 11, 10, 10)
-        starts = tuple(sum(sizes[:i]) for i in range(6))
-        fp64 = sum(
-            F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
-            for b in range(_SIMHASH_BANDS)
-        )
-        blocks = [
-            F.shiftrightunsigned(fp64, starts[m]).bitwiseAND(
-                F.lit((1 << sizes[m]) - 1)
-            )
-            for m in range(6)
-        ]
-        keys = [
-            (blocks[i] * F.lit(1 << 22)) + (blocks[j] * F.lit(1 << 11)) + blocks[k]
-            for i, j, k in combinations(range(6), 3)
-        ]
+        # the REGISTERED plan's key construction, not a test re-derivation
+        keys = _simhash_combinatorial_keys()
     banded = fp.select(
         "doc_id", F.posexplode(F.array(*keys)).alias("band", "value")
     )
@@ -120,21 +104,21 @@ def _simhash_candidate_mass(fp, combinatorial: bool) -> int:
 
 
 def test_simhash_combinatorial_equals_registered(spark, sf_dir):
-    """The combinatorial-banding scale twin is pigeonhole-complete for
-    Hamming ≤ 3 exactly like the registered 4×16 form (≤3 corrupted
-    bits touch ≤3 of 6 blocks → ≥1 agreeing 3-subset), so after the
-    same verify the pair set must be IDENTICAL."""
+    """The registered plan is the combinatorial banding (round 12
+    flip); its exactness proof is equality with the classic 4×16
+    witness: Hamming ≤ 3 corrupts ≤3 of 6 blocks → ≥1 agreeing
+    3-subset, so after the same verify the pair set must be
+    IDENTICAL."""
     from polybot_data_etl_spark.functions.dedup import (
         clear_pair_cache,
         q_dedup_simhash,
-        simhash_pairs_combinatorial,
+        simhash_pairs_classic,
     )
 
     clear_pair_cache()
     a = sorted(tuple(r) for r in q_dedup_simhash(spark, sf_dir).collect())
     b = sorted(
-        tuple(r)
-        for r in simhash_pairs_combinatorial(spark, sf_dir).collect()
+        tuple(r) for r in simhash_pairs_classic(spark, sf_dir).collect()
     )
     assert a == b
     assert a, "fixture must contain at least one simhash near-dup pair"
