@@ -51,6 +51,7 @@ _HAMMING_MAX = 3
 
 _HYPER_BANDS = 4             # 4 bands × 4 hyperplanes for embedding LSH
 _HYPER_BITS = 4
+_HYPER_BITS_SCALED = 8       # corpus-scale band width (bits ~ log2 n dial)
 _EMBED_SIM = 0.45            # exact-cosine verify threshold (rounded 4)
 _HYPER_MIX = 2_654_435_761   # Knuth multiplicative-hash constant
 
@@ -708,17 +709,24 @@ def hyperplane_buckets(
     )
 
 
-def _hyper_buckets_sql() -> str:
-    """DuckDB twin of hyperplane_buckets as UNION ALL over bands."""
+def _hyper_buckets_sql(
+    bands: int = _HYPER_BANDS, bits: int = _HYPER_BITS
+) -> str:
+    """DuckDB twin of hyperplane_buckets as UNION ALL over bands.
+
+    Parameterized by (bands, bits) exactly like the Spark kernel, so a
+    wider registered calibration (q_dedup_embed_scaled, 8-bit) gets a
+    real hash-checked oracle instead of a rows-only downgrade — the
+    hyperplane family is a fixed integer formula, no RNG."""
     parts = []
-    for band in range(_HYPER_BANDS):
+    for band in range(bands):
         bucket = " + ".join(
             f"""CASE WHEN list_sum(list_transform(range(0, 64),
                  j -> embedding[j + 1]::DOUBLE
-                      * (2 * (({band * _HYPER_BITS + i} * 64 + j)
+                      * (2 * (({band * bits + i} * 64 + j)
                               * {_HYPER_MIX} % 1000000007 % 2) - 1))) > 1e-9
                THEN {1 << i} ELSE 0 END"""
-            for i in range(_HYPER_BITS)
+            for i in range(bits)
         )
         parts.append(
             f"SELECT vec_id, {band} AS band, ({bucket})::BIGINT AS bucket"
@@ -923,6 +931,53 @@ def _build_embed_pairs(
         .filter(F.col("sim") >= _EMBED_SIM)
         .select("a_id", "b_id", "sim")
         .distinct()
+    )
+
+
+@register(
+    "q_dedup_embed_scaled",
+    oracle=f"""
+    WITH bk AS ({_hyper_buckets_sql(_HYPER_BANDS, _HYPER_BITS_SCALED)}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, sim FROM (
+        SELECT c.a_id, c.b_id,
+               round(list_inner_product(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]) + 1e-9, 4) AS sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+    )
+    WHERE sim >= {_EMBED_SIM}
+    """,
+)
+def q_dedup_embed_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at the CORPUS-SCALE band width:
+    the same hyperplane-LSH + tiled exact-verify plan as
+    :func:`q_dedup_embed`, with 8-bit bands instead of the fixture's
+    4-bit calibration (VERDICT r11 #2).
+
+    Why a registered twin: the ×100 measured point (SCALE.md) showed
+    pair work at the 4-bit width growing EXACTLY ×100 for ×10 rows
+    (n²/2⁴ — a fixed 16-bucket-per-band space is quadratic at any n).
+    Band width must grow ~log₂ n for bucket occupancy to stay bounded;
+    8 bits is the dial position for ~10⁵-10⁶ vectors (measured 4×+
+    candidate-mass reduction on the fixture, tests/test_round11.py).
+    The verified output is a SUBSET of the 4-bit output with the
+    recall the LSH math predicts (≈1-(1-p⁸)⁴) — the fixture pin keeps
+    a 40% recall floor; production raises `bands` to buy recall back
+    at the wider width.
+
+    The oracle is the SAME deterministic hyperplane family widened to
+    8 bits — hash-checked, not rows-only, because the weight formula
+    `hyperplane_weight(k, j)` is pure integer arithmetic reproduced in
+    SQL."""
+    return _build_embed_pairs(
+        spark, sf_dir, bands=_HYPER_BANDS, bits=_HYPER_BITS_SCALED
     )
 
 

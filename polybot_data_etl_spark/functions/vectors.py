@@ -270,11 +270,16 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_oracle() -> str:
-    from polybot_data_etl_spark.functions.dedup import _hyper_buckets_sql
+def _ann_oracle(bits: int = None) -> str:
+    from polybot_data_etl_spark.functions.dedup import (
+        _HYPER_BANDS,
+        _HYPER_BITS,
+        _hyper_buckets_sql,
+    )
 
+    bits = _HYPER_BITS if bits is None else bits
     return f"""
-    WITH bk AS ({_hyper_buckets_sql()}),
+    WITH bk AS ({_hyper_buckets_sql(_HYPER_BANDS, bits)}),
     cand AS (
         SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
         FROM bk p JOIN bk c
@@ -297,24 +302,24 @@ def _ann_oracle() -> str:
     """
 
 
-@register("q_sim_topk_lsh", oracle=_ann_oracle())
-def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN, the 100 TB scale path for q_sim_topk: candidates
-    come from hyperplane-LSH bucket collisions (equi-join on
-    (band, bucket) — never a crossJoin), then exact rounded-cosine top-5
-    per probe with a neighbor-id tiebreak.  Recall vs brute force is the
-    standard LSH trade-off; bands/bits are tunable
-    (dedup._HYPER_BANDS/_HYPER_BITS).
+def _topk_lsh(spark: SparkSession, sf_dir: str, bits: int = None) -> DataFrame:
+    """Shared LSH k-NN plan behind q_sim_topk_lsh (fixture width) and
+    q_sim_topk_lsh_scaled (corpus width) — identical join tree, only
+    the band width differs."""
+    from polybot_data_etl_spark.functions.dedup import (
+        _HYPER_BANDS,
+        _HYPER_BITS,
+        hyperplane_buckets,
+    )
 
-    Deterministic: hyperplanes come from a fixed integer formula
-    (dedup.hyperplane_weight), so the result is oracle-checkable."""
-    from polybot_data_etl_spark.functions.dedup import hyperplane_buckets
-
+    bits = _HYPER_BITS if bits is None else bits
     e = table(spark, sf_dir, "embeddings")
     # bk feeds the probe and candidate sides; a lazy cut on the narrow
     # (vec_id, band, bucket) frame runs the hyperplane matmul once
     # instead of twice (same fix as q_dedup_embed / q_sim_topk_ivf).
-    bk = hyperplane_buckets(e).localCheckpoint(eager=False)
+    bk = hyperplane_buckets(e, _HYPER_BANDS, bits).localCheckpoint(
+        eager=False
+    )
     probes = bk.filter(F.col("vec_id") < 20).withColumnRenamed(
         "vec_id", "probe_id"
     )
@@ -340,6 +345,37 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "sim")
     )
+
+
+@register("q_sim_topk_lsh", oracle=_ann_oracle())
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN, the 100 TB scale path for q_sim_topk: candidates
+    come from hyperplane-LSH bucket collisions (equi-join on
+    (band, bucket) — never a crossJoin), then exact rounded-cosine top-5
+    per probe with a neighbor-id tiebreak.  Recall vs brute force is the
+    standard LSH trade-off; bands/bits are tunable
+    (dedup._HYPER_BANDS/_HYPER_BITS).
+
+    Deterministic: hyperplanes come from a fixed integer formula
+    (dedup.hyperplane_weight), so the result is oracle-checkable."""
+    return _topk_lsh(spark, sf_dir)
+
+
+@register(
+    "q_sim_topk_lsh_scaled",
+    oracle=_ann_oracle(8),
+)
+def q_sim_topk_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_sim_topk_lsh at the corpus-scale band width (8-bit bands,
+    VERDICT r11 #2): same plan, 2⁴× finer buckets, so per-band
+    candidate volume is n²/2⁸ instead of n²/2⁴ — the width the ×100
+    measured point (SCALE.md) requires once the vector store passes
+    ~10⁵ rows.  Recall at the wider width is the LSH trade
+    (≈1-(1-p⁸)⁴); production adds bands to buy it back.  The oracle is
+    the same fixed-integer hyperplane family at 8 bits — hash-checked."""
+    from polybot_data_etl_spark.functions.dedup import _HYPER_BITS_SCALED
+
+    return _topk_lsh(spark, sf_dir, _HYPER_BITS_SCALED)
 
 
 _IVF_CENTROIDS = 16

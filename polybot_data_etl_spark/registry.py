@@ -277,21 +277,25 @@ _EXPENSIVE_PREFIXES = ("q_dedup_", "q_sim_", "q_udaf", "q_pipeline_")
 _REQUEUED_RED: frozenset[str] = _DRIVER_RED
 
 # The declared registry size — ONE place (SURVEY §7 M10 end-state:
-# surface complete at 382 queries / 380 oracles; no growth without a
-# VERDICT-named semantic gap).  Tests assert against these instead of
-# re-pinning literals (ADVICE r10 #3), so a sanctioned future addition
-# updates exactly this pair.
-EXPECTED_QUERY_COUNT = 382
-EXPECTED_ORACLE_COUNT = 380
+# surface complete; no growth without a VERDICT-named semantic gap).
+# Tests assert against these instead of re-pinning literals (ADVICE
+# r10 #3), so a sanctioned future addition updates exactly this pair.
+# Round 12: +2 for q_dedup_embed_scaled and q_sim_topk_lsh_scaled, the
+# VERDICT-r11-#2-named corpus-scale LSH calibrations as registered
+# queries with their own hash-checked oracles.
+EXPECTED_QUERY_COUNT = 384
+EXPECTED_ORACLE_COUNT = 382
 
 # Names first registered in the CURRENT build round, as DECLARED by the
-# round (hand-maintained).  Round 11 registers nothing new (the M10
-# end-state); the round's work is plan flips — the same names now run
-# their bucketed scale twins — which need no tier-1 slot because every
-# flipped name already has green driver evidence and the oracle is
-# unchanged.  (Round 10's declaration was the 17-name [STAGED r10]
-# batch, all folded into _RECORDED by CORRECTNESS_r10.json.)
-_NEW_THIS_ROUND_DECLARED: frozenset[str] = frozenset()
+# round (hand-maintained).  Round 12 registers q_dedup_embed_scaled
+# and q_sim_topk_lsh_scaled (VERDICT r11 #2: the 8-bit corpus-scale
+# LSH calibrations as registered queries with their own oracles).  The round's other headline —
+# the q_dedup_simhash combinatorial-banding flip — needs no tier-1 slot
+# because the name already has green driver evidence and the oracle is
+# unchanged.
+_NEW_THIS_ROUND_DECLARED: frozenset[str] = frozenset(
+    {"q_dedup_embed_scaled", "q_sim_topk_lsh_scaled"}
+)
 
 # The EFFECTIVE tier-1 set is derived, not static (VERDICT r9 #1: the
 # static set went stale the moment the driver recorded its member — the
