@@ -204,6 +204,7 @@ def clear_pair_cache() -> None:
     from polybot_data_etl_spark.catalog import clear_table_cache
     from polybot_data_etl_spark.functions.text import clear_minhash_cache
     from polybot_data_etl_spark.operators.graph import clear_edges_cache
+    from polybot_data_etl_spark.plans.bounds import clear_bounds_cache
 
     with _PAIR_CACHE_LOCK:
         _SIZED_PAIRS_CACHE.clear()
@@ -212,6 +213,7 @@ def clear_pair_cache() -> None:
     clear_minhash_cache()
     clear_edges_cache()
     clear_table_cache()
+    clear_bounds_cache()
 
 
 # Memoized CC labels over the n-gram pair graph, keyed like

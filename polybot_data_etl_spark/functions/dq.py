@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
+from polybot_data_etl_spark.plans.bounds import memoized_bounds
 from polybot_data_etl_spark.registry import register
 
 
@@ -1043,10 +1044,24 @@ def rle_profile_bucketed(
     )
     base = li.select(*order_cols)
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = base.agg(
-        F.percentile_approx("l_orderkey", qs, 10_000).alias("bounds")
-    ).first()
-    bounds = sorted(set(row["bounds"] or []))
+    # Cut points memoized per (session, sf_dir, n_buckets): the
+    # sampling pass is deterministic in the input, so only the FIRST
+    # plan build in a session pays it (VERDICT r11 §wrong #4; job-count
+    # pinned in tests/test_round12.py).
+    bounds = memoized_bounds(
+        spark,
+        ("rle_bounds", sf_dir, n_buckets),
+        lambda: sorted(
+            set(
+                base.agg(
+                    F.percentile_approx("l_orderkey", qs, 10_000).alias(
+                        "bounds"
+                    )
+                ).first()["bounds"]
+                or []
+            )
+        ),
+    )
     if bounds:
         cuts = F.array(*[F.lit(int(b)) for b in bounds])
         bkt = F.size(F.filter(cuts, lambda x: x <= F.col("l_orderkey")))
@@ -1227,10 +1242,22 @@ def id_gaps_bucketed(
 
     e = table(spark, sf_dir, "events")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = e.agg(
-        F.percentile_approx("event_id", qs, 10_000).alias("bounds")
-    ).first()
-    bounds = sorted(set(row["bounds"] or []))
+    # memoized like rle_profile_bucketed's cuts (one sampling job per
+    # session per (sf_dir, n_buckets))
+    bounds = memoized_bounds(
+        spark,
+        ("id_gap_bounds", sf_dir, n_buckets),
+        lambda: sorted(
+            set(
+                e.agg(
+                    F.percentile_approx("event_id", qs, 10_000).alias(
+                        "bounds"
+                    )
+                ).first()["bounds"]
+                or []
+            )
+        ),
+    )
     if bounds:
         cuts = F.array(*[F.lit(int(b)) for b in bounds])
         bkt = F.size(F.filter(cuts, lambda x: x <= F.col("event_id")))
