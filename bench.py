@@ -695,10 +695,21 @@ def main() -> int:
         print(f"could not append {band_path}: {exc}", file=sys.stderr)
     # The rotation and the write get SEPARATE guards (ADVICE r7): a
     # lost rotation race must still fall through to writing THIS run's
-    # record.
+    # record.  Two bounded prev slots (ADVICE r11 #5): with a single
+    # _prev, three runs in sequence clobbered run 1's per-query map —
+    # the same full-record loss the r6 guard existed to prevent.
+    # latest → _prev1 → _prev2 keeps the last three runs' forensics;
+    # headline evidence of anything older lives in BENCH_BAND.jsonl.
     try:
+        prev1 = full_path.replace(".json", "_prev1.json")
+        prev2 = full_path.replace(".json", "_prev2.json")
+        legacy_prev = full_path.replace(".json", "_prev.json")
+        if os.path.exists(legacy_prev) and not os.path.exists(prev1):
+            os.replace(legacy_prev, prev1)  # one-time r11→r12 migration
+        if os.path.exists(prev1):
+            os.replace(prev1, prev2)
         if os.path.exists(full_path):
-            os.replace(full_path, full_path.replace(".json", "_prev.json"))
+            os.replace(full_path, prev1)
     except OSError as exc:
         print(f"could not rotate {full_path}: {exc}", file=sys.stderr)
     try:

@@ -1985,20 +1985,25 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # trunc is floor toward zero and |a·b| rounds
                 # identically either side of the abs (pinned vs DuckDB
                 # in tests/test_round10.py).
-                q = np.trunc(raw * 1e4 + np.copysign(0.5, raw)).astype(
-                    np.int64
-                )
+                scaled = raw * 1e4 + np.copysign(0.5, raw)
                 # Fixture sims are in [−1, 1] (|q| ≤ 10 001); the guard
                 # trips only on exotic un-normalized inputs, where the
                 # same RuntimeError contract as the broadcast budget
                 # applies (this is a diagnostics query, not a kernel).
-                if np.abs(q).max(initial=0) >= (1 << 22):
+                # Checked on the FLOAT product BEFORE the int64 cast
+                # (ADVICE r11 #1): at |raw·1e4| ≥ 2⁶³ the cast wraps to
+                # int64 min — whose np.abs is still negative — and a
+                # post-cast guard is silently bypassed.
+                if (
+                    np.abs(scaled).max(initial=0.0) >= float(1 << 22)
+                ) or not np.isfinite(scaled).all():
                     raise RuntimeError(
                         "q_embed_hubness: similarity range exceeds the "
                         "composite-key bounds (|round(sim)·1e4| < 2^22)"
                         " — normalize embeddings or use the IVF-"
                         "bucketed k-NN path (q_sim_topk_ivf)"
                     )
+                q = np.trunc(scaled).astype(np.int64)
                 keyn = bi[None, :] - (q << 40)
                 # exclude self: the sentinel sorts last, dropped below
                 keyn[bi[None, :] == probes[:, None]] = _SENT

@@ -56,6 +56,7 @@ coercion.
 
 from __future__ import annotations
 
+import math
 import os
 import sqlite3
 import uuid
@@ -154,6 +155,12 @@ def _qlit(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr() would emit 'inf'/'nan', which sqlite does not parse as
+        # a literal — the remote scan would fail with OperationalError.
+        # Raising keeps the filter Spark-side like other un-compilable
+        # literals (_compile_filter catches TypeError → None).
+        raise TypeError(f"non-finite float literal {v!r}")
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
@@ -282,16 +289,18 @@ class _SqliteReader(DataSourceReader):
             f"file:{self.db}?mode=ro", uri=True, timeout=60
         )
         try:
-            bools = [
+            bools = tuple(
                 f.dataType.typeName() == "boolean" for f in self.schema.fields
-            ]
-            for row in con.execute(self._select_sql(partition)):
-                if any(bools):
-                    row = tuple(
-                        (None if v is None else bool(v)) if b else v
-                        for v, b in zip(row, bools)
-                    )
-                yield row
+            )
+            cursor = con.execute(self._select_sql(partition))
+            if not any(bools):  # hoisted off the row loop (ADVICE r11 #3)
+                yield from cursor
+                return
+            for row in cursor:
+                yield tuple(
+                    (None if v is None else bool(v)) if b else v
+                    for v, b in zip(row, bools)
+                )
         finally:
             con.close()
 
@@ -305,7 +314,18 @@ class _SqliteCommit(WriterCommitMessage):
 class _SqliteWriter(DataSourceWriter):
     """Two-phase commit honoring the store's single-writer model:
     tasks stage private shard files; ONE driver transaction publishes
-    them all.  See the module docstring for the full contract."""
+    them all.  See the module docstring for the full contract.
+
+    Deployment requirement (ADVICE r11 #4): the staging dir lives
+    NEXT TO the database file, so tasks (which create shards) and the
+    driver (which reads them at commit) must share that filesystem —
+    true in local mode and wherever the sqlite file itself is on
+    shared storage (if executors can open the database, they can
+    write beside it; a sqlite DB on non-shared disk cannot be a
+    multi-node write target in the first place).  commit() verifies
+    every shard is readable before touching the target table and
+    names the missing path otherwise, so a violated assumption fails
+    loud and clean rather than mid-transaction."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         self.db = _resolve_url(options)
@@ -380,6 +400,21 @@ class _SqliteWriter(DataSourceWriter):
             f"INSERT INTO {_qident(self.table)} ({cols}) "
             f"VALUES ({', '.join('?' for _ in self.schema.fields)})"
         )
+        # fail BEFORE opening the publish transaction if any task's
+        # shard is not visible on the driver's filesystem (the
+        # shared-filesystem requirement in the class docstring)
+        missing = [
+            m.shard_path
+            for m in messages
+            if m is not None and not os.path.exists(m.shard_path)
+        ]
+        if missing:
+            raise RuntimeError(
+                "sqlite_table commit: task-staged shard(s) not readable "
+                f"from the driver: {missing[:3]}{'...' if len(missing) > 3 else ''} "
+                "— the staging dir (beside the db file) must be on a "
+                "filesystem shared by driver and executors"
+            )
         con = sqlite3.connect(self.db, timeout=60)
         try:
             con.execute("BEGIN IMMEDIATE")

@@ -155,3 +155,32 @@ def test_simhash_registered_plan_is_combinatorial(spark, sf_dir):
     # shifted block arithmetic
     assert "shiftrightunsigned" in plan
     assert plan.count("shiftleft") >= 3  # fp64 reassembly present
+
+
+def test_hubness_range_guard_trips_before_int64_wrap(spark, tmp_path):
+    """ADVICE r11 #1: the |round(sim)·1e4| < 2²² guard must run on the
+    FLOAT product.  With |raw·1e4| ≥ 2⁶³ the float→int64 cast wraps to
+    int64 min (whose np.abs is still negative), so a post-cast guard
+    was silently bypassed and garbage neighbor keys flowed on.  Both
+    the wrap regime (values so large the cast overflows) and the
+    plain out-of-range regime must raise the documented RuntimeError."""
+    from polybot_data_etl_spark.functions.vectors import q_embed_hubness
+
+    for scale, regime in ((1e17, "int64-wrap"), (1e3, "out-of-range")):
+        d = tmp_path / regime
+        d.mkdir()
+        emb = [
+            (np.ones(64, dtype=np.float64) * scale).astype(np.float32)
+            for _ in range(3)
+        ]
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(1, 4, dtype=np.int64),
+                "embedding": emb,
+                "label": np.zeros(3, dtype=np.int32),
+            }
+        ).to_parquet(d / "embeddings.parquet", index=False)
+        # the RuntimeError raised in the executor kernel surfaces
+        # driver-side wrapped as a PySpark PythonException
+        with pytest.raises(Exception, match="composite-key bounds"):
+            q_embed_hubness(spark, str(d)).collect()

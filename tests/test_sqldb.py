@@ -354,3 +354,32 @@ def test_schema_inference_requires_table(sq, tmp_path):
 def test_source_name_and_registration_idempotent(sq):
     assert SqliteTableDataSource.name() == "sqlite_table"
     register_sqlite_table(sq)  # second registration must not raise
+
+
+def test_nonfinite_float_filter_stays_spark_side(tmp_path):
+    """ADVICE r11 #2: repr() of a non-finite float ('inf'/'nan') is
+    not a sqlite literal — pushing it would fail the remote scan with
+    OperationalError.  _qlit now raises TypeError for non-finite
+    floats, so the filter is returned to Spark like other exotic
+    literals, and the compiled WHERE contains only the finite
+    conjunct."""
+    import math
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    db = _seed_db(str(tmp_path / "t.db"))
+    r = _reader(db)
+    remaining = r.pushFilters(
+        [
+            EqualTo(("score",), float("inf")),
+            EqualTo(("score",), float("nan")),
+            GreaterThan(("score",), 2.0),
+        ]
+    )
+    assert len(remaining) == 2
+    assert all(not math.isfinite(f.value) for f in remaining)
+    sql = r._select_sql(r.partitions()[0])
+    assert '"score" > 2.0' in sql
+    assert "inf" not in sql and "nan" not in sql
+    # and the scan still executes cleanly against the store
+    assert len(list(r.read(r.partitions()[0]))) > 0
