@@ -530,6 +530,80 @@ def _simhash_combinatorial_keys() -> list:
     ]
 
 
+def _simhash_min_band(a, b, n_bands: int):
+    """Index of the FIRST band on which two fingerprint records agree
+    (same enumeration order as the scheme's band keys).
+
+    Multi-band LSH emits every colliding pair once PER agreeing band —
+    an exact duplicate (Hamming 0) agrees on all bands, so the naive
+    chain needs a distinct() over a candidate stream inflated by the
+    band count (20x combinatorial / 4x classic on the dup-heavy part
+    of a corpus — the dominant cost at sf0.1, measured r12).  Keeping
+    a pair only where the CURRENT band equals its minimal agreeing
+    band makes each pair survive exactly once, turning the distinct
+    shuffle into a codegen'd filter.  Band-key equality is block
+    equality (keys are injective packings), so "agrees on band c" is
+    recomputable from the pair's own fingerprints — no extra state.
+
+    Shape matters: a direct 20-way when-chain re-derives the 64-bit
+    xor under every combo term — an expression tree big enough to fall
+    out of whole-stage codegen (measured 6.7 s for 674 k rows).  This
+    form computes ONE 6-bit block-agreement mask per pair and maps it
+    through a 2^6-entry literal lookup array built driver-side — a
+    handful of shifts and one element_at per row.
+    """
+    from itertools import combinations
+
+    if n_bands == _SIMHASH_BANDS:  # classic: band b == column b{b}
+        agree_bits = [
+            a[f"b{m}"].eqNullSafe(b[f"b{m}"]).cast("int")
+            * F.lit(1 << m)
+            for m in range(_SIMHASH_BANDS)
+        ]
+        combos = [(m,) for m in range(_SIMHASH_BANDS)]
+        n_blocks = _SIMHASH_BANDS
+    else:  # combinatorial: band c == 3-subset c of the 6 blocks
+        starts = tuple(
+            sum(_SIMHASH_BLOCK_SIZES[:i])
+            for i in range(len(_SIMHASH_BLOCK_SIZES))
+        )
+
+        def fp64(r):
+            return sum(
+                F.shiftleft(r[f"b{m}"], _SIMHASH_BITS * m)
+                for m in range(_SIMHASH_BANDS)
+            )
+
+        xor64 = fp64(a).bitwiseXOR(fp64(b))
+        agree_bits = [
+            (
+                F.shiftrightunsigned(xor64, starts[m]).bitwiseAND(
+                    F.lit((1 << _SIMHASH_BLOCK_SIZES[m]) - 1)
+                )
+                == 0
+            ).cast("int")
+            * F.lit(1 << m)
+            for m in range(len(_SIMHASH_BLOCK_SIZES))
+        ]
+        combos = list(
+            combinations(
+                range(len(_SIMHASH_BLOCK_SIZES)), _SIMHASH_BLOCK_AGREE
+            )
+        )
+        n_blocks = len(_SIMHASH_BLOCK_SIZES)
+
+    def min_band_for_mask(mask: int) -> int:
+        for idx, combo in enumerate(combos):
+            if all(mask & (1 << m) for m in combo):
+                return idx
+        return -1  # no agreeing band: unreachable for a real collision
+
+    lookup = F.array(
+        *[F.lit(min_band_for_mask(mask)) for mask in range(1 << n_blocks)]
+    )
+    return F.element_at(lookup, sum(agree_bits) + 1)
+
+
 def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
     """Banded-LSH candidate generation + Hamming <= 3 verify shared by
     the registered combinatorial plan and the classic 4x16 witness.
@@ -538,10 +612,12 @@ def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
     keyed by the band value, pairs generated inside each posting row by
     a double explode (the same pattern as q_dedup_minhash /
     q_dedup_ngram).  Each posting element carries the doc's full 4-band
-    fingerprint, so the Hamming verify reads the exploded pair directly:
-    the whole query is ONE linear chain off the Python fingerprint
-    kernel — no self-join, no join-back to fp, no branch that could
-    recompute the kernel."""
+    fingerprint, so the Hamming verify reads the exploded pair directly
+    AND the minimal-agreeing-band dedup (:func:`_simhash_min_band`)
+    replaces the final distinct() with a filter: the whole query is ONE
+    linear chain off the Python fingerprint kernel with a single
+    shuffle (the posting groupBy) — no self-join, no join-back to fp,
+    no pair-stream re-shuffle."""
     rec = F.struct(
         "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
     ).alias("rec")
@@ -554,22 +630,31 @@ def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
         .filter(F.size("recs") >= 2)
     )
     pairs = (
-        postings.select(F.explode("recs").alias("a"), "recs")
-        .select("a", F.explode("recs").alias("b"))
+        postings.select("band", F.explode("recs").alias("a"), "recs")
+        .select("band", "a", F.explode("recs").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
     ham = sum(
         F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
         for b in range(_SIMHASH_BANDS)
     ).cast("long")
+    # verify FIRST (4 xor+bit_count — cheapest), then keep each
+    # surviving pair only at its minimal agreeing band
     return (
         pairs.select(
+            "band",
+            "a",
+            "b",
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
+        .filter(
+            F.col("band")
+            == _simhash_min_band(F.col("a"), F.col("b"), len(band_keys))
+        )
+        .select("a_id", "b_id", "hamming")
     )
 
 
