@@ -396,8 +396,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash_bands(d: DataFrame) -> DataFrame:
-    """(doc_id, b0..b3): 64-bit SimHash split into 4×16-bit band values.
+def simhash_bands(d: DataFrame, n_bands: int = _SIMHASH_BANDS) -> DataFrame:
+    """(doc_id, b0..b{n-1}): a 16·n_bands-bit SimHash split into
+    n_bands×16-bit band values (default 4 → the 64-bit contract; 8 →
+    the 128-bit width twin, SURVEY r12).
 
     Bit k (k = 16*band + i) is the sign of Σ_token-occurrences ±1 where
     a token votes +1 iff ``(char_hash(token) * (2k+3)) % p`` is odd — a
@@ -420,7 +422,7 @@ def simhash_bands(d: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_bits = _SIMHASH_BANDS * _SIMHASH_BITS
+    n_bits = n_bands * _SIMHASH_BITS
     mult = (2 * np.arange(n_bits, dtype=np.int64) + 3)
     memo: dict = {}
 
@@ -456,7 +458,7 @@ def simhash_bands(d: DataFrame) -> DataFrame:
                 np.add.at(accs, doc_pos, V[codes])
             bits = accs > 0
             out = {"doc_id": pdf["doc_id"].to_numpy()}
-            for b in range(_SIMHASH_BANDS):
+            for b in range(n_bands):
                 band = np.zeros(len(pdf), dtype=np.int64)
                 for i in range(_SIMHASH_BITS):
                     band += bits[:, _SIMHASH_BITS * b + i].astype(np.int64) << i
@@ -467,7 +469,7 @@ def simhash_bands(d: DataFrame) -> DataFrame:
         F.col("text").isNotNull()  # NULL text = absent, never a crash
     ).mapInPandas(
         fingerprint,
-        ", ".join(["doc_id long"] + [f"b{b} long" for b in range(_SIMHASH_BANDS)]),
+        ", ".join(["doc_id long"] + [f"b{b} long" for b in range(n_bands)]),
     )
 
 
@@ -490,6 +492,8 @@ def _simhash_bands_sql() -> str:
         )"""
 
 
+_SIMHASH_WIDE_BANDS = 8      # 8 x 16 = the 128-bit width twin (r12)
+_WIDE_HAMMING_MAX = 7        # ~ the 64-bit <=3 similarity cut at 2x width
 _SIMHASH_BLOCK_SIZES = (11, 11, 11, 11, 10, 10)   # 6 blocks over 64 bits
 _SIMHASH_BLOCK_AGREE = 3                           # Hamming<=3 corrupts <=3 blocks
 
@@ -530,7 +534,7 @@ def _simhash_combinatorial_keys() -> list:
     ]
 
 
-def _simhash_min_band(a, b, n_bands: int):
+def _simhash_min_band(a, b, scheme: str):
     """Index of the FIRST band on which two fingerprint records agree
     (same enumeration order as the scheme's band keys).
 
@@ -548,21 +552,31 @@ def _simhash_min_band(a, b, n_bands: int):
     Shape matters: a direct 20-way when-chain re-derives the 64-bit
     xor under every combo term — an expression tree big enough to fall
     out of whole-stage codegen (measured 6.7 s for 674 k rows).  This
-    form computes ONE 6-bit block-agreement mask per pair and maps it
-    through a 2^6-entry literal lookup array built driver-side — a
-    handful of shifts and one element_at per row.
+    form computes ONE block-agreement mask per pair and maps it
+    through a 2^n_blocks-entry literal lookup array built driver-side —
+    a handful of shifts and one element_at per row.
+
+    Schemes: ``classic`` (4 bands == the 4 16-bit columns), ``comb``
+    (20 bands == 3-subsets of 6 blocks of the 64-bit fingerprint),
+    ``wide`` (4 bands == adjacent column pairs of the 128-bit
+    8-column fingerprint).
     """
     from itertools import combinations
 
-    if n_bands == _SIMHASH_BANDS:  # classic: band b == column b{b}
-        agree_bits = [
-            a[f"b{m}"].eqNullSafe(b[f"b{m}"]).cast("int")
-            * F.lit(1 << m)
+    if scheme == "classic":  # band m == column b{m}
+        agree = [
+            a[f"b{m}"].eqNullSafe(b[f"b{m}"])
             for m in range(_SIMHASH_BANDS)
         ]
         combos = [(m,) for m in range(_SIMHASH_BANDS)]
-        n_blocks = _SIMHASH_BANDS
-    else:  # combinatorial: band c == 3-subset c of the 6 blocks
+    elif scheme == "wide":  # band m == columns (b{2m}, b{2m+1})
+        agree = [
+            a[f"b{2 * m}"].eqNullSafe(b[f"b{2 * m}"])
+            & a[f"b{2 * m + 1}"].eqNullSafe(b[f"b{2 * m + 1}"])
+            for m in range(_SIMHASH_WIDE_BANDS // 2)
+        ]
+        combos = [(m,) for m in range(_SIMHASH_WIDE_BANDS // 2)]
+    elif scheme == "comb":  # band c == 3-subset c of the 6 blocks
         starts = tuple(
             sum(_SIMHASH_BLOCK_SIZES[:i])
             for i in range(len(_SIMHASH_BLOCK_SIZES))
@@ -575,14 +589,11 @@ def _simhash_min_band(a, b, n_bands: int):
             )
 
         xor64 = fp64(a).bitwiseXOR(fp64(b))
-        agree_bits = [
-            (
-                F.shiftrightunsigned(xor64, starts[m]).bitwiseAND(
-                    F.lit((1 << _SIMHASH_BLOCK_SIZES[m]) - 1)
-                )
-                == 0
-            ).cast("int")
-            * F.lit(1 << m)
+        agree = [
+            F.shiftrightunsigned(xor64, starts[m]).bitwiseAND(
+                F.lit((1 << _SIMHASH_BLOCK_SIZES[m]) - 1)
+            )
+            == 0
             for m in range(len(_SIMHASH_BLOCK_SIZES))
         ]
         combos = list(
@@ -590,7 +601,9 @@ def _simhash_min_band(a, b, n_bands: int):
                 range(len(_SIMHASH_BLOCK_SIZES)), _SIMHASH_BLOCK_AGREE
             )
         )
-        n_blocks = len(_SIMHASH_BLOCK_SIZES)
+    else:
+        raise ValueError(f"unknown simhash banding scheme {scheme!r}")
+    n_blocks = len(agree)
 
     def min_band_for_mask(mask: int) -> int:
         for idx, combo in enumerate(combos):
@@ -601,17 +614,27 @@ def _simhash_min_band(a, b, n_bands: int):
     lookup = F.array(
         *[F.lit(min_band_for_mask(mask)) for mask in range(1 << n_blocks)]
     )
-    return F.element_at(lookup, sum(agree_bits) + 1)
+    mask_col = sum(
+        agree[m].cast("int") * F.lit(1 << m) for m in range(n_blocks)
+    )
+    return F.element_at(lookup, mask_col + 1)
 
 
-def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
-    """Banded-LSH candidate generation + Hamming <= 3 verify shared by
-    the registered combinatorial plan and the classic 4x16 witness.
+def _simhash_verify_pairs(
+    fp: DataFrame,
+    band_keys: list,
+    scheme: str,
+    n_cols: int = _SIMHASH_BANDS,
+    hamming_max: int = _HAMMING_MAX,
+) -> DataFrame:
+    """Banded-LSH candidate generation + Hamming verify shared by the
+    registered combinatorial plan, the classic 4x16 witness, and the
+    128-bit width twin.
 
     Candidates come from per-(band, value) posting lists — ONE shuffle
     keyed by the band value, pairs generated inside each posting row by
     a double explode (the same pattern as q_dedup_minhash /
-    q_dedup_ngram).  Each posting element carries the doc's full 4-band
+    q_dedup_ngram).  Each posting element carries the doc's full
     fingerprint, so the Hamming verify reads the exploded pair directly
     AND the minimal-agreeing-band dedup (:func:`_simhash_min_band`)
     replaces the final distinct() with a filter: the whole query is ONE
@@ -619,7 +642,7 @@ def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
     shuffle (the posting groupBy) — no self-join, no join-back to fp,
     no pair-stream re-shuffle."""
     rec = F.struct(
-        "doc_id", *[F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
+        "doc_id", *[F.col(f"b{b}") for b in range(n_cols)]
     ).alias("rec")
     banded = fp.select(
         rec, F.posexplode(F.array(*band_keys)).alias("band", "value")
@@ -636,9 +659,9 @@ def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
     )
     ham = sum(
         F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
-        for b in range(_SIMHASH_BANDS)
+        for b in range(n_cols)
     ).cast("long")
-    # verify FIRST (4 xor+bit_count — cheapest), then keep each
+    # verify FIRST (xor+bit_count — cheapest), then keep each
     # surviving pair only at its minimal agreeing band
     return (
         pairs.select(
@@ -649,10 +672,9 @@ def _simhash_verify_pairs(fp: DataFrame, band_keys: list) -> DataFrame:
             F.col("b.doc_id").alias("b_id"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
         .filter(
-            F.col("band")
-            == _simhash_min_band(F.col("a"), F.col("b"), len(band_keys))
+            F.col("band") == _simhash_min_band(F.col("a"), F.col("b"), scheme)
         )
         .select("a_id", "b_id", "hamming")
     )
@@ -703,7 +725,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of that trade everywhere past ~10^5 docs, and band space good to
     ~10^9 docs."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
-    return _simhash_verify_pairs(fp, _simhash_combinatorial_keys())
+    return _simhash_verify_pairs(fp, _simhash_combinatorial_keys(), "comb")
 
 
 def simhash_pairs_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,7 +741,57 @@ def simhash_pairs_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality pin is the registered plan's exactness proof."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
     return _simhash_verify_pairs(
-        fp, [F.col(f"b{b}") for b in range(_SIMHASH_BANDS)]
+        fp, [F.col(f"b{b}") for b in range(_SIMHASH_BANDS)], "classic"
+    )
+
+
+def simhash_pairs_wide(
+    spark: SparkSession, sf_dir: str, hamming_max: int = _WIDE_HAMMING_MAX
+) -> DataFrame:
+    """The 128-bit WIDTH twin (test-only, VERDICT r11 #5): the same
+    Charikar vote formula extended to bits 0..127 (8x16-bit columns),
+    banded 4x32 (band m == the injective packing of columns 2m, 2m+1),
+    Hamming <= 7 verify — ~the 64-bit <=3 similarity cut at twice the
+    width (3.5/64 per-bit error rate).
+
+    What the width buys — MEASURED (r12, sf0.001): the twin is a
+    PRECISION knob, not a recall knob.  Of the 448 pairs the 64-bit
+    <=3 contract emits, 356 (~80%) have second-half Hamming >= 8 —
+    their true per-bit disagreement rate is moderate (~0.1) and the
+    64-bit <=3 hit was a Binomial lucky draw (P(Binom(64, .1) <= 3) is
+    small but the fixture has many moderately-similar pairs to draw
+    from); two pairs even have IDENTICAL first 64 bits while differing
+    on >= 8 of the second 64.  Doubling the width halves the per-bit
+    variance, so the <=7/128 cut (the same nominal rate as 3.5/64)
+    rejects those artifacts while keeping every truly-near pair:
+    text-identical dups have Hamming 0/128, collide on all four bands,
+    and are pinned always-emitted (tests/test_round12.py).  Candidate
+    mass also sharpens: a 32-bit band agreement implies far deeper
+    agreement than a 16-bit one, so the correlated near-miss candidate
+    mass (Hamming 4-6/64 content overlap — 188 k of the 243 k sf0.1
+    candidates under any complete 64-bit banding) drops (pinned).
+
+    Because the emitted SET genuinely differs from the 64-bit contract
+    (deliberately — the rejected 80% are the false-positive tail),
+    this is a NEW semantic: a survey row of its own if ever
+    registered, never a flip of q_dedup_simhash.  Recall caveat at the
+    margin: 4x32 banding is pigeonhole-complete only for <= 3 of 128,
+    so pairs at 4..7/128 with errors spread across all four bands can
+    be missed (28 of 448 measured at sf0.001)."""
+    fp = simhash_bands(
+        table(spark, sf_dir, "documents"), _SIMHASH_WIDE_BANDS
+    )
+    keys = [
+        F.col(f"b{2 * m}")
+        + F.shiftleft(F.col(f"b{2 * m + 1}"), _SIMHASH_BITS)
+        for m in range(_SIMHASH_WIDE_BANDS // 2)
+    ]
+    return _simhash_verify_pairs(
+        fp,
+        keys,
+        "wide",
+        n_cols=_SIMHASH_WIDE_BANDS,
+        hamming_max=hamming_max,
     )
 
 
