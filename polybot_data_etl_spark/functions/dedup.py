@@ -498,26 +498,36 @@ _SIMHASH_BLOCK_SIZES = (11, 11, 11, 11, 10, 10)   # 6 blocks over 64 bits
 _SIMHASH_BLOCK_AGREE = 3                           # Hamming<=3 corrupts <=3 blocks
 
 
-def _simhash_combinatorial_keys() -> list:
+def _simhash_combinatorial_keys(fp64: Column | None = None) -> list:
     """The C(6,3) = 20 combinatorial band keys over the 64-bit
-    fingerprint (columns b0..b3 of :func:`simhash_bands`).
+    fingerprint.
 
     Split the fingerprint into 6 blocks (4x11 + 2x10 bits); a pair with
     Hamming <= 3 corrupts at most 3 blocks, so it agrees on >= 3 of 6 —
     bucket on every 3-subset of blocks (20 bands, 31-33-bit keys, ~2^32
     band space).  Pigeonhole-complete for <= 3 exactly like 4x16-bit
-    banding, but the band space no longer crowds at ~65k docs."""
+    banding, but the band space no longer crowds at ~65k docs.
+
+    ``fp64``: the packed 64-bit fingerprint column.  When None the
+    packing is inlined from the b0..b3 band columns of
+    :func:`simhash_bands` — correct but an ~8x larger expression tree,
+    since Catalyst does not CSE the reassembly across the 20 keys
+    (measured r12: the inlined form's Generate node alone was a
+    multi-hundred-node tree; the registered plan now projects ``fp0``
+    once and passes it here, guide §2.3 "project before the
+    exchange")."""
     from itertools import combinations
 
     starts = tuple(
         sum(_SIMHASH_BLOCK_SIZES[:i]) for i in range(len(_SIMHASH_BLOCK_SIZES))
     )
-    # reassemble the 64-bit fingerprint (bit k lives at position k:
-    # simhash_bands packs bit 16·b + i at bit i of column b{b})
-    fp64 = sum(
-        F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
-        for b in range(_SIMHASH_BANDS)
-    )
+    if fp64 is None:
+        # reassemble the 64-bit fingerprint (bit k lives at position k:
+        # simhash_bands packs bit 16·b + i at bit i of column b{b})
+        fp64 = sum(
+            F.shiftleft(F.col(f"b{b}"), _SIMHASH_BITS * b)
+            for b in range(_SIMHASH_BANDS)
+        )
     blocks = [
         # unsigned shift: b3 >= 2^15 sets bit 63 and an arithmetic
         # shift would sign-extend into every high block
@@ -534,9 +544,53 @@ def _simhash_combinatorial_keys() -> list:
     ]
 
 
-def _simhash_min_band(a, b, scheme: str):
+def _simhash_pack(n_cols: int) -> list:
+    """Packed-fingerprint projection: the 16-bit band columns b0..b{n-1}
+    of :func:`simhash_bands` packed 4-per-long into fp0[, fp1] — bit
+    16·c + i of the fingerprint lands at bit (16·c + i) mod 64 of word
+    (c // 4).  One long instead of four halves the posting payload and
+    collapses every downstream band/Hamming expression onto a single
+    column (r12 expression-tree fix; see _simhash_combinatorial_keys)."""
+    n_packed = (n_cols + 3) // 4
+    return [
+        sum(
+            F.shiftleft(F.col(f"b{4 * p + i}"), _SIMHASH_BITS * i)
+            for i in range(min(4, n_cols - 4 * p))
+        ).alias(f"fp{p}")
+        for p in range(n_packed)
+    ]
+
+
+def _simhash_scheme_keys(scheme: str, n_cols: int) -> list:
+    """Band-key expressions over the packed fp0[, fp1] columns, in the
+    scheme's canonical band order.  Values are bit-identical to the
+    historical per-column forms (classic: band m == column b{m}; wide:
+    band m == b{2m} + (b{2m+1} << 16)); only the source columns
+    changed, so posting buckets — and therefore candidate and verified
+    pair sets — are unchanged."""
+    if scheme == "classic":  # band m == 16-bit slice m of fp0
+        return [
+            F.shiftrightunsigned(F.col("fp0"), _SIMHASH_BITS * m).bitwiseAND(
+                F.lit((1 << _SIMHASH_BITS) - 1)
+            )
+            for m in range(_SIMHASH_BANDS)
+        ]
+    if scheme == "wide":  # band m == 32-bit slice m of (fp0, fp1)
+        return [
+            F.shiftrightunsigned(
+                F.col(f"fp{m // 2}"), 32 * (m % 2)
+            ).bitwiseAND(F.lit((1 << 32) - 1))
+            for m in range(n_cols // 2)
+        ]
+    if scheme == "comb":
+        return _simhash_combinatorial_keys(F.col("fp0"))
+    raise ValueError(f"unknown simhash banding scheme {scheme!r}")
+
+
+def _simhash_min_band(xcols: list, scheme: str):
     """Index of the FIRST band on which two fingerprint records agree
-    (same enumeration order as the scheme's band keys).
+    (same enumeration order as the scheme's band keys), computed from
+    the pair's PROJECTED xor words x0[, x1] (x{p} = a.fp{p} ^ b.fp{p}).
 
     Multi-band LSH emits every colliding pair once PER agreeing band —
     an exact duplicate (Hamming 0) agrees on all bands, so the naive
@@ -549,30 +603,37 @@ def _simhash_min_band(a, b, scheme: str):
     equality (keys are injective packings), so "agrees on band c" is
     recomputable from the pair's own fingerprints — no extra state.
 
-    Shape matters: a direct 20-way when-chain re-derives the 64-bit
-    xor under every combo term — an expression tree big enough to fall
-    out of whole-stage codegen (measured 6.7 s for 674 k rows).  This
-    form computes ONE block-agreement mask per pair and maps it
-    through a 2^n_blocks-entry literal lookup array built driver-side —
-    a handful of shifts and one element_at per row.
+    Shape matters twice over: a direct 20-way when-chain re-derives
+    the 64-bit xor under every combo term — an expression tree big
+    enough to fall out of whole-stage codegen (measured 6.7 s for
+    674 k rows).  This form reads the xor WORDS (projected once by
+    _simhash_verify_pairs — r12: the previous version re-packed both
+    fingerprints from their b-columns and re-xored under every block
+    term), derives one block-agreement mask, and maps it through a
+    2^n_blocks-entry literal lookup array built driver-side — a
+    handful of shifts and one element_at per row.
 
-    Schemes: ``classic`` (4 bands == the 4 16-bit columns), ``comb``
-    (20 bands == 3-subsets of 6 blocks of the 64-bit fingerprint),
-    ``wide`` (4 bands == adjacent column pairs of the 128-bit
-    8-column fingerprint).
+    Schemes: ``classic`` (4 bands == 16-bit slices of x0), ``comb``
+    (20 bands == 3-subsets of 6 blocks of x0), ``wide`` (4 bands ==
+    32-bit slices of (x0, x1)).
     """
     from itertools import combinations
 
-    if scheme == "classic":  # band m == column b{m}
+    if scheme == "classic":  # band m == 16-bit slice m
         agree = [
-            a[f"b{m}"].eqNullSafe(b[f"b{m}"])
+            F.shiftrightunsigned(xcols[0], _SIMHASH_BITS * m).bitwiseAND(
+                F.lit((1 << _SIMHASH_BITS) - 1)
+            )
+            == 0
             for m in range(_SIMHASH_BANDS)
         ]
         combos = [(m,) for m in range(_SIMHASH_BANDS)]
-    elif scheme == "wide":  # band m == columns (b{2m}, b{2m+1})
+    elif scheme == "wide":  # band m == 32-bit slice m of (x0, x1)
         agree = [
-            a[f"b{2 * m}"].eqNullSafe(b[f"b{2 * m}"])
-            & a[f"b{2 * m + 1}"].eqNullSafe(b[f"b{2 * m + 1}"])
+            F.shiftrightunsigned(xcols[m // 2], 32 * (m % 2)).bitwiseAND(
+                F.lit((1 << 32) - 1)
+            )
+            == 0
             for m in range(_SIMHASH_WIDE_BANDS // 2)
         ]
         combos = [(m,) for m in range(_SIMHASH_WIDE_BANDS // 2)]
@@ -581,16 +642,8 @@ def _simhash_min_band(a, b, scheme: str):
             sum(_SIMHASH_BLOCK_SIZES[:i])
             for i in range(len(_SIMHASH_BLOCK_SIZES))
         )
-
-        def fp64(r):
-            return sum(
-                F.shiftleft(r[f"b{m}"], _SIMHASH_BITS * m)
-                for m in range(_SIMHASH_BANDS)
-            )
-
-        xor64 = fp64(a).bitwiseXOR(fp64(b))
         agree = [
-            F.shiftrightunsigned(xor64, starts[m]).bitwiseAND(
+            F.shiftrightunsigned(xcols[0], starts[m]).bitwiseAND(
                 F.lit((1 << _SIMHASH_BLOCK_SIZES[m]) - 1)
             )
             == 0
@@ -622,7 +675,6 @@ def _simhash_min_band(a, b, scheme: str):
 
 def _simhash_verify_pairs(
     fp: DataFrame,
-    band_keys: list,
     scheme: str,
     n_cols: int = _SIMHASH_BANDS,
     hamming_max: int = _HAMMING_MAX,
@@ -640,12 +692,28 @@ def _simhash_verify_pairs(
     replaces the final distinct() with a filter: the whole query is ONE
     linear chain off the Python fingerprint kernel with a single
     shuffle (the posting groupBy) — no self-join, no join-back to fp,
-    no pair-stream re-shuffle."""
+    no pair-stream re-shuffle.
+
+    r12 expression-tree fix (guide §2.3/§7.2): the fingerprint is
+    packed 4 band-columns-per-long ONCE (fp0[, fp1] — the posting
+    payload drops from 1+n_cols to 1+⌈n_cols/4⌉ longs), every band key
+    reads the packed word instead of re-assembling it, and the pair
+    stage projects the xor words x{p} = a.fp{p}^b.fp{p} once for both
+    the Hamming sum and the min-band mask.  The previous inlined form
+    repeated the 4-shiftleft packing under each of the 20 Generate
+    keys and 6 more times under the min-band filter — a plan whose
+    codegen/compile alone measurably dominated the query at sf0.1
+    (6.2-7.2 s in-suite vs ~1.2 s warm re-run)."""
+    n_packed = (n_cols + 3) // 4
+    fpk = fp.select("doc_id", *_simhash_pack(n_cols))
     rec = F.struct(
-        "doc_id", *[F.col(f"b{b}") for b in range(n_cols)]
+        "doc_id", *[F.col(f"fp{p}") for p in range(n_packed)]
     ).alias("rec")
-    banded = fp.select(
-        rec, F.posexplode(F.array(*band_keys)).alias("band", "value")
+    banded = fpk.select(
+        rec,
+        F.posexplode(
+            F.array(*_simhash_scheme_keys(scheme, n_cols))
+        ).alias("band", "value"),
     )
     postings = (
         banded.groupBy("band", "value")
@@ -656,26 +724,24 @@ def _simhash_verify_pairs(
         postings.select("band", F.explode("recs").alias("a"), "recs")
         .select("band", "a", F.explode("recs").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    ham = sum(
-        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"b.b{b}")))
-        for b in range(n_cols)
-    ).cast("long")
-    # verify FIRST (xor+bit_count — cheapest), then keep each
-    # surviving pair only at its minimal agreeing band
-    return (
-        pairs.select(
+        .select(
             "band",
-            "a",
-            "b",
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            ham.alias("hamming"),
+            *[
+                F.col(f"a.fp{p}").bitwiseXOR(F.col(f"b.fp{p}")).alias(f"x{p}")
+                for p in range(n_packed)
+            ],
         )
+    )
+    xcols = [F.col(f"x{p}") for p in range(n_packed)]
+    ham = sum(F.bit_count(x) for x in xcols).cast("long")
+    # verify FIRST (bit_count over the projected xor — cheapest), then
+    # keep each surviving pair only at its minimal agreeing band
+    return (
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= hamming_max)
-        .filter(
-            F.col("band") == _simhash_min_band(F.col("a"), F.col("b"), scheme)
-        )
+        .filter(F.col("band") == _simhash_min_band(xcols, scheme))
         .select("a_id", "b_id", "hamming")
     )
 
@@ -725,7 +791,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of that trade everywhere past ~10^5 docs, and band space good to
     ~10^9 docs."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
-    return _simhash_verify_pairs(fp, _simhash_combinatorial_keys(), "comb")
+    return _simhash_verify_pairs(fp, "comb")
 
 
 def simhash_pairs_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,9 +806,7 @@ def simhash_pairs_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (4 posting rows per doc instead of 20) and because the
     equality pin is the registered plan's exactness proof."""
     fp = simhash_bands(table(spark, sf_dir, "documents"))
-    return _simhash_verify_pairs(
-        fp, [F.col(f"b{b}") for b in range(_SIMHASH_BANDS)], "classic"
-    )
+    return _simhash_verify_pairs(fp, "classic")
 
 
 def simhash_pairs_wide(
@@ -781,14 +845,8 @@ def simhash_pairs_wide(
     fp = simhash_bands(
         table(spark, sf_dir, "documents"), _SIMHASH_WIDE_BANDS
     )
-    keys = [
-        F.col(f"b{2 * m}")
-        + F.shiftleft(F.col(f"b{2 * m + 1}"), _SIMHASH_BITS)
-        for m in range(_SIMHASH_WIDE_BANDS // 2)
-    ]
     return _simhash_verify_pairs(
         fp,
-        keys,
         "wide",
         n_cols=_SIMHASH_WIDE_BANDS,
         hamming_max=hamming_max,
@@ -1610,24 +1668,32 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "source", F.explode(shingles()).alias("s")
     ).distinct()
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     postings = sh.groupBy("s").agg(
         F.collect_set("source").alias("srcs")
     )
-    pairs = (
+    # KEEP the diagonal through the pair aggregate (r12): the (src,
+    # src) count is exactly that source's distinct-shingle size, so
+    # the per-source sizes ride the same ≤|sources|²-row frame instead
+    # of a second scan→explode→distinct pass feeding a separate
+    # groupBy + broadcast join (the shared-subtree trap: `sh` as two
+    # consumers re-ran the expensive distinct twice — executed plan
+    # went 2 scans / 4 Exchange to 1 scan / 2 Exchange, where the new
+    # second Exchange is a window over the bounded pair matrix).
+    allp = (
         postings.select(F.explode("srcs").alias("src_a"), "srcs")
         .select("src_a", F.explode("srcs").alias("src_b"))
-        .filter(F.col("src_a") != F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared"))
     )
+    w_b = Window.partitionBy("src_b")
     return (
-        pairs.join(
-            F.broadcast(
-                sizes.withColumnsRenamed({"source": "src_b", "n": "n_b"})
-            ),
-            "src_b",
+        allp.withColumn(
+            "n_b",
+            F.max(
+                F.when(F.col("src_a") == F.col("src_b"), F.col("shared"))
+            ).over(w_b),
         )
+        .filter(F.col("src_a") != F.col("src_b"))
         .select(
             "src_a",
             "src_b",
@@ -1943,17 +2009,34 @@ def q_dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         mh_f = pool.submit(lambda: q_dedup_minhash(spark, sf_dir).count())
         ng_f = pool.submit(lambda: q_dedup_ngram(spark, sf_dir).count())
         mh_f.result(), ng_f.result()
-    mh = q_dedup_minhash(spark, sf_dir).select("a_id", "b_id")
-    ng = q_dedup_ngram(spark, sf_dir).select(
-        F.col("a_id").alias("na"), F.col("b_id").alias("nb")
+    # ONE full-outer join + ONE aggregate computes all three counts
+    # (r12): the old shape ran the minhash pair tail twice (semi-join
+    # probe + its own count), the ngram tail twice, three 1-row count
+    # jobs and two crossJoins — each pair family's post-checkpoint
+    # explode²+join tail re-executes per consumer, so halving the
+    # consumers halves the exec-side work.  Pair frames are unique by
+    # construction on (a_id, b_id), so the outer join is 1:1 and
+    # sum-of-markers == the old count(*)s exactly.
+    mh = (
+        q_dedup_minhash(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("in_mh", F.lit(1))
     )
-    both = mh.join(
-        ng, (mh["a_id"] == ng["na"]) & (mh["b_id"] == ng["nb"]), "left_semi"
+    ng = (
+        q_dedup_ngram(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("in_ng", F.lit(1))
     )
-    n1f = mh.agg(F.count("*").alias("n1"))
-    n2f = ng.agg(F.count("*").alias("n2"))
-    mf = both.agg(F.count("*").alias("m"))
-    c = n1f.crossJoin(F.broadcast(n2f)).crossJoin(F.broadcast(mf))
+    c = (
+        mh.join(ng, ["a_id", "b_id"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("in_mh"), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum("in_ng"), F.lit(0)).alias("n2"),
+            F.coalesce(
+                F.sum(F.col("in_mh") * F.col("in_ng")), F.lit(0)
+            ).alias("m"),
+        )
+    )
     n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
     nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1
     # try_divide: on an empty/duplicate-free corpus N̂ = 0 and the

@@ -1071,9 +1071,7 @@ def rle_profile_bucketed(
     w = Window.partitionBy("bkt").orderBy(*order_cols)
     local = bb.select(
         "bkt",
-        "l_returnflag",
-        "l_linestatus",
-        "l_shipdate",
+        *order_cols,
         F.lag("l_returnflag").over(w).alias("p_rf"),
         F.lag("l_linestatus").over(w).alias("p_ls"),
         F.lag("l_shipdate").over(w).alias("p_sd"),
@@ -1084,25 +1082,39 @@ def rle_profile_bucketed(
             F.when(F.col(p).isNull() | (F.col(c) != F.col(p)), 1).otherwise(0)
         )
 
-    lruns = local.groupBy("bkt").agg(
-        run("l_returnflag", "p_rf").alias("r_rf"),
-        run("l_linestatus", "p_ls").alias("r_ls"),
-        run("l_shipdate", "p_sd").alias("r_sd"),
-        F.count("*").alias("n"),
-    )
     key = F.struct(*[F.col(c) for c in order_cols])
     vals = F.struct(
         F.col("l_returnflag").alias("rf"),
         F.col("l_linestatus").alias("ls"),
         F.col("l_shipdate").alias("sd"),
     )
-    fl = bb.groupBy("bkt").agg(
+    # ONE combined per-bucket aggregate off the window output (r12):
+    # the local run counts AND the boundary min_by/max_by group by the
+    # same ``bkt`` the window just partitioned on, so fusing them rides
+    # the window's exchange (no second Exchange) and the boundary
+    # branch's separate scan+bucket pass disappears — executed plan
+    # went 2 lineitem scans / 3 Exchange → 1 scan / 1 Exchange
+    # (min_by/max_by read the same rows the lag window sorted; values
+    # and tie behavior are unchanged).
+    lruns = local.groupBy("bkt").agg(
+        run("l_returnflag", "p_rf").alias("r_rf"),
+        run("l_linestatus", "p_ls").alias("r_ls"),
+        run("l_shipdate", "p_sd").alias("r_sd"),
+        F.count("*").alias("n"),
         F.min_by(vals, key).alias("first"),
         F.max_by(vals, key).alias("last"),
     )
+    # Stitch + totals in ONE chain off the bounded summary (r12): the
+    # lag window rides over the ≤n_buckets+1 rows carrying the run
+    # counts along, and a single final aggregate computes totals and
+    # boundary-continuation subtractions together — the old
+    # tot ⨯ broadcast(adj) crossJoin hung TWO consumers off `lruns`,
+    # which duplicated the whole scan→window→agg subtree per consumer
+    # (the SCALE.md shared-subtree trap, here on the hot path).
     w_seq = Window.orderBy("bkt")  # ≤n_buckets+1 summary rows
-    stitched = fl.select(
-        "bkt", "first", F.lag("last").over(w_seq).alias("prev_last")
+    stitched = lruns.select(
+        "r_rf", "r_ls", "r_sd", "n", "first",
+        F.lag("last").over(w_seq).alias("prev_last"),
     )
 
     def cont(field: str):
@@ -1112,20 +1124,11 @@ def rle_profile_bucketed(
             ).otherwise(0)
         )
 
-    adj = stitched.agg(
-        cont("rf").alias("a_rf"), cont("ls").alias("a_ls"), cont("sd").alias("a_sd")
-    )
-    tot = lruns.agg(
-        F.sum("r_rf").alias("t_rf"),
-        F.sum("r_ls").alias("t_ls"),
-        F.sum("r_sd").alias("t_sd"),
+    runs = stitched.agg(
+        (F.sum("r_rf") - cont("rf")).alias("r_rf"),
+        (F.sum("r_ls") - cont("ls")).alias("r_ls"),
+        (F.sum("r_sd") - cont("sd")).alias("r_sd"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
-    )
-    runs = tot.crossJoin(F.broadcast(adj)).select(
-        (F.col("t_rf") - F.col("a_rf")).alias("r_rf"),
-        (F.col("t_ls") - F.col("a_ls")).alias("r_ls"),
-        (F.col("t_sd") - F.col("a_sd")).alias("r_sd"),
-        "n",
     )
     return runs.select(
         F.expr(
@@ -1266,33 +1269,50 @@ def id_gaps_bucketed(
     b = e.select("event_id").withColumn("bkt", bkt)
     w = Window.partitionBy("bkt").orderBy("event_id")
     local = b.withColumn("nxt_local", F.lead("event_id").over(w))
-    mins = b.groupBy("bkt").agg(F.min("event_id").alias("bmin"))
+    # ONE per-bucket aggregate off the window output (r12, the
+    # rle_profile_bucketed fusion): local gap stats, bucket min/max,
+    # and the row count all group by the ``bkt`` the window just
+    # partitioned on, so they ride its exchange — the old shape ran
+    # THREE passes over events (window pass, per-bucket-min pass, and
+    # a separate n_rows/id_span scan) plus a join-back of the stitch.
+    # Executed plan went 3 scans / 3 Exchange → 1 scan / 1 Exchange.
+    lgap = F.col("nxt_local") - F.col("event_id")
+    summary = local.groupBy("bkt").agg(
+        F.count("*").alias("n_b"),
+        F.min("event_id").alias("min_b"),
+        F.max("event_id").alias("max_b"),
+        F.sum(F.when(lgap > 1, 1).otherwise(0)).alias("g_l"),
+        F.sum(F.when(lgap > 1, lgap - 1).otherwise(0)).alias("m_l"),
+        F.max(F.when(lgap > 1, lgap - 1)).alias("x_l"),
+    )
+    # Boundary stitch on the bounded summary: each bucket's last row's
+    # true successor is the next NON-EMPTY bucket's min (lead over the
+    # bkt order skips absent buckets exactly like the old per-bucket-
+    # min lead did); consecutive-pair multisets are tie-order-invariant
+    # under duplicate ids, so the stitch stays exact.
     w_seq = Window.orderBy("bkt")  # ≤n_buckets+1 summary rows
-    nxt_min = mins.select(
-        "bkt", F.lead("bmin").over(w_seq).alias("next_min")
+    bgap = F.lead("min_b").over(w_seq) - F.col("max_b")
+    stitched = summary.select(
+        "n_b", "min_b", "max_b", "g_l", "m_l", "x_l",
+        F.when(bgap > 1, bgap - 1).alias("b_miss"),
     )
-    d = local.join(F.broadcast(nxt_min), "bkt").select(
-        "event_id",
-        F.coalesce(F.col("nxt_local"), F.col("next_min")).alias("nxt"),
-    )
-    gaps = d.filter(F.col("nxt") - F.col("event_id") > 1).select(
-        (F.col("nxt") - F.col("event_id") - 1).alias("missing")
-    )
-    tot = e.agg(
-        F.count("*").alias("n_rows"),
-        (F.max("event_id") - F.min("event_id") + 1).alias("id_span"),
-    )
-    g = gaps.agg(
-        F.count("*").alias("n_gaps"),
-        F.coalesce(F.sum("missing"), F.lit(0)).alias("n_missing"),
-        F.coalesce(F.max("missing"), F.lit(0)).alias("max_gap"),
-    )
-    return tot.crossJoin(F.broadcast(g)).select(
-        F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.col("id_span").cast("bigint").alias("id_span"),
-        F.col("n_gaps").cast("bigint").alias("n_gaps"),
-        F.col("n_missing").cast("bigint").alias("n_missing"),
-        F.col("max_gap").cast("bigint").alias("max_gap"),
+    return stitched.agg(
+        F.coalesce(F.sum("n_b"), F.lit(0)).cast("bigint").alias("n_rows"),
+        (F.max("max_b") - F.min("min_b") + 1).cast("bigint").alias("id_span"),
+        F.coalesce(
+            F.sum("g_l")
+            + F.sum(F.when(F.col("b_miss").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("bigint").alias("n_gaps"),
+        F.coalesce(
+            F.sum("m_l") + F.sum(F.coalesce(F.col("b_miss"), F.lit(0))),
+            F.lit(0),
+        ).cast("bigint").alias("n_missing"),
+        # greatest() yields the largest NON-null argument (null only
+        # when both are), so a single coalesce restores the 0 default
+        F.coalesce(
+            F.greatest(F.max("x_l"), F.max("b_miss")), F.lit(0)
+        ).cast("bigint").alias("max_gap"),
     )
 
 
