@@ -822,30 +822,32 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose state is O(d²), not O(rows); cov/corr derive from raw
     moments via the q_agg_corr shared-algebra policy."""
     emb = table(spark, sf_dir, "embeddings")
-    aggs = [F.count("*").alias("c")] + [
-        F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+    # Expression STRINGS, one parse each (r12 plan-build shave): the
+    # Column-algebra form of these d(d+1)/2 + d + 1 aggregates and 36
+    # literal structs issued ~500 Py4J round-trips per plan build —
+    # profile_build.py's #1 entry at 1.6 s warm.  The parsed
+    # expressions are identical (same casts, same names), only the
+    # construction path changes.
+    aggs = [F.expr("count(*) as c")] + [
+        F.expr(f"sum(cast(embedding[{i}] as double)) as s{i}")
         for i in range(_COV_D)
     ] + [
-        F.sum(
-            F.col("embedding")[i].cast("double")
-            * F.col("embedding")[j].cast("double")
-        ).alias(f"s{i}_{j}")
+        F.expr(
+            f"sum(cast(embedding[{i}] as double)"
+            f" * cast(embedding[{j}] as double)) as s{i}_{j}"
+        )
         for i, j in _COV_PAIRS
     ]
     m = emb.agg(*aggs)
-    pair_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(j).alias("j"),
-                F.col(f"s{i}_{j}").alias("sxy"),
-                F.col(f"s{i}").alias("sx"),
-                F.col(f"s{j}").alias("sy"),
-                F.col(f"s{i}_{i}").alias("sxx"),
-                F.col(f"s{j}_{j}").alias("syy"),
+    pair_structs = F.expr(
+        "array({})".format(
+            ", ".join(
+                f"struct({i} as i, {j} as j, s{i}_{j} as sxy,"
+                f" s{i} as sx, s{j} as sy, s{i}_{i} as sxx,"
+                f" s{j}_{j} as syy)"
+                for i, j in _COV_PAIRS
             )
-            for i, j in _COV_PAIRS
-        ]
+        )
     )
     p = m.select("c", F.explode(pair_structs).alias("u")).select(
         "c", "u.i", "u.j", "u.sxy", "u.sx", "u.sy", "u.sxx", "u.syy"
@@ -1056,14 +1058,16 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     d = _COV_D
-    aggs = [F.count("*").alias("c")] + [
-        F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+    # expression strings, one parse each — the q_embed_cov r12
+    # plan-build shave (same aggregates, same aliases)
+    aggs = [F.expr("count(*) as c")] + [
+        F.expr(f"sum(cast(embedding[{i}] as double)) as s{i}")
         for i in range(d)
     ] + [
-        F.sum(
-            F.col("embedding")[i].cast("double")
-            * F.col("embedding")[j].cast("double")
-        ).alias(f"s{i}_{j}")
+        F.expr(
+            f"sum(cast(embedding[{i}] as double)"
+            f" * cast(embedding[{j}] as double)) as s{i}_{j}"
+        )
         for i, j in _COV_PAIRS
     ]
     row = emb.agg(*aggs).first()

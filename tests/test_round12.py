@@ -318,3 +318,111 @@ def test_simhash_wide_twin_precision_and_sharper_candidates(spark, sf_dir):
         ],
     )
     assert m32 < m16, (m16, m32)
+
+
+# --- round-12 optimization pins (plan shrink without value change) -------
+
+
+def test_simhash_packed_band_keys_equal_column_forms(spark):
+    """r12 packing fix: the packed-word band keys must be bit-identical
+    to the historical per-column forms for every scheme — posting
+    buckets (and so the verified pair sets) then cannot move."""
+    import pandas as pd
+
+    from polybot_data_etl_spark.functions.dedup import (
+        _SIMHASH_BANDS,
+        _SIMHASH_BITS,
+        _SIMHASH_WIDE_BANDS,
+        _simhash_combinatorial_keys,
+        _simhash_pack,
+        _simhash_scheme_keys,
+    )
+
+    rng = __import__("numpy").random.default_rng(12)
+    n = 500
+    cols = {"doc_id": range(n)}
+    for b in range(_SIMHASH_WIDE_BANDS):
+        cols[f"b{b}"] = rng.integers(0, 1 << 16, size=n).tolist()
+    fp = spark.createDataFrame(pd.DataFrame(cols))
+
+    # classic + comb read fp0 (4 cols); wide reads fp0/fp1 (8 cols)
+    for scheme, n_cols, legacy in (
+        (
+            "classic",
+            _SIMHASH_BANDS,
+            [F.col(f"b{m}") for m in range(_SIMHASH_BANDS)],
+        ),
+        ("comb", _SIMHASH_BANDS, _simhash_combinatorial_keys()),
+        (
+            "wide",
+            _SIMHASH_WIDE_BANDS,
+            [
+                F.col(f"b{2 * m}")
+                + F.shiftleft(F.col(f"b{2 * m + 1}"), _SIMHASH_BITS)
+                for m in range(_SIMHASH_WIDE_BANDS // 2)
+            ],
+        ),
+    ):
+        packed = fp.select("doc_id", *_simhash_pack(n_cols)).select(
+            "doc_id", F.array(*_simhash_scheme_keys(scheme, n_cols)).alias("k")
+        )
+        col_form = fp.select("doc_id", F.array(*legacy).alias("k"))
+        a = {r.doc_id: r.k for r in packed.collect()}
+        b = {r.doc_id: r.k for r in col_form.collect()}
+        assert a == b, scheme
+
+
+def test_fused_bucketed_plans_are_single_scan(spark, sf_dir):
+    """r12 fusion pins: the rle / id_gaps registered plans must keep
+    their fused one-scan shape (the pre-r12 forms scanned the fact
+    table 2-3x; a revert reads as a silent 2x scan regression)."""
+    from polybot_data_etl_spark.registry import queries
+
+    qs = queries()
+    for name in ("q_dq_rle", "q_dq_id_gaps"):
+        df = qs[name](spark, sf_dir)
+        mode = (
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        # formatted explain prints each scan twice (tree line + the
+        # numbered detail block), so ONE physical scan == 2 mentions
+        assert plan.count("Scan parquet") == 2, (
+            name,
+            plan.count("Scan parquet"),
+        )
+
+
+def test_cross_source_diagonal_equals_size(spark, tmp_path):
+    """r12 cross_source rewrite: n_b must still be B's distinct
+    df-shingle count (now read off the pair-matrix diagonal instead of
+    a second scan) — pinned on a controlled 2-source corpus where the
+    truth is countable by hand."""
+    import pandas as pd
+
+    from polybot_data_etl_spark.functions.dedup import q_dedup_cross_source
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["A", "A", "B"],
+            # B's text is a subset of doc 1's shingles
+            "text": [
+                "w x y z q r",   # shingles: wxy xyz yzq zqr
+                "a b c d",       # abc bcd
+                "w x y z",       # wxy xyz  (both also in A)
+            ],
+            "lang": ["en"] * 3,
+            "n_chars": [11, 7, 7],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {
+        (r.src_a, r.src_b): (r.shared_shingles, r.n_b, r.containment)
+        for r in q_dedup_cross_source(spark, str(tmp_path)).collect()
+    }
+    # A has 6 distinct shingles, B has 2, both of B's occur in A
+    assert rows[("A", "B")] == (2, 2, 1.0)
+    assert rows[("B", "A")][0] == 2 and rows[("B", "A")][1] == 6
