@@ -55,6 +55,23 @@ def build_session(
         # analog of parquet partition pruning. Off by default in Spark 4.1;
         # scoped to Python sources only, no effect on file scans.
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Scan split sizing (r12, guide §2/§6): Spark picks
+        # maxSplitBytes = min(maxPartitionBytes,
+        #                     max(openCostInBytes, totalBytes/minPartitionNum)),
+        # so the bytes-per-core term already adapts split size to input
+        # scale — EXCEPT that the 4 MB openCostInBytes default floors it.
+        # At 100 TB the floor never binds (bytes-per-core ≫ 4 MB, splits
+        # stay 128 MB+); at sub-GB inputs it serializes every scan to
+        # ⌈size/4 MB⌉ tasks (measured: 3-task lineitem scans at sf0.1 on
+        # 32 cores; lowering the floor to 128 KB → 32-task scans, −25%
+        # on a 20-query light-tail sum, best-of-3).  128 KB keeps the
+        # small-file packing charge meaningful while letting the
+        # scale-adaptive term own split sizing.  Env-overridable for
+        # cluster postures that want the classic HDFS charge back.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
