@@ -49,36 +49,45 @@ from polybot_data_etl_spark.session import build_session
 from __spark_entry__ import queries
 
 # Scheduling hint for the concurrent executor (round 8): queries that
-# measured >= ~0.8 s serial at sf0.1 on a quiet box, descending.  These
+# measure heaviest serial at sf0.1 on a quiet box, descending.  These
 # run on a DEDICATED serial lane so two memory-hungry plans never
 # co-schedule: the 185 s pathology run showed alphabetically-adjacent
 # heavy joins landing in flight together, shrinking per-task execution
 # memory until shuffles spilled (q_join_range 1.4 s -> 46 s).  Light
-# queries (the other ~320, individually ~0.1-0.6 s) flow concurrently
+# queries (the other ~325, individually ~0.05-0.6 s) flow concurrently
 # beside the heavy lane and are individually too small to interfere.
 # Stale-safe: names missing from the registry are ignored, unlisted
 # (new) queries default to the light lanes.
+# Re-derived r12 from the quiet 162.5 s serial profile (0.36% measured
+# steal, post split-floor fix): the r10 list pre-dated the r11/r12
+# registrations (the scaled LSH twins and the flipped q_agg_rfm were
+# unlisted and ran in light lanes) and kept names the r12 rewrites had
+# lightened (simhash, capture_recapture).  The cut is sized so the two
+# heavy lanes and three light lanes carry equal work (ΣH ≈ 2/5·Σ,
+# both ≈ 32.5 s at the measured profile); names are descending by
+# measured wall so the build-order interleave feeds the heavy lanes
+# their longest chains first.
 _HEAVY_SERIAL = (
-    "q_graph_link_predict", "q_basket_lift", "q_dedup_capture_recapture",
-    "q_agg_winsorized", "q_win_weighted_median_scaled",
-    "q_pipeline_entities", "q_dedup_cross_source", "q_dedup_cluster_sizes",
-    "q_dedup_winnowing", "q_agg_percentile", "q_dq_rle", "q_link_fuzzy",
-    "q_embed_pq", "q_text_novelty", "q_ts_concurrency", "q_join_lead_time",
-    "q_text_repetition", "q_embed_kmeans", "q_udaf_grouped", "q_sim_pairs",
-    "q_win_weighted_median", "q_text_contamination", "q_agg_boxplot",
-    "q_fn_decimal", "q_dedup_ngram", "q_stats_kruskal", "q_attr_position",
-    "q_agg_distinct", "q_join_range", "q_dedup_containment",
-    "q_dedup_simhash", "q_dedup_minhash_eval", "q_dq_drift_ks",
-    "q_ts_gapfill", "q_ts_retention_halflife", "q_agg_abc",
-    "q_pipeline_leakage", "q_text_tfidf", "q_attr_linear",
-    "q_embed_separation", "q_stats_mannwhitney", "q_dq_cardinality_shift",
-    "q_dq_reconcile", "q_ts_interval_union", "q_sql_report",
-    # round 10: the two heavy registrations of the staged flip —
-    # hodges-lehmann's calendar-bounded O(days²) Walsh join runs
-    # 4-6 s at sf0.1; hubness pays the suite's first Python-worker +
-    # Arrow-path spin-up (~9 s cold, 0.8-1.9 s warm) because tier-1
-    # enumeration runs it before the fleet warms those paths.
-    "q_stats_hodges_lehmann", "q_embed_hubness",
+    "q_graph_link_predict", "q_basket_lift", "q_dq_rle",
+    "q_dedup_embed_scaled", "q_dedup_cluster_sizes",
+    "q_sim_topk_lsh_scaled", "q_text_repetition",
+    "q_win_weighted_median_scaled", "q_agg_percentile", "q_agg_winsorized",
+    "q_pipeline_entities", "q_text_novelty", "q_dedup_winnowing",
+    "q_link_fuzzy", "q_ts_concurrency", "q_embed_pq",
+    "q_dedup_cross_source", "q_udaf_grouped", "q_agg_rfm",
+    "q_text_contamination", "q_join_lead_time", "q_fn_decimal",
+    "q_win_weighted_median", "q_ts_gapfill", "q_embed_kmeans",
+    "q_dedup_capture_recapture", "q_ts_paths", "q_dedup_simhash",
+    "q_sim_pairs", "q_dedup_containment", "q_dedup_minhash_eval",
+    "q_dq_drift_ks", "q_agg_boxplot", "q_text_ngram_coverage",
+    "q_stats_kruskal", "q_dedup_ngram", "q_embed_recall_at_k",
+    "q_ts_retention_halflife", "q_agg_distinct", "q_ts_entropy_rate",
+    "q_text_perplexity", "q_join_range", "q_embed_prefix_agreement",
+    "q_dq_uniqueness", "q_text_logodds", "q_attr_position",
+    "q_ts_fano", "q_agg_cms_topk", "q_text_tfidf", "q_pipeline_leakage",
+    "q_agg_cms_eval", "q_ts_interval_union", "q_fn_interval",
+    "q_attr_linear", "q_dq_reconcile", "q_ml_knn", "q_embed_separation",
+    "q_agg_pareto", "q_sql_report",
 )
 
 
