@@ -1630,56 +1630,51 @@ def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    # SQL-text expressions (r13, guide §4): identical operator tree
+    # (every decimal literal combines with a double operand, so Spark
+    # promotes the whole algebra to double exactly like the Column
+    # form), ~⅓ the Py4J round-trips per build.  Φ reuses the oracle's
+    # _phi_sql text — identical literals on both engines by
+    # construction.
     m = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("value").alias("sx"),
-        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+        F.expr("count(*) AS n"),
+        F.expr("sum(value) AS sx"),
+        F.expr("sum(value * value) AS sxx"),
     )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    s = m.select(
+    s = m.selectExpr(
         "event_type",
-        n,
-        (sx / n).alias("mean"),
-        ((sxx - sx * sx / n) / (n - 1)).alias("var"),
+        "n",
+        "sx / n AS mean",
+        "(sxx - sx * sx / n) / (n - 1) AS var",
     ).localCheckpoint(eager=False)
-    a = s.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("na"), F.col("mean").alias("ma"),
-        F.col("var").alias("va"),
+    a = s.filter("event_type = 'click'").selectExpr(
+        "n AS na", "mean AS ma", "var AS va"
     )
-    b = s.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("nb"), F.col("mean").alias("mb"),
-        F.col("var").alias("vb"),
+    b = s.filter("event_type = 'view'").selectExpr(
+        "n AS nb", "mean AS mb", "var AS vb"
     )
-    w = a.crossJoin(b).select(
+    w = a.crossJoin(b).selectExpr(
         "na", "nb", "ma", "mb",
-        (F.lit(0.1) * F.abs((F.col("ma") + F.col("mb")) / 2)).alias("delta"),
-        F.sqrt(
-            F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
-        ).alias("se"),
+        "0.1D * abs((ma + mb) / 2) AS delta",
+        "sqrt(va / na + vb / nb) AS se",
     )
-    z = w.select(
+    z = w.selectExpr(
         "na", "nb", "ma", "mb", "delta",
-        F.round(
-            (F.col("ma") - F.col("mb") + F.col("delta")) / F.col("se")
-            + F.lit(1e-11), 6,
-        ).alias("z_low"),
-        F.round(
-            (F.col("ma") - F.col("mb") - F.col("delta")) / F.col("se")
-            + F.lit(1e-11), 6,
-        ).alias("z_high"),
+        "round((ma - mb + delta) / se + 1e-11, 6) AS z_low",
+        "round((ma - mb - delta) / se + 1e-11, 6) AS z_high",
     )
-    p_tost = F.greatest(
-        1 - _phi_col(F.col("z_low")), _phi_col(F.col("z_high"))
+    p_tost = (
+        f"greatest(1 - {_phi_sql('z_low')}, {_phi_sql('z_high')})"
     )
-    return z.select(
-        F.col("na").cast("bigint").alias("n_click"),
-        F.col("nb").cast("bigint").alias("n_view"),
-        F.round(F.col("ma") - F.col("mb") + F.lit(1e-9), 4).alias("diff"),
-        F.round(F.col("delta") + F.lit(1e-9), 4).alias("margin"),
-        F.round(F.col("z_low") + F.lit(1e-9), 4).alias("z_low"),
-        F.round(F.col("z_high") + F.lit(1e-9), 4).alias("z_high"),
-        F.round(p_tost + F.lit(1e-9), 4).alias("p_tost"),
-        (p_tost < 0.05).alias("equivalent"),
+    return z.selectExpr(
+        "CAST(na AS BIGINT) AS n_click",
+        "CAST(nb AS BIGINT) AS n_view",
+        "round(ma - mb + 1e-9, 4) AS diff",
+        "round(delta + 1e-9, 4) AS margin",
+        "round(z_low + 1e-9, 4) AS z_low",
+        "round(z_high + 1e-9, 4) AS z_high",
+        f"round({p_tost} + 1e-9, 4) AS p_tost",
+        f"{p_tost} < 0.05D AS equivalent",
     )
 
 

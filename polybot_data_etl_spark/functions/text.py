@@ -297,6 +297,19 @@ def _band_bucket_sql(band: int) -> str:
     return expr
 
 
+def _banded_expr() -> str:
+    """All 8 (band, bucket) structs as ONE SQL-text expression (r13,
+    guide §4 driver boundary): the Column-fold form issued ~15 Py4J
+    round-trips per band per build; this is one JVM parse.  Bucket
+    arithmetic is byte-for-byte `_band_bucket_sql`, the same text the
+    DuckDB oracle runs."""
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {_band_bucket_sql(b)})"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"array({structs})"
+
+
 def _minhash_oracle() -> str:
     banded = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, ({_band_bucket_sql(b)})::BIGINT AS bucket"
@@ -426,21 +439,9 @@ def minhash_pairs(
     if sigs is None:
         sigs = minhash_signatures(d)
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            _band_bucket(
-                [
-                    F.col(f"sig_{b * _MINHASH_ROWS_PER_BAND + r}")
-                    for r in range(_MINHASH_ROWS_PER_BAND)
-                ]
-            ).alias("bucket"),
-        )
-        for b in range(_MINHASH_BANDS)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = sigs.selectExpr(
+        "doc_id", f"explode({_banded_expr()}) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.bucket AS bucket")
 
     # Candidate pairs come from per-(band, bucket) posting lists rather
     # than a band self-join: the self-join recomputed the 32-permutation
@@ -731,41 +732,38 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; Zipf skew on the bigram key is AQE's skew-split case,
     and the LM frame broadcasts at moderate scale."""
     d = table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), " ")
-    pairs = F.filter(
-        F.zip_with(
-            words,
-            F.slice(words, 2, F.lit(1 << 30)),
-            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
-        ),
-        lambda s: s.isNotNull(),
+    # SQL-text expressions (r13, guide §4): identical operator tree,
+    # ~⅓ the Py4J round-trips per plan build.
+    pairs = (
+        "filter(zip_with(split(lower(text), ' '),"
+        f" slice(split(lower(text), ' '), 2, {1 << 30}),"
+        " (a, b) -> CASE WHEN b IS NOT NULL"
+        " THEN concat_ws(' ', a, b) END),"
+        " s -> s IS NOT NULL)"
     )
-    toks = d.select("doc_id", F.explode(pairs).alias("bigram"))
+    toks = d.selectExpr("doc_id", f"explode({pairs}) AS bigram")
     # bc feeds both lc and the LM join; a lazy cut on the vocab-sized
     # count frame keeps the corpus-sized explode at exactly two
     # executions (count pass + scoring pass) instead of three.
     bc = (
         toks.groupBy("bigram")
-        .agg(F.count("*").alias("c12"))
+        .agg(F.expr("count(*) AS c12"))
         .localCheckpoint(eager=False)
     )
-    w1 = F.split(F.col("bigram"), " ").getItem(0)
-    lc = bc.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    lc = bc.groupBy(
+        F.expr("split(bigram, ' ')[0]").alias("w1")
+    ).agg(F.expr("sum(c12) AS c1"))
     lm = (
-        bc.withColumn("w1", w1)
+        bc.withColumn("w1", F.expr("split(bigram, ' ')[0]"))
         .join(lc, "w1")
-        .select(
-            "bigram", (F.log(F.col("c12")) - F.log(F.col("c1"))).alias("logp")
-        )
+        .selectExpr("bigram", "ln(c12) - ln(c1) AS logp")
     )
     return (
         toks.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum("logp") / F.count("*") + F.lit(1e-9), 4
-            ).alias("avg_logp"),
+            F.expr("count(*) AS n_bigrams"),
+            F.expr("round(sum(logp) / count(*) + 1e-9, 4) AS avg_logp"),
         )
     )
 
@@ -816,49 +814,44 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, sublinear in corpus size.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), " ")
-    bigrams = F.filter(
-        F.zip_with(
-            words,
-            F.slice(words, 2, F.lit(1 << 30)),
-            lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
-        ),
-        lambda s: s.isNotNull(),
+    # SQL-text expressions (r13, guide §4): identical operator tree,
+    # ~⅓ the Py4J round-trips per plan build.
+    bigrams = (
+        "filter(zip_with(split(lower(text), ' '),"
+        f" slice(split(lower(text), ' '), 2, {1 << 30}),"
+        " (a, b) -> CASE WHEN b IS NOT NULL"
+        " THEN concat_ws(' ', a, b) END),"
+        " s -> s IS NOT NULL)"
     )
     bc = (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.selectExpr(f"explode({bigrams}) AS bigram")
         .groupBy("bigram")
-        .agg(F.count("*").alias("n_xy"))
+        .agg(F.expr("count(*) AS n_xy"))
         # Feeds both the support-filtered join side and the corpus
         # total below — pin so the explode+count runs once.
         .localCheckpoint(eager=False)
     )
     uc = (
-        d.select(F.explode(words).alias("word"))
+        d.selectExpr("explode(split(lower(text), ' ')) AS word")
         .groupBy("word")
-        .agg(F.count("*").alias("n_x"))
+        .agg(F.expr("count(*) AS n_x"))
     )
     # Total bigram mass = Σ n_xy over the count table — no third
     # corpus pass.
-    tot = bc.agg(F.sum("n_xy").alias("n"))
-    freq = bc.filter(F.col("n_xy") >= 5)
-    lw = F.split(F.col("bigram"), " ")
+    tot = bc.agg(F.expr("sum(n_xy) AS n"))
+    freq = bc.filter("n_xy >= 5")
     scored = (
-        freq.withColumn("wl", lw.getItem(0))
-        .withColumn("wr", lw.getItem(1))
-        .join(uc.select(F.col("word").alias("wl"), F.col("n_x").alias("nl")), "wl")
-        .join(uc.select(F.col("word").alias("wr"), F.col("n_x").alias("nr")), "wr")
+        freq.withColumn("wl", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("wr", F.expr("split(bigram, ' ')[1]"))
+        .join(uc.selectExpr("word AS wl", "n_x AS nl"), "wl")
+        .join(uc.selectExpr("word AS wr", "n_x AS nr"), "wr")
         .crossJoin(F.broadcast(tot))
     )
     return (
-        scored.select(
+        scored.selectExpr(
             "bigram",
             "n_xy",
-            F.round(
-                (F.col("n_xy") * F.col("n"))
-                / (F.col("nl") * F.col("nr") * F.lit(1.0)),
-                4,
-            ).alias("lift"),
+            "round((n_xy * n) / (nl * nr * 1.0D), 4) AS lift",
         )
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(50)
@@ -1216,32 +1209,16 @@ def q_dedup_lsh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) histogram.  Output bounded by |bands| × max-bucket-size;
     never materializes a posting list or a pair."""
     sigs = minhash_signature_frame(spark, sf_dir)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            _band_bucket(
-                [
-                    F.col(f"sig_{b * _MINHASH_ROWS_PER_BAND + r}")
-                    for r in range(_MINHASH_ROWS_PER_BAND)
-                ]
-            ).alias("bucket"),
-        )
-        for b in range(_MINHASH_BANDS)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select(
-        F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
+    banded = sigs.selectExpr(
+        "doc_id", f"explode({_banded_expr()}) AS bk"
+    ).selectExpr("bk.band AS band", "bk.bucket AS bucket")
     occ = banded.groupBy("band", "bucket").agg(F.count("*").alias("sz"))
     return occ.groupBy(
-        F.col("band").cast("bigint").alias("band"),
-        F.col("sz").cast("bigint").alias("bucket_size"),
+        F.expr("CAST(band AS BIGINT) AS band"),
+        F.expr("CAST(sz AS BIGINT) AS bucket_size"),
     ).agg(
-        F.count("*").cast("bigint").alias("n_buckets"),
-        F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
-        .cast("bigint")
-        .alias("pair_cost"),
+        F.expr("CAST(count(*) AS BIGINT) AS n_buckets"),
+        F.expr("CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS pair_cost"),
     )
 
 
@@ -1416,60 +1393,53 @@ def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair-keyed join between two small frames → one 1-row summary."""
     d = table(spark, sf_dir, "documents")
     probe = d.filter(F.col("doc_id") < 100)
-    tok = probe.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    # Column algebra below is SQL-text (r13, guide §4): same operator
+    # tree as the Column-method form it replaces (spot-diffed plans),
+    # built in ~⅓ the Py4J round-trips — this was profile_build's #3
+    # pure-construction entry (1 494 calls/build).
+    tok = probe.selectExpr(
+        "doc_id", "explode(array_distinct(split(lower(text), ' '))) AS token"
     ).localCheckpoint(eager=False)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("a_id"), "token")
-    tb = tok.select(F.col("doc_id").alias("b_id"), "token")
+    sizes = tok.groupBy("doc_id").agg(F.expr("count(*) AS n_tok"))
+    ta = tok.selectExpr("doc_id AS a_id", "token")
+    tb = tok.selectExpr("doc_id AS b_id", "token")
     inter = (
         ta.join(tb, "token")
-        .filter(F.col("a_id") < F.col("b_id"))
+        .filter("a_id < b_id")
         .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("ni"))
+        .agg(F.expr("count(*) AS ni"))
     )
     truth = (
         inter.join(
-            F.broadcast(sizes.withColumnsRenamed({"doc_id": "a_id", "n_tok": "na"})),
+            F.broadcast(sizes.selectExpr("doc_id AS a_id", "n_tok AS na")),
             "a_id",
         )
         .join(
-            F.broadcast(sizes.withColumnsRenamed({"doc_id": "b_id", "n_tok": "nb"})),
+            F.broadcast(sizes.selectExpr("doc_id AS b_id", "n_tok AS nb")),
             "b_id",
         )
-        .withColumn(
-            "j",
-            F.round(
-                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4
-            ),
-        )
-        .filter(F.col("j") >= _JACCARD_THRESHOLD)
+        .withColumn("j", F.expr("round(ni / (na + nb - ni), 4)"))
+        .filter(f"j >= {_JACCARD_THRESHOLD}")
         .select("a_id", "b_id")
     )
     truth = truth.localCheckpoint(eager=False)
-    found = minhash_pairs(probe).select(
-        "a_id", F.col("b_id").alias("fb_id")
-    )
+    found = minhash_pairs(probe).selectExpr("a_id", "b_id AS fb_id")
     hit = truth.join(
         found,
         (truth["a_id"] == found["a_id"]) & (truth["b_id"] == found["fb_id"]),
         "left_semi",
     )
-    nt = truth.agg(F.count("*").alias("n_true"))
-    nf = found.agg(F.count("*").alias("n_found"))
-    nh = hit.agg(F.count("*").alias("n_hit"))
+    nt = truth.agg(F.expr("count(*) AS n_true"))
+    nf = found.agg(F.expr("count(*) AS n_found"))
+    nh = hit.agg(F.expr("count(*) AS n_hit"))
     return (
         nt.crossJoin(F.broadcast(nf))
         .crossJoin(F.broadcast(nh))
-        .select(
-            F.col("n_true").cast("bigint").alias("n_true"),
-            F.col("n_found").cast("bigint").alias("n_found"),
-            F.col("n_hit").cast("bigint").alias("n_hit"),
-            F.round(
-                F.col("n_hit") / F.nullif(F.col("n_true"), F.lit(0))
-                + F.lit(1e-9),
-                4,
-            ).alias("recall"),
+        .selectExpr(
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_found AS BIGINT) AS n_found",
+            "CAST(n_hit AS BIGINT) AS n_hit",
+            "round(n_hit / nullif(n_true, 0) + 1e-9, 4) AS recall",
         )
     )
 

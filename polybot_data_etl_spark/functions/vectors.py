@@ -408,15 +408,21 @@ def ivf_assign(e: DataFrame, n_centroids: int = _IVF_CENTROIDS) -> DataFrame:
         ex.join(F.broadcast(cent), "j")
         .groupBy("vec_id", "c_id")
         .agg(
-            F.round(
-                F.sum(F.col("x").cast("double") * F.col("w").cast("double")), 6
-            ).alias("cdot")
+            F.expr(
+                "round(sum(CAST(x AS DOUBLE) * CAST(w AS DOUBLE)), 6)"
+                " AS cdot"
+            )
         )
     )
-    w_best = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("c_id"))
     return (
-        dots.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
+        dots.withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER ("
+                "PARTITION BY vec_id ORDER BY cdot DESC, c_id ASC)"
+            ),
+        )
+        .filter("rn = 1")
         .select("vec_id", "c_id")
     )
 
@@ -468,28 +474,38 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy cut on the narrow (vec_id, c_id) frame runs the centroid-
     # scoring kernel once instead of twice.
     assign = ivf_assign(e).localCheckpoint(eager=False)
-    probes = assign.filter(F.col("vec_id") < 10).withColumnRenamed(
+    # SQL-text expressions (r13, guide §4): identical operator tree,
+    # fewer Py4J round-trips per plan build.
+    probes = assign.filter("vec_id < 10").withColumnRenamed(
         "vec_id", "probe_id"
     )
     cands = assign.withColumnRenamed("vec_id", "neighbor_id")
     pairs = (
         probes.join(cands, "c_id")
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .filter("probe_id != neighbor_id")
         .select("probe_id", "neighbor_id")
     )
-    ep = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("emb_p"))
-    en = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_n")
+    ep = e.selectExpr("vec_id AS probe_id", "embedding AS emb_p")
+    en = e.selectExpr("vec_id AS neighbor_id", "embedding AS emb_n")
+    dot_sql = (
+        "aggregate(zip_with(emb_p, emb_n,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
     scored = (
         pairs.join(ep, "probe_id")
         .join(en, "neighbor_id")
-        .withColumn("sim", F.round(dot(F.col("emb_p"), F.col("emb_n")), 4))
+        .withColumn("sim", F.expr(f"round({dot_sql}, 4)"))
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        scored.withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY probe_id"
+                " ORDER BY sim DESC, neighbor_id ASC)"
+            ),
+        )
+        .filter("rn <= 5")
         .select("probe_id", "neighbor_id", "sim")
     )
 
@@ -1134,29 +1150,28 @@ def _pq_assign_long(ex: DataFrame, cent: DataFrame) -> DataFrame:
     subs×k×subdim codebook frame (tiny at any corpus size); the argmax
     is a row_number window keyed by (vec_id, sub) — high cardinality,
     parallel."""
-    nsq = cent.groupBy("sub", "code").agg(
-        F.sum(F.col("comp") * F.col("comp")).alias("nsq")
-    )
+    nsq = cent.groupBy("sub", "code").agg(F.expr("sum(comp * comp) AS nsq"))
     dots = (
         ex.join(F.broadcast(cent.select("code", "dim", "comp")), "dim")
         .groupBy("vec_id", "sub", "code")
-        .agg(F.sum(F.col("x") * F.col("comp")).alias("dotp"))
+        .agg(F.expr("sum(x * comp) AS dotp"))
         .join(F.broadcast(nsq), ["sub", "code"])
-        .select(
+        .selectExpr(
             "vec_id",
             "sub",
             "code",
             "dotp",
             "nsq",
-            F.round(F.col("dotp") - 0.5 * F.col("nsq"), 4).alias("score"),
+            "round(dotp - 0.5 * nsq, 4) AS score",
         )
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.desc("score"), F.asc("code")
-    )
-    return dots.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
+    return dots.withColumn(
+        "rn",
+        F.expr(
+            "row_number() OVER ("
+            "PARTITION BY vec_id, sub ORDER BY score DESC, code ASC)"
+        ),
+    ).filter("rn = 1")
 
 
 def _pq_assign_sql(cent_cte: str) -> str:
@@ -1240,40 +1255,37 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exploded frame feeds 2 assignments + 1 recenter + the |v|²
     pass → one lazy localCheckpoint shares the scan."""
     e = table(spark, sf_dir, "embeddings")
+    # SQL-text expressions (r13, guide §4): identical operator tree to
+    # the Column-method form, ~⅓ the Py4J round-trips per build.
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("dim0", "x0")
-    ).select(
+    ).selectExpr(
         "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        (F.col("dim0") / _PQ_SUBDIM).cast("int").alias("sub"),
-        F.col("x0").cast("double").alias("x"),
+        "dim0 + 1 AS dim",
+        f"CAST(dim0 / {_PQ_SUBDIM} AS INT) AS sub",
+        "CAST(x0 AS DOUBLE) AS x",
     )
     ex = ex.localCheckpoint(eager=False)
-    cent = ex.filter(F.col("vec_id") < _PQ_K).select(
-        "sub",
-        F.col("vec_id").alias("code"),
-        "dim",
-        F.round(F.col("x") + F.lit(1e-11), 6).alias("comp"),
+    cent = ex.filter(f"vec_id < {_PQ_K}").selectExpr(
+        "sub", "vec_id AS code", "dim", "round(x + 1e-11, 6) AS comp"
     )
     a1 = _pq_assign_long(ex, cent)
     c1 = (
         ex.join(a1.select("vec_id", "sub", "code"), ["vec_id", "sub"])
         .groupBy("sub", "code", "dim")
-        .agg(F.round(F.avg("x") + F.lit(1e-11), 6).alias("comp"))
+        .agg(F.expr("round(avg(x) + 1e-11, 6) AS comp"))
     )
     a2 = _pq_assign_long(ex, c1)
-    vsq = ex.groupBy("vec_id", "sub").agg(
-        F.sum(F.col("x") * F.col("x")).alias("vsq")
-    )
-    sqerr = F.round(
-        F.col("vsq") - 2 * F.col("dotp") + F.col("nsq"), 6
-    )
+    vsq = ex.groupBy("vec_id", "sub").agg(F.expr("sum(x * x) AS vsq"))
     return (
         a2.join(vsq, ["vec_id", "sub"])
         .groupBy("sub", "code")
         .agg(
-            F.count("*").cast("bigint").alias("n_members"),
-            F.round(F.avg(sqerr) + F.lit(1e-9), 4).alias("mse"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_members"),
+            F.expr(
+                "round(avg(round(vsq - 2 * dotp + nsq, 6)) + 1e-9, 4)"
+                " AS mse"
+            ),
         )
         .orderBy("sub", "code")
     )

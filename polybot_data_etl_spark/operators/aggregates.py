@@ -1101,87 +1101,94 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local cumsums → ≤32-row carry prefix, the q_stats_kruskal /
     q_mix_budget construction) — no single task ever sorts the whole
     part dimension; the oracle replays the plain window form."""
-    from pyspark.sql import Window
+    from polybot_data_etl_spark.plans.bounds import memoized_bounds
 
     li = table(spark, sf_dir, "lineitem")
+    # SQL-text expressions (r13, guide §4): identical operator tree to
+    # the Column-method form, ~⅓ the Py4J round-trips per build; the
+    # percentile probe joins the r12 bounds memo so repeat builds in a
+    # session issue no sampling job (bounds.py contract).
     pc = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * 100).try_cast("bigint")
-        ).alias("cents")
+        F.expr(
+            "sum(try_cast(round(l_extendedprice * 100) AS BIGINT))"
+            " AS cents"
+        )
     )
     # pc feeds four consumers (percentile probe, bucketed rows, bucket
     # offsets, grand total): cut the lineage once so the scan+shuffle
     # runs once, not per consumer (SCALE.md §shared-subtree; the
     # percentile .first() below is the materializing action).
     pc = pc.localCheckpoint(eager=False)
-    row = pc.agg(
-        F.percentile_approx(
-            "cents",
-            [i / _ABC_BUCKETS for i in range(1, _ABC_BUCKETS)],
-            10_000,
-        ).alias("bounds")
-    ).first()
-    bounds = sorted(set(row["bounds"] or []))
+
+    def _sample_cuts() -> list:
+        row = pc.agg(
+            F.percentile_approx(
+                "cents",
+                [i / _ABC_BUCKETS for i in range(1, _ABC_BUCKETS)],
+                10_000,
+            ).alias("bounds")
+        ).first()
+        return sorted(set(row["bounds"] or []))
+
+    bounds = memoized_bounds(
+        spark, ("abc_bounds", sf_dir, _ABC_BUCKETS), _sample_cuts
+    )
     if bounds:
-        cuts = F.array(*[F.lit(int(b)) for b in bounds])
-        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("cents")))
+        arr = ", ".join(str(int(b)) + "L" for b in bounds)
+        bkt = f"size(filter(array({arr}), x -> x <= cents))"
     else:
-        bkt = F.lit(0)
-    pcb = pc.withColumn("bkt", bkt)
-    w_local = (
-        Window.partitionBy("bkt")
-        .orderBy(F.desc("cents"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # offset = revenue mass in buckets ABOVE this one (higher cents)
-    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+        bkt = "0"
+    pcb = pc.withColumn("bkt", F.expr(bkt))
     offsets = (
         pcb.groupBy("bkt")
-        .agg(F.sum("cents").alias("bc"))
-        .withColumn(
-            "off", F.coalesce(F.sum("bc").over(w_off), F.lit(0))
+        .agg(F.expr("sum(cents) AS bc"))
+        # offset = revenue mass in buckets ABOVE this one (higher cents)
+        .selectExpr(
+            "bkt",
+            "coalesce(sum(bc) OVER (ORDER BY bkt DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            " AS off",
         )
-        .select("bkt", "off")
     )
-    total = pc.agg(F.sum("cents").alias("total"))
+    total = pc.agg(F.expr("sum(cents) AS total"))
     cum = (
-        pcb.withColumn("lcum", F.sum("cents").over(w_local))
+        pcb.withColumn(
+            "lcum",
+            F.expr(
+                "sum(cents) OVER (PARTITION BY bkt"
+                " ORDER BY cents DESC, l_partkey ASC"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        )
         .join(F.broadcast(offsets), "bkt")
         .crossJoin(F.broadcast(total))
-        .select(
-            "l_partkey",
+        .selectExpr("l_partkey", "cents", "off + lcum AS cum", "total")
+    )
+    agg = (
+        cum.selectExpr(
+            "CASE WHEN cum <= 0.8D * total THEN 'A'"
+            " WHEN cum <= 0.95D * total THEN 'B'"
+            " ELSE 'C' END AS abc",
             "cents",
-            (F.col("off") + F.col("lcum")).alias("cum"),
             "total",
         )
-    )
-    abc = (
-        F.when(F.col("cum") <= 0.8 * F.col("total"), "A")
-        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
-        .otherwise("C")
-    )
-    agg = cum.select(abc.alias("abc"), "cents", "total").groupBy("abc").agg(
-        F.count("*").alias("n_parts"),
-        F.sum("cents").alias("c"),
-        F.max("total").alias("total"),
+        .groupBy("abc")
+        .agg(
+            F.expr("count(*) AS n_parts"),
+            F.expr("sum(cents) AS c"),
+            F.expr("max(total) AS total"),
+        )
     )
     tot = agg.withColumn(
-        "all_parts", F.sum("n_parts").over(Window.partitionBy())
+        "all_parts", F.expr("sum(n_parts) OVER ()")
     )
-    return tot.select(
-        F.col("abc").alias("abc_class"),
-        F.col("n_parts").cast("bigint").alias("n_parts"),
-        F.round(
-            F.col("n_parts") / F.col("all_parts").cast("double")
-            + F.lit(1e-9),
-            4,
-        ).alias("parts_share"),
-        F.round(F.col("c") / 100.0, 2).alias("revenue"),
-        F.round(
-            F.col("c") / F.col("total").cast("double") + F.lit(1e-9), 4
-        ).alias("revenue_share"),
+    return tot.selectExpr(
+        "abc AS abc_class",
+        "CAST(n_parts AS BIGINT) AS n_parts",
+        "round(n_parts / CAST(all_parts AS DOUBLE) + 1e-9, 4)"
+        " AS parts_share",
+        "round(c / 100.0D, 2) AS revenue",
+        "round(c / CAST(total AS DOUBLE) + 1e-9, 4) AS revenue_share",
     ).orderBy("abc_class")
 
 

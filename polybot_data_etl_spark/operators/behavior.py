@@ -333,16 +333,22 @@ def rfm_quintiles_scaled(
     tiebreak is total).  Pinned equal at several bucket counts in
     tests/test_round8.py."""
     o = table(spark, sf_dir, "orders")
+    # SQL-text expressions throughout (r13, guide §4): identical
+    # operator tree to the Column-method form it replaces (938 Py4J
+    # round-trips per build → ~⅓), every literal and coercion kept
+    # byte-equivalent.
     per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.expr("max(o_orderdate) AS last_order"),
+        F.expr("count(*) AS frequency"),
+        F.expr("round(sum(o_totalprice), 2) AS monetary"),
     ).withColumn(
         # monotonic numeric key for the recency dimension: NTZ →
         # session-tz timestamp → epoch µs (ordering-preserving; only
         # the ORDER matters for ranks, never the absolute value)
         "rv",
-        F.unix_micros(F.col("last_order").cast("timestamp")).cast("double"),
+        F.expr(
+            "CAST(unix_micros(CAST(last_order AS TIMESTAMP)) AS DOUBLE)"
+        ),
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
 
@@ -363,12 +369,15 @@ def rfm_quintiles_scaled(
         spark, ("rfm_bounds", sf_dir, n_buckets), _sample_cuts
     )
 
-    def bucket(col, key):
+    def bucket_sql(col: str, key: str) -> str:
         bounds = cut_lists[key]
         if not bounds:
-            return F.lit(0)
-        cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        return F.size(F.filter(cuts, lambda x: x <= col))
+            return "0"
+        arr = ", ".join(f"CAST({float(b)!r} AS DOUBLE)" for b in bounds)
+        return (
+            f"size(filter(array({arr}),"
+            f" x -> x <= CAST({col} AS DOUBLE)))"
+        )
 
     dims = (
         ("r", "rv", "b_r"),
@@ -378,55 +387,55 @@ def rfm_quintiles_scaled(
     scored = per_cust
     for name, col, key in dims:
         scored = scored.withColumn(
-            f"bkt_{name}", bucket(F.col(col).cast("double"), key)
+            f"bkt_{name}", F.expr(bucket_sql(col, key))
         )
     # three bucket-partitioned local ranks chained on ONE frame (the
     # registered form's three windows, each now parallel over ~32
     # buckets instead of one task)
     for name, col, _ in dims:
-        w_local = Window.partitionBy(f"bkt_{name}").orderBy(
-            F.desc(col), F.asc("o_custkey")
-        )
         scored = scored.withColumn(
-            f"lrn_{name}", F.row_number().over(w_local)
+            f"lrn_{name}",
+            F.expr(
+                f"row_number() OVER (PARTITION BY bkt_{name}"
+                f" ORDER BY {col} DESC, o_custkey ASC)"
+            ),
         )
-    totals = scored.agg(F.count("*").alias("n_total"))
+    totals = scored.agg(F.expr("count(*) AS n_total"))
     out = scored
     for name, _, _ in dims:
         counts = scored.groupBy(f"bkt_{name}").agg(
-            F.count("*").alias("cnt")
+            F.expr("count(*) AS cnt")
         )
         # rank is DESC in value: offset = rows in HIGHER-value buckets
-        w_off = Window.orderBy(F.desc(f"bkt_{name}")).rowsBetween(
-            Window.unboundedPreceding, -1
+        offsets = counts.selectExpr(
+            f"bkt_{name}",
+            f"coalesce(sum(cnt) OVER (ORDER BY bkt_{name} DESC"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" AS off_{name}",
         )
-        offsets = counts.withColumn(
-            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
-        ).select(f"bkt_{name}", F.col("off").alias(f"off_{name}"))
         out = out.join(F.broadcast(offsets), f"bkt_{name}")
     out = out.crossJoin(F.broadcast(totals))
-    n = F.col("n_total")
-    base = F.floor(n / 5)
-    rem = n % 5
-    big = base + 1
 
-    def ntile5(rank_col):
-        r = rank_col
+    def ntile5_sql(r: str) -> str:
+        base = "floor(n_total / 5)"
+        rem = "(n_total % 5)"
+        big = f"({base} + 1)"
         return (
-            F.when(base == 0, r)
-            .when(r <= rem * big, F.floor((r - 1) / big) + 1)
-            .otherwise(rem + F.floor((r - 1 - rem * big) / base) + 1)
-            .cast("int")
+            f"CAST(CASE WHEN {base} = 0 THEN {r}"
+            f" WHEN {r} <= {rem} * {big}"
+            f" THEN floor(({r} - 1) / {big}) + 1"
+            f" ELSE {rem} + floor(({r} - 1 - {rem} * {big}) / {base}) + 1"
+            f" END AS INT)"
         )
 
     return (
-        out.select(
-            ntile5(F.col("off_r") + F.col("lrn_r")).alias("r"),
-            ntile5(F.col("off_f") + F.col("lrn_f")).alias("f"),
-            ntile5(F.col("off_m") + F.col("lrn_m")).alias("m"),
+        out.selectExpr(
+            ntile5_sql("(off_r + lrn_r)") + " AS r",
+            ntile5_sql("(off_f + lrn_f)") + " AS f",
+            ntile5_sql("(off_m + lrn_m)") + " AS m",
         )
         .groupBy("r", "f", "m")
-        .agg(F.count("*").alias("n_customers"))
+        .agg(F.expr("count(*) AS n_customers"))
     )
 
 

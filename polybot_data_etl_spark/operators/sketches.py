@@ -224,27 +224,23 @@ def q_agg_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a semi-join against the observed-days frame so partial windows
     past the calendar edge don't invent days."""
     e = table(spark, sf_dir, "events")
-    day = F.date_trunc("day", "ts")
+    # SQL-text expressions (r13, guide §4): identical operator tree,
+    # fewer Py4J round-trips per plan build.
     daily = (
-        e.select(
-            day.alias("day"),
-            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
-            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        e.selectExpr(
+            "date_trunc('day', ts) AS day",
+            "bitmap_bucket_number(user_id) AS bucket",
+            "bitmap_bit_position(user_id) AS pos",
         )
         .groupBy("day", "bucket")
-        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .agg(F.expr("bitmap_construct_agg(pos) AS bm"))
         # consumed by contrib AND the observed-days semi-join: one
         # lineage cut -> one events scan (bounded days x buckets frame)
         .localCheckpoint(eager=False)
     )
-    contrib = daily.select(
-        F.explode(
-            F.sequence(
-                F.col("day"),
-                F.col("day") + F.expr("INTERVAL 6 DAY"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("wday"),
+    contrib = daily.selectExpr(
+        "explode(sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))"
+        " AS wday",
         "bucket",
         "bm",
     )
@@ -254,12 +250,12 @@ def q_agg_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             observed, contrib.wday == observed.day, "left_semi"
         )
         .groupBy("wday", "bucket")
-        .agg(F.expr("bitmap_or_agg(bm)").alias("bm7"))
-        .select("wday", F.expr("bitmap_count(bm7)").alias("bucket_users"))
+        .agg(F.expr("bitmap_or_agg(bm) AS bm7"))
+        .selectExpr("wday", "bitmap_count(bm7) AS bucket_users")
         .groupBy("wday")
-        .agg(F.sum("bucket_users").cast("bigint").alias("rolling_users"))
+        .agg(F.expr("CAST(sum(bucket_users) AS BIGINT) AS rolling_users"))
     )
-    return rolled.select(F.col("wday").alias("day"), "rolling_users")
+    return rolled.selectExpr("wday AS day", "rolling_users")
 
 
 @register(
