@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
-from polybot_data_etl_spark.plans.bounds import memoized_bounds
+from polybot_data_etl_spark.plans.bounds import (
+    GRID,
+    bucket_index_sql,
+    derived_bucket_count,
+    grid_cuts,
+    memoized_bounds,
+    probe_rows_and_grid,
+)
 from polybot_data_etl_spark.registry import register
 
 
@@ -991,7 +998,7 @@ def rle_profile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rle_profile_bucketed(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
 ) -> DataFrame:
     """THE registered plan of :func:`q_dq_rle` since the round-11 flip
     (SURVEY §2 #423): the run-length report without any global data
@@ -1034,31 +1041,45 @@ def rle_profile_bucketed(
         "l_shipdate",
     )
     base = li.select(*order_cols)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    # Cut points memoized per (session, sf_dir, n_buckets): the
-    # sampling pass is deterministic in the input, so only the FIRST
-    # plan build in a session pays it (VERDICT r11 §wrong #4; job-count
-    # pinned in tests/test_round12.py).
-    bounds = memoized_bounds(
-        spark,
-        ("rle_bounds", sf_dir, n_buckets),
-        lambda: sorted(
-            set(
-                base.agg(
-                    F.percentile_approx("l_orderkey", qs, 10_000).alias(
-                        "bounds"
-                    )
-                ).first()["bounds"]
-                or []
-            )
-        ),
-    )
-    if bounds:
-        cuts = F.array(*[F.lit(int(b)) for b in bounds])
-        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("l_orderkey")))
+    # Cut points memoized per (session, sf_dir, key): the sampling pass
+    # is deterministic in the input, so only the FIRST plan build in a
+    # session pays it (VERDICT r11 §wrong #4; job-count pinned in
+    # tests/test_round12.py).  Default path (r13, guide §2.2): ONE job
+    # samples row count + the fixed quantile grid, and the bucket count
+    # derives from the sampled rows — 32 at fixture scale (identical
+    # cuts to the old fixed-32 plan), growing to bound the per-bucket
+    # sort at ×100.  An explicit n_buckets (the pytest cross-checks)
+    # keeps the direct sampling path.
+    if n_buckets is None:
+        probe = memoized_bounds(
+            spark,
+            ("rle_probe", sf_dir, GRID),
+            lambda: probe_rows_and_grid(base, "l_orderkey"),
+        )
+        n_buckets = derived_bucket_count(probe["rows"])
+        bounds = grid_cuts(probe, n_buckets)
     else:
-        bkt = F.lit(0)
-    bb = base.withColumn("bkt", bkt)
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = memoized_bounds(
+            spark,
+            ("rle_bounds", sf_dir, n_buckets),
+            lambda: sorted(
+                set(
+                    base.agg(
+                        F.percentile_approx(
+                            "l_orderkey", qs, 10_000
+                        ).alias("bounds")
+                    ).first()["bounds"]
+                    or []
+                )
+            ),
+        )
+    bounds = [int(b) for b in bounds]
+    # codegen'd O(log B) bucket assignment — the interpreted
+    # size(filter(array, ...)) HOF was O(B) per row (bounds.py, r13)
+    bb = base.withColumn(
+        "bkt", F.expr(bucket_index_sql(bounds, "l_orderkey"))
+    )
     w = Window.partitionBy("bkt").orderBy(*order_cols)
     local = bb.select(
         "bkt",
@@ -1213,7 +1234,7 @@ def id_gaps_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def id_gaps_bucketed(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
 ) -> DataFrame:
     """THE registered plan of :func:`q_dq_id_gaps` since the round-11
     flip (SURVEY §2 #424): the five-number continuity report without
@@ -1235,29 +1256,40 @@ def id_gaps_bucketed(
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
-    qs = [i / n_buckets for i in range(1, n_buckets)]
     # memoized like rle_profile_bucketed's cuts (one sampling job per
-    # session per (sf_dir, n_buckets))
-    bounds = memoized_bounds(
-        spark,
-        ("id_gap_bounds", sf_dir, n_buckets),
-        lambda: sorted(
-            set(
-                e.agg(
-                    F.percentile_approx("event_id", qs, 10_000).alias(
-                        "bounds"
-                    )
-                ).first()["bounds"]
-                or []
-            )
-        ),
-    )
-    if bounds:
-        cuts = F.array(*[F.lit(int(b)) for b in bounds])
-        bkt = F.size(F.filter(cuts, lambda x: x <= F.col("event_id")))
+    # session per key); default path derives the bucket count from the
+    # sampled row count (r13, guide §2.2 — fixed 32 at fixture scale,
+    # growing at ×100), explicit n_buckets keeps the direct sampling
+    # path for the pytest cross-checks.
+    if n_buckets is None:
+        probe = memoized_bounds(
+            spark,
+            ("id_gap_probe", sf_dir, GRID),
+            lambda: probe_rows_and_grid(e, "event_id"),
+        )
+        n_buckets = derived_bucket_count(probe["rows"])
+        bounds = grid_cuts(probe, n_buckets)
     else:
-        bkt = F.lit(0)
-    b = e.select("event_id").withColumn("bkt", bkt)
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = memoized_bounds(
+            spark,
+            ("id_gap_bounds", sf_dir, n_buckets),
+            lambda: sorted(
+                set(
+                    e.agg(
+                        F.percentile_approx(
+                            "event_id", qs, 10_000
+                        ).alias("bounds")
+                    ).first()["bounds"]
+                    or []
+                )
+            ),
+        )
+    bounds = [int(b) for b in bounds]
+    # codegen'd O(log B) bucket assignment (bounds.py, r13)
+    b = e.select("event_id").withColumn(
+        "bkt", F.expr(bucket_index_sql(bounds, "event_id"))
+    )
     w = Window.partitionBy("bkt").orderBy("event_id")
     local = b.withColumn("nxt_local", F.lead("event_id").over(w))
     # ONE per-bucket aggregate off the window output (r12, the

@@ -1101,7 +1101,14 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local cumsums → ≤32-row carry prefix, the q_stats_kruskal /
     q_mix_budget construction) — no single task ever sorts the whole
     part dimension; the oracle replays the plain window form."""
-    from polybot_data_etl_spark.plans.bounds import memoized_bounds
+    from polybot_data_etl_spark.plans.bounds import (
+        GRID,
+        bucket_index_sql,
+        derived_bucket_count,
+        grid_cuts,
+        memoized_bounds,
+        probe_rows_and_grid,
+    )
 
     li = table(spark, sf_dir, "lineitem")
     # SQL-text expressions (r13, guide §4): identical operator tree to
@@ -1120,25 +1127,18 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile .first() below is the materializing action).
     pc = pc.localCheckpoint(eager=False)
 
-    def _sample_cuts() -> list:
-        row = pc.agg(
-            F.percentile_approx(
-                "cents",
-                [i / _ABC_BUCKETS for i in range(1, _ABC_BUCKETS)],
-                10_000,
-            ).alias("bounds")
-        ).first()
-        return sorted(set(row["bounds"] or []))
-
-    bounds = memoized_bounds(
-        spark, ("abc_bounds", sf_dir, _ABC_BUCKETS), _sample_cuts
+    # ONE sampling job (row count + fixed quantile grid); bucket count
+    # derived from the sampled part count — 32 at fixture scale,
+    # growing at ×100 (r13, guide §2.2); codegen'd O(log B) bucket
+    # assignment replaces the O(B) interpreted HOF (bounds.py).
+    probe = memoized_bounds(
+        spark,
+        ("abc_probe", sf_dir, GRID),
+        lambda: probe_rows_and_grid(pc, "cents"),
     )
-    if bounds:
-        arr = ", ".join(str(int(b)) + "L" for b in bounds)
-        bkt = f"size(filter(array({arr}), x -> x <= cents))"
-    else:
-        bkt = "0"
-    pcb = pc.withColumn("bkt", F.expr(bkt))
+    n_buckets = derived_bucket_count(probe["rows"])
+    bounds = [int(b) for b in grid_cuts(probe, n_buckets)]
+    pcb = pc.withColumn("bkt", F.expr(bucket_index_sql(bounds, "cents")))
     offsets = (
         pcb.groupBy("bkt")
         .agg(F.expr("sum(cents) AS bc"))

@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
-from polybot_data_etl_spark.plans.bounds import memoized_bounds
+from polybot_data_etl_spark.plans.bounds import (
+    GRID,
+    bucket_index_sql,
+    derived_bucket_count,
+    grid_cuts,
+    memoized_bounds,
+    probe_rows_and_grid,
+)
 from polybot_data_etl_spark.registry import register
 
 
@@ -311,7 +318,7 @@ def rfm_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rfm_quintiles_scaled(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
 ) -> DataFrame:
     """THE registered plan of :func:`q_agg_rfm` since the round-11
     flip (SURVEY §2 #425): the (r, f, m) segment-size report with the
@@ -350,33 +357,54 @@ def rfm_quintiles_scaled(
             "CAST(unix_micros(CAST(last_order AS TIMESTAMP)) AS DOUBLE)"
         ),
     )
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-
-    def _sample_cuts() -> dict:
-        row = per_cust.agg(
-            F.percentile_approx("rv", qs, 10_000).alias("b_r"),
-            F.percentile_approx(
-                F.col("frequency").cast("double"), qs, 10_000
-            ).alias("b_f"),
-            F.percentile_approx("monetary", qs, 10_000).alias("b_m"),
-        ).first()
-        return {k: sorted(set(row[k] or [])) for k in ("b_r", "b_f", "b_m")}
-
     # all three dimensions' cut points from ONE sampling job, memoized
-    # per (session, sf_dir, n_buckets) — only the first plan build in a
-    # session pays it (VERDICT r11 §wrong #4)
-    cut_lists = memoized_bounds(
-        spark, ("rfm_bounds", sf_dir, n_buckets), _sample_cuts
-    )
+    # per (session, sf_dir, key) — only the first plan build in a
+    # session pays it (VERDICT r11 §wrong #4).  Default path (r13,
+    # guide §2.2): the same job also counts the entity frame and the
+    # bucket count derives from it — fixed 32 at fixture scale,
+    # growing at ×100; explicit n_buckets (pytest cross-checks) keeps
+    # the direct sampling path.
+    if n_buckets is None:
 
-    def bucket_sql(col: str, key: str) -> str:
-        bounds = cut_lists[key]
-        if not bounds:
-            return "0"
-        arr = ", ".join(f"CAST({float(b)!r} AS DOUBLE)" for b in bounds)
-        return (
-            f"size(filter(array({arr}),"
-            f" x -> x <= CAST({col} AS DOUBLE)))"
+        def _probe() -> dict:
+            qs_g = [i / GRID for i in range(1, GRID)]
+            row = per_cust.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.percentile_approx("rv", qs_g, 10_000).alias("b_r"),
+                F.percentile_approx(
+                    F.col("frequency").cast("double"), qs_g, 10_000
+                ).alias("b_f"),
+                F.percentile_approx("monetary", qs_g, 10_000).alias("b_m"),
+            ).first()
+            return {
+                "rows": int(row["rows"]),
+                **{k: list(row[k] or []) for k in ("b_r", "b_f", "b_m")},
+            }
+
+        probe = memoized_bounds(spark, ("rfm_probe", sf_dir, GRID), _probe)
+        n_buckets = derived_bucket_count(probe["rows"])
+        cut_lists = {
+            k: grid_cuts(probe | {"grid": probe[k]}, n_buckets)
+            for k in ("b_r", "b_f", "b_m")
+        }
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+
+        def _sample_cuts() -> dict:
+            row = per_cust.agg(
+                F.percentile_approx("rv", qs, 10_000).alias("b_r"),
+                F.percentile_approx(
+                    F.col("frequency").cast("double"), qs, 10_000
+                ).alias("b_f"),
+                F.percentile_approx("monetary", qs, 10_000).alias("b_m"),
+            ).first()
+            return {
+                k: sorted(set(row[k] or []))
+                for k in ("b_r", "b_f", "b_m")
+            }
+
+        cut_lists = memoized_bounds(
+            spark, ("rfm_bounds", sf_dir, n_buckets), _sample_cuts
         )
 
     dims = (
@@ -386,8 +414,15 @@ def rfm_quintiles_scaled(
     )
     scored = per_cust
     for name, col, key in dims:
+        # codegen'd O(log B) bucket assignment (bounds.py, r13)
         scored = scored.withColumn(
-            f"bkt_{name}", F.expr(bucket_sql(col, key))
+            f"bkt_{name}",
+            F.expr(
+                bucket_index_sql(
+                    [float(b) for b in cut_lists[key]],
+                    f"CAST({col} AS DOUBLE)",
+                )
+            ),
         )
     # three bucket-partitioned local ranks chained on ONE frame (the
     # registered form's three windows, each now parallel over ~32

@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polybot_data_etl_spark.catalog import table
-from polybot_data_etl_spark.plans.bounds import memoized_bounds
+from polybot_data_etl_spark.plans.bounds import (
+    GRID,
+    bucket_index_sql,
+    derived_bucket_count,
+    grid_cuts,
+    memoized_bounds,
+    probe_rows_and_grid,
+)
 from polybot_data_etl_spark.registry import register
 
 
@@ -264,9 +271,7 @@ def q_win_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all closed-form in (rn, n): ntile by the standard first-(n mod k)
     -tiles-get-ceil(n/k) rule, pct_rank = (rn-1)/(n-1), cume = rn/n.
     """
-    n_buckets = 32
     c = table(spark, sf_dir, "customer")
-    qs = [i / n_buckets for i in range(1, n_buckets)]
     # Driver-side cut-point literals KEPT (round-8 A/B, same verdict
     # as q_win_weighted_median_scaled): the bounds input here is a RAW
     # scan, so the in-plan broadcast-bounds form re-runs
@@ -275,29 +280,19 @@ def q_win_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is hidden by bench's producer pipelining.  In-plan bounds win
     # only over pre-aggregated frames (mannwhitney/kruskal).
     # ...and memoized per (session, sf_dir) since round 12, so only
-    # the first build pays it (VERDICT r11 §wrong #4).
-    bounds = memoized_bounds(
+    # the first build pays it (VERDICT r11 §wrong #4).  r13: the same
+    # job counts the rows and the bucket count derives from it (guide
+    # §2.2 — 32 at fixture scale, growing at ×100); the bucket
+    # assignment is the codegen'd O(log B) ladder (bounds.py).
+    probe = memoized_bounds(
         spark,
-        ("win_dist_bounds", sf_dir, n_buckets),
-        lambda: sorted(
-            set(
-                c.agg(
-                    F.percentile_approx("c_acctbal", qs, 10_000).alias(
-                        "bounds"
-                    )
-                ).first()["bounds"]
-                or []
-            )
-        ),
+        ("win_dist_probe", sf_dir, GRID),
+        lambda: probe_rows_and_grid(c, "c_acctbal"),
     )
-    if bounds:
-        cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        bkt = F.size(
-            F.filter(cuts, lambda x: x <= F.col("c_acctbal"))
-        ).cast("int")
-    else:
-        bkt = F.lit(0)
-    bucketed = c.withColumn("bkt", bkt)
+    n_buckets = derived_bucket_count(probe["rows"])
+    bounds = [float(b) for b in grid_cuts(probe, n_buckets)]
+    bkt_sql = bucket_index_sql(bounds, "c_acctbal")
+    bucketed = c.withColumn("bkt", F.expr(f"CAST({bkt_sql} AS INT)"))
     w_local = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
     local = bucketed.withColumn("lrn", F.row_number().over(w_local))
     counts = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
@@ -529,8 +524,6 @@ def q_win_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("w_cents"),
     )
-    n_buckets = 32
-    qs = [i / n_buckets for i in range(1, n_buckets)]
     # Driver-side cut-point literals KEPT here (round-8 measured A/B):
     # the in-plan broadcast-bounds variant duplicates the full
     # LINEITEM scan under every bounds consumer (warm total 2.67 s vs
@@ -540,29 +533,18 @@ def q_win_weighted_median_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only when the percentile runs on an already-aggregated small
     # frame (q_stats_mannwhitney / q_stats_kruskal — converted).
     # ...and memoized per (session, sf_dir) since round 12 (VERDICT
-    # r11 §wrong #4).
-    bounds = memoized_bounds(
+    # r11 §wrong #4).  r13: the same job counts rows and the bucket
+    # count derives from it (guide §2.2); codegen'd O(log B) bucket
+    # assignment (bounds.py).
+    probe = memoized_bounds(
         spark,
-        ("wmedian_bounds", sf_dir, n_buckets),
-        lambda: sorted(
-            set(
-                base.agg(
-                    F.percentile_approx("l_quantity", qs, 10_000).alias(
-                        "bounds"
-                    )
-                ).first()["bounds"]
-                or []
-            )
-        ),
+        ("wmedian_probe", sf_dir, GRID),
+        lambda: probe_rows_and_grid(base, "l_quantity"),
     )
-    if bounds:
-        cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        bkt = F.size(
-            F.filter(cuts, lambda x: x <= F.col("l_quantity"))
-        ).cast("int")
-    else:
-        bkt = F.lit(0)
-    bucketed = base.withColumn("bkt", bkt)
+    n_buckets = derived_bucket_count(probe["rows"])
+    bounds = [float(b) for b in grid_cuts(probe, n_buckets)]
+    bkt_sql = bucket_index_sql(bounds, "l_quantity")
+    bucketed = base.withColumn("bkt", F.expr(f"CAST({bkt_sql} AS INT)"))
     w_local = (
         Window.partitionBy("l_returnflag", "bkt")
         .orderBy("l_quantity", "l_orderkey", "l_linenumber")
