@@ -414,17 +414,14 @@ def ivf_assign(e: DataFrame, n_centroids: int = _IVF_CENTROIDS) -> DataFrame:
             )
         )
     )
-    return (
-        dots.withColumn(
-            "rn",
-            F.expr(
-                "row_number() OVER ("
-                "PARTITION BY vec_id ORDER BY cdot DESC, c_id ASC)"
-            ),
+    # r13 (guide §2.3): argmax as a map-side-combinable max_by hash
+    # agg — same winner as the row_number window (6-dp cdot, c_id
+    # tiebreak), no per-assignment sort wave.
+    return dots.groupBy("vec_id").agg(
+        F.expr(
+            "max_by(c_id, named_struct('s', cdot, 'c', -c_id)) AS c_id"
         )
-        .filter("rn = 1")
-        .select("vec_id", "c_id")
-    )
+    ).select("vec_id", "c_id")
 
 
 @register(
@@ -581,11 +578,18 @@ def _kmeans_assign_long(ex: DataFrame, cent: DataFrame) -> DataFrame:
             F.round(F.col("dotp") - 0.5 * F.col("nsq"), 4).alias("score"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("score"), F.asc("cluster")
-    )
-    return dots.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    # r13 (guide §2.3): the argmax is max_by over a (score, -cluster)
+    # key — identical winner to the old row_number window (score
+    # rounded 4 dp, cluster-id tiebreak), but a map-side-combinable
+    # hash agg instead of a full sort, and one less job wave per
+    # iteration.
+    return dots.groupBy("vec_id").agg(
+        F.expr(
+            "max_by(named_struct('cluster', cluster, 'score', score),"
+            " named_struct('s', score, 'c', -cluster)) AS best"
+        )
+    ).selectExpr(
+        "vec_id", "best.cluster AS cluster", "best.score AS score"
     )
 
 
@@ -1165,13 +1169,21 @@ def _pq_assign_long(ex: DataFrame, cent: DataFrame) -> DataFrame:
             "round(dotp - 0.5 * nsq, 4) AS score",
         )
     )
-    return dots.withColumn(
-        "rn",
+    # r13 (guide §2.3): argmax as a map-side-combinable max_by hash
+    # agg — same winner as the row_number window (4-dp score, code
+    # tiebreak), no per-assignment sort wave.
+    return dots.groupBy("vec_id", "sub").agg(
         F.expr(
-            "row_number() OVER ("
-            "PARTITION BY vec_id, sub ORDER BY score DESC, code ASC)"
-        ),
-    ).filter("rn = 1")
+            "max_by(named_struct('code', code, 'dotp', dotp, 'nsq', nsq),"
+            " named_struct('s', score, 'c', -code)) AS best"
+        )
+    ).selectExpr(
+        "vec_id",
+        "sub",
+        "best.code AS code",
+        "best.dotp AS dotp",
+        "best.nsq AS nsq",
+    )
 
 
 def _pq_assign_sql(cent_cte: str) -> str:

@@ -1000,6 +1000,70 @@ def q_attr_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Per-task pair-expansion bound for q_basket_lift (r13, guide §2.5):
+# a basket of k parts fans out C(k,2) pairs inside ONE Generate task;
+# baskets beyond this size take the tiled route (<= CHUNK^2 pairs per
+# task, tiles spread by one hash exchange).  Fixture max basket is 17,
+# so the driver-visible plan stays tile-free; the probe is memoized
+# per (session, sf_dir).
+_BASKET_CHUNK = 512
+
+
+def basket_pair_candidates(
+    baskets, max_basket: int, chunk: int = _BASKET_CHUNK
+):
+    """(part_a, part_b) candidate stream over (o, parts) baskets, parts
+    SORTED and DISTINCT per basket; every unordered pair emitted exactly
+    once with part_a < part_b.
+
+    Bounded baskets (size <= ``chunk``) expand exchange-free via
+    posexplode + slice.  Oversized baskets split into (chunk_i, chunk_j)
+    tiles spread by one hash exchange, so no task expands more than
+    chunk^2 pairs (guide §2.5) — diagonal tiles use the in-chunk sorted
+    slice, off-diagonal tiles the full ca×cb product (sorted + distinct
+    arrays make every cross pair a < b exactly once).  Output multiset
+    is identical on both routes — pinned in tests/test_round13.py."""
+    small = (
+        baskets
+        if max_basket <= chunk
+        else baskets.filter(f"size(parts) <= {chunk}")
+    )
+    pair_src = small.selectExpr(
+        "posexplode(parts) AS (i, part_a)", "parts"
+    ).selectExpr(
+        "part_a", f"explode(slice(parts, i + 2, {1 << 30})) AS part_b"
+    )
+    if max_basket > chunk:
+        nch = f"CAST(ceil(size(parts) / {chunk}.0D) AS INT)"
+        tiles = (
+            baskets.filter(f"size(parts) > {chunk}")
+            .selectExpr(
+                "o", "parts", f"explode(sequence(0, {nch} - 1)) AS ci"
+            )
+            .selectExpr(
+                "o", "parts", "ci",
+                f"explode(sequence(ci, {nch} - 1)) AS cj",
+            )
+            .selectExpr(
+                "o", "ci", "cj",
+                f"slice(parts, ci * {chunk} + 1, {chunk}) AS ca",
+                f"slice(parts, cj * {chunk} + 1, {chunk}) AS cb",
+            )
+            .repartition("o", "ci", "cj")
+        )
+        diag = tiles.filter("ci = cj").selectExpr(
+            "posexplode(ca) AS (i, part_a)", "ca"
+        ).selectExpr(
+            "part_a", f"explode(slice(ca, i + 2, {1 << 30})) AS part_b"
+        )
+        cross = tiles.filter("ci < cj").selectExpr(
+            "explode(ca) AS part_a", "cb"
+        ).selectExpr("part_a", "explode(cb) AS part_b")
+        pair_src = pair_src.unionByName(diag).unionByName(cross)
+    return pair_src
+
+
 @register(
     "q_basket_lift",
     oracle="""
@@ -1050,43 +1114,61 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DESC, part_a, part_b) — a total order → TakeOrderedAndProject, no
     global sort.  At 100 TB the only large shuffle is the
     orderkey-hash join, AQE-splittable on skewed mega-baskets."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    li = li.localCheckpoint(eager=False)
-    baskets = li.groupBy("o").agg(F.collect_set("p").alias("parts"))
-    pa = baskets.select(F.explode("parts").alias("part_a"), "parts")
-    pairs = (
-        pa.select("part_a", F.explode("parts").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("pair_orders"))
+    # r13 restructure (guide §2.4 + §2.5), results bit-identical:
+    # - the old separate `.distinct()` exchange is gone — collect_set
+    #   already dedupes per order, item counts come from exploding the
+    #   set, and n_orders is the basket row count (one full shuffle +
+    #   one stage barrier removed from the critical chain);
+    # - the basket array is SORTED, so pair generation is
+    #   posexplode + slice (each unordered pair generated exactly
+    #   once) instead of explode² + a<b filter (half the Generate
+    #   volume);
+    # - mega-basket skew (§2.5): C(k,2) pair expansion for one basket
+    #   is pinned to ONE task by the Generate chain.  A memoized probe
+    #   samples the max basket size; when it exceeds _BASKET_CHUNK the
+    #   oversized baskets take a tiled route — (chunk_i, chunk_j)
+    #   tiles of ≤_BASKET_CHUNK elements, spread by one hash exchange,
+    #   each tile expanding ≤ CHUNK² pairs — while bounded baskets
+    #   keep the exchange-free path.  Fixture-scale plans (max basket
+    #   17) are tile-free, so the driver bench shape is unchanged.
+    baskets = li.groupBy("o").agg(
+        F.expr("sort_array(collect_set(p)) AS parts")
     )
-    item = li.groupBy("p").agg(F.count("*").alias("cnt"))
-    n = li.agg(F.countDistinct("o").alias("n_orders"))
+    baskets = baskets.localCheckpoint(eager=False)
+    max_basket = memoized_bounds(
+        spark,
+        ("basket_max", sf_dir),
+        lambda: int(
+            li.groupBy("o")
+            .agg(F.expr("count(DISTINCT p) AS k"))
+            .agg(F.max("k"))
+            .first()[0]
+            or 0
+        ),
+    )
+    pairs = basket_pair_candidates(baskets, max_basket).groupBy(
+        "part_a", "part_b"
+    ).agg(F.expr("count(*) AS pair_orders"))
+    item = (
+        baskets.selectExpr("explode(parts) AS p")
+        .groupBy("p")
+        .agg(F.expr("count(*) AS cnt"))
+    )
+    n = baskets.agg(F.expr("count(*) AS n_orders"))
     return (
-        pairs.join(
-            item.withColumnsRenamed({"p": "part_a", "cnt": "ca"}), "part_a"
-        )
-        .join(
-            item.withColumnsRenamed({"p": "part_b", "cnt": "cb"}), "part_b"
-        )
+        pairs.join(item.selectExpr("p AS part_a", "cnt AS ca"), "part_a")
+        .join(item.selectExpr("p AS part_b", "cnt AS cb"), "part_b")
         .crossJoin(F.broadcast(n))
-        .select(
-            F.col("part_a").cast("bigint").alias("part_a"),
-            F.col("part_b").cast("bigint").alias("part_b"),
-            F.col("pair_orders").cast("bigint").alias("pair_orders"),
-            F.col("ca").cast("bigint").alias("orders_a"),
-            F.col("cb").cast("bigint").alias("orders_b"),
-            F.round(
-                F.col("pair_orders")
-                * F.col("n_orders")
-                / (F.col("ca") * F.col("cb"))
-                + F.lit(1e-9),
-                4,
-            ).alias("lift"),
+        .selectExpr(
+            "CAST(part_a AS BIGINT) AS part_a",
+            "CAST(part_b AS BIGINT) AS part_b",
+            "CAST(pair_orders AS BIGINT) AS pair_orders",
+            "CAST(ca AS BIGINT) AS orders_a",
+            "CAST(cb AS BIGINT) AS orders_b",
+            "round(pair_orders * n_orders / (ca * cb) + 1e-9, 4) AS lift",
         )
         .orderBy(F.desc("pair_orders"), "part_a", "part_b")
         .limit(15)

@@ -156,43 +156,58 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("w"))
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
-    # Every iteration references the normalized edge frame, and edges
-    # itself feeds both outw and the join — without a cut, Catalyst
-    # clones the whole fact-side join tree into each iteration
-    # (executed plan showed 33 parquet scans for 3 iterations).  A lazy
-    # localCheckpoint pins the |nations|²-bounded frame so the fact
-    # joins run exactly once.
-    norm = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
-        .localCheckpoint(eager=False)
-    )
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name"
     )
-    nn = nodes.agg(F.count("*").cast("double").alias("N"))
-    nodes_n = nodes.crossJoin(F.broadcast(nn))
-    pr = nodes_n.select("node", (F.lit(1.0) / F.col("N")).alias("pr"))
-    for _ in range(_PR_ITERS):
-        mass = (
-            norm.join(F.broadcast(pr), norm.src == pr.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
-        )
-        pr = (
-            nodes_n.join(F.broadcast(mass), nodes_n.node == mass.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(1 - _PR_DAMPING) / F.col("N")
-                    + F.lit(_PR_DAMPING)
-                    * F.coalesce(F.col("mass"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return nodes.join(pr, "node").select(
-        "node", "n_name", F.round("pr", 6).alias("pagerank")
+    # r13 (VERDICT r12 §next #5, guide §5): the per-iteration dataflow
+    # — broadcast(pr) join → mass groupBy → left-join teleport, ×3 —
+    # cost a job WAVE per tiny exchange (19 executed jobs; the old
+    # localCheckpoint also forced the fact joins at plan-build time).
+    # Both node and edge frames are SCHEMA-bounded (|nations| = 25,
+    # ≤ |nations|² edges), so the whole fixed-point runs as ONE
+    # sequence-fold over collected arrays — executor-side HOFs on a
+    # 1-row frame, no driver data math, no per-iteration exchange.
+    # aggregate() binds the accumulator per step, so iteration k
+    # evaluates vector k−1 exactly once (a chained-projection form
+    # would be inlined by CollapseProject and re-evaluate it per edge).
+    # Numerics: collect_list is sort_array'd (deterministic fold
+    # order); out-weights are sums of integer-valued doubles (exact in
+    # any order), so p = w/tw is bit-identical to the old groupBy
+    # form; per-dst mass sums ≤|nations| doubles, the same ulp band
+    # the 6-dp round already absorbs (value-equality vs the unfolded
+    # form pinned in tests/test_round13.py).
+    ed = edges.agg(
+        F.expr("sort_array(collect_list(struct(src, dst, w))) AS es")
+    )
+    nd = nodes.agg(F.expr("sort_array(collect_list(node)) AS ns"))
+    pos = "CAST(array_position(ns, e.src) AS INT)"
+    # out-weight-normalized edge array, bound ONCE as the fold's init
+    # (a plain projection would be inlined by CollapseProject and
+    # re-evaluated per lambda reference)
+    es2 = (
+        "transform(es, e -> named_struct('src', e.src, 'dst', e.dst,"
+        " 'p', e.w / aggregate(filter(es, x -> x.src = e.src), 0.0D,"
+        " (a, x) -> a + x.w)))"
+    )
+    fold = (
+        f"aggregate(sequence(1, {_PR_ITERS}),"
+        " named_struct("
+        "'pr', transform(ns, j -> 1.0D / CAST(size(ns) AS DOUBLE)),"
+        f" 'en', {es2}),"
+        " (st, it) -> named_struct('pr', transform(ns, j ->"
+        f" {1 - _PR_DAMPING}D / CAST(size(ns) AS DOUBLE)"
+        f" + {_PR_DAMPING}D * aggregate(filter(st.en, e -> e.dst = j),"
+        f" 0.0D, (acc, e) -> acc + element_at(st.pr, {pos}) * e.p)),"
+        " 'en', st.en),"
+        " st -> st.pr)"
+    )
+    return (
+        ed.crossJoin(F.broadcast(nd))
+        .selectExpr("ns", f"{fold} AS pr")
+        .selectExpr("posexplode(ns) AS (i, node)", "pr")
+        .selectExpr("node", "round(element_at(pr, i + 1), 6) AS pagerank")
+        .join(nodes, "node")
+        .select("node", "n_name", "pagerank")
     )
 
 
